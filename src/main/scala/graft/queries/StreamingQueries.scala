@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.oracle
+import graft.functions.Scalars._
+import graft.sources.Tables
+
+/** Streaming-window surface (SURVEY §2.8), validated in batch form so the
+  * DuckDB oracle can check it. The identical expressions run as a real
+  * Structured Streaming job in [[graft.streaming.StreamOps]] (readStream →
+  * withWatermark → groupBy(window…) → writeStream) — Spark's unified
+  * batch/stream semantics make the batch result the ground truth for
+  * `Trigger.AvailableNow` runs, which is exactly how the ScalaTest specs
+  * validate the streaming path.
+  *
+  * Timestamps are emitted as formatted strings (see Scalars.fmtTs) to stay
+  * parquet-physical-type agnostic across engines.
+  */
+object StreamingQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour window aggregation.
+    oracle(
+      "q27_tumbling_window",
+      s"""SELECT ${fmtTsSql("date_trunc('hour', ts)")} AS window_start,
+         |  event_type, COUNT(*) AS n, ${decSumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      "SURVEY §2.8: tumbling window agg (streaming analog)") { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+        .select(fmtTs(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Sliding 2h/1h window: each event lands in two overlapping windows.
+    oracle(
+      "q28_sliding_window",
+      """SELECT window_start, event_type, COUNT(*) AS n FROM (
+        |  SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type
+        |  FROM (SELECT unnest([date_trunc('hour', ts),
+        |                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+        |               event_type
+        |        FROM events))
+        |GROUP BY 1, 2 ORDER BY 1, 2""",
+      "SURVEY §2.8: sliding window agg (streaming analog)") { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(fmtTs(col("window.start")).as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Session windows (30-minute gap). Oracle = classic gaps-and-islands;
+    // Spark = native session_window (also valid under streaming with
+    // watermark). Session end = last event + gap, matching both engines.
+    oracle(
+      "q29_session_window",
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id,
+         |  ${fmtTsSql("min(ts)")} AS session_start,
+         |  ${fmtTsSql("max(ts) + INTERVAL 30 MINUTE")} AS session_end,
+         |  COUNT(*) AS n_events, ${decSumSql("value")} AS session_value
+         |FROM sessions GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""",
+      "SURVEY §2.8: session windows (gap=30m) vs gaps-and-islands oracle") { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("session_value"))
+        .select(col("user_id"),
+          fmtTs(col("session_window.start")).as("session_start"),
+          fmtTs(col("session_window.end")).as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    })
+}
