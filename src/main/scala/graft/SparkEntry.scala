@@ -15,7 +15,7 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    CoreQueries.defs ++ StreamingQueries.defs
+    CoreQueries.defs ++ StreamingQueries.defs ++ NorthStarQueries.defs
 
   /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows > 0.
     *

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextOps.h60x
+
+/** Deduplication operators for training-data pipelines, in ascending
+  * sophistication: exact (hash-groupBy), MinHash+LSH (shingle → minhash →
+  * band → bucket-join), n-gram Jaccard within blocks. SimHash lives in
+  * [[TextOps.simhashed]].
+  *
+  * Scale design (the whole point at 100 TB):
+  *   - exact dedup = one shuffle on the content hash, partial-agg friendly;
+  *   - MinHash/LSH replaces the quadratic all-pairs join with a shuffle on
+  *     (band, bucket): only same-bucket docs ever meet, so the join fans
+  *     out per-bucket, not per-corpus. Bucket skew (a degenerate bucket
+  *     with millions of docs) is the known failure mode — AQE skew-join
+  *     handles moderate skew, and the band hash includes the band id so
+  *     empty-ish signatures don't all collide;
+  *   - blocked Jaccard bounds the candidate set by an equi-join on a
+  *     cheap blocking key before any set intersection runs.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups by an arbitrary key expression: keeper =
+    * min(doc_id), group size alongside (first-occurrence-wins, the F7
+    * idempotence semantic from SURVEY §2.2). */
+  def exactDupGroups(documents: DataFrame, keyExpr: String): DataFrame =
+    documents
+      .withColumn("dedup_key", expr(keyExpr))
+      .groupBy("dedup_key")
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** The k affine MinHash families h_j(x) = (a_j·x + b_j) mod p as a tiny
+    * seed table (j, a, b), md5-derived so the DuckDB oracle reproduces it.
+    * All operands stay < 1e9 so a_j·x < 1e18 never overflows int64. */
+  def minhashSeeds(documents: DataFrame, k: Int): DataFrame =
+    documents.sparkSession.range(k)
+      .selectExpr("CAST(id AS INT) AS j")
+      .withColumn("a", expr(s"${h60x("concat('a:', cast(j AS string))")} % 1000000006L + 1L"))
+      .withColumn("b", expr(s"${h60x("concat('b:', cast(j AS string))")} % 1000000007L"))
+
+  /** MinHash signature: min of each affine family over the distinct 3-gram
+    * shingles; empty shingle set → all -1 sentinel.
+    *
+    * Shape matters at 100 TB: shingles are EXPLODED to rows and each is
+    * md5-hashed exactly once (a nested higher-order-function formulation
+    * recomputes the hash per family because Catalyst collapses the
+    * intermediate projection into every lambda). The k-way fan-out joins a
+    * k-row broadcast table of cheap int64 coefficients, and the per-(doc,
+    * family) min is a partial aggregation — the shuffle carries ≤ docs×k
+    * tiny rows regardless of corpus width. */
+  def minhashSigned(documents: DataFrame, k: Int = 16): DataFrame = {
+    // min over the shingle MULTISET == min over the set, so the (cheaper)
+    // duplicate-keeping shingleRows feeds the hash directly.
+    val sigs = TextOps.shingleRows(documents)
+      .withColumn("h", expr(s"${h60x("g")} % 1000000007L"))
+      .crossJoin(broadcast(minhashSeeds(documents, k)))
+      .select(col("doc_id"), col("j"), expr("(a * h + b) % 1000000007L").as("v"))
+      .groupBy("doc_id", "j").agg(min(col("v")).as("mv"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, mv))), s -> s.mv)").as("sig"))
+    documents.select("doc_id").join(sigs, Seq("doc_id"), "left")
+      .withColumn("sig",
+        expr(s"coalesce(sig, transform(sequence(0, ${k - 1}), j -> -1L))"))
+  }
+
+  /** LSH banding: signature split into `bands` bands of `rows` hashes;
+    * each band hashed to a bucket. One output row per (doc, band). */
+  def lshBanded(documents: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame =
+    minhashSigned(documents, bands * rows)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b -> struct(
+             |  CAST(b AS INT) AS band,
+             |  ${h60x(s"concat(cast(b AS string), '|', array_join(transform(slice(sig, b * $rows + 1, $rows), x -> cast(x AS string)), ','))")} AS bucket))""".stripMargin))
+          .as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bucket"))
+
+  /** Candidate near-duplicate pairs (doc a < doc b sharing any LSH
+    * bucket), verified with true shingle-set Jaccard. The self-join keys
+    * on (band, bucket) — the LSH scale path described above. */
+  def minhashCandidatePairs(documents: DataFrame): DataFrame = {
+    val banded = lshBanded(documents)
+    val a = banded.select(col("doc_id").as("a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sh = TextOps.shingled(documents).select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard", expr(
+        """CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
+          | / size(array_distinct(concat(sh_a, sh_b)))""".stripMargin))
+      .select("a", "b", "jaccard")
+  }
+
+  /** Blocked n-gram Jaccard: all pairs within (lang, n_chars bucket)
+    * blocks whose shingle Jaccard ≥ `minJaccard`. The blocking equi-join
+    * bounds the pair count; at 100 TB the block key is the shuffle key. */
+  def blockedJaccardPairs(documents: DataFrame, minJaccard: Double = 0.2,
+      charBucket: Int = 25): DataFrame = {
+    val sh = TextOps.shingled(documents)
+      .withColumn("blk", expr(s"CAST(floor(n_chars / $charBucket.0) AS BIGINT)"))
+      .select(col("doc_id"), col("lang"), col("blk"), col("sh"))
+    val l = sh.select(col("lang"), col("blk"), col("doc_id").as("a"), col("sh").as("sh_a"))
+    val r = sh.select(col("lang"), col("blk"), col("doc_id").as("b"), col("sh").as("sh_b"))
+    l.join(r, Seq("lang", "blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("jaccard", expr(
+        """CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
+          | / size(array_distinct(concat(sh_a, sh_b)))""".stripMargin))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a", "b", "jaccard")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextOps.h60x
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (bounded query set × corpus join).
+  * Scale path: random-hyperplane LSH — each vector maps to a small
+  * bucket id; the ANN join keys on the bucket, turning the quadratic
+  * scan into an equi-join shuffle, exactly like MinHash-LSH for text.
+  *
+  * Determinism notes: dot products fold the element list sequentially in
+  * DOUBLE with explicit init 0.0, so results are bit-identical across
+  * engines and partitionings (the fold happens per-row, not distributed).
+  * Hyperplane coefficients are derived from the shared md5 h60 hash, not
+  * an RNG, so both engines see the same planes.
+  */
+object SimOps {
+
+  /** Spark SQL fragment: sequential double dot-product of two
+    * equal-length float-array columns. */
+  def dotX(a: String, b: String): String =
+    s"""aggregate(transform(sequence(1, size($a)),
+       |  i -> CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)),
+       |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+
+  /** embeddings + `norm` (L2). */
+  def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("norm", expr(s"sqrt(${dotX("embedding", "embedding")})"))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors by cosine, ties broken by neighbor id.
+    * The corpus side streams; only the bounded query side is replicated
+    * (broadcast) — at scale this is the standard "small probe set vs huge
+    * corpus" shape. */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 50, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", expr(s"${dotX("q_emb", "n_emb")} / (q_norm * n_norm)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
+  /** The `nBits` pseudo-random hyperplanes as a tiny table (j, plane):
+    * r(i,j) = (h60(i || '_' || j) % 2001 - 1000) / 1000.0. Computing the
+    * nBits×dim md5 matrix ONCE here (instead of per corpus row) is the
+    * difference between O(planes) and O(corpus·planes) hash evaluations —
+    * at 100 TB the plane table broadcasts to every executor for free. */
+  def planeTable(embeddings: DataFrame, nBits: Int, dim: Int): DataFrame =
+    embeddings.sparkSession.range(nBits)
+      .selectExpr("CAST(id AS INT) AS j")
+      .withColumn("plane", expr(
+        s"""transform(sequence(1, $dim), i ->
+           |  (${h60x("concat(cast(i AS string), '_', cast(j AS string))")} % 2001L - 1000L) / 1000.0)""".stripMargin))
+
+  /** Random-hyperplane LSH bucket per vector: sign bits of dots with the
+    * plane table; bucket = Σ bit_j · 2^j. Broadcast-join fan-out (nBits
+    * rows per vector) + partial-agg groupBy back to one row per vector —
+    * both sides of the shuffle are tiny relative to the corpus scan. */
+  def hyperplaneBuckets(embeddings: DataFrame, nBits: Int = 12, dim: Int = 64): DataFrame =
+    embeddings
+      .crossJoin(broadcast(planeTable(embeddings, nBits, dim)))
+      .withColumn("dot", expr(
+        """aggregate(zip_with(embedding, plane, (x, y) -> CAST(x AS DOUBLE) * y),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(expr("CASE WHEN dot >= 0.0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0L END"))
+          .as("bucket"),
+        first(col("embedding")).as("embedding"))
+
+  /** Bucketed ANN candidate pairs: vectors sharing a hyperplane bucket,
+    * with exact cosine re-scoring — the LSH scale path for ANN. */
+  def bucketedNeighbors(embeddings: DataFrame, nBits: Int = 12): DataFrame = {
+    val e = withNorm(hyperplaneBuckets(embeddings, nBits))
+    val a = e.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", expr(s"${dotX("emb_a", "emb_b")} / (norm_a * norm_b)"))
+      .select("bucket", "a", "b", "cosine")
+  }
+}

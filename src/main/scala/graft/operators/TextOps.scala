@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, shingling, language-ID heuristic, quality scoring,
+  * document fingerprinting.
+  *
+  * All expressions are Catalyst built-ins / higher-order functions (no
+  * UDFs): they stay inside whole-stage codegen and are embarrassingly
+  * parallel — per-document narrow transforms, no shuffle, so they scale
+  * linearly with input splits at 100 TB.
+  *
+  * The HOF-heavy expressions are written as Spark SQL expression strings
+  * (still the DataFrame API via `expr`) so each has a structurally
+  * identical DuckDB oracle; the deterministic-hash discipline comes from
+  * [[graft.functions.Scalars]] (md5-based h60).
+  */
+object TextOps {
+
+  /** Spark SQL fragment: 60-bit md5 hash of expression `x` (Scalars.h60). */
+  def h60x(x: String): String =
+    s"CAST(CONV(SUBSTRING(MD5($x), 1, 15), 16, 10) AS BIGINT)"
+
+  /** DuckDB fragment equivalent to [[h60x]]. */
+  def h60d(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** documents + `tk` (token array). Whitespace tokenization — the
+    * reference's texts are single-space separated. */
+  def tokenized(documents: DataFrame): DataFrame =
+    documents.withColumn("tk", split(col("text"), " "))
+
+  /** One row per n-gram token shingle (with duplicates): posexplode +
+    * window `lead`. This stays entirely inside whole-stage codegen — a
+    * higher-order `transform(sequence(...), i -> element_at(...))`
+    * formulation is interpreted per element and measured ~15× slower on
+    * the same data. One shuffle, partitioned by doc_id (high cardinality,
+    * scales with the corpus). */
+  def shingleRows(documents: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leadCols = (1 until n).map(k => lead(col("t"), k).over(w).as(s"t$k"))
+    documents
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .select(col("doc_id") +: col("t") +: leadCols: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t") +: (1 until n).map(k => col(s"t$k")): _*).as("g"))
+  }
+
+  /** documents + `sh`: the DISTINCT n-gram shingle set as an array column
+    * (collect_set over [[shingleRows]]); docs with < n tokens get an empty
+    * array. Element order is engine-dependent — downstream consumers use
+    * only set operations (intersect/union sizes), never element order. */
+  def shingled(documents: DataFrame, n: Int = 3): DataFrame =
+    documents
+      .join(shingleRows(documents, n).groupBy("doc_id")
+        .agg(collect_set(col("g")).as("sh")), Seq("doc_id"), "left")
+      .withColumn("sh", expr("coalesce(sh, CAST(array() AS ARRAY<STRING>))"))
+
+  /** Per-token-set language scores + argmax guess. Heuristic stopword
+    * vote (the vocabulary here is synthetic, so the en-profile dominates;
+    * the operator shape is what matters: per-doc set-membership counts +
+    * deterministic CASE argmax, no shuffle). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "de" -> Seq("der", "die", "und", "das"))
+
+  def langScored(documents: DataFrame): DataFrame = {
+    val scored = langProfiles.foldLeft(tokenized(documents)) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang", expr(
+          s"CAST(size(filter(tk, t -> array_contains(array(${words.map(w => s"'$w'").mkString(",")}), t))) AS BIGINT)"))
+    }
+    scored.withColumn("lang_guess", expr(
+      """CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |     WHEN s_es >= s_de THEN 'es' ELSE 'de' END""".stripMargin))
+  }
+
+  /** Quality score in [0,1]: type-token ratio, stopword penalty, mean
+    * token length — the length/punct/stopword-ratio family of heuristics.
+    * Fixed evaluation order so the doubles match the oracle bit-for-bit. */
+  def qualityScored(documents: DataFrame): DataFrame =
+    tokenized(documents)
+      .withColumn("n_tokens", expr("CAST(size(tk) AS BIGINT)"))
+      .withColumn("n_distinct", expr("CAST(size(array_distinct(tk)) AS BIGINT)"))
+      .withColumn("n_stop", expr(
+        "CAST(size(filter(tk, t -> array_contains(array('the','a','of','and'), t))) AS BIGINT)"))
+      .withColumn("sum_len", expr(
+        "aggregate(tk, 0L, (acc, t) -> acc + CAST(length(t) AS BIGINT))"))
+      .withColumn("ttr", expr("CAST(n_distinct AS DOUBLE) / n_tokens"))
+      .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / n_tokens"))
+      .withColumn("mean_len", expr("CAST(sum_len AS DOUBLE) / n_tokens"))
+      .withColumn("quality", expr(
+        "0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * least(mean_len / 8.0, 1.0)"))
+
+  /** Rolling polynomial fingerprint over the token stream (order-
+    * sensitive, init 7, mod 1e9+7). Cross-engine-exact: all int64 ops. */
+  def fingerprinted(documents: DataFrame): DataFrame =
+    tokenized(documents).withColumn("fingerprint", expr(
+      s"""aggregate(transform(tk, t -> ${h60x("t")} % 1000003L),
+         |  7L, (acc, x) -> (acc * 31L + x) % 1000000007L)""".stripMargin))
+
+  /** 32-bit SimHash over the distinct-token set: per bit, a ±1 vote from
+    * each token's h60; bit set iff the vote sum is non-negative. */
+  def simhashed(documents: DataFrame): DataFrame =
+    tokenized(documents)
+      .withColumn("hs", expr(s"transform(array_distinct(tk), t -> ${h60x("t")})"))
+      .withColumn("simhash", expr(
+        """aggregate(transform(sequence(0, 31), b ->
+          |  CASE WHEN aggregate(hs, 0L,
+          |         (acc, h) -> acc + ((h div CAST(pow(2.0, b) AS BIGINT)) % 2L) * 2L - 1L) >= 0L
+          |       THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0L END),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .drop("hs")
+}

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.oracle
+import graft.operators.{DedupOps, SimOps, TextOps}
+import graft.sources.Tables
+
+/** North-star extension surface: dedup, similarity search, text analysis
+  * (builder prompt; BASELINE.json north_star). Every query here is
+  * oracle-checked — including MinHash signatures, LSH candidate pairs,
+  * SimHash, hyperplane buckets and cosine top-k — because every hash and
+  * every floating-point fold is engineered to be cross-engine-exact
+  * (see [[graft.functions.Scalars]], [[graft.operators.TextOps]]).
+  *
+  * DuckDB-side notes mirrored from the Spark operators:
+  *   - Spark `aggregate(arr, init, f)` ≙ DuckDB `list_reduce([init] || arr, f)`;
+  *   - Spark `sequence(1, n)` ≙ DuckDB `range(1, n+1)`; both 1-index arrays;
+  *   - Spark `slice(a, s, len)` ≙ DuckDB `a[s : s+len-1]`.
+  */
+object NorthStarQueries {
+
+  import TextOps.h60d
+
+  /** DuckDB CTE fragments shared by the text queries. */
+  private val TK = "SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk FROM documents"
+  private val SH =
+    s"""SELECT doc_id, lang, n_chars,
+       |  CASE WHEN len(tk) >= 3 THEN
+       |    list_distinct(list_transform(range(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+       |  ELSE CAST([] AS VARCHAR[]) END AS sh
+       |FROM ($TK)""".stripMargin
+  private def SIG(k: Int = 16) =
+    s"""SELECT doc_id, sh, list_transform(range(0, $k), j ->
+       |  coalesce(list_min(list_transform(hs, h ->
+       |    ((${h60d("'a:' || j::VARCHAR")} % 1000000006 + 1) * h
+       |      + ${h60d("'b:' || j::VARCHAR")} % 1000000007)
+       |    % 1000000007)), -1)) AS sig
+       |FROM (SELECT doc_id, sh,
+       |        list_transform(sh, g -> ${h60d("g")} % 1000000007) AS hs
+       |      FROM ($SH))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    oracle(
+      "q30_token_stats",
+      s"""SELECT doc_id, n_tokens, n_distinct, n_stop,
+         |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr
+         |FROM (SELECT doc_id,
+         |        CAST(len(tk) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |        CAST(len(list_filter(tk,
+         |          t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop
+         |      FROM ($TK))
+         |ORDER BY doc_id""",
+      "Text analysis: token counting (whitespace tokenizer + stopword count)") { (s, d) =>
+      TextOps.qualityScored(Tables(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
+          col("ttr"))
+        .orderBy("doc_id")
+    },
+
+    oracle(
+      "q31_lang_id",
+      s"""SELECT doc_id, s_en, s_es, s_de,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+         |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_guess
+         |FROM (SELECT doc_id,
+         |  CAST(len(list_filter(tk, t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(tk, t -> list_contains(['el','la','de','los'], t))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(tk, t -> list_contains(['der','die','und','das'], t))) AS BIGINT) AS s_de
+         |  FROM ($TK))
+         |ORDER BY doc_id""",
+      "Text analysis: n-gram/stopword language-ID heuristic") { (s, d) =>
+      TextOps.langScored(Tables(s, d, "documents"))
+        .select("doc_id", "s_en", "s_es", "s_de", "lang_guess")
+        .orderBy("doc_id")
+    },
+
+    oracle(
+      "q32_quality_score",
+      s"""SELECT doc_id, n_tokens,
+         |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(sum_len AS DOUBLE) / n_tokens AS mean_len,
+         |  0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         |    + 0.2 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0) AS quality
+         |FROM (SELECT doc_id,
+         |        CAST(len(tk) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |        CAST(len(list_filter(tk,
+         |          t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop,
+         |        list_reduce([0::BIGINT] || list_transform(tk,
+         |          t -> CAST(len(t) AS BIGINT)), (acc, x) -> acc + x) AS sum_len
+         |      FROM ($TK))
+         |ORDER BY doc_id""",
+      "Text analysis: quality scoring (length/stopword/type-token ratios)") { (s, d) =>
+      TextOps.qualityScored(Tables(s, d, "documents"))
+        .select("doc_id", "n_tokens", "ttr", "stop_ratio", "mean_len", "quality")
+        .orderBy("doc_id")
+    },
+
+    oracle(
+      "q33_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce([7::BIGINT] || list_transform(tk,
+         |    t -> ${h60d("t")} % 1000003),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+         |FROM ($TK) ORDER BY doc_id""",
+      "Text analysis: order-sensitive rolling-hash document fingerprint") { (s, d) =>
+      TextOps.fingerprinted(Tables(s, d, "documents"))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    },
+
+    oracle(
+      "q34_dedup_exact",
+      """SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS dedup_key,
+        |  min(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""",
+      "Dedup: exact hash-groupBy (first-occurrence-wins keeper)") { (s, d) =>
+      DedupOps.exactDupGroups(Tables(s, d, "documents"),
+          "md5(array_join(slice(split(text, ' '), 1, 3), ' '))")
+        .orderBy("dedup_key")
+    },
+
+    oracle(
+      "q35_minhash_sig",
+      s"""SELECT doc_id, array_to_string(sig, ',') AS sig_str
+         |FROM (${SIG()}) ORDER BY doc_id""",
+      "Dedup: 16-hash MinHash signature over 3-gram shingles") { (s, d) =>
+      DedupOps.minhashSigned(Tables(s, d, "documents"))
+        .selectExpr("doc_id",
+          "array_join(transform(sig, x -> cast(x AS string)), ',') AS sig_str")
+        .orderBy("doc_id")
+    },
+
+    oracle(
+      "q36_minhash_lsh_pairs",
+      s"""WITH sh AS ($SH),
+         |sig AS (${SIG()}),
+         |bands AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT a, b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |FROM cand
+         |JOIN sh sa ON sa.doc_id = a
+         |JOIN sh sb ON sb.doc_id = b
+         |ORDER BY a, b""",
+      "Dedup: MinHash+LSH banding → bucket-join candidates → true Jaccard") { (s, d) =>
+      DedupOps.minhashCandidatePairs(Tables(s, d, "documents"))
+        .orderBy("a", "b")
+    },
+
+    oracle(
+      "q37_simhash",
+      s"""SELECT doc_id,
+         |  list_reduce([0::BIGINT] || list_transform(range(0, 32), b ->
+         |    CASE WHEN list_reduce([0::BIGINT] || list_transform(hs,
+         |           h -> ((h // CAST(power(2.0, b) AS BIGINT)) % 2) * 2 - 1),
+         |           (acc, x) -> acc + x) >= 0
+         |         THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END),
+         |    (acc, x) -> acc + x) AS simhash
+         |FROM (SELECT doc_id, list_transform(list_distinct(tk),
+         |        t -> ${h60d("t")}) AS hs
+         |      FROM ($TK))
+         |ORDER BY doc_id""",
+      "Dedup: 32-bit SimHash bit-vote over distinct tokens") { (s, d) =>
+      TextOps.simhashed(Tables(s, d, "documents"))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    },
+
+    oracle(
+      "q38_jaccard_blocked",
+      s"""WITH sh AS ($SH),
+         |blk AS (SELECT doc_id, lang,
+         |          CAST(floor(n_chars / 25.0) AS BIGINT) AS blk, sh FROM sh)
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+         |    / len(list_distinct(l.sh || r.sh)) AS jaccard
+         |FROM blk l JOIN blk r ON l.lang = r.lang AND l.blk = r.blk
+         |WHERE l.doc_id < r.doc_id
+         |  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+         |    / len(list_distinct(l.sh || r.sh)) >= 0.2
+         |ORDER BY a, b""",
+      "Dedup: blocked n-gram Jaccard (lang × size-bucket blocking)") { (s, d) =>
+      DedupOps.blockedJaccardPairs(Tables(s, d, "documents"))
+        .orderBy("a", "b")
+    },
+
+    oracle(
+      "q39_cosine_topk",
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce([0.0::DOUBLE] || list_transform(range(1, len(embedding)+1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (acc,x) -> acc + x)) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_reduce([0.0::DOUBLE] || list_transform(range(1, len(q.embedding)+1),
+        |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (acc,x) -> acc + x)
+        |      / (q.norm * c.norm) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""",
+      "Similarity: brute-force cosine top-k (bounded probe set × corpus)") { (s, d) =>
+      SimOps.cosineTopK(Tables(s, d, "embeddings"))
+        .orderBy("q_id", "rank")
+    },
+
+    oracle(
+      "q40_hyperplane_buckets",
+      s"""SELECT vec_id,
+         |  list_reduce([0::BIGINT] || list_transform(range(0, 12), j ->
+         |    CASE WHEN list_reduce([0.0::DOUBLE] ||
+         |           list_transform(range(1, len(embedding)+1),
+         |             i -> embedding[i]::DOUBLE
+         |                  * ((${h60d("i::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000) / 1000.0)),
+         |           (acc, x) -> acc + x) >= 0.0
+         |         THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END),
+         |    (acc, x) -> acc + x) AS bucket
+         |FROM embeddings ORDER BY vec_id""",
+      "Similarity: random-hyperplane LSH bucket assignment (ANN scale path)") { (s, d) =>
+      SimOps.hyperplaneBuckets(Tables(s, d, "embeddings"))
+        .select("vec_id", "bucket")
+        .orderBy("vec_id")
+    },
+
+    oracle(
+      "q41_bucketed_neighbors",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce([0.0::DOUBLE] || list_transform(range(1, len(embedding)+1),
+         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (acc,x) -> acc + x)) AS norm,
+         |    list_reduce([0::BIGINT] || list_transform(range(0, 12), j ->
+         |      CASE WHEN list_reduce([0.0::DOUBLE] ||
+         |             list_transform(range(1, len(embedding)+1),
+         |               i -> embedding[i]::DOUBLE
+         |                    * ((${h60d("i::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000) / 1000.0)),
+         |             (acc, x) -> acc + x) >= 0.0
+         |           THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END),
+         |      (acc, x) -> acc + x) AS bucket
+         |  FROM embeddings)
+         |SELECT l.bucket AS bucket, l.vec_id AS a, r.vec_id AS b,
+         |  list_reduce([0.0::DOUBLE] || list_transform(range(1, len(l.embedding)+1),
+         |    i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE), (acc,x) -> acc + x)
+         |    / (l.norm * r.norm) AS cosine
+         |FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |ORDER BY 1, 2, 3""",
+      "Similarity: LSH bucket-join ANN with exact cosine re-scoring") { (s, d) =>
+      SimOps.bucketedNeighbors(Tables(s, d, "embeddings"))
+        .orderBy("bucket", "a", "b")
+    })
+}
