@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad main for plan inspection / stage timing. Not part of the
@@ -14,40 +13,45 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    val docs = graft.sources.Tables(spark, d, "documents")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  -> $r")
-      r
-    }
+    // Drive the pipeline runner end-to-end: 3 stages over real events data,
+    // run twice — second run must resume from checkpoints (no re-execution).
+    val root = java.nio.file.Files.createTempDirectory("pipe").toString
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    val stages = Seq(
+      graft.plans.Pipeline.Stage("filter_ok",
+        _.filter(col("event_type") =!= "error")),
+      graft.plans.Pipeline.Stage("kval",
+        _.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))),
+      graft.plans.Pipeline.Stage("per_user",
+        _.groupBy("user_id").agg(count(lit(1)).as("n"), sum("k").as("sum_k"))))
+    val t0 = System.nanoTime()
+    val out1 = graft.plans.Pipeline.run(spark, events, root, stages).count()
+    val t1 = System.nanoTime()
+    val out2 = graft.plans.Pipeline.run(spark, events, root, stages).count()
+    val t2 = System.nanoTime()
+    println(s"[drive] pipeline run1=$out1 rows (${(t1 - t0) / 1e6}%.0f ms) " +
+      s"run2=$out2 rows (${(t2 - t1) / 1e6} ms, resumed from checkpoints)")
+    println("[drive] checkpoints: " + new java.io.File(root).list().sorted.mkString(", "))
 
-    // warm the session
-    docs.count(); docs.count()
+    // Streaming: AvailableNow over the real events files.
+    val stream = graft.streaming.StreamOps.tumblingCounts(
+      graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001"))
+    val sres = graft.streaming.StreamOps.runAvailableNowComplete(spark, stream,
+      "drive_tumbling", java.nio.file.Files.createTempDirectory("ck").toString)
+    println(s"[drive] streaming tumbling windows: ${sres.count()} rows, sample: " +
+      sres.orderBy("window_start", "event_type").head())
 
-    // variant A: HOF transform shingles (current)
-    val a = graft.operators.TextOps.shingled(docs)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-    time("A_hof.count")(a.count())
-    time("A_hof.count2")(a.count())
-
-    // variant D: posexplode + window lead (codegen + one sort)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val dRows = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("g"))
-    time("D_window.count")(dRows.count())
-    time("D_window.count2")(dRows.count())
-
-    // variant D + collect_set back to arrays
-    val dArr = docs.join(
-      dRows.groupBy("doc_id").agg(collect_set(col("g")).as("sh")), Seq("doc_id"), "left")
-    time("D_arrays.count")(dArr.selectExpr("sum(size(sh))").collect()(0).toString)
+    // Multimodal: binaryFile scan of a real directory (the repo's own
+    // scripts dir) → probe → derived projections.
+    val files = graft.sources.BinaryFiles.scan(spark, "/root/repo/scripts",
+      glob = "*.py", withContent = true)
+    val meta = graft.operators.MultimodalOps.withJp2Levels(
+      graft.operators.MultimodalOps.withResizeTarget(
+        graft.operators.MultimodalOps.probeMedia(files).toDF()))
+    meta.show(5, truncate = false)
     spark.stop()
   }
 }

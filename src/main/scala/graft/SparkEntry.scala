@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    CoreQueries.defs ++ StreamingQueries.defs ++ NorthStarQueries.defs
+    CoreQueries.defs ++ StreamingQueries.defs ++ NorthStarQueries.defs ++
+      DocQueries.defs
 
   /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows > 0.
     *

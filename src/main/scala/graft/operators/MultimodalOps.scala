@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, plus the decode/probe/transform stages the reference
+  * shells out for (`pdfimages`/`convert`/`kdu_compress` subprocesses,
+  * `bin/main.py:241,315,398`; PIL header probe `bin/main.py:300-306`).
+  *
+  * The Spark-side plumbing is real — schema, partition-wise batching,
+  * adapter lifecycle — while the codec itself is a pluggable adapter
+  * (this container has no image libraries, so the default adapter is a
+  * clearly-marked deterministic STUB that parses a fake fixed header).
+  * On a real cluster you swap [[ImageAdapter]] for a javax.imageio /
+  * native implementation; nothing else changes.
+  *
+  * mapPartitions (not per-row UDF) so an adapter can amortize
+  * initialization (codec contexts, dictionaries, model weights) across a
+  * whole partition — the per-partition batch shape that matters at
+  * 100 TB.
+  */
+object MultimodalOps {
+
+  /** One decoded-media metadata record (the Representation shape,
+    * `bin/dao.py:42-110`). */
+  final case class MediaMeta(path: String, mimetype: String,
+      width: Int, height: Int, bits: Int, size: Long, checksum: String)
+
+  /** Pluggable codec boundary. Implementations must be deterministic. */
+  trait ImageAdapter extends Serializable {
+    /** Probe header → (mime, width, height, bits). MUST NOT decode the
+      * full payload (the reference's PIL probe reads only the header). */
+    def probe(path: String, content: Array[Byte]): (String, Int, Int, Int)
+  }
+
+  /** STUB adapter: deterministic fake "header parse" — width/height/bits
+    * derived from the leading bytes, mime from the extension. Stands in
+    * for javax.imageio in this container; same signature, same batch
+    * shape. */
+  object StubImageAdapter extends ImageAdapter {
+    private val mimeByExt = Map(
+      "tif" -> "image/tiff", "jp2" -> "image/jp2", "pbm" -> "image/x-pbm",
+      "pgm" -> "image/x-pgm", "ppm" -> "image/x-ppm", "pdf" -> "application/pdf")
+    def probe(path: String, content: Array[Byte]): (String, Int, Int, Int) = {
+      val ext = path.split('.').last.toLowerCase
+      val b = content.padTo(4, 0.toByte)
+      val w = 100 + math.abs(b(0).toInt * 7 + b(1)) % 4000
+      val h = 100 + math.abs(b(2).toInt * 7 + b(3)) % 4000
+      val bits = ext match {
+        case "pbm" => 1
+        case "pgm" => 8
+        case _ => 24
+      }
+      (mimeByExt.getOrElse(ext, "application/octet-stream"), w, h, bits)
+    }
+  }
+
+  /** Probe a binaryFile listing (path, content, length) into typed
+    * metadata rows. Partition-parallel; the adapter initializes once per
+    * partition. SHA-1 checksum mirrors `bin/dao.py:12-17` (A6). */
+  def probeMedia(files: DataFrame, adapter: ImageAdapter = StubImageAdapter): Dataset[MediaMeta] = {
+    val withSha = files.withColumn("checksum", sha1(col("content")))
+    implicit val enc = Encoders.product[MediaMeta]
+    withSha.select("path", "content", "length", "checksum")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val path = r.getString(0)
+          val content = r.getAs[Array[Byte]](1)
+          val (mime, w, h, bits) = adapter.probe(path, content)
+          MediaMeta(path, mime, w, h, bits, r.getLong(2), r.getString(3))
+        }
+      }
+  }
+
+  /** Resize-target projection (F17): long side floored to a multiple of
+    * 100 — `bin/main.py:299-305`. */
+  def withResizeTarget(meta: DataFrame): DataFrame =
+    meta.withColumn("resize_target",
+      (floor(greatest(col("width"), col("height")) / 100) * 100).cast("long"))
+
+  /** JP2 resolution levels (F18): halvings of the long side until < 96 —
+    * `bin/main.py:377-385`, all-integer formulation. */
+  def withJp2Levels(meta: DataFrame): DataFrame =
+    meta.withColumn("jp2_levels",
+      length(bin(expr("greatest(width, height) div 96"))).cast("long"))
+}

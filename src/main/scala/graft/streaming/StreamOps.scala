@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.8): the incremental semantics
+  * the reference hand-rolls with `.last_run` mtime markers and
+  * re-runnable stages, expressed as real streams.
+  *
+  * The transformations are the SAME expressions as the batch queries
+  * (q27–q29) — Spark's unified model means the batch oracle results are
+  * the ground truth for a `Trigger.AvailableNow` run over the same files,
+  * which is exactly what the ScalaTest spec asserts.
+  */
+object StreamOps {
+
+  /** events schema with ts as raw parquet nanos (see Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events parquet directory — the streaming
+    * analog of the mtime-incremental scan (`bin/batch.sh:24-27`): the
+    * source tracks processed files exactly-once in the checkpoint. */
+  def eventsStream(spark: SparkSession, dir: String,
+      glob: String = "events*.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts with a 10-minute watermark (late data beyond
+    * the watermark is dropped — the reference's analog is 401/404 rows
+    * exiting the candidate set, `bin/main.py:495-507`). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"), col("n"))
+
+  /** Per-user session windows (30-minute gap) with watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"), col("n_events"))
+
+  /** Streaming exact-dedup within the watermark horizon — first
+    * occurrence wins, the F7 idempotence contract under continuous
+    * arrival. State is bounded by the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+
+  /** Run any of the above to completion over the files currently present
+    * (Trigger.AvailableNow) into an in-memory table; returns the result.
+    * This is the scheduled-batch execution mode the reference's cron
+    * driver approximates (`bin/batch.sh`). */
+  def runAvailableNow(spark: SparkSession, streamed: DataFrame,
+      queryName: String, checkpointDir: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(if (streamed.isStreaming) "append" else "append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Complete-mode variant for aggregation streams. */
+  def runAvailableNowComplete(spark: SparkSession, streamed: DataFrame,
+      queryName: String, checkpointDir: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, SimOps, TextOps}
+
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("minhash LSH finds a planted near-duplicate and not the unrelated doc") {
+    val nearDup = base.replace("sigma", "sygma") // one token changed
+    val unrelated = (1 to 20).map(i => s"word$i").mkString(" ")
+    val pairs = DedupOps.minhashCandidatePairs(
+      docs(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.7 },
+      s"expected (1,2) candidate, got ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("identical documents have identical minhash signatures") {
+    val sigs = DedupOps.minhashSigned(docs(1L -> base, 2L -> base, 3L -> "x y z a b c"))
+      .selectExpr("doc_id", "array_join(transform(sig, x -> cast(x AS string)), ',') AS s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("exact dedup groups by key with first-occurrence keeper") {
+    val groups = DedupOps.exactDupGroups(
+      docs(5L -> "same text here", 9L -> "same text here", 7L -> "different text entirely"),
+      "md5(text)")
+      .orderBy("keeper_doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(groups.toSeq === Seq((5L, 2L), (7L, 1L)))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val sh = TextOps.simhashed(docs(1L -> base, 2L -> base.replace("sigma", "sygma"),
+        3L -> (1 to 20).map(i => s"zzz$i").mkString(" ")))
+      .select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to query 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 0.0f, 1.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val top = SimOps.cosineTopK(vecs, nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(top.head._1 === 1L && math.abs(top.head._3 - 1.0) < 1e-12)
+    assert(top(1)._1 === 2L)
+    assert(top(2)._1 === 3L && math.abs(top(2)._3) < 1e-12)
+  }
+
+  test("hyperplane buckets are deterministic and colocate identical vectors") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val b1 = SimOps.hyperplaneBuckets(vecs, nBits = 8, dim = 8)
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = SimOps.hyperplaneBuckets(vecs, nBits = 8, dim = 8)
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+    assert(b1(0L) === b1(1L))
+  }
+
+  test("blocked jaccard respects the language block boundary") {
+    val d = Seq(
+      (1L, base, "en"), (2L, base, "en"), (3L, base, "zh"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = DedupOps.blockedJaccardPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L))) // cross-lang pair never compared
+  }
+}

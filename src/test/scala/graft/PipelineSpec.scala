@@ -1,0 +1,60 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{Incremental, Pipeline, TwoPhaseSink}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("staged run checkpoints every stage and resumes without re-executing") {
+    val root = tmpDir("pipe")
+    val executions = new AtomicInteger(0)
+    val stages = Seq(
+      Pipeline.Stage("double", df => { executions.incrementAndGet()
+        df.withColumn("x", col("x") * 2) }),
+      Pipeline.Stage("inc", df => { executions.incrementAndGet()
+        df.withColumn("x", col("x") + 1) }))
+    val in = Seq(1, 2, 3).toDF("x")
+
+    val out1 = Pipeline.run(spark, in, root, stages)
+    assert(out1.orderBy("x").as[Int].collect().toSeq === Seq(3, 5, 7))
+    assert(executions.get() === 2)
+
+    // re-run: both checkpoints exist → zero stage executions (F7 contract)
+    val out2 = Pipeline.run(spark, in, root, stages)
+    assert(out2.orderBy("x").as[Int].collect().toSeq === Seq(3, 5, 7))
+    assert(executions.get() === 2)
+  }
+
+  test("notYetDone anti-join filters already-committed work") {
+    val work = Seq("a", "b", "c", "d").toDF("k")
+    val done = Seq("b", "d", "d").toDF("k")
+    val got = Incremental.notYetDone(work, done, "k")
+      .orderBy("k").as[String].collect().toSeq
+    assert(got === Seq("a", "c"))
+  }
+
+  test("newerThan keeps only rows past the checkpoint (S11)") {
+    val df = Seq(
+      ("old", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("new", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))).toDF("k", "ts")
+    val got = Incremental.newerThan(df, "ts",
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    assert(got.select("k").as[String].collect().toSeq === Seq("new"))
+  }
+
+  test("two-phase sink promotes once and never overwrites (S17)") {
+    val localRoot = tmpDir("local")
+    val finalRoot = tmpDir("final")
+    val first = Seq(1).toDF("x")
+    val second = Seq(99).toDF("x")
+    assert(TwoPhaseSink.writeThenPromote(spark, first, localRoot, finalRoot, "obj"))
+    // second write to the same name must be a no-op, preserving the original
+    assert(!TwoPhaseSink.writeThenPromote(spark, second, localRoot, finalRoot, "obj"))
+    val kept = spark.read.parquet(s"$finalRoot/obj").as[Int].collect().toSeq
+    assert(kept === Seq(1))
+  }
+}
