@@ -16,42 +16,37 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // Drive the pipeline runner end-to-end: 3 stages over real events data,
-    // run twice — second run must resume from checkpoints (no re-execution).
-    val root = java.nio.file.Files.createTempDirectory("pipe").toString
-    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
-    val stages = Seq(
-      graft.plans.Pipeline.Stage("filter_ok",
-        _.filter(col("event_type") =!= "error")),
-      graft.plans.Pipeline.Stage("kval",
-        _.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))),
-      graft.plans.Pipeline.Stage("per_user",
-        _.groupBy("user_id").agg(count(lit(1)).as("n"), sum("k").as("sum_k"))))
-    val t0 = System.nanoTime()
-    val out1 = graft.plans.Pipeline.run(spark, events, root, stages).count()
-    val t1 = System.nanoTime()
-    val out2 = graft.plans.Pipeline.run(spark, events, root, stages).count()
-    val t2 = System.nanoTime()
-    println(s"[drive] pipeline run1=$out1 rows (${(t1 - t0) / 1e6}%.0f ms) " +
-      s"run2=$out2 rows (${(t2 - t1) / 1e6} ms, resumed from checkpoints)")
-    println("[drive] checkpoints: " + new java.io.File(root).list().sorted.mkString(", "))
+    // Drive the harvest pipeline end-to-end through the package boundary
+    // on a realistic component table synthesized from driver data.
+    val comps = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(
+        concat(lit("c"), col("doc_id")).as("id"),
+        concat(lit("http://store/"), col("source"), lit("/"), col("doc_id"),
+          when(col("doc_id") % 7 === 0, ".jpg").otherwise(".pdf")).as("href"),
+        when(col("doc_id") % 11 === 0, "none").otherwise(null).cast("string").as("show"),
+        lit(null).cast("string").as("role"),
+        col("text").substr(1, 20).as("title"))
+    val root = java.nio.file.Files.createTempDirectory("harvest").toString
+    val out = graft.plans.HarvestPipeline.run(spark, comps, root)
+    println("[drive] harvest output:")
+    out.groupBy("status", "show").count().orderBy("status").show()
+    out.filter(col("status") === 200).select("id", "n_pages", "mets").show(3, 100)
+    println("[drive] checkpoints: " +
+      new java.io.File(root).list().sorted.mkString(", "))
 
-    // Streaming: AvailableNow over the real events files.
-    val stream = graft.streaming.StreamOps.tumblingCounts(
-      graft.streaming.StreamOps.eventsStream(spark, "/root/testdata/sf0.001"))
-    val sres = graft.streaming.StreamOps.runAvailableNowComplete(spark, stream,
-      "drive_tumbling", java.nio.file.Files.createTempDirectory("ck").toString)
-    println(s"[drive] streaming tumbling windows: ${sres.count()} rows, sample: " +
-      sres.orderBy("window_start", "event_type").head())
-
-    // Multimodal: binaryFile scan of a real directory (the repo's own
-    // scripts dir) → probe → derived projections.
-    val files = graft.sources.BinaryFiles.scan(spark, "/root/repo/scripts",
-      glob = "*.py", withContent = true)
-    val meta = graft.operators.MultimodalOps.withJp2Levels(
-      graft.operators.MultimodalOps.withResizeTarget(
-        graft.operators.MultimodalOps.probeMedia(files).toDF()))
-    meta.show(5, truncate = false)
+    // Salted join drive on the driver tables: orders (hot custkey synth) vs customer.
+    val plain = graft.sources.Tables(spark, "/root/testdata/sf0.01", "orders")
+      .join(graft.sources.Tables(spark, "/root/testdata/sf0.01", "customer")
+        .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+      .agg(count(lit(1)), sum("o_totalprice")).collect()(0)
+    val salted = graft.operators.SkewOps.saltedJoin(
+      graft.sources.Tables(spark, "/root/testdata/sf0.01", "orders"),
+      graft.sources.Tables(spark, "/root/testdata/sf0.01", "customer")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "o_custkey", "o_orderkey", salts = 8)
+      .agg(count(lit(1)), sum("o_totalprice")).collect()(0)
+    println(s"[drive] plain join agg:  $plain")
+    println(s"[drive] salted join agg: $salted  (must match)")
     spark.stop()
   }
 }

@@ -527,8 +527,9 @@ object CoreQueries {
          |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY 1 ORDER BY 1""",
       "SURVEY §2.8: checkpoint-relative incremental scan") { (s, d) =>
-      t(s, d, "events")
-        .filter(col("ts") >= to_timestamp(lit("2024-01-15 00:00:00")))
+      // 2024-01-15T00:00:00Z in epoch micros; raw-nanos predicate pushes
+      // to the parquet scan (see Tables.eventsSince scaladoc).
+      Tables.eventsSince(s, d, 1705276800000000L)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           fmtTs(min(col("ts"))).as("first_ts"),

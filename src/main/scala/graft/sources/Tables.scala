@@ -31,4 +31,19 @@ object Tables {
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Incremental events scan: rows at/after `sinceMicros` with the
+    * predicate applied to the RAW nanos column, BEFORE the
+    * timestamp_micros conversion. A filter above the conversion is not
+    * pushable (Catalyst won't invert the arithmetic), which at 100 TB
+    * means a full scan; filtering the raw column pushes to parquet and
+    * prunes row groups by min/max stats. The conversion is monotonic, so
+    * the two phrasings select identical rows. */
+  def eventsSince(spark: SparkSession, sfDir: String, sinceMicros: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= lit(sinceMicros * 1000L))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }
