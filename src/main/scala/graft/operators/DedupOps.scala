@@ -100,20 +100,35 @@ object DedupOps {
   }
 
   /** Blocked n-gram Jaccard: all pairs within (lang, n_chars bucket)
-    * blocks whose shingle Jaccard ≥ `minJaccard`. The blocking equi-join
-    * bounds the pair count; at 100 TB the block key is the shuffle key. */
+    * blocks whose shingle Jaccard ≥ `minJaccard`.
+    *
+    * Shape: instead of materializing pair rows and running an
+    * interpreted O(|A|·|B|) array_intersect per pair, shingles stay
+    * EXPLODED and the intersection is a hash equi-join on the shingle
+    * value (within the block), counted per (a, b):
+    * jaccard = c / (|A| + |B| − c). Everything is codegen'd joins and
+    * partial-agg counts; pairs sharing no shingle never materialize.
+    * At 100 TB the join keys on (shingle, block) — the same bounded-
+    * fan-out argument as LSH bucketing, with hot shingles (stop-gram
+    * skew) the known failure mode → [[SkewOps]] salting if AQE's skew
+    * split isn't enough. */
   def blockedJaccardPairs(documents: DataFrame, minJaccard: Double = 0.2,
       charBucket: Int = 25): DataFrame = {
-    val sh = TextOps.shingled(documents)
-      .withColumn("blk", expr(s"CAST(floor(n_chars / $charBucket.0) AS BIGINT)"))
-      .select(col("doc_id"), col("lang"), col("blk"), col("sh"))
-    val l = sh.select(col("lang"), col("blk"), col("doc_id").as("a"), col("sh").as("sh_a"))
-    val r = sh.select(col("lang"), col("blk"), col("doc_id").as("b"), col("sh").as("sh_b"))
-    l.join(r, Seq("lang", "blk"))
+    val meta = documents.select(col("doc_id"), col("lang"),
+      expr(s"CAST(floor(n_chars / $charBucket.0) AS BIGINT)").as("blk"))
+    val shr = TextOps.shingleRows(documents).distinct()
+      .join(meta, Seq("doc_id"))
+    val x = shr.select(col("doc_id").as("a"), col("g"), col("lang"), col("blk"))
+    val y = shr.select(col("doc_id").as("b"), col("g"), col("lang"), col("blk"))
+    val common = x.join(y, Seq("g", "lang", "blk"))
       .filter(col("a") < col("b"))
-      .withColumn("jaccard", expr(
-        """CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
-          | / size(array_distinct(concat(sh_a, sh_b)))""".stripMargin))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val sizes = TextOps.shingleRows(documents).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("jaccard", expr("CAST(c AS DOUBLE) / (na + nb - c)"))
       .filter(col("jaccard") >= minJaccard)
       .select("a", "b", "jaccard")
   }

@@ -549,6 +549,43 @@ object CoreQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // Engine extension (SURVEY §2.4 note): distinct aggregation — the
+    // shuffle-heavy shape worth covering explicitly. Spark plans
+    // count(DISTINCT) as expand + two-phase agg; at scale prefer
+    // approx_count_distinct (HLL) — asserted within tolerance in the
+    // ScalaTest spec since HLL implementations differ across engines.
+    oracle(
+      "q44_distinct_counts",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""",
+      "distinct aggregation (expand + two-phase)") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // Engine extension: ROLLUP grouping sets (subtotals + grand total).
+    // NULLS FIRST in the oracle ORDER BY matches Spark's asc default.
+    oracle(
+      "q45_rollup",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${decSumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "rollup grouping sets") { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     // F9: completeness assertion before mutation (bin/main.py:509-517).
     oracle(
       "q26_completeness",

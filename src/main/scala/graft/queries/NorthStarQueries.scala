@@ -185,15 +185,20 @@ object NorthStarQueries {
     oracle(
       "q38_jaccard_blocked",
       s"""WITH sh AS ($SH),
-         |blk AS (SELECT doc_id, lang,
-         |          CAST(floor(n_chars / 25.0) AS BIGINT) AS blk, sh FROM sh)
-         |SELECT l.doc_id AS a, r.doc_id AS b,
-         |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-         |    / len(list_distinct(l.sh || r.sh)) AS jaccard
-         |FROM blk l JOIN blk r ON l.lang = r.lang AND l.blk = r.blk
-         |WHERE l.doc_id < r.doc_id
-         |  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
-         |    / len(list_distinct(l.sh || r.sh)) >= 0.2
+         |meta AS (SELECT doc_id, lang,
+         |           CAST(floor(n_chars / 25.0) AS BIGINT) AS blk,
+         |           CAST(len(sh) AS BIGINT) AS nsh FROM sh),
+         |shr AS (SELECT s.doc_id, m.lang, m.blk, unnest(s.sh) AS g
+         |        FROM sh s JOIN meta m ON s.doc_id = m.doc_id),
+         |cnt AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+         |        FROM shr x JOIN shr y
+         |          ON x.g = y.g AND x.lang = y.lang AND x.blk = y.blk
+         |        WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a, b, CAST(c AS DOUBLE) / (ma.nsh + mb.nsh - c) AS jaccard
+         |FROM cnt
+         |JOIN meta ma ON ma.doc_id = a
+         |JOIN meta mb ON mb.doc_id = b
+         |WHERE CAST(c AS DOUBLE) / (ma.nsh + mb.nsh - c) >= 0.2
          |ORDER BY a, b""",
       "Dedup: blocked n-gram Jaccard (lang × size-bucket blocking)") { (s, d) =>
       DedupOps.blockedJaccardPairs(Tables(s, d, "documents"))

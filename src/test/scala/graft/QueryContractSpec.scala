@@ -27,4 +27,15 @@ class QueryContractSpec extends SparkSpec {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size === names.size)
   }
+
+  test("approx_count_distinct tracks exact within HLL tolerance") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, sf("sf0.001"), "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"exact=$exact approx=$approx")
+  }
 }
