@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.NgramShingles
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for sessions built with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * (Queries that receive an already-built session — the driver contract —
+  * use the per-session `NgramShingles.register` instead; both paths bind
+  * the same builder.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(NgramShingles.fnName),
+      new ExpressionInfo(classOf[NgramShingles].getName, NgramShingles.fnName),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(tokens) => NgramShingles(tokens, 3)
+        case Seq(tokens, Literal(n: Int, IntegerType)) => NgramShingles(tokens, n)
+        case other => throw new IllegalArgumentException(
+          s"${NgramShingles.fnName} expects (array<string>[, n]); got ${other.size} args")
+      }))
+  }
+}

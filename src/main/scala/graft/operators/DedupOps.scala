@@ -53,8 +53,6 @@ object DedupOps {
     * family) min is a partial aggregation — the shuffle carries ≤ docs×k
     * tiny rows regardless of corpus width. */
   def minhashSigned(documents: DataFrame, k: Int = 16): DataFrame = {
-    // min over the shingle MULTISET == min over the set, so the (cheaper)
-    // duplicate-keeping shingleRows feeds the hash directly.
     val sigs = TextOps.shingleRows(documents)
       .withColumn("h", expr(s"${h60x("g")} % 1000000007L"))
       .crossJoin(broadcast(minhashSeeds(documents, k)))
@@ -116,15 +114,15 @@ object DedupOps {
       charBucket: Int = 25): DataFrame = {
     val meta = documents.select(col("doc_id"), col("lang"),
       expr(s"CAST(floor(n_chars / $charBucket.0) AS BIGINT)").as("blk"))
-    val shr = TextOps.shingleRows(documents).distinct()
+    val shr = TextOps.shingleRows(documents)
       .join(meta, Seq("doc_id"))
     val x = shr.select(col("doc_id").as("a"), col("g"), col("lang"), col("blk"))
     val y = shr.select(col("doc_id").as("b"), col("g"), col("lang"), col("blk"))
     val common = x.join(y, Seq("g", "lang", "blk"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    val sizes = TextOps.shingleRows(documents).distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val sizes = TextOps.shingled(documents)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("nsh"))
     common
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))

@@ -31,33 +31,24 @@ object TextOps {
   def tokenized(documents: DataFrame): DataFrame =
     documents.withColumn("tk", split(col("text"), " "))
 
-  /** One row per n-gram token shingle (with duplicates): posexplode +
-    * window `lead`. This stays entirely inside whole-stage codegen — a
-    * higher-order `transform(sequence(...), i -> element_at(...))`
-    * formulation is interpreted per element and measured ~15× slower on
-    * the same data. One shuffle, partitioned by doc_id (high cardinality,
-    * scales with the corpus). */
-  def shingleRows(documents: DataFrame, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val leadCols = (1 until n).map(k => lead(col("t"), k).over(w).as(s"t$k"))
-    documents
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
-      .select(col("doc_id") +: col("t") +: leadCols: _*)
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("t") +: (1 until n).map(k => col(s"t$k")): _*).as("g"))
+  /** documents + `sh`: the DISTINCT n-gram shingle set as an array column,
+    * built by the native [[graft.functions.NgramShingles]] expression —
+    * per-row, codegen'd, shuffle-free (see its scaladoc for why both
+    * built-in formulations lose: interpreted HOF lambdas vs a corpus-wide
+    * window shuffle). Docs with < n tokens get an empty array. */
+  def shingled(documents: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.NgramShingles.register(documents.sparkSession)
+    tokenized(documents)
+      .withColumn("sh", expr(s"array_distinct(ngram_shingles(tk, $n))"))
+      .drop("tk")
   }
 
-  /** documents + `sh`: the DISTINCT n-gram shingle set as an array column
-    * (collect_set over [[shingleRows]]); docs with < n tokens get an empty
-    * array. Element order is engine-dependent — downstream consumers use
-    * only set operations (intersect/union sizes), never element order. */
-  def shingled(documents: DataFrame, n: Int = 3): DataFrame =
-    documents
-      .join(shingleRows(documents, n).groupBy("doc_id")
-        .agg(collect_set(col("g")).as("sh")), Seq("doc_id"), "left")
-      .withColumn("sh", expr("coalesce(sh, CAST(array() AS ARRAY<STRING>))"))
+  /** One row per DISTINCT (doc_id, shingle): a plain explode of
+    * [[shingled]] — distinctness is already local (array_distinct), so
+    * this adds no shuffle. */
+  def shingleRows(documents: DataFrame, n: Int = 3): DataFrame =
+    shingled(documents, n)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
 
   /** Per-token-set language scores + argmax guess. Heuristic stopword
     * vote (the vocabulary here is synthetic, so the en-profile dominates;
