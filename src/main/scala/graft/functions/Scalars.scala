@@ -51,6 +51,15 @@ object Scalars {
   /** DuckDB SQL fragment equivalent to [[h60]]. */
   def h60Sql(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
+  /** Driver-side JVM implementation of the same hash — for deriving plan
+    * constants (e.g. MinHash coefficients) that must agree with what the
+    * SQL expression and the DuckDB oracle compute. */
+  def h60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
   /** Seeded variant: h60(seed || ':' || s); one hash family per seed. */
   def h60Seeded(seed: Column, c: Column): Column =
     h60(concat(seed.cast(StringType), lit(":"), c))

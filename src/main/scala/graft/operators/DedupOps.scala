@@ -33,14 +33,16 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** The k affine MinHash families h_j(x) = (a_j·x + b_j) mod p as a tiny
-    * seed table (j, a, b), md5-derived so the DuckDB oracle reproduces it.
-    * All operands stay < 1e9 so a_j·x < 1e18 never overflows int64. */
-  def minhashSeeds(documents: DataFrame, k: Int): DataFrame =
-    documents.sparkSession.range(k)
-      .selectExpr("CAST(id AS INT) AS j")
-      .withColumn("a", expr(s"${h60x("concat('a:', cast(j AS string))")} % 1000000006L + 1L"))
-      .withColumn("b", expr(s"${h60x("concat('b:', cast(j AS string))")} % 1000000007L"))
+  /** The k affine MinHash family coefficients h_j(x) = (a_j·x + b_j)
+    * mod p, computed driver-side with the same md5-h60 derivation the
+    * DuckDB oracle uses (first 15 md5 hex digits as int64), so both
+    * engines see identical families. All operands stay < 1e9 so
+    * a_j·x < 1e18 never overflows int64. */
+  def minhashCoefficients(k: Int): Seq[(Long, Long)] = {
+    import graft.functions.Scalars.h60Jvm
+    (0 until k).map(j =>
+      (h60Jvm(s"a:$j") % 1000000006L + 1L, h60Jvm(s"b:$j") % 1000000007L))
+  }
 
   /** MinHash signature: min of each affine family over the distinct 3-gram
     * shingles; empty shingle set → all -1 sentinel.
@@ -48,18 +50,22 @@ object DedupOps {
     * Shape matters at 100 TB: shingles are EXPLODED to rows and each is
     * md5-hashed exactly once (a nested higher-order-function formulation
     * recomputes the hash per family because Catalyst collapses the
-    * intermediate projection into every lambda). The k-way fan-out joins a
-    * k-row broadcast table of cheap int64 coefficients, and the per-(doc,
-    * family) min is a partial aggregation — the shuffle carries ≤ docs×k
-    * tiny rows regardless of corpus width. */
+    * intermediate projection into every lambda). The k family minima are
+    * k parallel min() aggregates over the shingle rows — ONE partial
+    * aggregation, so the shuffle carries one k-column row per (doc ×
+    * input partition) regardless of corpus width, and the coefficients
+    * are plan literals (no join at all). */
   def minhashSigned(documents: DataFrame, k: Int = 16): DataFrame = {
+    val coefs = minhashCoefficients(k)
+    val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"(${a}L * h + ${b}L) % 1000000007L")).as(s"m$j")
+    }
     val sigs = TextOps.shingleRows(documents)
       .withColumn("h", expr(s"${h60x("g")} % 1000000007L"))
-      .crossJoin(broadcast(minhashSeeds(documents, k)))
-      .select(col("doc_id"), col("j"), expr("(a * h + b) % 1000000007L").as("v"))
-      .groupBy("doc_id", "j").agg(min(col("v")).as("mv"))
       .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(j, mv))), s -> s.mv)").as("sig"))
+      .agg(minCols.head, minCols.tail: _*)
+      .withColumn("sig", array((0 until k).map(j => col(s"m$j")): _*))
+      .select("doc_id", "sig")
     documents.select("doc_id").join(sigs, Seq("doc_id"), "left")
       .withColumn("sig",
         expr(s"coalesce(sig, transform(sequence(0, ${k - 1}), j -> -1L))"))

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.Scalars
+import graft.operators.MultimodalOps
+import graft.sources.HttpOps
+
+/** Pure (no-Spark) properties via ScalaCheck's sbt test framework. */
+object PureProperties extends Properties("graft.pure") {
+
+  property("h60Jvm is non-negative and fits in 60 bits") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val h = Scalars.h60Jvm(s)
+      h >= 0L && h < (1L << 60)
+    }
+
+  property("h60Jvm is deterministic") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      Scalars.h60Jvm(s) == Scalars.h60Jvm(s)
+    }
+
+  property("stub fetcher: status in the dispatch domain, body iff 200") =
+    Prop.forAll(Gen.asciiPrintableStr) { u =>
+      val (status, body) = HttpOps.StubFetcher.fetch(u)
+      Set(200, 401, 404, 500)(status) && ((body != null) == (status == 200))
+    }
+
+  property("stub image adapter: positive dims, bits follow extension") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      Gen.oneOf("tif", "pbm", "pgm", "jp2")) { (bytes, ext) =>
+      val (_, w, h, bits) = MultimodalOps.StubImageAdapter
+        .probe(s"/x/file.$ext", bytes.toArray)
+      w >= 100 && h >= 100 &&
+        (bits == (ext match { case "pbm" => 1; case "pgm" => 8; case _ => 24 }))
+    }
+}
+
+/** Spark-dependent randomized properties (seeded, plain FunSuite). */
+class RandomizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("SQL h60 agrees with the JVM h60 on random strings") {
+    import org.apache.spark.sql.functions.col
+    val samples = Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+      .distinct
+    val sql = samples.toDF("s")
+      .select(col("s"), Scalars.h60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(sql(s) === Scalars.h60Jvm(s), s"mismatch for '$s'")
+    }
+  }
+
+  test("parquet checkpoint round-trip is the identity (S3/S4 contract)") {
+    val dir = tmpDir("roundtrip")
+    val rows = Seq.fill(500)((rnd.nextLong(), rnd.nextDouble(),
+      rnd.alphanumeric.take(8).mkString))
+    val df = rows.toDF("a", "b", "c")
+    df.write.mode("overwrite").parquet(s"$dir/ck")
+    val back = spark.read.parquet(s"$dir/ck")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(back.sorted === rows.sorted)
+  }
+
+  test("page renumbering is a bijection preserving name order (W1)") {
+    import graft.sources.BinaryFiles
+    import org.apache.spark.sql.functions._
+    val names = Seq.fill(300)(rnd.alphanumeric.take(12).mkString).distinct
+    val files = names.map(n => (s"/store/d${n.hashCode.abs % 5}", n))
+      .toDF("dir", "name")
+    val seq = BinaryFiles.pageOrdered(files)
+      .select("dir", "name", "seq")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    seq.groupBy(_._1).foreach { case (_, rows) =>
+      val byName = rows.sortBy(_._2).map(_._3)
+      assert(byName.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
+  test("decSum equals exact BigDecimal sum on random money values") {
+    import org.apache.spark.sql.functions.col
+    val xs = Seq.fill(5000)(BigDecimal(rnd.nextInt(10000000)) / 100)
+    val expected = (xs.sum).toDouble
+    val got = xs.map(_.toDouble).toDF("x").repartition(13)
+      .agg(Scalars.decSum(col("x"))).head.getDouble(0)
+    assert(got === expected)
+  }
+}
