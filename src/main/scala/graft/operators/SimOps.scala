@@ -21,11 +21,12 @@ import TextOps.h60x
 object SimOps {
 
   /** Spark SQL fragment: sequential double dot-product of two
-    * equal-length float-array columns. */
+    * equal-length float-array columns. zip_with iterates in element
+    * order, so products and the left fold happen in exactly the order
+    * the DuckDB oracle replays (`list_reduce([0.0] || ..., +)`). */
   def dotX(a: String, b: String): String =
-    s"""aggregate(transform(sequence(1, size($a)),
-       |  i -> CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)),
-       |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
 
   /** embeddings + `norm` (L2). */
   def withNorm(embeddings: DataFrame): DataFrame =
