@@ -586,6 +586,48 @@ object CoreQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // Engine extension: running-frame window aggregate. The running sum
+    // goes through DECIMAL so every prefix is exact — a raw double
+    // running sum would accumulate engine-specific rounding row by row.
+    oracle(
+      "q46_running_total",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""",
+      "window frame: exact running total per customer") { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .over(w).cast("double").as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Engine extension: lag/lead analytics (inter-event deltas).
+    oracle(
+      "q47_lag_delta",
+      s"""SELECT user_id, event_id,
+         |  ${fmtTsSql("ts")} AS ts_s,
+         |  CAST(floor(epoch(ts)) AS BIGINT)
+         |    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s,
+         |  value - lag(value) OVER w AS value_delta
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id""",
+      "window analytics: lag deltas per user") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          fmtTs(col("ts")).as("ts_s"),
+          (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+            .as("gap_s"),
+          (col("value") - lag(col("value"), 1).over(w)).as("value_delta"))
+        .orderBy("user_id", "event_id")
+    },
+
     // F9: completeness assertion before mutation (bin/main.py:509-517).
     oracle(
       "q26_completeness",
