@@ -628,6 +628,45 @@ object CoreQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // Engine extension: AS-OF join — for each error event, the most
+    // recent preceding purchase by the same user. Composed per the
+    // custom-operator preference order (SURVEY §7.1(a)): union the two
+    // streams and carry the last purchase forward with an ignore-nulls
+    // window — one shuffle on user_id, no per-row backward scan, no
+    // custom SparkPlan needed. The struct payload keeps (id, ts) from
+    // the SAME matched row.
+    oracle(
+      "q48_asof_join",
+      s"""WITH t AS (SELECT user_id, event_id, ts, event_type FROM events
+         |           WHERE event_type IN ('purchase', 'error')),
+         |m AS (SELECT user_id, event_id, ts, event_type,
+         |        last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+         |                   IGNORE NULLS) OVER w AS purchase_id,
+         |        last_value(CASE WHEN event_type = 'purchase' THEN ts END
+         |                   IGNORE NULLS) OVER w AS pts
+         |      FROM t
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |                   ROWS UNBOUNDED PRECEDING))
+         |SELECT user_id, event_id, ${fmtTsSql("ts")} AS ts_s,
+         |  purchase_id, ${fmtTsSql("pts")} AS purchase_ts
+         |FROM m WHERE event_type = 'error'
+         |ORDER BY user_id, event_id""",
+      "as-of join via union + ignore-nulls carry-forward window") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .withColumn("p",
+          last(when(col("event_type") === "purchase",
+            struct(col("event_id").as("pid"), col("ts").as("pts"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+          col("p.pid").as("purchase_id"),
+          fmtTs(col("p.pts")).as("purchase_ts"))
+        .orderBy("user_id", "event_id")
+    },
+
     // F9: completeness assertion before mutation (bin/main.py:509-517).
     oracle(
       "q26_completeness",
