@@ -11,25 +11,17 @@ object Scratch {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val orders = graft.sources.Tables(spark, dir, "orders")
-      .select(col("o_orderkey").as("k"), col("o_totalprice"))
-    val lineitem = graft.sources.Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_quantity"))
-    println("[drive] plain join hasShuffle = " +
-      graft.plans.Bucketing.hasShuffle(orders.join(lineitem, "k")))
-    graft.plans.Bucketing.writeBucketed(orders, "b_orders", "k")
-    graft.plans.Bucketing.writeBucketed(lineitem, "b_lineitem", "k")
-    val co = graft.plans.Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem", "k")
-    println("[drive] bucketed join hasShuffle = " + graft.plans.Bucketing.hasShuffle(co))
-    co.explain()
-    println("[drive] rows = " + co.count())
+    graft.sources.Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+      .orderBy("l_returnflag")
+      .collect().foreach(r => println("[probe] " + r))
     spark.stop()
   }
 }

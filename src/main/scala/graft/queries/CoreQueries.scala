@@ -667,6 +667,50 @@ object CoreQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // Engine extension: pivot as explicit CASE columns — deterministic
+    // column set/order (df.pivot infers columns from data, which breaks
+    // schema stability across runs and engines).
+    oracle(
+      "q49_pivot_status",
+      s"""SELECT user_id,
+         |  ${Seq("click", "error", "purchase", "signup", "view").map(t =>
+              s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS v_$t")
+              .mkString(",\n  ")}
+         |FROM events GROUP BY user_id ORDER BY user_id""",
+      "pivot via deterministic CASE columns") { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggCols = types.map(t =>
+        sum(when(col("event_type") === t, col("value"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as(s"v_$t"))
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .orderBy("user_id")
+    },
+
+    // Engine extension: exact interpolated percentiles. Spark's
+    // percentile() and DuckDB's quantile_cont() share the definition
+    // (rank p·(n−1), linear interpolation) and match bit-for-bit on this
+    // data — verified empirically including non-terminating doubles.
+    // At 100 TB prefer approx_percentile (t-digest); exact percentile
+    // holds the whole group's values.
+    oracle(
+      "q50_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""",
+      "exact interpolated percentiles per group") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+        .orderBy("l_returnflag")
+    },
+
     // F9: completeness assertion before mutation (bin/main.py:509-517).
     oracle(
       "q26_completeness",
