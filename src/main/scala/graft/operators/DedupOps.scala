@@ -16,8 +16,11 @@ import TextOps.h60x
   *     (band, bucket): only same-bucket docs ever meet, so the join fans
   *     out per-bucket, not per-corpus. Bucket skew (a degenerate bucket
   *     with millions of docs) is the known failure mode — AQE skew-join
-  *     handles moderate skew, and the band hash includes the band id so
-  *     empty-ish signatures don't all collide;
+  *     handles moderate skew, and docs with no shingles (< n tokens) are
+  *     EXCLUDED from banding outright: they all carry the identical -1
+  *     sentinel signature, so they would collide into one bucket in every
+  *     band and emit O(m²) candidate pairs with 0/0 Jaccard — and by
+  *     shingle Jaccard they cannot be near-dups of anything anyway;
   *   - blocked Jaccard bounds the candidate set by an equi-join on a
   *     cheap blocking key before any set intersection runs.
   */
@@ -72,9 +75,15 @@ object DedupOps {
   }
 
   /** LSH banding: signature split into `bands` bands of `rows` hashes;
-    * each band hashed to a bucket. One output row per (doc, band). */
+    * each band hashed to a bucket. One output row per (doc, band).
+    *
+    * Empty-shingle docs (all--1 sentinel signature) are dropped BEFORE
+    * banding: short docs are common in real corpora, and at 100 TB a
+    * sentinel bucket holding every one of them is a quadratic bomb in
+    * the candidate self-join (O(m²) pairs with undefined 0/0 Jaccard). */
   def lshBanded(documents: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame =
     minhashSigned(documents, bands * rows)
+      .filter(expr("sig[0] <> -1L"))
       .select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}), b -> struct(

@@ -79,17 +79,44 @@ object TwoPhaseSink {
   /** Stage `df` under `<localRoot>/<name>`, then promote the committed
     * directory to `<finalRoot>/<name>` iff the target does not exist
     * (mode "ignore" semantics). Returns true when promoted, false when
-    * the final target already existed (idempotent re-run). */
+    * the final target already existed (idempotent re-run).
+    *
+    * Promotion distinguishes the two ways `rename` can "not happen":
+    * the target already exists (expected — idempotent re-run, possibly
+    * racing another writer between our exists() probe and the rename,
+    * which HDFS-style rename refuses atomically) → false; any other
+    * rename failure is a real error and throws rather than being
+    * silently conflated with "already existed". When staging and final
+    * roots live on different filesystems (the documented local-staging →
+    * final-store case) rename cannot move data, so the directory is
+    * copied then the staging copy deleted. */
   def writeThenPromote(spark: SparkSession, df: DataFrame,
       localRoot: String, finalRoot: String, name: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val local = new Path(localRoot, name)
     val fin = new Path(finalRoot, name)
-    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(fin)) false
+    val srcFs = local.getFileSystem(conf)
+    val dstFs = fin.getFileSystem(conf)
+    if (dstFs.exists(fin)) false
     else {
       df.write.mode("overwrite").parquet(local.toString)
-      fs.mkdirs(fin.getParent)
-      fs.rename(local, fin)
+      dstFs.mkdirs(fin.getParent)
+      if (srcFs.getUri == dstFs.getUri) {
+        if (dstFs.rename(local, fin)) true
+        else if (dstFs.exists(fin)) false // lost the promote race: target appeared
+        else throw new java.io.IOException(
+          s"TwoPhaseSink: rename $local -> $fin failed (target absent)")
+      } else {
+        try {
+          org.apache.hadoop.fs.FileUtil.copy(srcFs, local, dstFs, fin,
+            /* deleteSource = */ true, /* overwrite = */ false, conf)
+          true
+        } catch {
+          // overwrite=false throws when fin appeared mid-copy → re-run case
+          case _: java.io.IOException if dstFs.exists(fin) =>
+            srcFs.delete(local, true); false
+        }
+      }
     }
   }
 }

@@ -216,13 +216,13 @@ object CoreQueries {
       "q09_group_doc_flat",
       """SELECT l_orderkey, string_agg(m, ',' ORDER BY m) AS doc FROM (
         |  SELECT l_orderkey,
-        |    l_linenumber::VARCHAR || ':' || CAST(l_quantity AS BIGINT)::VARCHAR AS m
+        |    l_linenumber::VARCHAR || ':' || CAST(floor(l_quantity) AS BIGINT)::VARCHAR AS m
         |  FROM lineitem)
         |GROUP BY 1 ORDER BY 1""",
       "SURVEY §2.4 A1: grouped document, sorted members") { (s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"),
-          concat_ws(":", col("l_linenumber"), col("l_quantity").cast("long")).as("m"))
+          concat_ws(":", col("l_linenumber"), floor(col("l_quantity")).cast("long")).as("m"))
         .groupBy("l_orderkey")
         .agg(array_join(array_sort(collect_list(col("m"))), ",").as("doc"))
         .orderBy("l_orderkey")

@@ -26,6 +26,21 @@ class DedupSimSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("short docs (no shingles) never enter LSH banding or candidate pairs") {
+    // Docs with < 3 tokens all share the identical -1 sentinel signature;
+    // if banded they'd bucket together in EVERY band and explode into
+    // O(m²) candidate pairs with 0/0 Jaccard. They must be excluded.
+    val shorts = (10L to 14L).map(i => i -> s"tok$i") // 1 token each → no 3-grams
+    val d = docs((Seq(1L -> base, 2L -> base.replace("sigma", "sygma")) ++ shorts): _*)
+    val banded = DedupOps.lshBanded(d)
+      .filter(col("doc_id") >= 10L).count()
+    assert(banded === 0L, "sentinel-signature docs must not be banded")
+    val pairs = DedupOps.minhashCandidatePairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)),
+      s"only the real near-dup pair should survive, got ${pairs.toSeq}")
+  }
+
   test("identical documents have identical minhash signatures") {
     val sigs = DedupOps.minhashSigned(docs(1L -> base, 2L -> base, 3L -> "x y z a b c"))
       .selectExpr("doc_id", "array_join(transform(sig, x -> cast(x AS string)), ',') AS s")
