@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.NgramShingles
+import graft.functions.{DotProduct, NgramShingles, SimHashBits}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -27,5 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"${NgramShingles.fnName} expects (array<string>[, n]); got ${other.size} args")
       }))
+    e.injectFunction((
+      FunctionIdentifier(DotProduct.fnName),
+      new ExpressionInfo(classOf[DotProduct].getName, DotProduct.fnName),
+      DotProduct.builder _))
+    e.injectFunction((
+      FunctionIdentifier(SimHashBits.fnName),
+      new ExpressionInfo(classOf[SimHashBits].getName, SimHashBits.fnName),
+      SimHashBits.builder _))
   }
 }

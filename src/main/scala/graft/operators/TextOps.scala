@@ -95,15 +95,19 @@ object TextOps {
          |  7L, (acc, x) -> (acc * 31L + x) % 1000000007L)""".stripMargin))
 
   /** 32-bit SimHash over the distinct-token set: per bit, a ±1 vote from
-    * each token's h60; bit set iff the vote sum is non-negative. */
-  def simhashed(documents: DataFrame): DataFrame =
+    * each token's h60; bit set iff the vote sum is non-negative.
+    *
+    * The bit-vote runs in the native codegen'd
+    * [[graft.functions.SimHashBits]] expression (exact integer replay of
+    * the nested-aggregate formulation the DuckDB oracle keeps). The
+    * round-1 nested HOF was the worst query in the honest bench (~12 s at
+    * sf0.1): interpreted lambdas, and CollapseProject re-inlined the `hs`
+    * md5 column into all 32 bit lambdas — md5 × 32 per token. Here md5
+    * runs once per distinct token and the 32×n vote is a fused loop. */
+  def simhashed(documents: DataFrame): DataFrame = {
+    graft.functions.SimHashBits.register(documents.sparkSession)
     tokenized(documents)
-      .withColumn("hs", expr(s"transform(array_distinct(tk), t -> ${h60x("t")})"))
       .withColumn("simhash", expr(
-        """aggregate(transform(sequence(0, 31), b ->
-          |  CASE WHEN aggregate(hs, 0L,
-          |         (acc, h) -> acc + ((h div CAST(pow(2.0, b) AS BIGINT)) % 2L) * 2L - 1L) >= 0L
-          |       THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0L END),
-          |  0L, (acc, x) -> acc + x)""".stripMargin))
-      .drop("hs")
+        s"simhash_bits(transform(array_distinct(tk), t -> ${h60x("t")}), 32)"))
+  }
 }
