@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-fidelity METS rendering (S15) — the `lib/folder2mets.xsl:13-106`
+  * surface over dao.py's folder tree (`bin/dao.py:173-203`):
+  *
+  *   - folder→member→representation grouping with WHOLE-BEFORE-PART
+  *     ordering: dao.py iterates group keys in sorted order and the whole
+  *     group's abs_name IS the objid, which sorts before every
+  *     `objid/page` part key — so folder-level (whole) representations
+  *     precede members, and `.//representation` document order is the
+  *     flattened sorted-group order (`bin/dao.py:189-203`);
+  *   - metsHdr CREATEDATE + metsDocumentID (`folder2mets.xsl:18-22`);
+  *   - static rights amdSec: WORLD / PRINCETON_ONLY enum
+  *     (`folder2mets.xsl:23-38`);
+  *   - tech amdSec: one techMD (mix width/height) per NON-pdf
+  *     representation in document order (`folder2mets.xsl:40-42,55-68`);
+  *   - fileSec: the folder's own fileGrp (whole reps) first, then one
+  *     fileGrp per member in document order (`folder2mets.xsl:44-47`);
+  *     every file carries USE/CHECKSUM/CHECKSUMTYPE/MIMETYPE/SIZE and,
+  *     for non-pdf, an ADMID pointing at its techMD
+  *     (`folder2mets.xsl:76-83`);
+  *   - structMap: folder div (LABEL = title or '[No title]',
+  *     TYPE=Folder, ADMID=w) containing member divs with 1-based
+  *     LABEL='[n]' / ORDER=n in member position order
+  *     (`folder2mets.xsl:85-106`).
+  *
+  * Determinism by design (SURVEY §7.3): XSLT `generate-id()` is
+  * run-dependent, so element ids here derive from the canonical names
+  * instead (f/t + cannonical, fg + objid|abs_name) — stable across runs
+  * and engines. Within groups, representations sort by cannonical name
+  * (the reference inherits unsorted `os.listdir` order; we make the
+  * sorted-listing discipline explicit). Output is compact XML — the
+  * XSL's `indent="yes"` whitespace is insignificant.
+  *
+  * Scale shape: two partial-agg shuffles on bounded keys
+  * ((objid, abs_name), then objid); each folder's document builds inside
+  * one row from sorted arrays — no window, no per-member join, and
+  * folders are bounded (a folder holds pages of one archival object).
+  *
+  * Input columns: objid, docid, created, title, abs_name, wholepart,
+  * cannonical, use, checksum, checksumtype, size, mimetype, width,
+  * height, urn (width/height null ⇔ pdf — `bin/dao.py:91-100`).
+  */
+object MetsOps {
+
+  /** `<mets:file>` element for representation struct `m`. */
+  private def fileXml(m: String): String =
+    s"""concat('<mets:file USE="', $m.use, '" ID="f', $m.cannonical,
+       |  '" CHECKSUM="', $m.checksum, '" CHECKSUMTYPE="', $m.checksumtype,
+       |  '" MIMETYPE="', $m.mimetype, '" SIZE="', $m.size, '"',
+       |  CASE WHEN $m.mimetype <> 'application/pdf'
+       |       THEN concat(' ADMID="t', $m.cannonical, '"') ELSE '' END,
+       |  '><mets:FLocat LOCTYPE="URN" xlink:href="', $m.urn, '"/></mets:file>')""".stripMargin
+
+  /** `<mets:techMD>` for non-pdf representation struct `m`. */
+  private def techXml(m: String): String =
+    s"""concat('<mets:techMD ID="t', $m.cannonical, '"><mets:mdWrap MDTYPE="NISOIMG">',
+       |  '<mets:xmlData><mix:imageWidth>', $m.width, '</mix:imageWidth>',
+       |  '<mix:imageHeight>', $m.height, '</mix:imageHeight>',
+       |  '</mets:xmlData></mets:mdWrap></mets:techMD>')""".stripMargin
+
+  private val rightsXml =
+    """<mets:amdSec ID="rights"><mets:rightsMD ID="w"><mets:mdWrap MDTYPE="DC">""" +
+      """<mets:xmlData><dct:accessRights>WORLD</dct:accessRights></mets:xmlData>""" +
+      """</mets:mdWrap></mets:rightsMD><mets:rightsMD ID="po"><mets:mdWrap MDTYPE="DC">""" +
+      """<mets:xmlData><dct:accessRights>PRINCETON_ONLY</dct:accessRights></mets:xmlData>""" +
+      """</mets:mdWrap></mets:rightsMD></mets:amdSec>"""
+
+  /** One row per (objid, docid, created, title) with the rendered METS
+    * document in `mets_xml`. */
+  def renderMets(reps: DataFrame): DataFrame = {
+    val repStruct = struct(
+      col("cannonical"), col("use"), col("checksum"), col("checksumtype"),
+      col("size"), col("mimetype"), col("width"), col("height"), col("urn"))
+    // level 1: one row per group key (whole group key == objid itself,
+    // part group key == objid/page), reps sorted by cannonical
+    val groups = reps
+      .groupBy("objid", "docid", "created", "title", "wholepart", "abs_name")
+      .agg(sort_array(collect_list(repStruct)).as("reps"))
+    // level 2: one row per folder, groups sorted by abs_name — whole
+    // (abs_name == objid) sorts before every part (objid + '/...')
+    groups
+      .groupBy("objid", "docid", "created", "title")
+      .agg(sort_array(collect_list(struct(col("abs_name"), col("wholepart"), col("reps"))))
+        .as("groups"))
+      .withColumn("whole_reps",
+        expr("flatten(transform(filter(groups, g -> g.wholepart = 'whole'), g -> g.reps))"))
+      .withColumn("members", expr("filter(groups, g -> g.wholepart = 'part')"))
+      .withColumn("all_reps", expr("flatten(transform(groups, g -> g.reps))"))
+      .withColumn("amd_tech", expr(
+        s"""concat('<mets:amdSec ID="tech">',
+           |  array_join(transform(
+           |    filter(all_reps, m -> m.mimetype <> 'application/pdf'),
+           |    m -> ${techXml("m")}), ''),
+           |  '</mets:amdSec>')""".stripMargin))
+      .withColumn("file_sec", expr(
+        s"""concat('<mets:fileSec>',
+           |  '<mets:fileGrp ID="fg', objid, '">',
+           |  array_join(transform(whole_reps, m -> ${fileXml("m")}), ''),
+           |  '</mets:fileGrp>',
+           |  array_join(transform(members, g -> concat(
+           |    '<mets:fileGrp ID="fg', g.abs_name, '">',
+           |    array_join(transform(g.reps, m -> ${fileXml("m")}), ''),
+           |    '</mets:fileGrp>')), ''),
+           |  '</mets:fileSec>')""".stripMargin))
+      .withColumn("struct_map", expr(
+        """concat('<mets:structMap>',
+          |  '<mets:div LABEL="', CASE WHEN title IS NULL OR title = ''
+          |                            THEN '[No title]' ELSE title END,
+          |  '" TYPE="Folder" ADMID="w">',
+          |  '<mets:fptr FILEID="fg', objid, '"/>',
+          |  array_join(transform(members, (g, i) -> concat(
+          |    '<mets:div LABEL="[', CAST(i + 1 AS STRING), ']" ORDER="',
+          |    CAST(i + 1 AS STRING), '" TYPE="FolderMember">',
+          |    '<mets:fptr FILEID="fg', g.abs_name, '"/></mets:div>')), ''),
+          |  '</mets:div></mets:structMap>')""".stripMargin))
+      .withColumn("mets_xml", expr(
+        """concat('<mets:mets xmlns:mets="http://www.loc.gov/METS/"',
+          |  ' xmlns:xlink="http://www.w3.org/1999/xlink"',
+          |  ' xmlns:mix="http://www.loc.gov/mix/v20"',
+          |  ' xmlns:dct="http://purl.org/dc/terms/"',
+          |  ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+          |  ' xsi:schemaLocation="http://www.loc.gov/METS/',
+          |  ' http://www.loc.gov/standards/mets/mets.xsd"',
+          |  ' TYPE="DigitalArchivalObject" OBJID="', objid, '">',
+          |  '<mets:metsHdr CREATEDATE="', created, '">',
+          |  '<mets:metsDocumentID>', docid, '</mets:metsDocumentID>',
+          |  '</mets:metsHdr>',""".stripMargin +
+          s"'$rightsXml'," +
+          """amd_tech, file_sec, struct_map, '</mets:mets>')"""))
+      .select("objid", "docid", "created", "title", "mets_xml")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 import graft.QueryDef.oracle
-import graft.operators.DocOps
+import graft.operators.{DocOps, MetsOps}
 import graft.sources.Tables
 
 /** Document-shaped output (SURVEY §2.4 A1, §2.1 S15): nested grouped
@@ -69,5 +69,145 @@ object DocQueries {
           array_join(array_sort(collect_list(col("m"))), ""),
           lit("</folder>")).as("xml"))
         .orderBy("l_orderkey")
+    },
+
+    // Full-fidelity METS (S15, lib/folder2mets.xsl:13-106) driver-checked
+    // end-to-end: orders become whole (folder-level pdf) representations,
+    // lineitems become part (page) representations; MetsOps.renderMets
+    // assembles rights/tech amdSecs, whole-before-part fileSec, and the
+    // ORDER-labelled structMap. The oracle replays the identical
+    // two-level string_agg assembly in DuckDB.
+    oracle(
+      "q52_mets_full",
+      """WITH reps AS (
+        |  SELECT 'O' || o_orderkey AS objid,
+        |         'O' || o_orderkey AS abs_name,
+        |         'O' || o_orderkey || '.pdf' AS cannonical,
+        |         'whole' AS wholepart,
+        |         'deliverable' AS u,
+        |         md5('ck' || o_orderkey) AS checksum,
+        |         CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS sz,
+        |         'application/pdf' AS mimetype,
+        |         NULL AS width, NULL AS height
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'O' || l_orderkey,
+        |         'O' || l_orderkey || '/' || lpad(CAST(l_linenumber AS VARCHAR), 8, '0')
+        |           || '_' || l_partkey || '_' || l_suppkey,
+        |         'O' || l_orderkey || '/' || lpad(CAST(l_linenumber AS VARCHAR), 8, '0')
+        |           || '_' || l_partkey || '_' || l_suppkey || '.tif',
+        |         'part', 'master',
+        |         md5('ck:' || l_orderkey || ':' || l_linenumber || ':' || l_partkey
+        |           || ':' || l_suppkey),
+        |         CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+        |         'image/tiff',
+        |         CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR),
+        |         CAST(l_partkey AS VARCHAR)
+        |  FROM lineitem),
+        |fx AS (
+        |  SELECT *,
+        |    '<mets:file USE="' || u || '" ID="f' || cannonical || '" CHECKSUM="'
+        |      || checksum || '" CHECKSUMTYPE="MD5" MIMETYPE="' || mimetype
+        |      || '" SIZE="' || sz || '"'
+        |      || CASE WHEN mimetype <> 'application/pdf'
+        |              THEN ' ADMID="t' || cannonical || '"' ELSE '' END
+        |      || '><mets:FLocat LOCTYPE="URN" xlink:href="urn:pudl:images:' || u
+        |      || ':' || cannonical || '"/></mets:file>' AS file_xml,
+        |    CASE WHEN mimetype <> 'application/pdf' THEN
+        |      '<mets:techMD ID="t' || cannonical
+        |      || '"><mets:mdWrap MDTYPE="NISOIMG"><mets:xmlData><mix:imageWidth>'
+        |      || width || '</mix:imageWidth><mix:imageHeight>' || height
+        |      || '</mix:imageHeight></mets:xmlData></mets:mdWrap></mets:techMD>'
+        |    ELSE '' END AS tech_xml
+        |  FROM reps),
+        |g1 AS (
+        |  SELECT objid, wholepart, abs_name,
+        |    string_agg(file_xml, '' ORDER BY cannonical) AS files_xml,
+        |    string_agg(tech_xml, '' ORDER BY cannonical) AS techs_xml
+        |  FROM fx GROUP BY objid, wholepart, abs_name),
+        |g1n AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY objid, wholepart
+        |    ORDER BY abs_name) AS VARCHAR) AS ord
+        |  FROM g1),
+        |g2 AS (
+        |  SELECT objid,
+        |    string_agg(techs_xml, '' ORDER BY abs_name) AS amd_tech,
+        |    string_agg(CASE WHEN wholepart = 'whole' THEN files_xml ELSE '' END,
+        |      '' ORDER BY abs_name) AS whole_files,
+        |    string_agg(CASE WHEN wholepart = 'part' THEN
+        |        '<mets:fileGrp ID="fg' || abs_name || '">' || files_xml
+        |        || '</mets:fileGrp>'
+        |      ELSE '' END, '' ORDER BY abs_name) AS member_grps,
+        |    string_agg(CASE WHEN wholepart = 'part' THEN
+        |        '<mets:div LABEL="[' || ord || ']" ORDER="' || ord
+        |        || '" TYPE="FolderMember"><mets:fptr FILEID="fg' || abs_name
+        |        || '"/></mets:div>'
+        |      ELSE '' END, '' ORDER BY abs_name) AS member_divs
+        |  FROM g1n GROUP BY objid)
+        |SELECT objid,
+        |  '<mets:mets xmlns:mets="http://www.loc.gov/METS/"'
+        |  || ' xmlns:xlink="http://www.w3.org/1999/xlink"'
+        |  || ' xmlns:mix="http://www.loc.gov/mix/v20"'
+        |  || ' xmlns:dct="http://purl.org/dc/terms/"'
+        |  || ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"'
+        |  || ' xsi:schemaLocation="http://www.loc.gov/METS/'
+        |  || ' http://www.loc.gov/standards/mets/mets.xsd"'
+        |  || ' TYPE="DigitalArchivalObject" OBJID="' || objid
+        |  || '"><mets:metsHdr CREATEDATE="2026-01-01T00:00:00Z"><mets:metsDocumentID>'
+        |  || objid || '.mets</mets:metsDocumentID></mets:metsHdr>'
+        |  || '<mets:amdSec ID="rights"><mets:rightsMD ID="w"><mets:mdWrap MDTYPE="DC">'
+        |  || '<mets:xmlData><dct:accessRights>WORLD</dct:accessRights></mets:xmlData>'
+        |  || '</mets:mdWrap></mets:rightsMD><mets:rightsMD ID="po"><mets:mdWrap MDTYPE="DC">'
+        |  || '<mets:xmlData><dct:accessRights>PRINCETON_ONLY</dct:accessRights></mets:xmlData>'
+        |  || '</mets:mdWrap></mets:rightsMD></mets:amdSec>'
+        |  || '<mets:amdSec ID="tech">' || amd_tech || '</mets:amdSec>'
+        |  || '<mets:fileSec><mets:fileGrp ID="fg' || objid || '">' || whole_files
+        |  || '</mets:fileGrp>' || member_grps || '</mets:fileSec>'
+        |  || '<mets:structMap><mets:div LABEL="Order ' || objid
+        |  || '" TYPE="Folder" ADMID="w"><mets:fptr FILEID="fg' || objid || '"/>'
+        |  || member_divs || '</mets:div></mets:structMap></mets:mets>' AS mets_xml
+        |FROM g2 ORDER BY objid""",
+      "SURVEY §2.1 S15 full fidelity: whole-before-part METS with ORDER labels") { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val okey = concat(lit("O"), col("o_orderkey"))
+      val whole = o.select(
+        okey.as("objid"),
+        okey.as("abs_name"),
+        concat(okey, lit(".pdf")).as("cannonical"),
+        lit("whole").as("wholepart"),
+        lit("deliverable").as("use"),
+        md5(concat(lit("ck"), col("o_orderkey")).cast("binary")).as("checksum"),
+        lit("MD5").as("checksumtype"),
+        floor(col("o_totalprice")).cast("long").cast("string").as("size"),
+        lit("application/pdf").as("mimetype"),
+        lit(null).cast("string").as("width"),
+        lit(null).cast("string").as("height"))
+      val l = Tables(s, d, "lineitem")
+      val lkey = concat(lit("O"), col("l_orderkey"))
+      val absName = concat(lkey, lit("/"),
+        lpad(col("l_linenumber").cast("string"), 8, "0"),
+        lit("_"), col("l_partkey"), lit("_"), col("l_suppkey"))
+      val part = l.select(
+        lkey.as("objid"),
+        absName.as("abs_name"),
+        concat(absName, lit(".tif")).as("cannonical"),
+        lit("part").as("wholepart"),
+        lit("master").as("use"),
+        md5(concat_ws(":", lit("ck"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")).cast("binary")).as("checksum"),
+        lit("MD5").as("checksumtype"),
+        floor(col("l_extendedprice") * 100).cast("long").cast("string").as("size"),
+        lit("image/tiff").as("mimetype"),
+        floor(col("l_quantity")).cast("long").cast("string").as("width"),
+        col("l_partkey").cast("string").as("height"))
+      val reps = whole.unionByName(part)
+        .withColumn("docid", concat(col("objid"), lit(".mets")))
+        .withColumn("created", lit("2026-01-01T00:00:00Z"))
+        .withColumn("title", concat(lit("Order "), col("objid")))
+        .withColumn("urn",
+          concat(lit("urn:pudl:images:"), col("use"), lit(":"), col("cannonical")))
+      MetsOps.renderMets(reps)
+        .select("objid", "mets_xml")
+        .orderBy("objid")
     })
 }
