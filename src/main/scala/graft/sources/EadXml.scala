@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** EAD/METS XML as DataFrames via Spark 4's native XML source
   * (SURVEY §2.1 S1/S2, §2.1 S16).
@@ -33,6 +34,89 @@ object EadXml {
       .option("rowTag", rowTag)
       .option("rootTag", rootTag)
       .save(path)
+
+  /** Recursive EAD components table: real EADs nest `<c>` inside `<c>`
+    * arbitrarily deep, and the reference captures each dao's HOST
+    * component as `pdf_dao.parent.parent.prop('id')` (`bin/main.py:168`)
+    * and targets writeback at `//ead:c[@id=sub]/ead:did`
+    * (`bin/publish.rb:126-128`) — i.e. every row needs its ancestor
+    * context carried down through the nesting.
+    *
+    * Read the `<dsc>` container (so top-level `<c>` siblings arrive as
+    * one array with deterministic positions), then flatten level by
+    * level: each level posexplodes the previous level's `c` children,
+    * carrying `parent_id`, the full `ancestry` id path, `depth`, and the
+    * 1-based sibling `pos`. The loop is driven by the SCHEMA (descend
+    * while the struct still has a nested `c` field) — no driver-side
+    * data action per level, and inference bounds the depth at the
+    * deepest document in the corpus. Each level is one narrow
+    * projection; the union is linear in depth, not in rows.
+    *
+    * Output: id, parent_id, ancestry (slash-joined ancestor ids,
+    * root-first), depth, pos, title (did/unittitle), dao_href, dao_show
+    * (null where the did has no dao — the F1 filter runs downstream).
+    */
+  def componentsTree(spark: SparkSession, path: String): DataFrame = {
+    val dsc = read(spark, path, rowTag = "dsc")
+    var frontier = dsc
+      .select(posexplode(asArray(col("c"), dsc.schema("c").dataType)).as(Seq("p", "c")))
+      .select(col("c"), (col("p") + 1).cast("long").as("pos"),
+        lit(null).cast("string").as("parent_id"),
+        lit(null).cast("string").as("ancestry"),
+        lit(0L).as("depth"))
+    var levels = Vector.empty[DataFrame]
+    var descend = true
+    while (descend) {
+      val cType = frontier.schema("c").dataType.asInstanceOf[StructType]
+      levels = levels :+ frontier.select(
+        getOpt(col("c"), cType, Seq("_id")).as("id"),
+        col("parent_id"), col("ancestry"), col("depth"), col("pos"),
+        getOpt(col("c"), cType, Seq("did", "unittitle")).as("title"),
+        getOpt(col("c"), cType, Seq("did", "dao", "_xlink:href")).as("dao_href"),
+        getOpt(col("c"), cType, Seq("did", "dao", "_xlink:show")).as("dao_show"))
+      if (cType.fieldNames.contains("c")) {
+        val selfId = getOpt(col("c"), cType, Seq("_id"))
+        frontier = frontier
+          .select(
+            selfId.as("next_parent"),
+            when(col("ancestry").isNull, selfId)
+              .otherwise(concat_ws("/", col("ancestry"), selfId)).as("next_ancestry"),
+            (col("depth") + 1L).as("next_depth"),
+            posexplode(asArray(col("c").getField("c"), cType("c").dataType))
+              .as(Seq("p", "c")))
+          .select(col("c"), (col("p") + 1).cast("long").as("pos"),
+            col("next_parent").as("parent_id"),
+            col("next_ancestry").as("ancestry"),
+            col("next_depth").as("depth"))
+          // childless components surface a NULL child struct when the
+          // schema's `c` field is a bare struct (single-child corpus)
+          .filter(col("c").isNotNull)
+      } else descend = false
+    }
+    levels.reduce(_ unionByName _)
+  }
+
+  /** `<c>` children arrive as array<struct> when a document has several
+    * and bare struct when every document has one — normalize to array. */
+  private def asArray(c: Column, dt: DataType): Column = dt match {
+    case _: ArrayType => c
+    case _ => array(c)
+  }
+
+  /** Nested struct field access that degrades to NULL when the field is
+    * absent from the inferred schema (e.g. no component at this depth
+    * carries a dao anywhere in the corpus). */
+  private def getOpt(c: Column, t: StructType, path: Seq[String]): Column = {
+    var cur: DataType = t
+    var out = c
+    for (f <- path) cur match {
+      case st: StructType if st.fieldNames.contains(f) =>
+        out = out.getField(f)
+        cur = st(f).dataType
+      case _ => return lit(null).cast("string")
+    }
+    out.cast("string")
+  }
 
   /** The F1 dao-candidate predicate (`bin/main.py:133-140`) over a
     * components table with columns (id, href, show, role): keep PDF

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.EadXml
+
+/** Recursive EAD flattening with ancestor carry-down: the
+  * `pdf_dao.parent.parent.prop('id')` host-component capture
+  * (`bin/main.py:168`) and the `//ead:c[@id=...]/ead:did` writeback
+  * addressing (`bin/publish.rb:126-128`) require every component row to
+  * know its enclosing component chain. */
+class NestedEadSpec extends SparkSpec {
+
+  private lazy val eadPath: String = {
+    val dir = tmpDir("nested_ead")
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<ead xmlns:xlink="http://www.w3.org/1999/xlink">
+        |  <archdesc><dsc>
+        |    <c id="c001"><did><unittitle>Top 1</unittitle></did>
+        |      <c id="c001-1"><did><unittitle>Mid 1</unittitle>
+        |          <dao xlink:href="http://x/a.pdf" xlink:show="new"/></did>
+        |        <c id="c001-1-1"><did><unittitle>Leaf</unittitle>
+        |            <dao xlink:href="http://x/b.pdf"/></did></c>
+        |      </c>
+        |      <c id="c001-2"><did><unittitle>Mid 2</unittitle></did></c>
+        |    </c>
+        |    <c id="c002"><did><unittitle>Top 2</unittitle></did></c>
+        |  </dsc></archdesc>
+        |</ead>""".stripMargin
+    val p = Paths.get(dir, "nested.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, xml)
+    p.toString
+  }
+
+  private lazy val rows =
+    EadXml.componentsTree(spark, eadPath)
+      .orderBy("depth", "ancestry", "pos")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6)))
+
+  test("every nested component becomes a row with parent and ancestry carried down") {
+    val byId = rows.map(t => t._1 -> t).toMap
+    assert(rows.length === 5)
+    //        id          parent     ancestry       depth pos
+    assert(byId("c001")._2 === null && byId("c001")._4 === 0L && byId("c001")._5 === 1L)
+    assert(byId("c002")._2 === null && byId("c002")._5 === 2L)
+    assert(byId("c001-1")._2 === "c001" && byId("c001-1")._3 === "c001"
+      && byId("c001-1")._4 === 1L && byId("c001-1")._5 === 1L)
+    assert(byId("c001-2")._2 === "c001" && byId("c001-2")._5 === 2L)
+    assert(byId("c001-1-1")._2 === "c001-1"
+      && byId("c001-1-1")._3 === "c001/c001-1" && byId("c001-1-1")._4 === 2L)
+  }
+
+  test("dao rows carry their HOST component id (main.py:168 parent.parent capture)") {
+    val daos = rows.filter(_._7 != null).map(t => t._1 -> t._7).toMap
+    assert(daos === Map("c001-1" -> "http://x/a.pdf", "c001-1-1" -> "http://x/b.pdf"))
+  }
+
+  test("titles resolve at every depth; components without a dao yield nulls") {
+    val titles = rows.map(t => t._1 -> t._6).toMap
+    assert(titles === Map("c001" -> "Top 1", "c002" -> "Top 2",
+      "c001-1" -> "Mid 1", "c001-2" -> "Mid 2", "c001-1-1" -> "Leaf"))
+    assert(rows.count(_._7 == null) === 3)
+  }
+
+  test("round-trip: flattened candidates feed the F1 predicate downstream") {
+    val cands = EadXml.daoCandidates(
+      EadXml.componentsTree(spark, eadPath)
+        .withColumnRenamed("dao_href", "href")
+        .withColumnRenamed("dao_show", "show")
+        .withColumn("role", org.apache.spark.sql.functions.lit(null: String))
+        .filter(org.apache.spark.sql.functions.col("href").isNotNull))
+      .select("id").collect().map(_.getString(0)).sorted
+    assert(cands.toSeq === Seq("c001-1", "c001-1-1"))
+  }
+}
