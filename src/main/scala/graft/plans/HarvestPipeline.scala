@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.DocOps
+import graft.operators.{DocOps, OrientOps}
 import graft.sources.{EadXml, HttpOps}
 
 /** The flagship harvest dataflow (SURVEY §3.1) end-to-end: the
@@ -11,7 +11,8 @@ import graft.sources.{EadXml, HttpOps}
   * pipeline over a components table.
   *
   *   candidates (F1) → fetch (S5, adapter) → status dispatch (F3) →
-  *   page fan-out + renumber (W1/F19) → grouped document (A1/J4) →
+  *   page fan-out + renumber (W1/F19) → orientation vote
+  *   (A4/A5/T1/T2, adapters) → grouped document (A1/J4) →
   *   METS render (S15) → writeback join (J2) — with a Parquet checkpoint
   *   at every boundary via [[Pipeline.run]], so a stopped run resumes at
   *   the first incomplete stage exactly like the reference's
@@ -24,7 +25,9 @@ import graft.sources.{EadXml, HttpOps}
 object HarvestPipeline {
 
   def run(spark: SparkSession, components: DataFrame, checkpointRoot: String,
-      fetcher: HttpOps.HttpFetcher = HttpOps.StubFetcher): DataFrame = {
+      fetcher: HttpOps.HttpFetcher = HttpOps.StubFetcher,
+      ocr: OrientOps.OcrAdapter = OrientOps.StubOcrAdapter,
+      spell: OrientOps.SpellAdapter = OrientOps.StubSpellAdapter): DataFrame = {
 
     val stages = Seq(
       Pipeline.Stage("candidates", df => EadXml.daoCandidates(df)),
@@ -48,6 +51,22 @@ object HarvestPipeline {
             "CASE WHEN n_pages > 0 THEN sequence(1, CAST(n_pages AS INT)) ELSE NULL END")))
           .withColumn("page_name",
             when(col("page").isNotNull, format_string("%08d.tif", col("page"))))
+      }),
+
+      Pipeline.Stage("orient", { df =>
+        // bin/orient_image.sh on each page (A4/A5/T1/T2): page bytes are
+        // the stub bitmap-extraction analog (sliced deterministically
+        // from the fetched payload's checksum + page name — a real
+        // deployment feeds the pdfimages output bytes; same columns)
+        val pages = df.filter(col("page").isNotNull)
+          .withColumn("content",
+            expr("CAST(concat(checksum, '/', page_name) AS BINARY)"))
+        val winners = OrientOps.orientationVote(
+            pages.select(col("id"), col("page_name"), col("content")),
+            Seq("id", "page_name"), ocr, spell)
+          .select(col("id"), col("page_name"),
+            col("rotation").as("orientation"), col("misspelled"))
+        df.join(winners, Seq("id", "page_name"), "left")
       }),
 
       Pipeline.Stage("group_doc", { df =>

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.OrientOps
+import graft.plans.HarvestPipeline
+
+/** A4/A5/T1/T2 end-to-end on media rows: the orientation vote with its
+  * OCR + spellcheck adapter boundaries, standalone and as a
+  * HarvestPipeline stage. */
+class OrientOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pages = Seq(
+    ("doc1", "00000001.tif", Array[Byte](1, 2, 3)),
+    ("doc1", "00000002.tif", Array[Byte](4, 5, 6)),
+    ("doc2", "00000001.tif", Array[Byte](7, 8, 9)))
+    .toDF("id", "page_name", "content")
+
+  private def correctRotation(bytes: Array[Byte]): Int =
+    math.floorMod(bytes.foldLeft(17)(31 * _ + _), 4) * 90
+
+  test("vote picks the stub's true orientation for every page") {
+    val winners = OrientOps.orientationVote(pages, Seq("id", "page_name"))
+      .select("id", "page_name", "rotation").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val expected = pages.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> correctRotation(r.getAs[Array[Byte]](2)))
+      .toMap
+    assert(winners === expected)
+    // and the winner's text is the clean dictionary sentence
+    val texts = OrientOps.orientationVote(pages, Seq("id", "page_name"))
+      .select("ocr_text", "misspelled").collect()
+    texts.foreach { r =>
+      assert(r.getString(0) === "the quick brown fox jumps over the lazy dog")
+      assert(r.getLong(1) === 0L)
+    }
+  }
+
+  test("costly spellcheck runs only on the bottom-2 survivors (T1 before A5)") {
+    // count spell invocations through a counting adapter: 4 rotations
+    // per page fan out, but only 2 per page may reach the spell stage
+    val counter = new OrientOps.SpellAdapter {
+      def misspelled(text: String): Long = {
+        OrientOpsSpec.spellCalls.incrementAndGet()
+        OrientOps.StubSpellAdapter.misspelled(text)
+      }
+    }
+    OrientOpsSpec.spellCalls.set(0)
+    val n = OrientOps.orientationVote(pages, Seq("id", "page_name"), spell = counter)
+      .count()
+    assert(n === 3L)
+    val calls = OrientOpsSpec.spellCalls.get()
+    assert(calls <= 2L * 3L * 2L, // ≤ 2 per page, allow one retry/stage re-run
+      s"spellcheck ran $calls times for 3 pages - bottom-2 pruning not applied")
+  }
+
+  test("orientation vote runs as a HarvestPipeline stage (e2e on media rows)") {
+    // c.pdf / d.pdf stub-fetch to status 200, so pages actually fan out
+    val components = Seq(
+      ("c001", "http://x/docs/c.pdf", null, null, "Folder C"),
+      ("c002", "http://x/docs/d.pdf", null, null, "Folder D"))
+      .toDF("id", "href", "show", "role", "title")
+    val root = tmpDir("orient_pipeline")
+    HarvestPipeline.run(spark, components, root)
+    // the orient checkpoint holds one oriented winner per fetched page
+    val oriented = spark.read.parquet(s"$root/03_orient")
+    val pageRows = oriented.filter(col("page").isNotNull)
+    assert(pageRows.count() > 0)
+    assert(pageRows.filter(col("orientation").isNull).count() === 0,
+      "every page must carry a voted orientation")
+    assert(pageRows.filter(!col("orientation").isin(0, 90, 180, 270)).count() === 0)
+    // deterministic stub: winners carry zero misspellings
+    assert(pageRows.filter(col("misspelled") =!= 0L).count() === 0)
+  }
+}
+
+object OrientOpsSpec {
+  val spellCalls = new java.util.concurrent.atomic.AtomicLong(0)
+}
