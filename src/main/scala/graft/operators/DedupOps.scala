@@ -112,7 +112,7 @@ object DedupOps {
       .select("a", "b", "jaccard")
   }
 
-  /** Blocked n-gram Jaccard: all pairs within (lang, n_chars bucket)
+  /** Blocked n-gram Jaccard: all pairs within (lang, n_chars bucket ± 1)
     * blocks whose shingle Jaccard ≥ `minJaccard`.
     *
     * Shape: instead of materializing pair rows and running an
@@ -121,6 +121,19 @@ object DedupOps {
     * value (within the block), counted per (a, b):
     * jaccard = c / (|A| + |B| − c). Everything is codegen'd joins and
     * partial-agg counts; pairs sharing no shingle never materialize.
+    *
+    * Boundary handling (round-1 advice): exact-bucket equality silently
+    * missed near-dups whose n_chars straddle a bucket edge (24 vs 26
+    * chars). The y side therefore announces itself in its own bucket AND
+    * both neighbors; each common shingle of a pair still joins exactly
+    * once (only the emission equal to x's own bucket matches), and the
+    * redundant size-ratio prune min/max ≥ minJaccard (implied by
+    * j ≥ t: c ≤ min, union ≥ max) cuts candidates before the division.
+    * Pairs more than one bucket apart stay uncompared — with
+    * `charBucket` ≥ the shingle width this requires a size ratio the
+    * Jaccard threshold already excludes for adjacent sizes; the honest
+    * residual limit is documented in the README.
+    *
     * At 100 TB the join keys on (shingle, block) — the same bounded-
     * fan-out argument as LSH bucketing, with hot shingles (stop-gram
     * skew) the known failure mode → [[SkewOps]] salting if AQE's skew
@@ -132,7 +145,8 @@ object DedupOps {
     val shr = TextOps.shingleRows(documents)
       .join(meta, Seq("doc_id"))
     val x = shr.select(col("doc_id").as("a"), col("g"), col("lang"), col("blk"))
-    val y = shr.select(col("doc_id").as("b"), col("g"), col("lang"), col("blk"))
+    val y = shr.select(col("doc_id").as("b"), col("g"), col("lang"),
+      explode(expr("array(blk - 1L, blk, blk + 1L)")).as("blk"))
     val common = x.join(y, Seq("g", "lang", "blk"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
@@ -141,6 +155,7 @@ object DedupOps {
     common
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .filter(expr(s"least(na, nb) >= $minJaccard * greatest(na, nb)"))
       .withColumn("jaccard", expr("CAST(c AS DOUBLE) / (na + nb - c)"))
       .filter(col("jaccard") >= minJaccard)
       .select("a", "b", "jaccard")

@@ -191,16 +191,19 @@ object NorthStarQueries {
          |shr AS (SELECT s.doc_id, m.lang, m.blk, unnest(s.sh) AS g
          |        FROM sh s JOIN meta m ON s.doc_id = m.doc_id),
          |cnt AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-         |        FROM shr x JOIN shr y
+         |        FROM shr x
+         |        JOIN (SELECT doc_id, lang, g, blk + off AS blk
+         |              FROM shr CROSS JOIN (SELECT unnest([-1, 0, 1]) AS off) o) y
          |          ON x.g = y.g AND x.lang = y.lang AND x.blk = y.blk
          |        WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
          |SELECT a, b, CAST(c AS DOUBLE) / (ma.nsh + mb.nsh - c) AS jaccard
          |FROM cnt
          |JOIN meta ma ON ma.doc_id = a
          |JOIN meta mb ON mb.doc_id = b
-         |WHERE CAST(c AS DOUBLE) / (ma.nsh + mb.nsh - c) >= 0.2
+         |WHERE least(ma.nsh, mb.nsh) >= 0.2 * greatest(ma.nsh, mb.nsh)
+         |  AND CAST(c AS DOUBLE) / (ma.nsh + mb.nsh - c) >= 0.2
          |ORDER BY a, b""",
-      "Dedup: blocked n-gram Jaccard (lang × size-bucket blocking)") { (s, d) =>
+      "Dedup: blocked n-gram Jaccard (lang × adjacent size-bucket blocking)") { (s, d) =>
       DedupOps.blockedJaccardPairs(Tables(s, d, "documents"))
         .orderBy("a", "b")
     },

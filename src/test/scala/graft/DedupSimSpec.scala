@@ -96,6 +96,18 @@ class DedupSimSpec extends SparkSpec {
     assert(b1(0L) === b1(1L))
   }
 
+  test("blocked jaccard finds near-dups straddling a size-bucket boundary") {
+    // 20 chars (bucket 0) vs 26 chars (bucket 1): exact-bucket equality
+    // would never compare them; adjacent-bucket joining must.
+    val t1 = "aa bb cc dd ee ff gg"         // 5 shingles
+    val t2 = t1 + " hh zz"                  // 7 shingles, 5 common → j = 5/7
+    val pairs = DedupOps.blockedJaccardPairs(docs(1L -> t1, 2L -> t2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length === 1)
+    assert(pairs.head._1 === 1L && pairs.head._2 === 2L)
+    assert(math.abs(pairs.head._3 - 5.0 / 7.0) < 1e-12)
+  }
+
   test("blocked jaccard respects the language block boundary") {
     val d = Seq(
       (1L, base, "en"), (2L, base, "en"), (3L, base, "zh"))
