@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, NgramShingles, SimHashBits}
+import graft.functions.{DotProduct, HllSketch, NgramShingles, SimHashBits}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SimHashBits.fnName),
       new ExpressionInfo(classOf[SimHashBits].getName, SimHashBits.fnName),
       SimHashBits.builder _))
+    e.injectFunction((
+      FunctionIdentifier(HllSketch.fnName),
+      new ExpressionInfo(classOf[HllSketch].getName, HllSketch.fnName),
+      HllSketch.builder _))
   }
 }

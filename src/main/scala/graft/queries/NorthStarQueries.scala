@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 import graft.QueryDef.oracle
+import graft.functions.HllSketch
 import graft.operators.{DedupOps, SimOps, TextOps}
 import graft.sources.Tables
 
@@ -274,5 +275,62 @@ object NorthStarQueries {
       "Similarity: LSH bucket-join ANN with exact cosine re-scoring") { (s, d) =>
       SimOps.bucketedNeighbors(Tables(s, d, "embeddings"))
         .orderBy("bucket", "a", "b")
+    },
+
+    // Custom TypedImperativeAggregate showcase (SURVEY §4 deferred item):
+    // HLL register state from the shared h60 hash, so the ORACLE CHECKS
+    // THE SKETCH ITSELF — DuckDB rebuilds the identical 64 registers in
+    // plain SQL and the register summary + raw estimate hash-match.
+    // exact_distinct sits alongside so the estimate's error is visible.
+    oracle(
+      "q53_hll_distinct",
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |         ${h60d("CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, hv % 64 AS reg,
+         |         CASE WHEN hv // 64 = 0 THEN 55
+         |              ELSE 55 - length(bin(hv // 64)) END AS rho
+         |  FROM h),
+         |mx AS (SELECT event_type, reg, max(rho) AS m FROM r GROUP BY 1, 2),
+         |fr AS (
+         |  SELECT g.event_type, rr.reg, coalesce(mx.m, 0) AS m
+         |  FROM (SELECT DISTINCT event_type FROM events) g
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS reg) rr
+         |  LEFT JOIN mx ON mx.event_type = g.event_type AND mx.reg = rr.reg),
+         |agg AS (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+         |    CAST(max(m) AS BIGINT) AS mmax
+         |  FROM fr GROUP BY 1),
+         |nm AS (
+         |  SELECT f.event_type,
+         |    CAST(sum(CAST(1 AS BIGINT) << (a.mmax - f.m)) AS BIGINT) AS num
+         |  FROM fr f JOIN agg a ON a.event_type = f.event_type
+         |  GROUP BY 1),
+         |ex AS (SELECT event_type,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |       FROM events GROUP BY 1)
+         |SELECT a.event_type, a.v_zero, a.mmax, n.num,
+         |  ${HllSketch.estimateSql("a.mmax", "n.num")} AS estimate,
+         |  ex.exact_distinct
+         |FROM agg a
+         |JOIN nm n ON n.event_type = a.event_type
+         |JOIN ex ON ex.event_type = a.event_type
+         |ORDER BY a.event_type""",
+      "Custom TypedImperativeAggregate: oracle-replayable HLL sketch") { (s, d) =>
+      HllSketch.register(s)
+      Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(expr("hll_sketch(CAST(user_id AS STRING))").as("sk"),
+          countDistinct(col("user_id")).cast("long").as("exact_distinct"))
+        .select(col("event_type"),
+          col("sk.v_zero").as("v_zero"),
+          col("sk.mmax").as("mmax"),
+          col("sk.num").as("num"),
+          expr(HllSketch.estimateSql("sk.mmax", "sk.num")).as("estimate"),
+          col("exact_distinct"))
+        .orderBy("event_type")
     })
 }
