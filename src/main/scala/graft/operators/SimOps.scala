@@ -64,6 +64,12 @@ object SimOps {
       .select("q_id", "n_id", "rank", "cosine")
   }
 
+  /** Embedding dimensionality, read from one row — a driver-side plan
+    * constant (the [[DedupOps.minhashCoefficients]] precedent), NOT a
+    * per-row size() in the plan. */
+  def dimOf(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head.getInt(0)
+
   /** The `nBits` pseudo-random hyperplanes as a tiny table (j, plane):
     * r(i,j) = (h60(i || '_' || j) % 2001 - 1000) / 1000.0. Computing the
     * nBits×dim md5 matrix ONCE here (instead of per corpus row) is the
@@ -84,15 +90,44 @@ object SimOps {
     * plane table; bucket = Σ bit_j · 2^j. Broadcast-join fan-out (nBits
     * rows per vector) + partial-agg groupBy back to one row per vector —
     * both sides of the shuffle are tiny relative to the corpus scan. */
-  def hyperplaneBuckets(embeddings: DataFrame, nBits: Int = 12, dim: Int = 64): DataFrame =
+  def hyperplaneBuckets(embeddings: DataFrame, nBits: Int = 12,
+      dim: Int = -1): DataFrame =
     embeddings
-      .crossJoin(broadcast(planeTable(embeddings, nBits, dim)))
+      .crossJoin(broadcast(planeTable(embeddings, nBits,
+        if (dim > 0) dim else dimOf(embeddings))))
       .withColumn("dot", expr(dotX("embedding", "plane")))
       .groupBy(col("vec_id"))
       .agg(
         sum(expr("CASE WHEN dot >= 0.0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0L END"))
           .as("bucket"),
         first(col("embedding")).as("embedding"))
+
+  /** Embedding-cosine near-duplicate keeper assignment: docs whose
+    * bucketed-ANN cosine ≥ `minCosine` form duplicate clusters; each doc
+    * resolves to a keeper = the smallest id among itself and its
+    * qualifying neighbors (single-hop first-occurrence-wins, the same F7
+    * semantic as [[DedupOps.exactDupGroups]] — full transitive closure
+    * is an iterative connected-components job, out of SQL's reach and
+    * deliberately out of scope). One row per input vector, so docs with
+    * no near-dup keep themselves.
+    *
+    * Scale shape: everything routes through [[bucketedNeighbors]]'s
+    * bucket equi-join (each vector lives in exactly ONE hyperplane
+    * bucket, so a pair is emitted at most once), then one groupBy on
+    * vec_id — no all-pairs anywhere. */
+  def cosineNearDupKeepers(embeddings: DataFrame, minCosine: Double,
+      nBits: Int = 12): DataFrame = {
+    val pairs = bucketedNeighbors(embeddings, nBits)
+      .filter(col("cosine") >= minCosine)
+    val nbrs = pairs.select(col("a").as("vec_id"), col("b").as("nbr"))
+      .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nbr")))
+    embeddings.select("vec_id").join(nbrs, Seq("vec_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(col("nbr")).as("n_nbrs"), min(col("nbr")).as("min_nbr"))
+      .select(col("vec_id"),
+        least(col("vec_id"), coalesce(col("min_nbr"), col("vec_id"))).as("keeper_id"),
+        col("n_nbrs"))
+  }
 
   /** Bucketed ANN candidate pairs: vectors sharing a hyperplane bucket,
     * with exact cosine re-scoring — the LSH scale path for ANN. */

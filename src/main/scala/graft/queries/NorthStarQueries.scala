@@ -277,6 +277,44 @@ object NorthStarQueries {
         .orderBy("bucket", "a", "b")
     },
 
+    // Embedding-cosine near-dup (the dedup-mode list's last entry):
+    // bucketed pairs above a cosine threshold resolve to min-id keepers.
+    // Threshold 0.1 is calibrated to the synthetic corpus (cosines land
+    // in [-0.25, 0.31]); the cosine itself is bit-exact cross-engine, so
+    // the threshold comparison is boundary-safe.
+    oracle(
+      "q54_cosine_neardup",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce([0.0::DOUBLE] || list_transform(range(1, len(embedding)+1),
+         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (acc,x) -> acc + x)) AS norm,
+         |    list_reduce([0::BIGINT] || list_transform(range(0, 12), j ->
+         |      CASE WHEN list_reduce([0.0::DOUBLE] ||
+         |             list_transform(range(1, len(embedding)+1),
+         |               i -> embedding[i]::DOUBLE
+         |                    * ((${h60d("i::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000) / 1000.0)),
+         |             (acc, x) -> acc + x) >= 0.0
+         |           THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END),
+         |      (acc, x) -> acc + x) AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  WHERE list_reduce([0.0::DOUBLE] || list_transform(range(1, len(l.embedding)+1),
+         |          i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE), (acc,x) -> acc + x)
+         |        / (l.norm * r.norm) >= 0.1),
+         |n AS (SELECT a AS vec_id, b AS nbr FROM p
+         |      UNION ALL SELECT b AS vec_id, a AS nbr FROM p)
+         |SELECT v.vec_id,
+         |  least(v.vec_id, coalesce(min(n.nbr), v.vec_id)) AS keeper_id,
+         |  CAST(count(n.nbr) AS BIGINT) AS n_nbrs
+         |FROM embeddings v LEFT JOIN n ON n.vec_id = v.vec_id
+         |GROUP BY v.vec_id ORDER BY v.vec_id""",
+      "Dedup: embedding-cosine near-dup via bucketed ANN + min-id keeper") { (s, d) =>
+      SimOps.cosineNearDupKeepers(Tables(s, d, "embeddings"), minCosine = 0.1)
+        .orderBy("vec_id")
+    },
+
     // Custom TypedImperativeAggregate showcase (SURVEY §4 deferred item):
     // HLL register state from the shared h60 hash, so the ORACLE CHECKS
     // THE SKETCH ITSELF — DuckDB rebuilds the identical 64 registers in

@@ -96,6 +96,20 @@ class DedupSimSpec extends SparkSpec {
     assert(b1(0L) === b1(1L))
   }
 
+  test("cosine near-dup keepers: identical vectors collapse to the min id") {
+    val vecs = Seq(
+      (10L, Array.fill(8)(0.5f)),
+      (11L, Array.fill(8)(0.5f)),                                  // dup of 10
+      (12L, Array.fill(8)(0.5f)),                                  // dup of 10
+      (20L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))) // unrelated
+      .toDF("vec_id", "embedding")
+    val keepers = SimOps.cosineNearDupKeepers(vecs, minCosine = 0.95, nBits = 8) // dim auto-derived
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(keepers.toSeq === Seq(
+      (10L, 10L, 2L), (11L, 10L, 2L), (12L, 10L, 2L), (20L, 20L, 0L)))
+  }
+
   test("blocked jaccard finds near-dups straddling a size-bucket boundary") {
     // 20 chars (bucket 0) vs 26 chars (bucket 1): exact-bucket equality
     // would never compare them; adjacent-bucket joining must.
