@@ -88,5 +88,27 @@ object StreamingQueries {
           fmtTs(col("session_window.end")).as("session_end"),
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")
+    },
+
+    // Stream-stream interval join, batch form: every purchase within the
+    // hour preceding each error, per user. As a real stream
+    // (StreamOps.purchaseErrorJoin) both sides carry watermarks and the
+    // two-sided time bound lets the state store expire — the spec proves
+    // the AvailableNow stream equals this batch expression.
+    oracle(
+      "q55_interval_join",
+      s"""SELECT e.user_id, e.event_id AS e_id, p.event_id AS p_id,
+         |  ${fmtTsSql("e.ts")} AS error_ts,
+         |  ${fmtTsSql("p.ts")} AS purchase_ts,
+         |  p.value AS p_value
+         |FROM events e
+         |JOIN events p
+         |  ON p.user_id = e.user_id
+         | AND e.event_type = 'error' AND p.event_type = 'purchase'
+         | AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
+         |ORDER BY e.user_id, e_id, p_id""",
+      "SURVEY §2.8: stream-stream interval join (batch ground truth)") { (s, d) =>
+      graft.streaming.StreamOps.purchaseErrorJoin(Tables(s, d, "events"))
+        .orderBy("user_id", "e_id", "p_id")
     })
 }

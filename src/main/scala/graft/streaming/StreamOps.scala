@@ -67,6 +67,35 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval self-join: each error event joins the same
+    * user's purchases from the preceding hour — the streaming form of
+    * the q48 AS-OF composition. Both sides carry watermarks and the join
+    * condition bounds event time on BOTH ends, so Spark can expire
+    * buffered state: a purchase older than (watermark − 1 hour) can
+    * never match a future error and is dropped from the state store.
+    * Unbounded-state stream joins are the #1 streaming OOM at scale;
+    * the interval bound is what makes this shape production-viable. */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val errors = events
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "10 minutes")
+    errors.join(purchases, expr(
+      """e_user = p_user
+        |AND p_ts >= e_ts - INTERVAL 1 HOUR
+        |AND p_ts <= e_ts""".stripMargin))
+      .select(col("e_user").as("user_id"), col("e_id"), col("p_id"),
+        date_format(col("e_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("p_value"))
+  }
+
   /** Run any of the above to completion over the files currently present
     * (Trigger.AvailableNow) into an in-memory table; returns the result.
     * This is the scheduled-batch execution mode the reference's cron

@@ -31,6 +31,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("user_id", "event_type").distinct().count() === expectedKeys)
   }
 
+  test("stream-stream interval join: AvailableNow stream equals batch") {
+    val streamed = StreamOps.purchaseErrorJoin(StreamOps.eventsStream(spark, dir))
+    val order = Seq("user_id", "e_id", "p_id")
+    val got = StreamOps.runAvailableNow(spark, streamed,
+        "t_ssjoin", tmpDir("ckpt"))
+      .orderBy(order.head, order.tail: _*)
+      .collect().map(_.toSeq).toSeq
+    val expected = StreamOps.purchaseErrorJoin(Tables(spark, dir, "events"))
+      .orderBy(order.head, order.tail: _*)
+      .collect().map(_.toSeq).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("session windows produce plausible per-user sessions") {
     val streamed = StreamOps.sessionCounts(StreamOps.eventsStream(spark, dir))
     val got = StreamOps.runAvailableNowComplete(spark, streamed,
