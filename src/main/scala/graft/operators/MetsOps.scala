@@ -46,21 +46,27 @@ import org.apache.spark.sql.functions._
   */
 object MetsOps {
 
-  /** `<mets:file>` element for representation struct `m`. */
-  private def fileXml(m: String): String =
-    s"""concat('<mets:file USE="', $m.use, '" ID="f', $m.cannonical,
-       |  '" CHECKSUM="', $m.checksum, '" CHECKSUMTYPE="', $m.checksumtype,
-       |  '" MIMETYPE="', $m.mimetype, '" SIZE="', $m.size, '"',
-       |  CASE WHEN $m.mimetype <> 'application/pdf'
-       |       THEN concat(' ADMID="t', $m.cannonical, '"') ELSE '' END,
-       |  '><mets:FLocat LOCTYPE="URN" xlink:href="', $m.urn, '"/></mets:file>')""".stripMargin
+  /** `<mets:file>` element over plain row columns — rendered BEFORE any
+    * grouping so the concat runs codegen'd per row (a `transform` lambda
+    * at the folder level would evaluate interpreted per member — the
+    * measured-15× HOF trap; post-grouping lambdas here only EXTRACT
+    * pre-rendered strings). */
+  private val fileXml: String =
+    """concat('<mets:file USE="', use, '" ID="f', cannonical,
+      |  '" CHECKSUM="', checksum, '" CHECKSUMTYPE="', checksumtype,
+      |  '" MIMETYPE="', mimetype, '" SIZE="', size, '"',
+      |  CASE WHEN mimetype <> 'application/pdf'
+      |       THEN concat(' ADMID="t', cannonical, '"') ELSE '' END,
+      |  '><mets:FLocat LOCTYPE="URN" xlink:href="', urn, '"/></mets:file>')""".stripMargin
 
-  /** `<mets:techMD>` for non-pdf representation struct `m`. */
-  private def techXml(m: String): String =
-    s"""concat('<mets:techMD ID="t', $m.cannonical, '"><mets:mdWrap MDTYPE="NISOIMG">',
-       |  '<mets:xmlData><mix:imageWidth>', $m.width, '</mix:imageWidth>',
-       |  '<mix:imageHeight>', $m.height, '</mix:imageHeight>',
-       |  '</mets:xmlData></mets:mdWrap></mets:techMD>')""".stripMargin
+  /** `<mets:techMD>` over plain row columns ('' for pdf). */
+  private val techXml: String =
+    """CASE WHEN mimetype <> 'application/pdf' THEN
+      |  concat('<mets:techMD ID="t', cannonical, '"><mets:mdWrap MDTYPE="NISOIMG">',
+      |    '<mets:xmlData><mix:imageWidth>', width, '</mix:imageWidth>',
+      |    '<mix:imageHeight>', height, '</mix:imageHeight>',
+      |    '</mets:xmlData></mets:mdWrap></mets:techMD>')
+      |ELSE '' END""".stripMargin
 
   private val rightsXml =
     """<mets:amdSec ID="rights"><mets:rightsMD ID="w"><mets:mdWrap MDTYPE="DC">""" +
@@ -72,40 +78,41 @@ object MetsOps {
   /** One row per (objid, docid, created, title) with the rendered METS
     * document in `mets_xml`. */
   def renderMets(reps: DataFrame): DataFrame = {
-    val repStruct = struct(
-      col("cannonical"), col("use"), col("checksum"), col("checksumtype"),
-      col("size"), col("mimetype"), col("width"), col("height"), col("urn"))
+    // per-row codegen'd rendering FIRST; the grouped levels below only
+    // sort, extract, and join the pre-built strings
+    val rendered = reps
+      .withColumn("file_xml", expr(fileXml))
+      .withColumn("tech_xml", expr(techXml))
     // level 1: one row per group key (whole group key == objid itself,
     // part group key == objid/page), reps sorted by cannonical
-    val groups = reps
+    val groups = rendered
       .groupBy("objid", "docid", "created", "title", "wholepart", "abs_name")
-      .agg(sort_array(collect_list(repStruct)).as("reps"))
+      .agg(sort_array(collect_list(
+        struct(col("cannonical"), col("file_xml"), col("tech_xml")))).as("reps"))
+      .withColumn("files_xml", expr("array_join(transform(reps, r -> r.file_xml), '')"))
+      .withColumn("techs_xml", expr("array_join(transform(reps, r -> r.tech_xml), '')"))
+      .drop("reps")
     // level 2: one row per folder, groups sorted by abs_name — whole
     // (abs_name == objid) sorts before every part (objid + '/...')
     groups
       .groupBy("objid", "docid", "created", "title")
-      .agg(sort_array(collect_list(struct(col("abs_name"), col("wholepart"), col("reps"))))
-        .as("groups"))
-      .withColumn("whole_reps",
-        expr("flatten(transform(filter(groups, g -> g.wholepart = 'whole'), g -> g.reps))"))
+      .agg(sort_array(collect_list(struct(col("abs_name"), col("wholepart"),
+        col("files_xml"), col("techs_xml")))).as("groups"))
       .withColumn("members", expr("filter(groups, g -> g.wholepart = 'part')"))
-      .withColumn("all_reps", expr("flatten(transform(groups, g -> g.reps))"))
       .withColumn("amd_tech", expr(
-        s"""concat('<mets:amdSec ID="tech">',
-           |  array_join(transform(
-           |    filter(all_reps, m -> m.mimetype <> 'application/pdf'),
-           |    m -> ${techXml("m")}), ''),
-           |  '</mets:amdSec>')""".stripMargin))
+        """concat('<mets:amdSec ID="tech">',
+          |  array_join(transform(groups, g -> g.techs_xml), ''),
+          |  '</mets:amdSec>')""".stripMargin))
       .withColumn("file_sec", expr(
-        s"""concat('<mets:fileSec>',
-           |  '<mets:fileGrp ID="fg', objid, '">',
-           |  array_join(transform(whole_reps, m -> ${fileXml("m")}), ''),
-           |  '</mets:fileGrp>',
-           |  array_join(transform(members, g -> concat(
-           |    '<mets:fileGrp ID="fg', g.abs_name, '">',
-           |    array_join(transform(g.reps, m -> ${fileXml("m")}), ''),
-           |    '</mets:fileGrp>')), ''),
-           |  '</mets:fileSec>')""".stripMargin))
+        """concat('<mets:fileSec>',
+          |  '<mets:fileGrp ID="fg', objid, '">',
+          |  array_join(transform(filter(groups, g -> g.wholepart = 'whole'),
+          |    g -> g.files_xml), ''),
+          |  '</mets:fileGrp>',
+          |  array_join(transform(members, g -> concat(
+          |    '<mets:fileGrp ID="fg', g.abs_name, '">', g.files_xml,
+          |    '</mets:fileGrp>')), ''),
+          |  '</mets:fileSec>')""".stripMargin))
       .withColumn("struct_map", expr(
         """concat('<mets:structMap>',
           |  '<mets:div LABEL="', CASE WHEN title IS NULL OR title = ''

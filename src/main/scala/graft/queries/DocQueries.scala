@@ -35,15 +35,20 @@ object DocQueries {
         |              l_quantity, l_extendedprice) AS members_str
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
       "SURVEY §2.4 A1: folder→member nested document, hashable rendering") { (s, d) =>
-      DocOps.groupToDoc(Tables(s, d, "lineitem"),
+      // member string rendered per ROW (codegen'd concat) and carried
+      // through the nested doc as a member column; the post-grouping
+      // lambda only extracts it (an interpreted per-member concat at the
+      // folder level measured ~2× the whole query's cost)
+      val rows = Tables(s, d, "lineitem").withColumn("m_str", expr(
+        """concat('[', l_linenumber, '|', l_partkey, '|', l_suppkey,
+          |  '|', CAST(floor(l_quantity) AS BIGINT),
+          |  '|', CAST(floor(l_extendedprice * 100) AS BIGINT), ']')""".stripMargin))
+      DocOps.groupToDoc(rows,
           groupKey = "l_orderkey",
-          memberCols = Seq("l_partkey", "l_quantity", "l_extendedprice"),
+          memberCols = Seq("l_partkey", "l_quantity", "l_extendedprice", "m_str"),
           sortCols = Seq("l_linenumber", "l_partkey", "l_suppkey"))
-        .withColumn("members_str", expr(
-          """array_join(transform(members, m -> concat(
-            |  '[', m.l_linenumber, '|', m.l_partkey, '|', m.l_suppkey,
-            |  '|', CAST(floor(m.l_quantity) AS BIGINT),
-            |  '|', CAST(floor(m.l_extendedprice * 100) AS BIGINT), ']')), '')""".stripMargin))
+        .withColumn("members_str",
+          expr("array_join(transform(members, m -> m.m_str), '')"))
         .select("l_orderkey", "n_members", "members_str")
         .orderBy("l_orderkey")
     },
