@@ -21,12 +21,12 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("nested-loop joins appear only where the bounded side is broadcast") {
-    // q39/q40/q41 intentionally broadcast a BOUNDED side (50-row probe
-    // set, 12-row plane table) against the streaming corpus — that is
-    // the scale shape, not an accident. Everything else must plan
-    // hash/sort-merge equi-joins.
+    // q39/q40/q41/q54 intentionally broadcast a BOUNDED side (50-row
+    // probe set, 12-row plane table) against the streaming corpus —
+    // that is the scale shape, not an accident. Everything else must
+    // plan hash/sort-merge equi-joins.
     val bounded = Set("q39_cosine_topk", "q40_hyperplane_buckets",
-      "q41_bucketed_neighbors")
+      "q41_bucketed_neighbors", "q54_cosine_neardup")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
