@@ -102,6 +102,52 @@ object SimOps {
           .as("bucket"),
         first(col("embedding")).as("embedding"))
 
+  /** IVF cell assignment with SAMPLED centroids: the first `k` vectors
+    * serve as cell centroids (deterministic, so the oracle can replay
+    * it — Lloyd iterations would converge engine-dependently; sampling
+    * centroids instead of training them is standard practice when cells
+    * only need to partition, not optimize). Each vector lands in the
+    * cell of its max-cosine centroid (ties → smaller centroid id).
+    *
+    * Scale shape: the centroid table is k rows and broadcasts; the
+    * assignment is map-side (k codegen'd dots per vector, no shuffle
+    * beyond the argmax window on vec_id, which AQE coalesces). */
+  def ivfAssign(embeddings: DataFrame, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val c = e.filter(col("vec_id") < k).select(col("vec_id").as("cent_id"),
+      col("embedding").as("cent_emb"), col("norm").as("cent_norm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cell_cos").desc, col("cent_id").asc)
+    e.crossJoin(broadcast(c))
+      .withColumn("cell_cos", expr(s"${dotX("embedding", "cent_emb")} / (norm * cent_norm)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("norm"))
+  }
+
+  /** Single-probe IVF ANN: probes search only their own cell, with exact
+    * cosine ranking inside it — the coarse-quantizer alternative to the
+    * hyperplane-LSH path ([[bucketedNeighbors]]): cells are few and
+    * data-adaptive where LSH buckets are many and data-oblivious. The
+    * cell equi-join is the same bounded-fan-out scale argument. */
+  def ivfNeighbors(embeddings: DataFrame, k: Int = 16, nQueries: Int = 25,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = ivfAssign(embeddings, k)
+    val q = a.filter(col("vec_id") < nQueries).select(col("cell"),
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val n = a.select(col("cell"), col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    q.join(n, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", expr(s"${dotX("q_emb", "n_emb")} / (q_norm * n_norm)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate keeper assignment: docs whose
     * bucketed-ANN cosine ≥ `minCosine` form duplicate clusters; each doc
     * resolves to a keeper = the smallest id among itself and its

@@ -315,6 +315,47 @@ object NorthStarQueries {
         .orderBy("vec_id")
     },
 
+    // IVF with sampled centroids — the coarse-quantizer ANN alternative
+    // to hyperplane LSH (q40/q41): the first 16 vectors are the cell
+    // centroids (deterministic, hence oracle-replayable; trained
+    // centroids would converge engine-dependently), every vector joins
+    // its max-cosine cell, probes rank exact cosine within their cell.
+    oracle(
+      "q56_ivf_neighbors",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce([0.0::DOUBLE] || list_transform(range(1, len(embedding)+1),
+         |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (acc,x) -> acc + x)) AS norm
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+         |      FROM e WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT v.vec_id, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_reduce([0.0::DOUBLE] || list_transform(range(1, len(v.embedding)+1),
+         |        i -> v.embedding[i]::DOUBLE * c.cent_emb[i]::DOUBLE), (acc,x) -> acc + x)
+         |        / (v.norm * c.cent_norm) DESC, c.cent_id) AS rn
+         |  FROM e v CROSS JOIN c),
+         |cell AS (SELECT vec_id, cent_id AS cell FROM scored WHERE rn = 1),
+         |pairs AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    list_reduce([0.0::DOUBLE] || list_transform(range(1, len(q.embedding)+1),
+         |      i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE), (acc,x) -> acc + x)
+         |      / (q.norm * n.norm) AS cosine
+         |  FROM (SELECT e.*, cell.cell FROM e JOIN cell USING (vec_id)) q
+         |  JOIN (SELECT e.*, cell.cell FROM e JOIN cell USING (vec_id)) n
+         |    ON q.cell = n.cell AND q.vec_id < 25 AND q.vec_id <> n.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         |  FROM pairs)
+         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 3
+         |ORDER BY q_id, rank""",
+      "Similarity: IVF (sampled centroids) single-probe ANN") { (s, d) =>
+      SimOps.ivfNeighbors(Tables(s, d, "embeddings"))
+        .orderBy("q_id", "rank")
+    },
+
     // Custom TypedImperativeAggregate showcase (SURVEY §4 deferred item):
     // HLL register state from the shared h60 hash, so the ORACLE CHECKS
     // THE SKETCH ITSELF — DuckDB rebuilds the identical 64 registers in

@@ -96,6 +96,24 @@ class DedupSimSpec extends SparkSpec {
     assert(b1(0L) === b1(1L))
   }
 
+  test("IVF assignment puts every vector in its max-cosine centroid cell") {
+    // centroids = vec_id < 2; vectors 2,3 align with centroid 0 and 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // → cell 0
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.0f)))  // → cell 1
+      .toDF("vec_id", "embedding")
+    val cells = SimOps.ivfAssign(vecs, k = 2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells === Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
+    // single-probe search finds the in-cell neighbor first
+    val top = SimOps.ivfNeighbors(vecs, k = 2, nQueries = 4, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top(2L) === 0L && top(3L) === 1L)
+  }
+
   test("cosine near-dup keepers: identical vectors collapse to the min id") {
     val vecs = Seq(
       (10L, Array.fill(8)(0.5f)),

@@ -26,7 +26,7 @@ class ScaleSpec extends SparkSpec {
     // that is the scale shape, not an accident. Everything else must
     // plan hash/sort-merge equi-joins.
     val bounded = Set("q39_cosine_topk", "q40_hyperplane_buckets",
-      "q41_bucketed_neighbors", "q54_cosine_neardup")
+      "q41_bucketed_neighbors", "q54_cosine_neardup", "q56_ivf_neighbors")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
