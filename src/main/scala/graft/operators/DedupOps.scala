@@ -112,6 +112,48 @@ object DedupOps {
       .select("a", "b", "jaccard")
   }
 
+  /** Connected-component keeper labels over a candidate-pair edge list:
+    * iterative min-label propagation to fixpoint — the transitive
+    * closure the single-hop keepers ([[exactDupGroups]],
+    * `SimOps.cosineNearDupKeepers`) deliberately stop short of. A chain
+    * a–b–c–d all collapses to keeper a.
+    *
+    * Shape per round: one equi-join (edges × labels) + one groupBy min +
+    * a left join back — all partial-agg-friendly shuffles on the node
+    * id. Rounds needed = graph diameter (near-dup clusters are
+    * shallow; genuinely deep chains would want the large-star/small-star
+    * contraction). `localCheckpoint` truncates lineage each round so the
+    * plan doesn't grow with iterations (at cluster scale prefer a
+    * reliable `checkpoint` dir); the per-round convergence probe is one
+    * driver-side count of changed labels — inherent to any fixpoint.
+    *
+    * Returns (id, label) for every node APPEARING IN `pairs`; callers
+    * left-join and coalesce to give isolated docs themselves as keeper. */
+  def componentKeepers(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Blocked n-gram Jaccard: all pairs within (lang, n_chars bucket ± 1)
     * blocks whose shingle Jaccard ≥ `minJaccard`.
     *

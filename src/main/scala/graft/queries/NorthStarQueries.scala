@@ -315,6 +315,61 @@ object NorthStarQueries {
         .orderBy("vec_id")
     },
 
+    // Transitive-closure dedup: LSH candidate pairs (Jaccard-verified
+    // ≥ 0.5) become edges; iterative min-label propagation collapses
+    // whole components to one keeper — upgrading the single-hop
+    // first-occurrence-wins semantic. The oracle computes the identical
+    // closure with a recursive CTE (min reachable id per node).
+    oracle(
+      "q57_transitive_keepers",
+      s"""WITH RECURSIVE sh AS ($SH),
+         |sig AS (${SIG()}),
+         |bands AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id < y.doc_id),
+         |verified AS (
+         |  SELECT a, b FROM cand
+         |  JOIN sh sa ON sa.doc_id = a
+         |  JOIN sh sb ON sb.doc_id = b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+         |edges AS (SELECT a AS u, b AS v FROM verified
+         |          UNION SELECT b AS u, a AS v FROM verified),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |final AS (SELECT id AS doc_id, min(r) AS keeper_doc_id
+         |          FROM reach GROUP BY id)
+         |SELECT f.doc_id, f.keeper_doc_id, CAST(c.n AS BIGINT) AS component_size
+         |FROM final f
+         |JOIN (SELECT keeper_doc_id, count(*) AS n FROM final GROUP BY 1) c
+         |  USING (keeper_doc_id)
+         |ORDER BY f.doc_id""",
+      "Dedup: transitive-closure keepers (iterative connected components)") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val pairs = DedupOps.minhashCandidatePairs(docs)
+        .filter(col("jaccard") >= 0.5).select("a", "b")
+      val labels = DedupOps.componentKeepers(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val keepers = docs.select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("keeper_doc_id"))
+      keepers.join(
+          keepers.groupBy(col("keeper_doc_id"))
+            .agg(count(lit(1)).as("component_size")),
+          Seq("keeper_doc_id"))
+        .select("doc_id", "keeper_doc_id", "component_size")
+        .orderBy("doc_id")
+    },
+
     // IVF with sampled centroids — the coarse-quantizer ANN alternative
     // to hyperplane LSH (q40/q41): the first 16 vectors are the cell
     // centroids (deterministic, hence oracle-replayable; trained

@@ -96,6 +96,17 @@ class DedupSimSpec extends SparkSpec {
     assert(b1(0L) === b1(1L))
   }
 
+  test("component keepers collapse a chain that single-hop would leave split") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3) + separate pair 10-11: single-hop min
+    // would give 3->2, 4->3; the closure must give every chain node -> 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val labels = DedupOps.componentKeepers(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("IVF assignment puts every vector in its max-cosine centroid cell") {
     // centroids = vec_id < 2; vectors 2,3 align with centroid 0 and 1
     val vecs = Seq(
