@@ -131,9 +131,13 @@ object DedupOps {
     * left-join and coalesce to give isolated docs themselves as keeper. */
   def componentKeepers(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 25): DataFrame = {
+    // materialize the edge list once — it re-enters the join every
+    // round, and without this each iteration would re-execute the whole
+    // upstream candidate-pair pipeline (measured 3× on q57)
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
