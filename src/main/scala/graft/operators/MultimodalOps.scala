@@ -73,6 +73,80 @@ object MultimodalOps {
       }
   }
 
+  /** One transformed media payload: new bytes + the post-transform
+    * dimensions (the `convert -resize` stage, `bin/main.py:309-315`). */
+  final case class TransformedMedia(path: String, mimetype: String,
+      width: Int, height: Int, content: Array[Byte])
+
+  /** Pluggable transform boundary (`convert` / `kdu_compress` analog,
+    * `bin/main.py:309-312,388-394`). Deterministic by contract. */
+  trait ImageTransform extends Serializable {
+    /** Resize `content` so the long side equals `target` (aspect kept). */
+    def resize(path: String, content: Array[Byte], width: Int, height: Int,
+        target: Int): TransformedMedia
+  }
+
+  /** STUB transform: real geometry math (aspect-preserving resize to the
+    * F17 target), fake payload (deterministic truncation proportional to
+    * the area change — no codec in this container). The schema, batch
+    * shape, and parameter surface are what a javax.imageio/kakadu
+    * implementation drops into. */
+  object StubImageTransform extends ImageTransform {
+    def resize(path: String, content: Array[Byte], width: Int, height: Int,
+        target: Int): TransformedMedia = {
+      val long = math.max(width, height)
+      val scale = if (long <= 0) 1.0 else target.toDouble / long
+      val (w, h) = (math.max(1, (width * scale).toInt),
+        math.max(1, (height * scale).toInt))
+      val n = math.max(1, (content.length * scale * scale).toInt)
+      TransformedMedia(path, "image/tiff", w, h,
+        content.take(math.min(n, content.length)))
+    }
+  }
+
+  /** Resize every media row to its F17 target (long side floored to a
+    * multiple of 100 — `bin/main.py:299-315`). Partition-parallel
+    * mapPartitions so a real codec initializes once per partition;
+    * narrow (no shuffle), so it scales with input splits. Input columns:
+    * path, content, width, height. */
+  def resizeToTarget(media: DataFrame,
+      transform: ImageTransform = StubImageTransform): Dataset[TransformedMedia] = {
+    implicit val enc = Encoders.product[TransformedMedia]
+    withResizeTarget(media)
+      .select("path", "content", "width", "height", "resize_target")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          transform.resize(r.getString(0), r.getAs[Array[Byte]](1),
+            r.getInt(2), r.getInt(3), r.getLong(4).toInt)
+        }
+      }
+  }
+
+  /** One sampled frame from a (stub-decoded) video payload. */
+  final case class Frame(path: String, frame_idx: Long, offset: Long,
+      frame: Array[Byte])
+
+  /** Frame sampling for video-shaped binaries: every `stride`-th frame,
+    * where the stub "container format" is fixed-size frames of
+    * `frameBytes` (a real demuxer adapter swaps in behind the same
+    * row-explosion shape). One output row per sampled frame —
+    * explode-shaped like the page fan-out (A8), narrow, no shuffle;
+    * downstream feature extraction parallelizes per frame. */
+  def sampleFrames(media: DataFrame, stride: Int = 10,
+      frameBytes: Int = 1024): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.select("path", "content").flatMap { r =>
+      val path = r.getString(0)
+      val content = r.getAs[Array[Byte]](1)
+      val nFrames = content.length / frameBytes
+      (0L until nFrames.toLong by stride.toLong).map { i =>
+        val off = i * frameBytes
+        Frame(path, i / stride, off,
+          content.slice(off.toInt, off.toInt + frameBytes))
+      }
+    }
+  }
+
   /** Resize-target projection (F17): long side floored to a multiple of
     * 100 — `bin/main.py:299-305`. */
   def withResizeTarget(meta: DataFrame): DataFrame =

@@ -85,4 +85,34 @@ class DocOpsSpec extends SparkSpec {
     // 3247 div 96 = 33 → bin "100001" → 6 halvings until < 96
     assert(got.getLong(1) === 6L)
   }
+
+  test("resizeToTarget keeps aspect ratio and hits the F17 target (stub codec)") {
+    val media = Seq(
+      ("/s/a.tif", Array.fill[Byte](4000)(7), 3247, 1100),
+      ("/s/b.tif", Array.fill[Byte](2000)(7), 250, 900))
+      .toDF("path", "content", "width", "height")
+    val out = MultimodalOps.resizeToTarget(media)
+      .collect().map(m => m.path -> m).toMap
+    // 3247×1100 → target 3200: scale 3200/3247
+    assert(out("/s/a.tif").width === (3247 * 3200.0 / 3247).toInt)
+    assert(out("/s/a.tif").height === (1100 * 3200.0 / 3247).toInt)
+    // 250×900 → target 900: long side is height
+    assert(out("/s/b.tif").height === 900 && out("/s/b.tif").width === 250)
+    // payload shrinks with area, never grows
+    assert(out("/s/a.tif").content.length <= 4000)
+    val again = MultimodalOps.resizeToTarget(media).collect().map(m => m.path -> m.content.toSeq).toMap
+    assert(out.map { case (k, v) => k -> v.content.toSeq } === again)
+  }
+
+  test("sampleFrames emits every stride-th fixed-size frame with offsets") {
+    // 10 frames of 4 bytes; stride 3 → frames 0, 3, 6, 9
+    val payload = (0 until 40).map(_.toByte).toArray
+    val media = Seq(("/v/clip.bin", payload)).toDF("path", "content")
+    val frames = MultimodalOps.sampleFrames(media, stride = 3, frameBytes = 4)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.offset).toSeq === Seq(0L, 12L, 24L, 36L))
+    assert(frames.map(_.frame_idx).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(frames.forall(_.frame.length === 4))
+    assert(frames(1).frame.toSeq === payload.slice(12, 16).toSeq)
+  }
 }
