@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions` deployment path: a session built with
+  * `GraftExtensions` must resolve every native function with no
+  * per-session `register` calls — this is how a cluster user gets the
+  * engine's expressions (`--conf spark.sql.extensions=graft.GraftExtensions`). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("GraftExtensionsSpec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("all native functions resolve through SparkSessionExtensions") {
+    val row = spark.sql(
+      """SELECT
+        |  ngram_shingles(array('a', 'b', 'c', 'd'), 3) AS sh,
+        |  dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |              array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |  simhash_bits(array(5L, 9L), 4) AS sim
+        |""".stripMargin).head
+    assert(row.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(row.getDouble(1) === 11.0)
+    // bits of 5 (0101) and 9 (1001): bit0 +2 → set; bit1 −2 → clear;
+    // bits 2 and 3 each split +1/−1 → 0 ≥ 0 → set. 1 + 4 + 8 = 13.
+    assert(row.getLong(2) === 13L)
+    val agg = spark.range(100)
+      .selectExpr("hll_sketch(CAST(id AS STRING)) AS sk")
+      .selectExpr("sk.v_zero", "sk.mmax", "sk.num").head
+    assert(agg.getLong(0) >= 0L && agg.getLong(2) > 0L)
+  }
+}
