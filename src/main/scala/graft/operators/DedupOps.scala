@@ -155,6 +155,11 @@ object DedupOps {
       labels = next
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"componentKeepers did not converge in $maxIters rounds — component " +
+        "diameter exceeds the budget; raise maxIters or contract the graph " +
+        "(large-star/small-star) first. Returning partial labels would " +
+        "silently split components.")
     labels
   }
 

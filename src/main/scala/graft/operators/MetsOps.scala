@@ -46,27 +46,38 @@ import org.apache.spark.sql.functions._
   */
 object MetsOps {
 
+  /** XML attribute-value escape (&, <, >, ") — the XSL escapes
+    * attribute values automatically; string concat does not. Ampersand
+    * first so entities aren't double-escaped. */
+  private def xmlEsc(c: String): String =
+    s"""replace(replace(replace(replace($c,
+       |  '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;')""".stripMargin
+
   /** `<mets:file>` element over plain row columns — rendered BEFORE any
     * grouping so the concat runs codegen'd per row (a `transform` lambda
     * at the folder level would evaluate interpreted per member — the
     * measured-15× HOF trap; post-grouping lambdas here only EXTRACT
-    * pre-rendered strings). */
+    * pre-rendered strings). Path-derived values (cannonical, urn) are
+    * attribute-escaped; use/checksum/checksumtype/mimetype/size are
+    * format-constrained (enum / hex / MIME token / digits). */
   private val fileXml: String =
-    """concat('<mets:file USE="', use, '" ID="f', cannonical,
-      |  '" CHECKSUM="', checksum, '" CHECKSUMTYPE="', checksumtype,
-      |  '" MIMETYPE="', mimetype, '" SIZE="', size, '"',
-      |  CASE WHEN mimetype <> 'application/pdf'
-      |       THEN concat(' ADMID="t', cannonical, '"') ELSE '' END,
-      |  '><mets:FLocat LOCTYPE="URN" xlink:href="', urn, '"/></mets:file>')""".stripMargin
+    s"""concat('<mets:file USE="', use, '" ID="f', ${xmlEsc("cannonical")},
+       |  '" CHECKSUM="', checksum, '" CHECKSUMTYPE="', checksumtype,
+       |  '" MIMETYPE="', mimetype, '" SIZE="', size, '"',
+       |  CASE WHEN mimetype <> 'application/pdf'
+       |       THEN concat(' ADMID="t', ${xmlEsc("cannonical")}, '"') ELSE '' END,
+       |  '><mets:FLocat LOCTYPE="URN" xlink:href="', ${xmlEsc("urn")},
+       |  '"/></mets:file>')""".stripMargin
 
   /** `<mets:techMD>` over plain row columns ('' for pdf). */
   private val techXml: String =
-    """CASE WHEN mimetype <> 'application/pdf' THEN
-      |  concat('<mets:techMD ID="t', cannonical, '"><mets:mdWrap MDTYPE="NISOIMG">',
-      |    '<mets:xmlData><mix:imageWidth>', width, '</mix:imageWidth>',
-      |    '<mix:imageHeight>', height, '</mix:imageHeight>',
-      |    '</mets:xmlData></mets:mdWrap></mets:techMD>')
-      |ELSE '' END""".stripMargin
+    s"""CASE WHEN mimetype <> 'application/pdf' THEN
+       |  concat('<mets:techMD ID="t', ${xmlEsc("cannonical")},
+       |    '"><mets:mdWrap MDTYPE="NISOIMG">',
+       |    '<mets:xmlData><mix:imageWidth>', width, '</mix:imageWidth>',
+       |    '<mix:imageHeight>', height, '</mix:imageHeight>',
+       |    '</mets:xmlData></mets:mdWrap></mets:techMD>')
+       |ELSE '' END""".stripMargin
 
   private val rightsXml =
     """<mets:amdSec ID="rights"><mets:rightsMD ID="w"><mets:mdWrap MDTYPE="DC">""" +
@@ -79,14 +90,18 @@ object MetsOps {
     * document in `mets_xml`. */
   def renderMets(reps: DataFrame): DataFrame = {
     // per-row codegen'd rendering FIRST; the grouped levels below only
-    // sort, extract, and join the pre-built strings
+    // sort, extract, and join the pre-built strings. abs_name is
+    // attribute-escaped here too (once per row, codegen'd) — sorting
+    // still keys on the RAW abs_name so group order matches dao.py's
+    // sorted-key iteration even when names contain markup characters.
     val rendered = reps
       .withColumn("file_xml", expr(fileXml))
       .withColumn("tech_xml", expr(techXml))
+      .withColumn("abs_esc", expr(xmlEsc("abs_name")))
     // level 1: one row per group key (whole group key == objid itself,
     // part group key == objid/page), reps sorted by cannonical
     val groups = rendered
-      .groupBy("objid", "docid", "created", "title", "wholepart", "abs_name")
+      .groupBy("objid", "docid", "created", "title", "wholepart", "abs_name", "abs_esc")
       .agg(sort_array(collect_list(
         struct(col("cannonical"), col("file_xml"), col("tech_xml")))).as("reps"))
       .withColumn("files_xml", expr("array_join(transform(reps, r -> r.file_xml), '')"))
@@ -97,45 +112,46 @@ object MetsOps {
     groups
       .groupBy("objid", "docid", "created", "title")
       .agg(sort_array(collect_list(struct(col("abs_name"), col("wholepart"),
-        col("files_xml"), col("techs_xml")))).as("groups"))
+        col("abs_esc"), col("files_xml"), col("techs_xml")))).as("groups"))
       .withColumn("members", expr("filter(groups, g -> g.wholepart = 'part')"))
       .withColumn("amd_tech", expr(
         """concat('<mets:amdSec ID="tech">',
           |  array_join(transform(groups, g -> g.techs_xml), ''),
           |  '</mets:amdSec>')""".stripMargin))
       .withColumn("file_sec", expr(
-        """concat('<mets:fileSec>',
-          |  '<mets:fileGrp ID="fg', objid, '">',
-          |  array_join(transform(filter(groups, g -> g.wholepart = 'whole'),
-          |    g -> g.files_xml), ''),
-          |  '</mets:fileGrp>',
-          |  array_join(transform(members, g -> concat(
-          |    '<mets:fileGrp ID="fg', g.abs_name, '">', g.files_xml,
-          |    '</mets:fileGrp>')), ''),
-          |  '</mets:fileSec>')""".stripMargin))
+        s"""concat('<mets:fileSec>',
+           |  '<mets:fileGrp ID="fg', ${xmlEsc("objid")}, '">',
+           |  array_join(transform(filter(groups, g -> g.wholepart = 'whole'),
+           |    g -> g.files_xml), ''),
+           |  '</mets:fileGrp>',
+           |  array_join(transform(members, g -> concat(
+           |    '<mets:fileGrp ID="fg', g.abs_esc, '">', g.files_xml,
+           |    '</mets:fileGrp>')), ''),
+           |  '</mets:fileSec>')""".stripMargin))
       .withColumn("struct_map", expr(
-        """concat('<mets:structMap>',
-          |  '<mets:div LABEL="', CASE WHEN title IS NULL OR title = ''
-          |                            THEN '[No title]' ELSE title END,
-          |  '" TYPE="Folder" ADMID="w">',
-          |  '<mets:fptr FILEID="fg', objid, '"/>',
-          |  array_join(transform(members, (g, i) -> concat(
-          |    '<mets:div LABEL="[', CAST(i + 1 AS STRING), ']" ORDER="',
-          |    CAST(i + 1 AS STRING), '" TYPE="FolderMember">',
-          |    '<mets:fptr FILEID="fg', g.abs_name, '"/></mets:div>')), ''),
-          |  '</mets:div></mets:structMap>')""".stripMargin))
+        s"""concat('<mets:structMap>',
+           |  '<mets:div LABEL="', CASE WHEN title IS NULL OR title = ''
+           |                            THEN '[No title]'
+           |                            ELSE ${xmlEsc("title")} END,
+           |  '" TYPE="Folder" ADMID="w">',
+           |  '<mets:fptr FILEID="fg', ${xmlEsc("objid")}, '"/>',
+           |  array_join(transform(members, (g, i) -> concat(
+           |    '<mets:div LABEL="[', CAST(i + 1 AS STRING), ']" ORDER="',
+           |    CAST(i + 1 AS STRING), '" TYPE="FolderMember">',
+           |    '<mets:fptr FILEID="fg', g.abs_esc, '"/></mets:div>')), ''),
+           |  '</mets:div></mets:structMap>')""".stripMargin))
       .withColumn("mets_xml", expr(
-        """concat('<mets:mets xmlns:mets="http://www.loc.gov/METS/"',
-          |  ' xmlns:xlink="http://www.w3.org/1999/xlink"',
-          |  ' xmlns:mix="http://www.loc.gov/mix/v20"',
-          |  ' xmlns:dct="http://purl.org/dc/terms/"',
-          |  ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
-          |  ' xsi:schemaLocation="http://www.loc.gov/METS/',
-          |  ' http://www.loc.gov/standards/mets/mets.xsd"',
-          |  ' TYPE="DigitalArchivalObject" OBJID="', objid, '">',
-          |  '<mets:metsHdr CREATEDATE="', created, '">',
-          |  '<mets:metsDocumentID>', docid, '</mets:metsDocumentID>',
-          |  '</mets:metsHdr>',""".stripMargin +
+        s"""concat('<mets:mets xmlns:mets="http://www.loc.gov/METS/"',
+           |  ' xmlns:xlink="http://www.w3.org/1999/xlink"',
+           |  ' xmlns:mix="http://www.loc.gov/mix/v20"',
+           |  ' xmlns:dct="http://purl.org/dc/terms/"',
+           |  ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+           |  ' xsi:schemaLocation="http://www.loc.gov/METS/',
+           |  ' http://www.loc.gov/standards/mets/mets.xsd"',
+           |  ' TYPE="DigitalArchivalObject" OBJID="', ${xmlEsc("objid")}, '">',
+           |  '<mets:metsHdr CREATEDATE="', created, '">',
+           |  '<mets:metsDocumentID>', ${xmlEsc("docid")}, '</mets:metsDocumentID>',
+           |  '</mets:metsHdr>',""".stripMargin +
           s"'$rightsXml'," +
           """amd_tech, file_sec, struct_map, '</mets:mets>')"""))
       .select("objid", "docid", "created", "title", "mets_xml")

@@ -66,9 +66,11 @@ object SimOps {
 
   /** Embedding dimensionality, read from one row — a driver-side plan
     * constant (the [[DedupOps.minhashCoefficients]] precedent), NOT a
-    * per-row size() in the plan. */
+    * per-row size() in the plan. Empty input → 1 (any plane width works:
+    * the downstream result is empty regardless). */
   def dimOf(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding"))).head.getInt(0)
+    embeddings.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
 
   /** The `nBits` pseudo-random hyperplanes as a tiny table (j, plane):
     * r(i,j) = (h60(i || '_' || j) % 2001 - 1000) / 1000.0. Computing the

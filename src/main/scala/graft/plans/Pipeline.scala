@@ -107,15 +107,23 @@ object TwoPhaseSink {
         else throw new java.io.IOException(
           s"TwoPhaseSink: rename $local -> $fin failed (target absent)")
       } else {
-        try {
-          org.apache.hadoop.fs.FileUtil.copy(srcFs, local, dstFs, fin,
-            /* deleteSource = */ true, /* overwrite = */ false, conf)
-          true
-        } catch {
-          // overwrite=false throws when fin appeared mid-copy → re-run case
-          case _: java.io.IOException if dstFs.exists(fin) =>
-            srcFs.delete(local, true); false
-        }
+        // Cross-FS: copy to a TEMP name on the destination, then rename
+        // into place. A direct copy to `fin` would (a) leave a corrupt
+        // partial final directory if the copy dies mid-flight and
+        // (b) on a promote race, copy INTO the existing directory
+        // (FileUtil does not refuse directory targets) — nesting the
+        // data one level deep. The temp+rename protocol makes the
+        // appearance of `fin` atomic; staged data is deleted only after
+        // a successful promotion.
+        val tmp = new Path(fin.getParent, s".${fin.getName}._promote_tmp")
+        dstFs.delete(tmp, true) // stale temp from a dead earlier attempt
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, local, dstFs, tmp,
+          /* deleteSource = */ false, /* overwrite = */ true, conf)
+        if (dstFs.rename(tmp, fin)) { srcFs.delete(local, true); true }
+        else if (dstFs.exists(fin)) { // lost the promote race
+          dstFs.delete(tmp, true); srcFs.delete(local, true); false
+        } else throw new java.io.IOException(
+          s"TwoPhaseSink: rename $tmp -> $fin failed (target absent)")
       }
     }
   }

@@ -147,7 +147,7 @@ object NorthStarQueries {
          |  SELECT doc_id, unnest(range(0, 4)) AS band,
          |    unnest(list_transform(range(0, 4), b ->
          |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
-         |  FROM sig),
+         |  FROM sig WHERE sig[1] <> -1),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
@@ -328,7 +328,7 @@ object NorthStarQueries {
          |  SELECT doc_id, unnest(range(0, 4)) AS band,
          |    unnest(list_transform(range(0, 4), b ->
          |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
-         |  FROM sig),
+         |  FROM sig WHERE sig[1] <> -1),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket

@@ -1,24 +1,52 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The `spark.sql.extensions` deployment path: a session built with
   * `GraftExtensions` must resolve every native function with no
   * per-session `register` calls — this is how a cluster user gets the
-  * engine's expressions (`--conf spark.sql.extensions=graft.GraftExtensions`). */
-class GraftExtensionsSpec extends AnyFunSuite {
+  * engine's expressions (`--conf spark.sql.extensions=graft.GraftExtensions`).
+  *
+  * All suites share one forked JVM, and `getOrCreate` would silently
+  * return an earlier suite's session (ignoring `withExtensions`), so
+  * this spec clears the active/default session, builds a FRESH session
+  * (sharing the SparkContext — extensions are per-SparkSession state),
+  * and restores the previous session afterwards. */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("GraftExtensionsSpec")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  private var prior: Option[SparkSession] = None
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("GraftExtensionsSpec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    prior.foreach { p =>
+      SparkSession.setDefaultSession(p)
+      SparkSession.setActiveSession(p)
+    }
+  }
 
   test("all native functions resolve through SparkSessionExtensions") {
+    // guard against getOrCreate having silently reused a prior session
+    assert(spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hll_sketch")),
+      "extensions did not apply — session was reused, not created")
     val row = spark.sql(
       """SELECT
         |  ngram_shingles(array('a', 'b', 'c', 'd'), 3) AS sh,

@@ -70,6 +70,30 @@ class MetsOpsSpec extends SparkSpec {
     assert(out.sliding("PRINCETON_ONLY".length).count(_ == "PRINCETON_ONLY") === 1)
   }
 
+  test("markup characters in title and paths are attribute-escaped") {
+    import org.apache.spark.sql.functions.{concat_ws, lit, regexp_replace}
+    val dirty = fixture()
+      .withColumn("title", lit("""Smith & Jones "Papers" <1900>"""))
+      .withColumn("abs_name", regexp_replace($"abs_name", "MC001", "M&C001"))
+      .withColumn("cannonical", regexp_replace($"cannonical", "MC001", "M&C001"))
+      .withColumn("objid", regexp_replace($"objid", "MC001", "M&C001"))
+      .withColumn("urn", concat_ws("", lit("urn:pudl:images:x:"), $"cannonical"))
+    val out = MetsOps.renderMets(dirty).select("mets_xml").head.getString(0)
+    assert(out.contains(
+      """LABEL="Smith &amp; Jones &quot;Papers&quot; &lt;1900&gt;""""))
+    assert(out.contains("""OBJID="M&amp;C001_c0001""""))
+    assert(out.contains("""<mets:fileGrp ID="fgM&amp;C001_c0001/00000001">"""))
+    // no raw markup characters survive inside any attribute value
+    assert(!out.contains("\"M&C001") && !out.contains("& Jones"))
+    // still well-formed enough for the JDK XML parser (namespaces aside)
+    val wrapped = out
+      .replace("mets:", "").replace("mix:", "").replace("dct:", "")
+      .replace("xlink:", "").replace("xsi:", "")
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(wrapped.getBytes("UTF-8")))
+  }
+
   test("missing title renders as [No title] (folder2mets.xsl:97)") {
     val noTitle = fixture().withColumn("title",
       org.apache.spark.sql.functions.lit(""))
