@@ -16,31 +16,36 @@ import org.scalatest.funsuite.AnyFunSuite
   * and restores the previous session afterwards. */
 class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private var prior: Option[SparkSession] = None
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = {
-    prior = SparkSession.getDefaultSession
+    // sbt may run suites in parallel threads of this JVM, so the global
+    // default-session slot is cleared only for the instant of session
+    // construction and restored immediately — the new session keeps
+    // working regardless of which session is "default" afterwards.
+    val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("GraftExtensionsSpec")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-  }
-
-  override def afterAll(): Unit = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    prior.foreach { p =>
-      SparkSession.setDefaultSession(p)
-      SparkSession.setActiveSession(p)
+    try {
+      spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("GraftExtensionsSpec")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
     }
   }
+
+  override def afterAll(): Unit = ()
 
   test("all native functions resolve through SparkSessionExtensions") {
     // guard against getOrCreate having silently reused a prior session
