@@ -56,5 +56,12 @@ class PipelineSpec extends SparkSpec {
     assert(!TwoPhaseSink.writeThenPromote(spark, second, localRoot, finalRoot, "obj"))
     val kept = spark.read.parquet(s"$finalRoot/obj").as[Int].collect().toSeq
     assert(kept === Seq(1))
+    // the promoted output is the data itself, not nested one level deep,
+    // and no promotion temp survives (the cross-FS copy protocol's
+    // invariants — same-FS rename path shares the naming)
+    val finalDir = new java.io.File(finalRoot)
+    assert(!finalDir.listFiles().exists(_.getName.contains("_promote_tmp")))
+    assert(new java.io.File(s"$finalRoot/obj").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
   }
 }
