@@ -315,6 +315,35 @@ object NorthStarQueries {
         .orderBy("vec_id")
     },
 
+    // BPE-ish regex tokenization (the second half of the token-counting
+    // bullet; q30 is the whitespace half): GPT-2-style alternation —
+    // contraction suffixes, space-prefixed letter/digit runs, punctuation
+    // runs — without lookarounds, so Java regex (Spark) and RE2 (DuckDB)
+    // agree: both use leftmost-first alternation with greedy runs.
+    oracle(
+      "q58_bpe_tokens",
+      """SELECT doc_id,
+        |  CAST(len(bt) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(bt)) AS BIGINT) AS n_distinct_bpe,
+        |  CAST(list_reduce([0::BIGINT] || list_transform(bt,
+        |         t -> CAST(length(t) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE)
+        |    / len(bt) AS mean_bpe_len
+        |FROM (SELECT doc_id, regexp_extract_all(text,
+        |        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS bt
+        |      FROM documents)
+        |ORDER BY doc_id""",
+      "Text analysis: BPE-style regex tokenizer stats") { (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("bt", regexp_extract_all(col("text"),
+          lit("'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)))
+        .select(col("doc_id"),
+          size(col("bt")).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(col("bt"))).cast("long").as("n_distinct_bpe"),
+          (expr("aggregate(bt, 0L, (acc, t) -> acc + CAST(length(t) AS BIGINT))")
+            .cast("double") / size(col("bt"))).as("mean_bpe_len"))
+        .orderBy("doc_id")
+    },
+
     // Transitive-closure dedup: LSH candidate pairs (Jaccard-verified
     // ≥ 0.5) become edges; iterative min-label propagation collapses
     // whole components to one keeper — upgrading the single-hop
