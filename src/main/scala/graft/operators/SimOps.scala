@@ -69,7 +69,8 @@ object SimOps {
     * per-row size() in the plan. Empty input → 1 (any plane width works:
     * the downstream result is empty regardless). */
   def dimOf(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding"))).limit(1).collect()
+    embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
 
   /** The `nBits` pseudo-random hyperplanes as a tiny table (j, plane):

@@ -81,15 +81,21 @@ object TwoPhaseSink {
     * (mode "ignore" semantics). Returns true when promoted, false when
     * the final target already existed (idempotent re-run).
     *
-    * Promotion distinguishes the two ways `rename` can "not happen":
-    * the target already exists (expected — idempotent re-run, possibly
-    * racing another writer between our exists() probe and the rename,
-    * which HDFS-style rename refuses atomically) → false; any other
-    * rename failure is a real error and throws rather than being
-    * silently conflated with "already existed". When staging and final
-    * roots live on different filesystems (the documented local-staging →
-    * final-store case) rename cannot move data, so the directory is
-    * copied then the staging copy deleted. */
+    * Promote protocol (both same-FS and cross-FS): stage the data under
+    * a UNIQUE temp sibling of the target, then rename into place.
+    *   - The unique name means two concurrent promoters of the same
+    *     `name` can never clobber each other's in-flight staging.
+    *   - Hadoop `rename` onto an EXISTING directory does not refuse —
+    *     it moves the source UNDER the destination — so after a
+    *     successful rename we verify the temp did not nest inside a
+    *     racing winner's output (the UUID name cannot legitimately
+    *     occur there) and demote to "already existed" if it did.
+    *   - A rename that fails with the target absent is a real error and
+    *     throws; it is never conflated with the idempotent-re-run case.
+    * Cross-FS (the documented local-staging → final-store case) differs
+    * only in how the temp is produced: FileUtil.copy instead of a
+    * same-FS rename, with the staged source deleted only after the
+    * outcome is known. */
   def writeThenPromote(spark: SparkSession, df: DataFrame,
       localRoot: String, finalRoot: String, name: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -101,27 +107,28 @@ object TwoPhaseSink {
     else {
       df.write.mode("overwrite").parquet(local.toString)
       dstFs.mkdirs(fin.getParent)
-      if (srcFs.getUri == dstFs.getUri) {
-        if (dstFs.rename(local, fin)) true
-        else if (dstFs.exists(fin)) false // lost the promote race: target appeared
-        else throw new java.io.IOException(
-          s"TwoPhaseSink: rename $local -> $fin failed (target absent)")
+      val sameFs = srcFs.getUri == dstFs.getUri
+      val tmp = new Path(fin.getParent,
+        s".${fin.getName}._promote_${java.util.UUID.randomUUID()}")
+      if (sameFs) {
+        if (!dstFs.rename(local, tmp)) throw new java.io.IOException(
+          s"TwoPhaseSink: staging rename $local -> $tmp failed")
       } else {
-        // Cross-FS: copy to a TEMP name on the destination, then rename
-        // into place. A direct copy to `fin` would (a) leave a corrupt
-        // partial final directory if the copy dies mid-flight and
-        // (b) on a promote race, copy INTO the existing directory
-        // (FileUtil does not refuse directory targets) — nesting the
-        // data one level deep. The temp+rename protocol makes the
-        // appearance of `fin` atomic; staged data is deleted only after
-        // a successful promotion.
-        val tmp = new Path(fin.getParent, s".${fin.getName}._promote_tmp")
-        dstFs.delete(tmp, true) // stale temp from a dead earlier attempt
         org.apache.hadoop.fs.FileUtil.copy(srcFs, local, dstFs, tmp,
-          /* deleteSource = */ false, /* overwrite = */ true, conf)
-        if (dstFs.rename(tmp, fin)) { srcFs.delete(local, true); true }
-        else if (dstFs.exists(fin)) { // lost the promote race
-          dstFs.delete(tmp, true); srcFs.delete(local, true); false
+          /* deleteSource = */ false, /* overwrite = */ false, conf)
+      }
+      val renamed = dstFs.rename(tmp, fin)
+      val nested = new Path(fin, tmp.getName)
+      if (renamed && !dstFs.exists(nested)) {
+        if (!sameFs) srcFs.delete(local, true)
+        true
+      } else {
+        // lost the promote race: rename either refused (fin appeared) or
+        // moved the temp UNDER the winner's directory — undo the nesting
+        if (renamed) dstFs.delete(nested, true) else dstFs.delete(tmp, true)
+        if (dstFs.exists(fin)) {
+          if (!sameFs) srcFs.delete(local, true)
+          false
         } else throw new java.io.IOException(
           s"TwoPhaseSink: rename $tmp -> $fin failed (target absent)")
       }

@@ -37,14 +37,26 @@ object RelocatePipeline {
           "^http://findingaids[.]example/collections/", ""))),
 
       // F5 + A3: files of the target extension joined to the queue dirs,
-      // with the destination dir's existing count as the numbering seed
+      // with the numbering seed from the destination dir. The reference
+      // seeds from the COUNT of existing files (`pulfarize.rb:59-68`),
+      // which collides when existing numbering has gaps (1 and 3 present
+      // → count 2 → next file planned as 3, already taken, and the
+      // never-overwrite sink would silently skip it). Seed from
+      // greatest(count, max existing sequence) so planned names are
+      // always fresh.
       Pipeline.Stage("collect", { df =>
         val counts = targetListing
           .filter(col("name").endsWith(ext))
-          .groupBy("dir").agg(count(lit(1)).as("existing"))
+          .groupBy("dir").agg(
+            count(lit(1)).as("n_existing"),
+            max(expr("CAST(regexp_extract(name, '^([0-9]{8})', 1) AS BIGINT)"))
+              .as("max_seq"))
         df.join(files.filter(col("name").endsWith(ext)), Seq("dir"))
           .join(counts, Seq("dir"), "left")
-          .withColumn("existing", coalesce(col("existing"), lit(0L)))
+          .withColumn("existing", greatest(
+            coalesce(col("n_existing"), lit(0L)),
+            coalesce(col("max_seq"), lit(0L))))
+          .drop("n_existing", "max_seq")
       }),
 
       // W2 + F19: continue numbering after the existing count, in

@@ -325,22 +325,29 @@ object NorthStarQueries {
       """SELECT doc_id,
         |  CAST(len(bt) AS BIGINT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(bt)) AS BIGINT) AS n_distinct_bpe,
-        |  CAST(list_reduce([0::BIGINT] || list_transform(bt,
-        |         t -> CAST(length(t) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE)
-        |    / len(bt) AS mean_bpe_len
-        |FROM (SELECT doc_id, regexp_extract_all(text,
+        |  CASE WHEN len(bt) = 0 THEN NULL ELSE
+        |    CAST(list_reduce([0::BIGINT] || list_transform(bt,
+        |           t -> CAST(length(t) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE)
+        |      / len(bt) END AS mean_bpe_len
+        |FROM (SELECT doc_id, regexp_extract_all(coalesce(text, ''),
         |        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS bt
         |      FROM documents)
         |ORDER BY doc_id""",
       "Text analysis: BPE-style regex tokenizer stats") { (s, d) =>
+      // coalesce + zero-guard keep parity total: Spark size(NULL) is -1
+      // (legacy sizeOfNull) where DuckDB len(NULL) is NULL, and the
+      // engines disagree on 0/0 doubles — NULL text and token-less text
+      // must hit neither
       Tables(s, d, "documents")
-        .withColumn("bt", regexp_extract_all(col("text"),
+        .withColumn("bt", regexp_extract_all(coalesce(col("text"), lit("")),
           lit("'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)))
         .select(col("doc_id"),
           size(col("bt")).cast("long").as("n_bpe_tokens"),
           size(array_distinct(col("bt"))).cast("long").as("n_distinct_bpe"),
-          (expr("aggregate(bt, 0L, (acc, t) -> acc + CAST(length(t) AS BIGINT))")
-            .cast("double") / size(col("bt"))).as("mean_bpe_len"))
+          when(size(col("bt")) === 0, lit(null))
+            .otherwise(
+              expr("aggregate(bt, 0L, (acc, t) -> acc + CAST(length(t) AS BIGINT))")
+                .cast("double") / size(col("bt"))).as("mean_bpe_len"))
         .orderBy("doc_id")
     },
 
