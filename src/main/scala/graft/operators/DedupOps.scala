@@ -112,6 +112,34 @@ object DedupOps {
       .select("a", "b", "jaccard")
   }
 
+  /** SimHash near-duplicate pairs: the 32-bit SimHash splits into four
+    * 8-bit bands; docs sharing any (band, value) are candidates, then
+    * exact Hamming distance (bit_count of xor — codegen'd integer ops)
+    * verifies ≤ `maxHamming`. With 4 bands, any pair within Hamming 3
+    * is GUARANTEED to agree on at least one whole band (pigeonhole), so
+    * recall is exact for the default radius; the band equi-join is the
+    * same bounded-fan-out scale shape as MinHash-LSH bucketing. */
+  def simhashCandidatePairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = TextOps.simhashed(documents).select("doc_id", "simhash")
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(
+          |  CAST(b AS INT) AS band,
+          |  (simhash div CAST(pow(2.0, b * 8) AS BIGINT)) % 256L AS bucket))""".stripMargin))
+        .as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bucket"))
+    val a = banded.select(col("doc_id").as("a"), col("simhash").as("sh_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("b"), col("simhash").as("sh_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   /** Connected-component keeper labels over a candidate-pair edge list:
     * iterative min-label propagation to fixpoint — the transitive
     * closure the single-hop keepers ([[exactDupGroups]],

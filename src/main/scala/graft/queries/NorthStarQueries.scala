@@ -315,6 +315,41 @@ object NorthStarQueries {
         .orderBy("vec_id")
     },
 
+    // SimHash as an actual dedup pairing (q37 only computes the hash):
+    // four 8-bit bands → candidate equi-join → exact Hamming verify.
+    // 4 bands guarantee recall for Hamming ≤ 3 by pigeonhole.
+    oracle(
+      "q59_simhash_neardup",
+      s"""WITH sim AS (
+         |  SELECT doc_id,
+         |    list_reduce([0::BIGINT] || list_transform(range(0, 32), b ->
+         |      CASE WHEN list_reduce([0::BIGINT] || list_transform(hs,
+         |             h -> ((h // CAST(power(2.0, b) AS BIGINT)) % 2) * 2 - 1),
+         |             (acc, x) -> acc + x) >= 0
+         |           THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END),
+         |      (acc, x) -> acc + x) AS simhash
+         |  FROM (SELECT doc_id, list_transform(list_distinct(tk),
+         |          t -> ${h60d("t")}) AS hs
+         |        FROM ($TK))),
+         |banded AS (
+         |  SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      (simhash // CAST(power(2.0, b * 8) AS BIGINT)) % 256)) AS bucket
+         |  FROM sim),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    x.simhash AS sh_a, y.simhash AS sh_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY a, b""",
+      "Dedup: SimHash banding → candidate pairs → exact Hamming verify") { (s, d) =>
+      DedupOps.simhashCandidatePairs(Tables(s, d, "documents"))
+        .orderBy("a", "b")
+    },
+
     // BPE-ish regex tokenization (the second half of the token-counting
     // bullet; q30 is the whitespace half): GPT-2-style alternation —
     // contraction suffixes, space-prefixed letter/digit runs, punctuation

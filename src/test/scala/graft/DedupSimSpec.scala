@@ -96,6 +96,17 @@ class DedupSimSpec extends SparkSpec {
     assert(b1(0L) === b1(1L))
   }
 
+  test("simhash banding pairs near-identical docs and skips unrelated ones") {
+    val nearDup = base.replace("sigma", "sygma")
+    val unrelated = (1 to 20).map(i => s"qqq$i").mkString(" ")
+    val pairs = DedupOps.simhashCandidatePairs(
+      docs(1L -> base, 2L -> nearDup, 3L -> unrelated), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h <= 6L },
+      s"expected (1,2) simhash pair, got ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+
   test("component keepers collapse a chain that single-hop would leave split") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3) + separate pair 10-11: single-hop min
