@@ -60,8 +60,32 @@ class PipelineSpec extends SparkSpec {
     // and no promotion temp survives (the cross-FS copy protocol's
     // invariants — same-FS rename path shares the naming)
     val finalDir = new java.io.File(finalRoot)
-    assert(!finalDir.listFiles().exists(_.getName.contains("_promote_tmp")))
+    assert(!finalDir.listFiles().exists(_.getName.contains("_promote_")))
     assert(new java.io.File(s"$finalRoot/obj").listFiles()
       .exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("concurrent promoters of the same name: exactly one wins, no residue") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val finalRoot = tmpDir("race_final")
+    val dfs = Seq(Seq(1).toDF("x"), Seq(2).toDF("x"))
+    // two writers, separate staging roots, same target name — both may
+    // pass the exists() probe before either promotes
+    val results = Await.result(Future.sequence(dfs.zipWithIndex.map {
+      case (df, i) => Future(
+        TwoPhaseSink.writeThenPromote(spark, df, tmpDir(s"race_local$i"),
+          finalRoot, "obj"))
+    }), 120.seconds)
+    assert(results.count(identity) === 1,
+      s"exactly one promoter must win, got $results")
+    // the final directory is one coherent dataset: readable, single row,
+    // value from one writer or the other, no temp residue, no nesting
+    val kept = spark.read.parquet(s"$finalRoot/obj").as[Int].collect().toSeq
+    assert(kept === Seq(1) || kept === Seq(2), s"corrupt promoted data: $kept")
+    val files = new java.io.File(s"$finalRoot/obj").listFiles().map(_.getName)
+    assert(!files.exists(_.contains("_promote_")), s"temp residue: ${files.toSeq}")
+    assert(!files.contains("obj"), s"nested promotion: ${files.toSeq}")
   }
 }
