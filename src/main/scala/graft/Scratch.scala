@@ -1,27 +1,34 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev scratchpad main for plan inspection / stage timing. Not part of the
   * driver contract; contents change freely between investigations. */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    graft.sources.Tables(spark, "/root/testdata/sf0.01", "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
-      .orderBy("l_returnflag")
-      .collect().foreach(r => println("[probe] " + r))
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "q52_mets_full").split(",")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name first: $elapsed%.2f s")
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name steady: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+    }
     spark.stop()
   }
 }
