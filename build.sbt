@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 concurrent tasks in ONE JVM; at 8g the
+  // payload-heavy doc-assembly queries (collect_list of rendered XML) ran
+  // GC-bound once a few dozen queries' garbage accumulated (the r2
+  // driver-vs-local[8] 3× gap). The machine has 128 GiB; a real 32-core
+  // executor would get far more than 8g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -9,6 +9,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // collect_list plans ObjectHashAggregate, which abandons hash
+      // aggregation after 128 distinct keys per partition and sorts the
+      // full payload instead — pathological for the doc-assembly queries
+      // (q42/q43/q52 hold 10⁴-10⁵ bounded-size groups per partition that
+      // fit in memory trivially). Raise the fallback so hash aggregation
+      // actually runs; sort_array keeps results order-deterministic
+      // either way.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session once (JIT, codegen cache, file index) so the first

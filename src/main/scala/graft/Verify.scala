@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: keep ObjectHashAggregate hashing instead of the
+      // 128-key sort-based fallback (results stay deterministic — every
+      // collected array is sort_array'd)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -59,21 +59,26 @@ object MetsOps {
     * at the folder level would evaluate interpreted per member — the
     * measured-15× HOF trap; post-grouping lambdas here only EXTRACT
     * pre-rendered strings). Path-derived values (cannonical, urn) are
-    * attribute-escaped; use/checksum/checksumtype/mimetype/size are
+    * attribute-escaped via the hoisted `can_esc`/`urn_esc` columns —
+    * escaping is a 4-deep replace chain, and referencing a shared
+    * non-cheap alias (which CollapseProject will not re-inline) instead
+    * of repeating the chain three times cuts both the generated-code
+    * size (codegen compile is q52's dominant first-run cost) and the
+    * per-row work. use/checksum/checksumtype/mimetype/size are
     * format-constrained (enum / hex / MIME token / digits). */
   private val fileXml: String =
-    s"""concat('<mets:file USE="', use, '" ID="f', ${xmlEsc("cannonical")},
+    s"""concat('<mets:file USE="', use, '" ID="f', can_esc,
        |  '" CHECKSUM="', checksum, '" CHECKSUMTYPE="', checksumtype,
        |  '" MIMETYPE="', mimetype, '" SIZE="', size, '"',
        |  CASE WHEN mimetype <> 'application/pdf'
-       |       THEN concat(' ADMID="t', ${xmlEsc("cannonical")}, '"') ELSE '' END,
-       |  '><mets:FLocat LOCTYPE="URN" xlink:href="', ${xmlEsc("urn")},
+       |       THEN concat(' ADMID="t', can_esc, '"') ELSE '' END,
+       |  '><mets:FLocat LOCTYPE="URN" xlink:href="', urn_esc,
        |  '"/></mets:file>')""".stripMargin
 
   /** `<mets:techMD>` over plain row columns ('' for pdf). */
   private val techXml: String =
     s"""CASE WHEN mimetype <> 'application/pdf' THEN
-       |  concat('<mets:techMD ID="t', ${xmlEsc("cannonical")},
+       |  concat('<mets:techMD ID="t', can_esc,
        |    '"><mets:mdWrap MDTYPE="NISOIMG">',
        |    '<mets:xmlData><mix:imageWidth>', width, '</mix:imageWidth>',
        |    '<mix:imageHeight>', height, '</mix:imageHeight>',
@@ -108,9 +113,11 @@ object MetsOps {
     // still keys on the RAW abs_name so group order matches dao.py's
     // sorted-key iteration even when names contain markup characters.
     val rendered = parted
+      .withColumn("can_esc", expr(xmlEsc("cannonical")))
+      .withColumn("urn_esc", expr(xmlEsc("urn")))
+      .withColumn("abs_esc", expr(xmlEsc("abs_name")))
       .withColumn("file_xml", expr(fileXml))
       .withColumn("tech_xml", expr(techXml))
-      .withColumn("abs_esc", expr(xmlEsc("abs_name")))
     // level 1: one row per group key (whole group key == objid itself,
     // part group key == objid/page), reps sorted by cannonical
     val groups = rendered
@@ -151,24 +158,25 @@ object MetsOps {
       .groupBy("objid", "docid", "created", "title")
       .agg(sort_array(collect_list(struct(col("abs_name"), col("techs_xml"),
         col("whole_files"), col("grp_xml"), col("div_xml")))).as("groups"))
+      .withColumn("objid_esc", expr(xmlEsc("objid")))
       .withColumn("amd_tech", expr(
         """concat('<mets:amdSec ID="tech">',
           |  array_join(transform(groups, g -> g.techs_xml), ''),
           |  '</mets:amdSec>')""".stripMargin))
       .withColumn("file_sec", expr(
-        s"""concat('<mets:fileSec>',
-           |  '<mets:fileGrp ID="fg', ${xmlEsc("objid")}, '">',
-           |  array_join(transform(groups, g -> g.whole_files), ''),
-           |  '</mets:fileGrp>',
-           |  array_join(transform(groups, g -> g.grp_xml), ''),
-           |  '</mets:fileSec>')""".stripMargin))
+        """concat('<mets:fileSec>',
+          |  '<mets:fileGrp ID="fg', objid_esc, '">',
+          |  array_join(transform(groups, g -> g.whole_files), ''),
+          |  '</mets:fileGrp>',
+          |  array_join(transform(groups, g -> g.grp_xml), ''),
+          |  '</mets:fileSec>')""".stripMargin))
       .withColumn("struct_map", expr(
         s"""concat('<mets:structMap>',
            |  '<mets:div LABEL="', CASE WHEN title IS NULL OR title = ''
            |                            THEN '[No title]'
            |                            ELSE ${xmlEsc("title")} END,
            |  '" TYPE="Folder" ADMID="w">',
-           |  '<mets:fptr FILEID="fg', ${xmlEsc("objid")}, '"/>',
+           |  '<mets:fptr FILEID="fg', objid_esc, '"/>',
            |  array_join(transform(groups, g -> g.div_xml), ''),
            |  '</mets:div></mets:structMap>')""".stripMargin))
       .withColumn("mets_xml", expr(

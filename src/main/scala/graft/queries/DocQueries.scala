@@ -38,8 +38,14 @@ object DocQueries {
       // member string rendered per ROW (codegen'd concat) and carried
       // through the nested doc as a member column; the post-grouping
       // lambda only extracts it (an interpreted per-member concat at the
-      // folder level measured ~2× the whole query's cost)
-      val rows = Tables(s, d, "lineitem").withColumn("m_str", expr(
+      // folder level measured ~2× the whole query's cost). The explicit
+      // repartition moves the RAW numeric columns and renders after the
+      // exchange — groupToDoc's groupBy then adds no exchange of its own
+      // (hash on the group key already clusters it), so the rendered
+      // strings never cross the wire.
+      val rows = Tables(s, d, "lineitem")
+        .repartition(col("l_orderkey"))
+        .withColumn("m_str", expr(
         """concat('[', l_linenumber, '|', l_partkey, '|', l_suppkey,
           |  '|', CAST(floor(l_quantity) AS BIGINT),
           |  '|', CAST(floor(l_extendedprice * 100) AS BIGINT), ']')""".stripMargin))
@@ -66,6 +72,7 @@ object DocQueries {
         |GROUP BY l_orderkey ORDER BY l_orderkey""",
       "SURVEY §2.1 S15: grouped document → METS-like XML render") { (s, d) =>
       Tables(s, d, "lineitem")
+        .repartition(col("l_orderkey")) // raw columns cross the wire, not XML
         .select(col("l_orderkey"),
           concat(lit("<file n=\""), col("l_linenumber"), lit("\" q=\""),
             floor(col("l_quantity")).cast("long"), lit("\"/>")).as("m"))
