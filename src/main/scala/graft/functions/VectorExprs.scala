@@ -208,7 +208,20 @@ object SimHashBits {
 
   private[graft] def builder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(hs) => SimHashBits(hs, 32)
-    case Seq(hs, Literal(n: Int, IntegerType)) => SimHashBits(hs, n)
+    // any foldable integral works (1+1, CAST(16 AS BIGINT), …) — eval it
+    // at build time; a non-foldable or non-integer second arg gets its
+    // own message instead of the misleading arity error
+    case Seq(hs, nb) if nb.foldable && (nb.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }) =>
+      nb.eval() match {
+        case null => throw new IllegalArgumentException(
+          s"$fnName nBits must not be NULL")
+        case v: Number => SimHashBits(hs, v.intValue())
+      }
+    case Seq(_, nb) => throw new IllegalArgumentException(
+      s"$fnName nBits must be a foldable integer expression; got ${nb.sql}")
     case other => throw new IllegalArgumentException(
       s"$fnName expects (array<bigint>[, nBits]); got ${other.size} args")
   }

@@ -94,8 +94,11 @@ object TextOps {
       s"""aggregate(transform(tk, t -> ${h60x("t")} % 1000003L),
          |  7L, (acc, x) -> (acc * 31L + x) % 1000000007L)""".stripMargin))
 
-  /** 32-bit SimHash over the distinct-token set: per bit, a ±1 vote from
-    * each token's h60; bit set iff the vote sum is non-negative.
+  /** SimHash over the distinct-token set: per bit, a ±1 vote from each
+    * token's h60; bit set iff the vote sum is non-negative. `nBits` up to
+    * 60 — the h60 token hash carries exactly 60 meaningful bits, so
+    * every voted bit position can actually vary (bits ≥ 60 of a 64-bit
+    * variant would be constant-0 dead weight).
     *
     * The bit-vote runs in the native codegen'd
     * [[graft.functions.SimHashBits]] expression (exact integer replay of
@@ -103,11 +106,13 @@ object TextOps {
     * round-1 nested HOF was the worst query in the honest bench (~12 s at
     * sf0.1): interpreted lambdas, and CollapseProject re-inlined the `hs`
     * md5 column into all 32 bit lambdas — md5 × 32 per token. Here md5
-    * runs once per distinct token and the 32×n vote is a fused loop. */
-  def simhashed(documents: DataFrame): DataFrame = {
+    * runs once per distinct token and the nBits×n vote is a fused loop. */
+  def simhashed(documents: DataFrame, nBits: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 60,
+      s"nBits must be in [1,60] (h60 hashes have 60 meaningful bits), got $nBits")
     graft.functions.SimHashBits.register(documents.sparkSession)
     tokenized(documents)
       .withColumn("simhash", expr(
-        s"simhash_bits(transform(array_distinct(tk), t -> ${h60x("t")}), 32)"))
+        s"simhash_bits(transform(array_distinct(tk), t -> ${h60x("t")}), $nBits)"))
   }
 }

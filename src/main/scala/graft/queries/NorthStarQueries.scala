@@ -316,13 +316,16 @@ object NorthStarQueries {
     },
 
     // SimHash as an actual dedup pairing (q37 only computes the hash):
-    // four 8-bit bands → candidate equi-join → exact Hamming verify.
-    // 4 bands guarantee recall for Hamming ≤ 3 by pigeonhole.
+    // 60-bit SimHash, four 15-bit bands (32,768 buckets/band — scales
+    // with the hash width, not a fixed 256) → candidate equi-join →
+    // exact Hamming verify. 4 bands guarantee recall for Hamming ≤ 3 by
+    // pigeonhole; 60 bits because h60 token hashes carry exactly 60
+    // meaningful bits (see DedupOps.simhashCandidatePairs scaladoc).
     oracle(
       "q59_simhash_neardup",
       s"""WITH sim AS (
          |  SELECT doc_id,
-         |    list_reduce([0::BIGINT] || list_transform(range(0, 32), b ->
+         |    list_reduce([0::BIGINT] || list_transform(range(0, 60), b ->
          |      CASE WHEN list_reduce([0::BIGINT] || list_transform(hs,
          |             h -> ((h // CAST(power(2.0, b) AS BIGINT)) % 2) * 2 - 1),
          |             (acc, x) -> acc + x) >= 0
@@ -334,7 +337,7 @@ object NorthStarQueries {
          |banded AS (
          |  SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
          |    unnest(list_transform(range(0, 4), b ->
-         |      (simhash // CAST(power(2.0, b * 8) AS BIGINT)) % 256)) AS bucket
+         |      (simhash // CAST(power(2.0, b * 15) AS BIGINT)) % 32768)) AS bucket
          |  FROM sim),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,

@@ -96,15 +96,25 @@ class DedupSimSpec extends SparkSpec {
     assert(b1(0L) === b1(1L))
   }
 
-  test("simhash banding pairs near-identical docs and skips unrelated ones") {
-    val nearDup = base.replace("sigma", "sygma")
+  test("simhash banding pairs duplicate docs and skips unrelated ones") {
+    // identical docs have Hamming 0 — the pigeonhole guarantee applies
+    // at any radius, so the pair MUST surface through the 15-bit bands
     val unrelated = (1 to 20).map(i => s"qqq$i").mkString(" ")
     val pairs = DedupOps.simhashCandidatePairs(
-      docs(1L -> base, 2L -> nearDup, 3L -> unrelated), maxHamming = 6)
+      docs(1L -> base, 2L -> base, 3L -> unrelated))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h <= 6L },
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L },
       s"expected (1,2) simhash pair, got ${pairs.toSeq}")
     assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+
+  test("simhash banding rejects a radius beyond the pigeonhole guarantee") {
+    // 4 bands guarantee recall only for Hamming <= 3; a larger radius
+    // must throw instead of silently returning incomplete pairs
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.simhashCandidatePairs(docs(1L -> base), maxHamming = 6)
+    }
+    assert(e.getMessage.contains("maxHamming"))
   }
 
   test("component keepers collapse a chain that single-hop would leave split") {

@@ -50,7 +50,8 @@ class ScaleSpec extends SparkSpec {
       "q38_jaccard_blocked" -> 8,    // blocked equi-join + count + 2 size joins + sort
       "q39_cosine_topk" -> 3,        // broadcast probe (no shuffle), rank window, sort
       "q40_hyperplane_buckets" -> 3, // plane broadcast, bucket agg, sort
-      "q41_bucketed_neighbors" -> 7) // buckets twice + bucket self-join + sort
+      "q41_bucketed_neighbors" -> 7, // buckets twice + bucket self-join + sort
+      "q59_simhash_neardup" -> 3)    // band self-join (reused exchange) + distinct + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
