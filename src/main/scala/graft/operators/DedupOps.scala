@@ -161,55 +161,94 @@ object DedupOps {
       .select("a", "b", "hamming")
   }
 
-  /** Connected-component keeper labels over a candidate-pair edge list:
-    * iterative min-label propagation to fixpoint — the transitive
-    * closure the single-hop keepers ([[exactDupGroups]],
+  /** Connected-component keeper labels over a candidate-pair edge list —
+    * the transitive closure the single-hop keepers ([[exactDupGroups]],
     * `SimOps.cosineNearDupKeepers`) deliberately stop short of. A chain
     * a–b–c–d all collapses to keeper a.
     *
-    * Shape per round: one equi-join (edges × labels) + one groupBy min +
-    * a left join back — all partial-agg-friendly shuffles on the node
-    * id. Rounds needed = graph diameter (near-dup clusters are
-    * shallow; genuinely deep chains would want the large-star/small-star
-    * contraction). `localCheckpoint` truncates lineage each round so the
-    * plan doesn't grow with iterations (at cluster scale prefer a
-    * reliable `checkpoint` dir); the per-round convergence probe is one
-    * driver-side count of changed labels — inherent to any fixpoint.
+    * Algorithm: alternating large-star/small-star contraction (the
+    * MapReduce connected-components construction of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each
+    * round rewires every node toward the minimum of its neighborhood;
+    * component depth roughly HALVES per alternation, so convergence
+    * needs O(log d) rounds on diameter-d components, not the O(d) of
+    * plain min-label propagation (round-2 verdict item 6 — a 10⁶-long
+    * chain converges in ~20 rounds instead of 10⁶). The fixpoint is a
+    * star forest: every node points directly at its component's minimum
+    * id.
+    *
+    * Shape per round: two groupBy-min + two equi-joins, all shuffling
+    * the (bounded) edge list on node ids — partial-agg friendly, no
+    * driver-side data. `localCheckpoint` truncates lineage each round
+    * (at cluster scale prefer a reliable `checkpoint` dir); the
+    * convergence probe is one edge-set comparison per round — inherent
+    * to any fixpoint.
     *
     * Returns (id, label) for every node APPEARING IN `pairs`; callers
     * left-join and coalesce to give isolated docs themselves as keeper. */
   def componentKeepers(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIters: Int = 25): DataFrame = {
-    // materialize the edge list once — it re-enters the join every
-    // round, and without this each iteration would re-execute the whole
-    // upstream candidate-pair pipeline (measured 3× on q57)
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      maxIters: Int = 25): DataFrame =
+    componentKeepersWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** [[componentKeepers]] plus the number of contraction rounds taken —
+    * exposed so the O(log d) convergence claim is testable. */
+  private[graft] def componentKeepersWithRounds(pairs: DataFrame,
+      aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 25): (DataFrame, Int) = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // directed child→parent edges, parent strictly smaller; materialized
+    // once so rounds never re-execute the upstream candidate pipeline
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint()
     var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), "v")
-        .groupBy(col("u").as("id")).agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      // large-star: every node u computes m = min(Γ(u) ∪ {u}) over its
+      // FULL (symmetrized) neighborhood and rewires each strictly-larger
+      // neighbor v > u to m
+      val sym = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = sym.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(largeMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: over child→parent edges, each child u rewires its
+      // parents (all < u) and itself to m = min(parents)
+      val smallMin = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(smallMin, "u")
+        .select(explode(array(col("v"), col("u"))).as("c"), col("m"))
+        .select(col("c").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
-      i += 1
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      rounds += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"componentKeepers did not converge in $maxIters rounds — component " +
-        "diameter exceeds the budget; raise maxIters or contract the graph " +
-        "(large-star/small-star) first. Returning partial labels would " +
-        "silently split components.")
-    labels
+      s"componentKeepers did not converge in $maxIters rounds — with " +
+        "large-star/small-star contraction rounds grow with log(diameter), " +
+        "so this indicates a pathological input or a bug; raise maxIters " +
+        "only with evidence. Returning partial labels would silently " +
+        "split components.")
+    // fixpoint edges are a star forest: (child → component-min). Roots
+    // and isolated nodes label themselves.
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+    (labels, rounds)
   }
 
   /** Blocked n-gram Jaccard: all pairs within (lang, n_chars bucket ± 1)

@@ -117,6 +117,18 @@ class DedupSimSpec extends SparkSpec {
     assert(e.getMessage.contains("maxHamming"))
   }
 
+  test("long path graph converges in logarithmic rounds, not diameter") {
+    import spark.implicits._
+    // path 1-2-…-33: diameter 32. Plain min-label propagation needs 32
+    // rounds (more than the default budget); large-star/small-star
+    // contraction halves depth per alternation — ≤ ~2·log₂(32) rounds.
+    val pairs = (1L until 33L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = DedupOps.componentKeepersWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 33L).map(_ -> 1L).toMap)
+    assert(rounds <= 10, s"expected O(log d) convergence, took $rounds rounds")
+  }
+
   test("component keepers collapse a chain that single-hop would leave split") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3) + separate pair 10-11: single-hop min
