@@ -66,6 +66,59 @@ class NestedEadSpec extends SparkSpec {
     assert(rows.count(_._7 == null) === 3)
   }
 
+  test("reconstructTree inverts componentsTree after a relational update") {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("id", "parent_id", "ancestry", "depth", "pos",
+      "title", "dao_show", "dao_href")
+    // the publish.rb writeback semantic: suppress the harvested dao
+    val updated = EadXml.componentsTree(spark, eadPath)
+      .withColumn("dao_show",
+        when(col("id") === "c001-1", lit("none")).otherwise(col("dao_show")))
+    val xml = EadXml.reconstructTree(updated).head.getString(0)
+    val p = Paths.get(tmpDir("nested_ead_rt"), "rt.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, xml)
+    val back = EadXml.componentsTree(spark, p.toString)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).orderBy("depth", "ancestry", "pos")
+        .collect().map(_.toSeq).toSeq
+    // 3 levels deep, non-dao siblings (c001-2, c002) preserved verbatim
+    assert(snap(back) === snap(updated))
+  }
+
+  test("reconstruction escapes markup in titles and attributes round-trip") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("nested_ead_esc")
+    val p = Paths.get(dir, "esc.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+        |  <c id="e1"><did><unittitle>A &amp; B &lt;i&gt; "q"</unittitle>
+        |    <dao xlink:href="http://x/a.pdf?x=1&amp;y=2"/></did></c>
+        |</dsc></archdesc></ead>""".stripMargin)
+    val flat = EadXml.componentsTree(spark, p.toString)
+    val xml = EadXml.reconstructTree(flat).head.getString(0)
+    val p2 = Paths.get(dir, "esc_rt.xml")
+    Files.writeString(p2, xml)
+    val back = EadXml.componentsTree(spark, p2.toString)
+      .select("id", "title", "dao_href").collect()
+    assert(back.length === 1)
+    assert(back.head.getString(1) === """A & B <i> "q"""")
+    assert(back.head.getString(2) === "http://x/a.pdf?x=1&y=2")
+  }
+
+  test("componentsTree degrades to empty for component-less or empty-<c/> corpora") {
+    val dir = tmpDir("nested_ead_degenerate")
+    val noC = Paths.get(dir, "no_c.xml")
+    Files.createDirectories(noC.getParent)
+    Files.writeString(noC, "<ead><archdesc><dsc><p>prose only</p></dsc></archdesc></ead>")
+    assert(EadXml.componentsTree(spark, noC.toString).isEmpty)
+    val emptyC = Paths.get(dir, "empty_c.xml")
+    Files.writeString(emptyC, "<ead><archdesc><dsc><c/><c/></dsc></archdesc></ead>")
+    // all-empty <c/> infer as string, not struct — a leaf corpus, no rows
+    assert(EadXml.componentsTree(spark, emptyC.toString).isEmpty)
+  }
+
   test("round-trip: flattened candidates feed the F1 predicate downstream") {
     val cands = EadXml.daoCandidates(
       EadXml.componentsTree(spark, eadPath)
