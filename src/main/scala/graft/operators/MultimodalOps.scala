@@ -56,6 +56,44 @@ object MultimodalOps {
     }
   }
 
+  /** REAL header probe via `javax.imageio` (ships with the JDK — no
+    * external dependency, so S13/S14 need no stub on any cluster): the
+    * registered `ImageReader` for the detected container reads only
+    * header bytes for dimensions — the same contract as the reference's
+    * PIL probe (`bin/main.py:300-306`), which opens the image lazily and
+    * never decodes pixel data. JDK 17 registers PNG/JPEG/GIF/BMP/TIFF
+    * readers. Payloads no reader claims probe as octet-stream zeros
+    * (PDFs land here — their page geometry comes from A9's grouping, not
+    * a raster header). [[StubImageAdapter]] remains the default for
+    * fixture determinism on synthetic bytes. */
+  object ImageIoAdapter extends ImageAdapter {
+    private val mimeByFormat = Map(
+      "png" -> "image/png", "jpeg" -> "image/jpeg", "jpg" -> "image/jpeg",
+      "tif" -> "image/tiff", "tiff" -> "image/tiff", "gif" -> "image/gif",
+      "bmp" -> "image/bmp")
+    def probe(path: String, content: Array[Byte]): (String, Int, Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) ("application/octet-stream", 0, 0, 0)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val mime = mimeByFormat.getOrElse(r.getFormatName.toLowerCase,
+              "application/octet-stream")
+            val bits = {
+              val types = r.getImageTypes(0)
+              if (types.hasNext) types.next().getColorModel.getPixelSize else 0
+            }
+            (mime, r.getWidth(0), r.getHeight(0), bits)
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }
+  }
+
   /** Probe a binaryFile listing (path, content, length) into typed
     * metadata rows. Partition-parallel; the adapter initializes once per
     * partition. SHA-1 checksum mirrors `bin/dao.py:12-17` (A6). */
@@ -101,6 +139,37 @@ object MultimodalOps {
       val n = math.max(1, (content.length * scale * scale).toInt)
       TransformedMedia(path, "image/tiff", w, h,
         content.take(math.min(n, content.length)))
+    }
+  }
+
+  /** REAL resize via `java.awt` + `javax.imageio` (in the JDK): decode,
+    * bilinear-scale so the long side equals the F17 target, re-encode as
+    * PNG (a deterministic, lossless JDK encoder — the reference's
+    * `convert -resize` stage, `bin/main.py:309-315`, with PNG standing
+    * in for its TIFF intermediate). Non-decodable payloads fall back to
+    * the stub's geometry-only behavior so a mixed batch never throws. */
+  object ImageIoTransform extends ImageTransform {
+    def resize(path: String, content: Array[Byte], width: Int, height: Int,
+        target: Int): TransformedMedia = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (src == null) StubImageTransform.resize(path, content, width, height, target)
+      else {
+        val long = math.max(src.getWidth, src.getHeight)
+        val scale = if (long <= 0) 1.0 else target.toDouble / long
+        val w = math.max(1, math.round(src.getWidth * scale).toInt)
+        val h = math.max(1, math.round(src.getHeight * scale).toInt)
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        TransformedMedia(path, "image/png", w, h, bos.toByteArray)
+      }
     }
   }
 
