@@ -187,7 +187,7 @@ object NorthStarQueries {
       "q38_jaccard_blocked",
       s"""WITH sh AS ($SH),
          |meta AS (SELECT doc_id, lang,
-         |           CAST(floor(n_chars / 25.0) AS BIGINT) AS blk,
+         |           CAST(length(to_base(len(sh), 5)) AS BIGINT) AS blk,
          |           CAST(len(sh) AS BIGINT) AS nsh FROM sh),
          |shr AS (SELECT s.doc_id, m.lang, m.blk, unnest(s.sh) AS g
          |        FROM sh s JOIN meta m ON s.doc_id = m.doc_id),

@@ -117,6 +117,39 @@ class DedupSimSpec extends SparkSpec {
     assert(e.getMessage.contains("maxHamming"))
   }
 
+  test("geometric blocking finds exactly the pairs brute-force Jaccard finds") {
+    import spark.implicits._
+    // seeded corpus engineered around the t=0.2 boundary: supersets up
+    // to ~5× the base size (ratio ≈ t — the pairs the old n_chars ±1
+    // linear blocking could place >1 bucket apart and silently miss),
+    // plus unrelated noise docs. Ground truth = brute-force all-pairs
+    // Jaccard over the SAME shingle sets; the blocked variant must
+    // reproduce it exactly — both recall and precision.
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 12L).flatMap { i =>
+      val m = 8 + rnd.nextInt(25)
+      val baseToks = (1 to m).map(k => s"w${i}_$k")
+      val growth = 1.0 + rnd.nextDouble() * 4.4 // partner 1×..5.4× the base
+      val extra = (1 to (m * growth).toInt - m).map(k => s"x${i}_$k")
+      Seq(i -> baseToks.mkString(" "),
+        (100L + i) -> (baseToks ++ extra).mkString(" "))
+    } ++ (200L to 206L).map(i => i -> (1 to 20).map(k => s"n${i}_$k").mkString(" "))
+    val d = docs(rows: _*)
+    val sh = graft.operators.TextOps.shingled(d).select(col("doc_id"), col("sh"))
+    val brute = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("""CAST(size(array_intersect(x.sh, y.sh)) AS DOUBLE)
+               | / size(array_distinct(concat(x.sh, y.sh)))""".stripMargin).as("j"))
+      .filter(col("j") >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = DedupOps.blockedJaccardPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must produce threshold-straddling pairs")
+    assert(blocked === brute,
+      s"missed=${(brute -- blocked).toSeq.sorted} spurious=${(blocked -- brute).toSeq.sorted}")
+  }
+
   test("long path graph converges in logarithmic rounds, not diameter") {
     import spark.implicits._
     // path 1-2-…-33: diameter 32. Plain min-label propagation needs 32

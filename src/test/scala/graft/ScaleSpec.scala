@@ -47,7 +47,7 @@ class ScaleSpec extends SparkSpec {
       "q35_minhash_sig" -> 3,        // shingle agg + presence join + sort
       "q36_minhash_lsh_pairs" -> 8,  // sig, band self-join, distinct, 2 shingle joins, sort
       "q37_simhash" -> 1,            // per-row, sort only
-      "q38_jaccard_blocked" -> 8,    // blocked equi-join + count + 2 size joins + sort
+      "q38_jaccard_blocked" -> 5,    // blocked equi-join + count + 2 size joins + sort (size/block derive from ONE shingle pass — r3 single-pass rewrite)
       "q39_cosine_topk" -> 3,        // broadcast probe (no shuffle), rank window, sort
       "q40_hyperplane_buckets" -> 3, // plane broadcast, bucket agg, sort
       "q41_bucketed_neighbors" -> 7, // buckets twice + bucket self-join + sort
