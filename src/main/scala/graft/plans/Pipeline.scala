@@ -76,15 +76,19 @@ object Incremental {
   * never-overwrite promotion between stores. */
 object TwoPhaseSink {
 
-  /** Stage `df` under `<localRoot>/<name>`, then promote the committed
-    * directory to `<finalRoot>/<name>` iff the target does not exist
-    * (mode "ignore" semantics). Returns true when promoted, false when
-    * the final target already existed (idempotent re-run).
+  /** Stage `df` under a UNIQUE dir in `localRoot`, then promote the
+    * committed directory to `<finalRoot>/<name>` iff the target does not
+    * exist (mode "ignore" semantics). Returns true when promoted, false
+    * when the final target already existed (idempotent re-run).
     *
-    * Promote protocol (both same-FS and cross-FS): stage the data under
-    * a UNIQUE temp sibling of the target, then rename into place.
-    *   - The unique name means two concurrent promoters of the same
-    *     `name` can never clobber each other's in-flight staging.
+    * Promote protocol (both same-FS and cross-FS): write to a
+    * UUID-suffixed staging dir, rename to a UUID temp sibling of the
+    * target, then rename into place.
+    *   - Uniqueness starts at the INITIAL staging write (round-2
+    *     advice): two concurrent promoters of the same `name` sharing
+    *     one `localRoot` never touch the same path at any phase, so
+    *     neither in-flight parquet writes nor promote temps can clobber
+    *     each other.
     *   - Hadoop `rename` onto an EXISTING directory does not refuse —
     *     it moves the source UNDER the destination — so after a
     *     successful rename we verify the temp did not nest inside a
@@ -92,17 +96,25 @@ object TwoPhaseSink {
     *     occur there) and demote to "already existed" if it did.
     *   - A rename that fails with the target absent is a real error and
     *     throws; it is never conflated with the idempotent-re-run case.
+    *   - A promoter that dies mid-flight leaves only `._stage_`/
+    *     `._promote_` temps; every later call best-effort sweeps temps
+    *     older than `staleTempMs` from both roots (round-2 advice), so
+    *     orphans are bounded in age instead of accumulating forever.
     * Cross-FS (the documented local-staging → final-store case) differs
     * only in how the temp is produced: FileUtil.copy instead of a
     * same-FS rename, with the staged source deleted only after the
     * outcome is known. */
   def writeThenPromote(spark: SparkSession, df: DataFrame,
-      localRoot: String, finalRoot: String, name: String): Boolean = {
+      localRoot: String, finalRoot: String, name: String,
+      staleTempMs: Long = 24L * 60 * 60 * 1000): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val local = new Path(localRoot, name)
     val fin = new Path(finalRoot, name)
+    val local = new Path(localRoot,
+      s".$name._stage_${java.util.UUID.randomUUID()}")
     val srcFs = local.getFileSystem(conf)
     val dstFs = fin.getFileSystem(conf)
+    sweepStaleTemps(srcFs, new Path(localRoot), name, staleTempMs)
+    sweepStaleTemps(dstFs, fin.getParent, name, staleTempMs)
     if (dstFs.exists(fin)) false
     else {
       df.write.mode("overwrite").parquet(local.toString)
@@ -134,4 +146,23 @@ object TwoPhaseSink {
       }
     }
   }
+
+  /** Best-effort janitor: delete `._stage_`/`._promote_` temps for
+    * `name` older than `olderThanMs` in `dir`. Age-gated so a LIVE
+    * concurrent promoter's temps are never touched; IO errors are
+    * swallowed — cleanup must never fail the promote itself. */
+  private def sweepStaleTemps(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, name: String, olderThanMs: Long): Unit =
+    try {
+      if (fs.exists(dir)) {
+        val cutoff = System.currentTimeMillis() - olderThanMs
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if ((n.startsWith(s".$name._promote_") || n.startsWith(s".$name._stage_"))
+              && st.getModificationTime < cutoff)
+            try fs.delete(st.getPath, true)
+            catch { case _: java.io.IOException => () }
+        }
+      }
+    } catch { case _: java.io.IOException => () }
 }

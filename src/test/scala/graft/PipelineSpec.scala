@@ -70,13 +70,15 @@ class PipelineSpec extends SparkSpec {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val finalRoot = tmpDir("race_final")
+    val localRoot = tmpDir("race_local") // SHARED staging root (r2 advice):
+    // uniqueness must start at the initial parquet write, not only at the
+    // promote temp — both writers stage under the same root and the same
+    // target name, and both may pass the exists() probe before either
+    // promotes
     val dfs = Seq(Seq(1).toDF("x"), Seq(2).toDF("x"))
-    // two writers, separate staging roots, same target name — both may
-    // pass the exists() probe before either promotes
-    val results = Await.result(Future.sequence(dfs.zipWithIndex.map {
-      case (df, i) => Future(
-        TwoPhaseSink.writeThenPromote(spark, df, tmpDir(s"race_local$i"),
-          finalRoot, "obj"))
+    val results = Await.result(Future.sequence(dfs.map { df =>
+      Future(
+        TwoPhaseSink.writeThenPromote(spark, df, localRoot, finalRoot, "obj"))
     }), 120.seconds)
     assert(results.count(identity) === 1,
       s"exactly one promoter must win, got $results")
@@ -87,5 +89,25 @@ class PipelineSpec extends SparkSpec {
     val files = new java.io.File(s"$finalRoot/obj").listFiles().map(_.getName)
     assert(!files.exists(_.contains("_promote_")), s"temp residue: ${files.toSeq}")
     assert(!files.contains("obj"), s"nested promotion: ${files.toSeq}")
+  }
+
+  test("stale promote/stage temps from crashed runs are swept on entry") {
+    val localRoot = tmpDir("janitor_local")
+    val finalRoot = tmpDir("janitor_final")
+    // plant orphans as a crashed previous promoter would leave them
+    val orphanStage = new java.io.File(localRoot, ".obj._stage_deadbeef")
+    val orphanPromote = new java.io.File(finalRoot, ".obj._promote_deadbeef")
+    assert(orphanStage.mkdirs() && orphanPromote.mkdirs())
+    // unrelated names and FRESH temps must survive the sweep
+    val otherName = new java.io.File(finalRoot, ".other._promote_cafe")
+    assert(otherName.mkdirs())
+    val old = System.currentTimeMillis() - 48L * 60 * 60 * 1000
+    Seq(orphanStage, orphanPromote).foreach(f => assert(f.setLastModified(old)))
+    assert(TwoPhaseSink.writeThenPromote(spark, Seq(7).toDF("x"),
+      localRoot, finalRoot, "obj"))
+    assert(!orphanStage.exists(), "stale stage temp not swept")
+    assert(!orphanPromote.exists(), "stale promote temp not swept")
+    assert(otherName.exists(), "sweep must be scoped to this name")
+    assert(spark.read.parquet(s"$finalRoot/obj").as[Int].collect().toSeq === Seq(7))
   }
 }
