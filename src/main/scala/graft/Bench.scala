@@ -24,22 +24,34 @@ object Bench {
     // order for stable, comparable per-query numbers.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Each query runs TWICE (round-2 verdict item 7): the first run pays
+    // whole-stage-codegen compilation and JIT warmup, the second is the
+    // steady state a long-lived cluster job sees. "queries"/"value" stay
+    // first-run so rounds remain comparable; "steady" reports the second
+    // run. noop sink both times: every output column is fully computed
+    // and serialized (a bare count() lets ColumnPruning/EliminateSorts
+    // strip the projections and trailing sort, flattering
+    // expression-heavy queries). A query that throws records -1.0.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: every output column is fully computed and serialized
-      // (a bare count() lets ColumnPruning/EliminateSorts strip the
-      // projections and trailing sort, flattering expression-heavy
-      // queries). A query that throws records -1.0, not its elapsed time.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) elapsed else -1.0)
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        if (ok) elapsed else -1.0
+      }
+      val first = timed()
+      val steady = if (first >= 0) timed() else -1.0
+      (name, first, steady)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, Double, Double)) => Double): String = results
+      .map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val steadyTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(_._2)},"steady":${jmap(_._3)},""" +
+      s""""steady_total":$steadyTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

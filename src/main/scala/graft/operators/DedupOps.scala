@@ -209,10 +209,13 @@ object DedupOps {
       .localCheckpoint()
     var converged = false
     var rounds = 0
+    var edgeCount = edges.count()
     while (!converged && rounds < maxIters) {
       // large-star: every node u computes m = min(Γ(u) ∪ {u}) over its
       // FULL (symmetrized) neighborhood and rewires each strictly-larger
-      // neighbor v > u to m
+      // neighbor v > u to m. No distinct here: duplicate (u,v) emissions
+      // are harmless to the min-aggregation below and the round's final
+      // distinct — dropping it saves a full shuffle per round.
       val sym = edges.unionAll(
         edges.select(col("v").as("u"), col("u").as("v")))
       val largeMin = sym.groupBy("u")
@@ -222,7 +225,6 @@ object DedupOps {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: over child→parent edges, each child u rewires its
       // parents (all < u) and itself to m = min(parents)
       val smallMin = large.groupBy("u").agg(min("v").as("m"))
@@ -232,9 +234,11 @@ object DedupOps {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // set equality via carried count + one-way except (both distinct)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(
