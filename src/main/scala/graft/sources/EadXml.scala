@@ -191,6 +191,37 @@ object EadXml {
       concat(lit(prologue), col("children_xml"), lit(epilogue)).as("xml"))
   }
 
+  /** Surgical in-place document update — the reference's full-fidelity
+    * writeback (`bin/main.py:498-532` parses the document, mutates dao
+    * attributes, and `saveFormatFileEnc`s the WHOLE document back;
+    * `bin/publish.rb:128-141` does the same via XPath). Everything
+    * OUTSIDE the `<dsc>` component container — XML declaration, EAD
+    * header, `<archdesc>` prose, attributes on `<dsc>` itself — is
+    * preserved byte-for-byte; only the component tree between the
+    * `<dsc …>` open and `</dsc>` close is re-serialized, from the
+    * (relationally updated) flat components table via
+    * [[reconstructTree]]'s bottom-up re-nesting.
+    *
+    * Driver-side by design: one archival document is one file (the same
+    * single-document semantic as [[write]]'s coalesce(1)); corpus-scale
+    * parallelism comes from running this per document, not from
+    * distributing one document's bytes. Returns the updated document
+    * text; the caller owns writing it (atomically — see
+    * `TwoPhaseSink`). */
+  def updateDocument(originalXml: String, components: DataFrame): String = {
+    val open = originalXml.indexOf("<dsc")
+    require(open >= 0, "updateDocument: document has no <dsc> container")
+    val openEnd = originalXml.indexOf('>', open)
+    require(openEnd >= 0, "updateDocument: unterminated <dsc> open tag")
+    require(originalXml.charAt(openEnd - 1) != '/',
+      "updateDocument: <dsc/> is self-closing — no component tree to update")
+    val close = originalXml.lastIndexOf("</dsc>")
+    require(close > openEnd, "updateDocument: document has no </dsc> close")
+    val inner = reconstructTree(components, prologue = "", epilogue = "")
+      .head().getString(0)
+    originalXml.substring(0, openEnd + 1) + inner + originalXml.substring(close)
+  }
+
   /** Nested struct field access that degrades to NULL when the field is
     * absent from the inferred schema (e.g. no component at this depth
     * carries a dao anywhere in the corpus). */

@@ -107,6 +107,45 @@ class NestedEadSpec extends SparkSpec {
     assert(back.head.getString(2) === "http://x/a.pdf?x=1&y=2")
   }
 
+  test("updateDocument preserves everything outside <dsc> byte-for-byte") {
+    import org.apache.spark.sql.functions._
+    val original =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<ead xmlns:xlink="http://www.w3.org/1999/xlink">
+        |  <eadheader><eadid>ABC123</eadid><titleproper>A &amp; B</titleproper></eadheader>
+        |  <archdesc level="collection"><did><unittitle>Whole collection</unittitle></did>
+        |  <scopecontent><p>Prose the writeback must not touch.</p></scopecontent>
+        |  <dsc type="combined">
+        |    <c id="k1"><did><unittitle>Top</unittitle>
+        |      <dao xlink:href="http://x/a.pdf" xlink:show="new"/></did>
+        |      <c id="k1a"><did><unittitle>Child</unittitle></did></c>
+        |    </c>
+        |  </dsc></archdesc>
+        |</ead>""".stripMargin
+    val p = Paths.get(tmpDir("ead_update"), "doc.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val updated = EadXml.componentsTree(spark, p.toString)
+      .withColumn("dao_show",
+        when(col("id") === "k1", lit("none")).otherwise(col("dao_show")))
+    val out = EadXml.updateDocument(original, updated)
+    // header, prose, declaration, and <dsc>'s own attributes survive
+    assert(out.startsWith("""<?xml version="1.0" encoding="UTF-8"?>"""))
+    assert(out.contains("<eadid>ABC123</eadid>"))
+    assert(out.contains("<titleproper>A &amp; B</titleproper>"))
+    assert(out.contains("<p>Prose the writeback must not touch.</p>"))
+    assert(out.contains("""<dsc type="combined">"""))
+    // the relational update landed, nesting intact
+    assert(out.contains("""xlink:show="none""""))
+    val p2 = Paths.get(tmpDir("ead_update2"), "doc2.xml")
+    Files.createDirectories(p2.getParent)
+    Files.writeString(p2, out)
+    val back = EadXml.componentsTree(spark, p2.toString)
+      .select("id", "parent_id", "dao_show").orderBy("id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.toSeq === Seq(("k1", null, "none"), ("k1a", "k1", null)))
+  }
+
   test("componentsTree degrades to empty for component-less or empty-<c/> corpora") {
     val dir = tmpDir("nested_ead_degenerate")
     val noC = Paths.get(dir, "no_c.xml")
