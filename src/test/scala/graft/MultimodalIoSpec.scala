@@ -60,6 +60,47 @@ class MultimodalIoSpec extends SparkSpec {
     assert(meta("a.png").checksum.matches("[0-9a-f]{40}"))
   }
 
+  test("stub assembler concatenates pages in pos order into a parseable container") {
+    val pages = Seq(
+      ("f1", 2L, Array[Byte](9, 9)),
+      ("f1", 1L, Array[Byte](7)),
+      ("f2", 1L, Array[Byte](5, 5, 5)))
+      .toDF("folder", "pos", "content")
+    val docs = MultimodalOps.assemblePages(pages)
+      .collect().map(d => d.folder -> d).toMap
+    assert(docs("f1").n_pages === 2)
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(docs("f1").content))
+    val magic = new Array[Byte](8); in.readFully(magic)
+    assert(new String(magic, "US-ASCII") === "GRAFTDOC")
+    assert(in.readInt() === 2)
+    assert(in.readInt() === 1) // page at pos 1 first, despite input order
+    assert(in.read() === 7)
+    assert(in.readInt() === 2)
+    assert(docs("f2").n_pages === 1)
+  }
+
+  test("TIFF assembler produces a genuine multi-page TIFF in page order") {
+    val pages = Seq(
+      ("f1", 1L, imageBytes("png", 40, 30)),
+      ("f1", 2L, imageBytes("tiff", 60, 20)),
+      ("f1", 3L, imageBytes("png", 10, 50)))
+      .toDF("folder", "pos", "content")
+    val doc = MultimodalOps.assemblePages(pages,
+      MultimodalOps.TiffSequenceAssembler).collect().head
+    assert(doc.mimetype === "image/tiff")
+    assert(doc.n_pages === 3)
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(doc.content))
+    val reader = ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) === 3)
+    assert((reader.getWidth(0), reader.getHeight(0)) === ((40, 30)))
+    assert((reader.getWidth(1), reader.getHeight(1)) === ((60, 20)))
+    assert((reader.getWidth(2), reader.getHeight(2)) === ((10, 50)))
+    reader.dispose()
+  }
+
   test("real resize scales the long side to the F17 target and re-encodes") {
     val png = imageBytes("png", 320, 200)
     val media = Seq(("a.png", png, 320, 200)).toDF("path", "content", "width", "height")
