@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps.h60x
+
+/** Deterministic, reproducible sampling for training-data pipelines.
+  *
+  * `df.sample()` is the wrong tool at 100 TB: it is seeded per-RDD so
+  * membership changes when partitioning changes, and it cannot give a
+  * per-stratum rate. Hash-gate sampling fixes both: a row is kept iff
+  * `h60(salt:key) mod 10⁶ < rate·10⁶` — membership is a pure function of
+  * the row key and the salt, so it is stable across runs, partitionings,
+  * engines (the DuckDB oracle replays it bit-for-bit), and INCREMENTAL
+  * re-runs (a doc sampled today stays sampled after the corpus grows —
+  * the F7 idempotence semantic applied to sampling). Per-row, no
+  * shuffle, codegen'd.
+  */
+object SampleOps {
+
+  /** Keep each row iff its key hash-gates below the stratum's rate.
+    * `rates` maps stratum values to [0,1] rates; everything else gets
+    * `defaultRate`. Rates quantize to millionths (exact integer compare
+    * — no float boundary drift between engines). */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      keyCol: String, salt: String = "smp"): DataFrame = {
+    def ppm(r: Double): Long = {
+      require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1], got $r")
+      math.round(r * 1e6)
+    }
+    val gate: Column = rates.foldLeft(lit(ppm(defaultRate))) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(ppm(r))).otherwise(acc)
+    }
+    df.filter(
+      expr(s"${h60x(s"concat('$salt:', CAST($keyCol AS STRING))")} % 1000000L")
+        < gate)
+  }
+}

@@ -87,6 +87,22 @@ object TextOps {
       .withColumn("quality", expr(
         "0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * least(mean_len / 8.0, 1.0)"))
 
+  /** Per-document top-token share — the repetition/boilerplate signal of
+    * the Gopher-style quality filters (a doc whose most frequent token
+    * dominates is list/boilerplate-shaped). Shape at 100 TB: explode →
+    * two partial-agg groupBys on doc-bounded keys (no window, no
+    * collect) — the (doc_id, token) fan-out shuffles once and reduces
+    * map-side. */
+  def topTokenShare(documents: DataFrame): DataFrame =
+    tokenized(documents)
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max("c").as("top_cnt"),
+        sum("c").as("n_tokens"))
+      .withColumn("top_share", expr("CAST(top_cnt AS DOUBLE) / n_tokens"))
+      .select("doc_id", "n_tokens", "top_cnt", "top_share")
+
   /** Rolling polynomial fingerprint over the token stream (order-
     * sensitive, init 7, mod 1e9+7). Cross-engine-exact: all int64 ops. */
   def fingerprinted(documents: DataFrame): DataFrame =

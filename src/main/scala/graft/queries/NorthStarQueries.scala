@@ -540,5 +540,44 @@ object NorthStarQueries {
           expr(HllSketch.estimateSql("sk.mmax", "sk.num")).as("estimate"),
           col("exact_distinct"))
         .orderBy("event_type")
+    },
+
+    // Deterministic hash-gate sampling with per-stratum rates: membership
+    // is a pure function of (salt, doc_id), so it is stable across runs,
+    // partitionings, engines, and corpus growth — df.sample() is none of
+    // those. Rates quantize to millionths for exact integer comparison.
+    oracle(
+      "q60_stratified_sample",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60d("'smp:' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+         |  CASE WHEN lang = 'en' THEN 100000
+         |       WHEN lang = 'zh' THEN 250000 ELSE 500000 END
+         |ORDER BY doc_id""",
+      "Sampling: deterministic per-stratum hash-gate (10% en, 25% zh, 50% rest)") { (s, d) =>
+      graft.operators.SampleOps.stratifiedSample(
+          Tables(s, d, "documents"), strataCol = "lang",
+          rates = Map("en" -> 0.1, "zh" -> 0.25), defaultRate = 0.5,
+          keyCol = "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Top-token share — the Gopher-style repetition/boilerplate quality
+    // signal: the most frequent token's count over the token total.
+    oracle(
+      "q61_top_token_share",
+      s"""SELECT doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(top_cnt AS BIGINT) AS top_cnt,
+         |  CAST(top_cnt AS DOUBLE) / n_tokens AS top_share
+         |FROM (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_tokens
+         |      FROM (SELECT doc_id, t, count(*) AS c
+         |            FROM (SELECT doc_id, unnest(tk) AS t FROM ($TK))
+         |            GROUP BY doc_id, t)
+         |      GROUP BY doc_id)
+         |ORDER BY doc_id""",
+      "Text analysis: top-token share (repetition/boilerplate signal)") { (s, d) =>
+      TextOps.topTokenShare(Tables(s, d, "documents"))
+        .orderBy("doc_id")
     })
 }
