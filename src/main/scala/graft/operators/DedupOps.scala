@@ -255,6 +255,32 @@ object DedupOps {
     (labels, rounds)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any n-gram
+    * shingle with a probe (benchmark/eval) set — the screening step a
+    * training-data pipeline runs so eval questions don't leak into
+    * training text.
+    *
+    * Shape at 100 TB: the probe side is a benchmark — bounded by
+    * construction (thousands of documents, not billions) — so its
+    * distinct shingles BROADCAST and the corpus never shuffles: explode
+    * corpus shingles (narrow), broadcast-hash-join against the probe
+    * set, count hits per doc (partial agg), left-join the flag back.
+    * Output: every corpus doc with `n_hit_shingles` and `contaminated`.
+    */
+  def decontaminate(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val probeShingles = broadcast(
+      TextOps.shingleRows(probes).select("g").distinct())
+    val hits = TextOps.shingleRows(corpus)
+      .join(probeShingles, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_shingles"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"))
+      .withColumn("contaminated", col("n_hit_shingles") > 0L)
+  }
+
   /** Blocked n-gram Jaccard: all pairs within (lang, size-block ± 1)
     * blocks whose shingle Jaccard ≥ `minJaccard`.
     *

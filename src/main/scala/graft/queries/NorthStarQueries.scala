@@ -579,5 +579,30 @@ object NorthStarQueries {
       "Text analysis: top-token share (repetition/boilerplate signal)") { (s, d) =>
       TextOps.topTokenShare(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: docs with id < 25 stand in for the
+    // benchmark/eval set; every remaining doc is screened for shared
+    // 3-gram shingles. The probe side is bounded by construction →
+    // broadcast join, corpus never shuffles (one partial-agg count).
+    oracle(
+      "q62_decontamination",
+      s"""WITH sh AS ($SH),
+         |probes AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 25),
+         |corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= 25),
+         |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+         |         FROM corpus c JOIN probes p ON p.g = c.g GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(h.n_hit_shingles, 0) AS n_hit_shingles,
+         |  coalesce(h.n_hit_shingles, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id >= 25
+         |ORDER BY d.doc_id""",
+      "Dedup: benchmark decontamination (broadcast probe shingles, corpus unshuffled)") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      DedupOps.decontaminate(
+          corpus = docs.filter(col("doc_id") >= 25),
+          probes = docs.filter(col("doc_id") < 25))
+        .orderBy("doc_id")
     })
 }

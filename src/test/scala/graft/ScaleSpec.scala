@@ -93,6 +93,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the probe set; the corpus scan never shuffles") {
+    // q62's scale contract: the benchmark side is bounded by
+    // construction, so its shingles broadcast and the corpus-side
+    // shingle explosion feeds a BroadcastHashJoin directly — no
+    // corpus-wide exchange before the per-doc hit count.
+    val plan = SparkEntry.queries("q62_decontamination")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe shingles must broadcast-join the corpus side")
+    val n = plan.linesIterator.count(_.contains("Exchange"))
+    // hit-count groupBy + flag join + total-order sort (broadcasts excluded)
+    assert(n <= 5, s"q62 plans $n exchanges — corpus-side shuffle crept in")
+  }
+
   test("planted hot LSH bucket: AQE splits the skewed candidate self-join") {
     // 600 docs, 120 sharing identical text → one (band, bucket) key per
     // band holds 120 rows on both sides of the candidate self-join.
