@@ -103,6 +103,48 @@ object TextOps {
       .withColumn("top_share", expr("CAST(top_cnt AS DOUBLE) / n_tokens"))
       .select("doc_id", "n_tokens", "top_cnt", "top_share")
 
+  /** Split each document's token stream into fixed-size chunks with a
+    * fixed stride (overlap = chunkSize − stride) — the context-window
+    * chunking step before tokenized training data is packed. One output
+    * row per (doc, chunk). Per-row narrow fan-out (posexplode over the
+    * arithmetic start sequence + slice), no shuffle — scales with input
+    * splits. */
+  def chunked(documents: DataFrame, chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    tokenized(documents)
+      .select(col("doc_id"), col("tk"),
+        posexplode(expr(s"sequence(0, greatest(size(tk) - 1, 0), $stride)"))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(tk, start + 1, $chunkSize)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Greedy sequence packing: stream each language's documents in
+    * doc_id order and assign every document the training bin it starts
+    * in, given a token budget per bin — the exclusive running token sum
+    * divided by the budget (the standard concat-then-chunk packing:
+    * documents may straddle bins; `bin_offset` says where each starts).
+    *
+    * Scale shape: ONE window per language partition (running sum over a
+    * distributed partitioning — not a global single-partition window;
+    * packing streams are per-shard by construction). Integer-exact in
+    * both engines. */
+  def packSequences(documents: DataFrame, tokenBudget: Long = 512L): DataFrame =
+    tokenized(documents)
+      .select(col("doc_id"), col("lang"), size(col("tk")).cast("long").as("n_tokens"))
+      .withColumn("cum_excl",
+        expr("""sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin))
+      .withColumn("cum_excl", coalesce(col("cum_excl"), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_excl div ${tokenBudget}L").as("bin"),
+        expr(s"cum_excl % ${tokenBudget}L").as("bin_offset"))
+
   /** Rolling polynomial fingerprint over the token stream (order-
     * sensitive, init 7, mod 1e9+7). Cross-engine-exact: all int64 ops. */
   def fingerprinted(documents: DataFrame): DataFrame =

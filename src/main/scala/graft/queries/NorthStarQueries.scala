@@ -604,5 +604,46 @@ object NorthStarQueries {
           corpus = docs.filter(col("doc_id") >= 25),
           probes = docs.filter(col("doc_id") < 25))
         .orderBy("doc_id")
+    },
+
+    // Context-window chunking: fixed 64-token chunks at stride 48
+    // (16-token overlap), one row per chunk — per-row narrow fan-out,
+    // no shuffle. DuckDB range(start, stop, step) is end-EXCLUSIVE vs
+    // Spark sequence's inclusive end, hence the len(tk) bound (start
+    // values are identical: multiples of 48 strictly below len(tk),
+    // plus the degenerate 0 for empty token lists).
+    oracle(
+      "q63_token_chunks",
+      s"""SELECT doc_id,
+         |  CAST(start // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(len(tk[start + 1 : start + 64]) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(tk[start + 1 : start + 64], ' ') AS chunk_text
+         |FROM (SELECT doc_id, tk,
+         |        unnest(range(0, greatest(len(tk), 1), 48)) AS start
+         |      FROM ($TK))
+         |ORDER BY doc_id, chunk_idx""",
+      "Chunking: fixed-size token windows with stride (context-window prep)") { (s, d) =>
+      TextOps.chunked(Tables(s, d, "documents"), chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Greedy sequence packing per language stream: exclusive running
+    // token sum div budget = the bin each document STARTS in (documents
+    // straddle bins, the concat-then-chunk packing). One distributed
+    // window per lang partition; all-integer arithmetic.
+    oracle(
+      "q64_sequence_packing",
+      s"""SELECT doc_id, lang,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(cum_excl // 512 AS BIGINT) AS bin,
+         |  CAST(cum_excl % 512 AS BIGINT) AS bin_offset
+         |FROM (SELECT doc_id, lang, tk,
+         |        coalesce(sum(len(tk)) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+         |      FROM ($TK))
+         |ORDER BY doc_id""",
+      "Packing: greedy token-budget binning per language stream") { (s, d) =>
+      TextOps.packSequences(Tables(s, d, "documents"), tokenBudget = 512L)
+        .orderBy("doc_id")
     })
 }
