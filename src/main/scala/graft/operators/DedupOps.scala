@@ -255,6 +255,39 @@ object DedupOps {
     (labels, rounds)
   }
 
+  /** Segment-level exact dedup — the fixed-granularity form of
+    * exact-substring deduplication (the "remove repeated spans, keep the
+    * first occurrence" step of web-corpus pipelines; suffix-array
+    * dedup's practical approximation at segment boundaries). Documents
+    * split into non-overlapping `segTokens`-token segments; a segment
+    * survives iff it is the corpus-wide FIRST occurrence of its text
+    * (by (doc_id, position)); each document re-assembles from its
+    * surviving segments in order.
+    *
+    * Shape at 100 TB: one shuffle on the segment text (the window key —
+    * high-cardinality, so it distributes; a hot boilerplate segment is
+    * the stop-phrase skew case → AQE), one doc-bounded re-assembly
+    * groupBy, one flag-back join. Returns every corpus doc:
+    * (doc_id, n_kept_segments, kept_text). */
+  def segmentDedup(documents: DataFrame, segTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = TextOps.chunked(documents, chunkSize = segTokens, stride = segTokens)
+    val firstWins = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    val kept = segs
+      .withColumn("rk", row_number().over(firstWins))
+      .filter(col("rk") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_segments"),
+        expr("""array_join(transform(sort_array(collect_list(
+               |  struct(chunk_idx, chunk_text))), x -> x.chunk_text), ' ')"""
+          .stripMargin).as("kept_text"))
+    documents.select("doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any n-gram
     * shingle with a probe (benchmark/eval) set — the screening step a
     * training-data pipeline runs so eval questions don't leak into

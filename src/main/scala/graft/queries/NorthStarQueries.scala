@@ -645,5 +645,32 @@ object NorthStarQueries {
       "Packing: greedy token-budget binning per language stream") { (s, d) =>
       TextOps.packSequences(Tables(s, d, "documents"), tokenBudget = 512L)
         .orderBy("doc_id")
+    },
+
+    // Segment-level exact dedup: non-overlapping 8-token segments,
+    // corpus-wide first occurrence (by doc_id, position) wins, docs
+    // re-assemble from survivors — fixed-granularity exact-substring
+    // dedup (~5% of sf0.01 segments are repeats).
+    oracle(
+      "q65_segment_dedup",
+      s"""WITH seg AS (
+         |  SELECT doc_id, CAST(s // 8 AS BIGINT) AS idx,
+         |         array_to_string(tk[s + 1 : s + 8], ' ') AS seg
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(0, greatest(len(tk), 1), 8)) AS s
+         |        FROM ($TK))),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+         |         ORDER BY doc_id, idx) AS rk FROM seg),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_segments,
+         |          string_agg(seg, ' ' ORDER BY idx) AS kept_text
+         |        FROM rk WHERE rk = 1 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_kept_segments, 0) AS n_kept_segments,
+         |  coalesce(a.kept_text, '') AS kept_text
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""",
+      "Dedup: segment-level exact dedup (first occurrence wins, doc re-assembly)") { (s, d) =>
+      DedupOps.segmentDedup(Tables(s, d, "documents"), segTokens = 8)
+        .orderBy("doc_id")
     })
 }
