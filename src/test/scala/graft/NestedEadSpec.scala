@@ -158,6 +158,44 @@ class NestedEadSpec extends SparkSpec {
     assert(EadXml.componentsTree(spark, emptyC.toString).isEmpty)
   }
 
+  test("deep wide corpus: depth-6 tree of 5460 components flattens and round-trips") {
+    // branching factor 4, depth 6: 4¹+…+4⁶ = 5460 components. Stresses
+    // the schema-driven descent (6 posexplode levels), the bottom-up
+    // re-nesting (6 join levels), and sibling-order preservation at
+    // every depth — sizes a real finding aid actually reaches.
+    def subtree(id: String, depth: Int): String =
+      if (depth == 0) ""
+      else (1 to 4).map { i =>
+        val cid = s"$id-$i"
+        val dao = if ((cid.length + i) % 3 == 0)
+          s"""<dao xlink:href="http://x/$cid.pdf" xlink:show="new"/>""" else ""
+        s"""<c id="$cid"><did><unittitle>T $cid</unittitle>$dao</did>${subtree(cid, depth - 1)}</c>"""
+      }.mkString
+    val xml = s"""<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>${subtree("r", 6)}</dsc></archdesc></ead>"""
+    val p = Paths.get(tmpDir("deep_ead"), "deep.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, xml)
+    val flat = EadXml.componentsTree(spark, p.toString)
+    assert(flat.count() === 5460L)
+    import org.apache.spark.sql.functions._
+    assert(flat.agg(max("depth")).head.getLong(0) === 5L)
+    // a leaf's ancestry carries the full 5-ancestor chain
+    val leaf = flat.filter(col("id") === "r-1-2-3-4-1-2").head
+    assert(leaf.getString(2) === "r-1/r-1-2/r-1-2-3/r-1-2-3-4/r-1-2-3-4-1")
+    // full reconstruct → re-read → identical flat table
+    val out = EadXml.reconstructTree(flat).head.getString(0)
+    val p2 = Paths.get(tmpDir("deep_ead2"), "deep2.xml")
+    Files.createDirectories(p2.getParent)
+    Files.writeString(p2, out)
+    val back = EadXml.componentsTree(spark, p2.toString)
+    val cols = Seq("id", "parent_id", "ancestry", "depth", "pos", "title",
+      "dao_href", "dao_show").map(col)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols: _*).orderBy("depth", "ancestry", "pos")
+        .collect().map(_.toSeq).toSeq
+    assert(snap(back) === snap(flat))
+  }
+
   test("round-trip: flattened candidates feed the F1 predicate downstream") {
     val cands = EadXml.daoCandidates(
       EadXml.componentsTree(spark, eadPath)
