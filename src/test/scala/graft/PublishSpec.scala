@@ -51,4 +51,49 @@ class PublishSpec extends SparkSpec {
       .orderBy("component_id").collect()
     assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq)
   }
+
+  test("publish last mile: page assembly + surgical EAD writeback compose") {
+    import graft.operators.MultimodalOps
+    import graft.sources.EadXml
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("publish_lastmile")
+    val published = PublishPipeline.run(spark, components, existing, titles, pages, root)
+    // A9 deliverable: the numbered pages of each published component
+    // concat into one binary (the dirtopdf product)
+    val pageBytes = pages
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("component_id").orderBy("path")).cast("long"))
+      .select(col("component_id").as("folder"), col("pos"),
+        sha1(col("path").cast("binary")).cast("binary").as("content"))
+    val docs = MultimodalOps.assemblePages(pageBytes)
+      .collect().map(d => d.folder -> d).toMap
+    assert(docs("MC001_c01").n_pages === 2)
+    // S16 writeback: the pipeline's dao attributes land in the EAD
+    // document surgically — header prose intact, nesting intact
+    val original =
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink">
+        |<eadheader><eadid>MC001</eadid></eadheader>
+        |<archdesc><dsc>
+        |  <c id="MC001_c01"><did><unittitle>Letters</unittitle></did></c>
+        |  <c id="MC001_c02"><did><unittitle>Notebooks</unittitle></did></c>
+        |  <c id="MC001_c03"><did><unittitle>Already done</unittitle></did></c>
+        |</dsc></archdesc></ead>""".stripMargin
+    val p = Paths.get(tmpDir("publish_ead"), "mc001.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val updated = EadXml.componentsTree(spark, p.toString)
+      .join(published.select(col("component_id").as("id"),
+        col("dao_href").as("new_href"), col("dao_show").as("new_show")),
+        Seq("id"), "left")
+      .withColumn("dao_href", coalesce(col("new_href"), col("dao_href")))
+      .withColumn("dao_show", coalesce(col("new_show"), col("dao_show")))
+      .drop("new_href", "new_show")
+    val outXml = EadXml.updateDocument(original, updated)
+    assert(outXml.contains("<eadid>MC001</eadid>"))
+    assert(outXml.contains(
+      """<dao xlink:href="http://store/MC001/c01.pdf" xlink:show="new"/>"""))
+    // the unpublished component keeps no dao
+    assert(!outXml.contains("c03.pdf"))
+  }
 }
