@@ -80,6 +80,45 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("non-overlapping chunks reassemble to the original text (q63 invariant)") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 60L).map { i =>
+      i -> Seq.fill(1 + rnd.nextInt(200))(rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+        .mkString(" ")
+    }.toDF("doc_id", "text")
+    // stride == chunkSize → chunks partition the token stream exactly
+    val rebuilt = TextOps.chunked(docs, chunkSize = 7, stride = 7)
+      .groupBy("doc_id")
+      .agg(expr("""array_join(transform(sort_array(collect_list(
+                  |  struct(chunk_idx, chunk_text))), x -> x.chunk_text), ' ')"""
+        .stripMargin).as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.collect().foreach { r =>
+      assert(rebuilt(r.getLong(0)) === r.getString(1))
+    }
+  }
+
+  test("sequence packing: offsets chain exactly within each lang stream (q64)") {
+    import graft.operators.TextOps
+    val docs = (1L to 80L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "),
+        if (i % 3 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val budget = 37L
+    val packed = TextOps.packSequences(docs, tokenBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, bin, off) =>
+        assert(bin === cum / budget)
+        assert(off === cum % budget)
+        cum += n
+      }
+    }
+  }
+
   test("decSum equals exact BigDecimal sum on random money values") {
     import org.apache.spark.sql.functions.col
     val xs = Seq.fill(5000)(BigDecimal(rnd.nextInt(10000000)) / 100)
