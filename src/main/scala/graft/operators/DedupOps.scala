@@ -58,32 +58,41 @@ object DedupOps {
     * aggregation, so the shuffle carries one k-column row per (doc ×
     * input partition) regardless of corpus width, and the coefficients
     * are plan literals (no join at all). */
-  def minhashSigned(documents: DataFrame, k: Int = 16): DataFrame = {
+  /** Signatures for docs that HAVE shingles — the shared core of
+    * [[minhashSigned]] (which left-joins the sentinel back over the full
+    * doc list) and [[lshBanded]] (which wants exactly this set: joining
+    * sentinels in only to filter them out again cost a full doc-list
+    * join per LSH query). */
+  private def minhashSignedPresent(documents: DataFrame, k: Int): DataFrame = {
     val coefs = minhashCoefficients(k)
     val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
       min(expr(s"(${a}L * h + ${b}L) % 1000000007L")).as(s"m$j")
     }
-    val sigs = TextOps.shingleRows(documents)
+    TextOps.shingleRows(documents)
       .withColumn("h", expr(s"${h60x("g")} % 1000000007L"))
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .withColumn("sig", array((0 until k).map(j => col(s"m$j")): _*))
       .select("doc_id", "sig")
-    documents.select("doc_id").join(sigs, Seq("doc_id"), "left")
+  }
+
+  def minhashSigned(documents: DataFrame, k: Int = 16): DataFrame =
+    documents.select("doc_id")
+      .join(minhashSignedPresent(documents, k), Seq("doc_id"), "left")
       .withColumn("sig",
         expr(s"coalesce(sig, transform(sequence(0, ${k - 1}), j -> -1L))"))
-  }
 
   /** LSH banding: signature split into `bands` bands of `rows` hashes;
     * each band hashed to a bucket. One output row per (doc, band).
     *
-    * Empty-shingle docs (all--1 sentinel signature) are dropped BEFORE
-    * banding: short docs are common in real corpora, and at 100 TB a
-    * sentinel bucket holding every one of them is a quadratic bomb in
-    * the candidate self-join (O(m²) pairs with undefined 0/0 Jaccard). */
+    * Empty-shingle docs are EXCLUDED from banding by construction
+    * (signatures exist only for docs with shingles — no sentinel join,
+    * no sentinel filter): short docs are common in real corpora, and at
+    * 100 TB a sentinel bucket holding every one of them is a quadratic
+    * bomb in the candidate self-join (O(m²) pairs with undefined 0/0
+    * Jaccard). */
   def lshBanded(documents: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame =
-    minhashSigned(documents, bands * rows)
-      .filter(expr("sig[0] <> -1L"))
+    minhashSignedPresent(documents, bands * rows)
       .select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}), b -> struct(

@@ -45,7 +45,7 @@ class ScaleSpec extends SparkSpec {
     val designed = Map(
       "q34_dedup_exact" -> 2,        // hash groupBy + total-order sort
       "q35_minhash_sig" -> 3,        // shingle agg + presence join + sort
-      "q36_minhash_lsh_pairs" -> 8,  // sig, band self-join, distinct, 2 shingle joins, sort
+      "q36_minhash_lsh_pairs" -> 6,  // sig, band self-join, distinct, 2 shingle joins, sort (r3: no sentinel doc-list join in the banding path)
       "q37_simhash" -> 1,            // per-row, sort only
       "q38_jaccard_blocked" -> 5,    // blocked equi-join + count + 2 size joins + sort (size/block derive from ONE shingle pass — r3 single-pass rewrite)
       "q39_cosine_topk" -> 3,        // broadcast probe (no shuffle), rank window, sort
