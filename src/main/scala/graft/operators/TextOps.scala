@@ -87,6 +87,27 @@ object TextOps {
       .withColumn("quality", expr(
         "0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * least(mean_len / 8.0, 1.0)"))
 
+  /** Per-stratum length-window filter: keep documents whose `n_chars`
+    * lies within the [pLo, pHi] exact interpolated percentiles of their
+    * stratum — the outlier trim every corpus pipeline runs (truncated
+    * fragments at the bottom, concatenation blobs at the top), with
+    * cutoffs that adapt per language instead of one global constant.
+    *
+    * Shape at 100 TB: the cutoffs are one tiny per-stratum aggregate
+    * (as many rows as strata) BROADCAST back over the corpus — the
+    * corpus itself never shuffles; the filter is a per-row comparison.
+    * (`percentile` is a full-sort-per-group aggregate on the agg side;
+    * for extreme cardinality swap in `percentile_approx` — cutoffs, not
+    * memberships, change.) */
+  def lengthWindowFilter(documents: DataFrame, strataCol: String = "lang",
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val cuts = documents.groupBy(strataCol)
+      .agg(expr(s"percentile(n_chars, ${pLo}D)").as("len_lo"),
+        expr(s"percentile(n_chars, ${pHi}D)").as("len_hi"))
+    documents.join(broadcast(cuts), Seq(strataCol))
+      .filter(col("n_chars") >= col("len_lo") && col("n_chars") <= col("len_hi"))
+  }
+
   /** Per-document top-token share — the repetition/boilerplate signal of
     * the Gopher-style quality filters (a doc whose most frequent token
     * dominates is list/boilerplate-shaped). Shape at 100 TB: explode →

@@ -672,5 +672,26 @@ object NorthStarQueries {
       "Dedup: segment-level exact dedup (first occurrence wins, doc re-assembly)") { (s, d) =>
       DedupOps.segmentDedup(Tables(s, d, "documents"), segTokens = 8)
         .orderBy("doc_id")
+    },
+
+    // Per-language length-window trim: keep docs inside their stratum's
+    // [p05, p95] exact percentiles. The cutoffs table (one row per
+    // lang) broadcasts back over the corpus — the corpus never
+    // shuffles. Spark percentile ≙ DuckDB quantile_cont (the q50
+    // pattern: identical interpolated doubles).
+    oracle(
+      "q66_length_window",
+      """WITH cuts AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS len_lo,
+        |         quantile_cont(n_chars, 0.95) AS len_hi
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN cuts c USING (lang)
+        |WHERE d.n_chars >= c.len_lo AND d.n_chars <= c.len_hi
+        |ORDER BY d.doc_id""",
+      "Quality: per-stratum length-window filter (adaptive percentile trim)") { (s, d) =>
+      TextOps.lengthWindowFilter(Tables(s, d, "documents"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     })
 }
