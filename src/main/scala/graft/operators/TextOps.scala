@@ -152,9 +152,12 @@ object TextOps {
     * documents may straddle bins; `bin_offset` says where each starts).
     *
     * Scale shape: ONE window per language partition (running sum over a
-    * distributed partitioning — not a global single-partition window;
-    * packing streams are per-shard by construction). Integer-exact in
-    * both engines. */
+    * distributed partitioning — not a global single-partition window).
+    * Parallelism is bounded by the stratum count; at corpus scale,
+    * packing runs over (lang, shard) sub-streams — add a deterministic
+    * shard key (e.g. `doc_id div shardSpan`) to the partition spec and
+    * each shard packs independently, which is exactly how distributed
+    * packing jobs ship. Integer-exact in both engines. */
   def packSequences(documents: DataFrame, tokenBudget: Long = 512L): DataFrame =
     tokenized(documents)
       .select(col("doc_id"), col("lang"), size(col("tk")).cast("long").as("n_tokens"))

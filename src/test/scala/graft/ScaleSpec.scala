@@ -51,7 +51,11 @@ class ScaleSpec extends SparkSpec {
       "q39_cosine_topk" -> 3,        // broadcast probe (no shuffle), rank window, sort
       "q40_hyperplane_buckets" -> 3, // plane broadcast, bucket agg, sort
       "q41_bucketed_neighbors" -> 7, // buckets twice + bucket self-join + sort
-      "q59_simhash_neardup" -> 3)    // band self-join (reused exchange) + distinct + sort
+      "q59_simhash_neardup" -> 3,    // band self-join (reused exchange) + distinct + sort
+      "q60_stratified_sample" -> 1,  // pure per-row hash gate + sort
+      "q63_token_chunks" -> 1,       // narrow posexplode/slice + sort
+      "q64_sequence_packing" -> 2,   // per-lang window + sort
+      "q65_segment_dedup" -> 4)      // segment window + re-assembly agg + flag join + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
