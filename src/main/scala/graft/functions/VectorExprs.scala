@@ -218,7 +218,13 @@ object SimHashBits {
       nb.eval() match {
         case null => throw new IllegalArgumentException(
           s"$fnName nBits must not be NULL")
-        case v: Number => SimHashBits(hs, v.intValue())
+        case v: Number =>
+          // bound-check the LONG value first — intValue() would silently
+          // wrap 2^32+32 to 32 and compute the wrong hash width
+          val n = v.longValue()
+          if (n < 1L || n > 63L) throw new IllegalArgumentException(
+            s"$fnName nBits must be in [1,63], got $n")
+          SimHashBits(hs, n.toInt)
       }
     case Seq(_, nb) => throw new IllegalArgumentException(
       s"$fnName nBits must be a foldable integer expression; got ${nb.sql}")

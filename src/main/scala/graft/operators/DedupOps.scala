@@ -359,8 +359,13 @@ object DedupOps {
     * AQE's skew split isn't enough. Geometric blocks keep the per-row
     * probe fan-out at a constant 3 regardless of document size. */
   def blockedJaccardPairs(documents: DataFrame, minJaccard: Double = 0.2): DataFrame = {
-    require(minJaccard > 0.0 && minJaccard <= 1.0,
-      s"minJaccard must be in (0,1], got $minJaccard")
+    // lower bound 1/36: the digit count runs through conv()/to_base(),
+    // whose radix caps at 36 in BOTH engines (beyond it they return
+    // NULL, which would silently empty the join — reviewed round 3).
+    // Thresholds below 1/36 mean accepting pairs with a 36× size gap;
+    // use a containment measure, not Jaccard, at that point.
+    require(minJaccard >= 1.0 / 36 && minJaccard <= 1.0,
+      s"minJaccard must be in [1/36, 1] (digit-count radix cap), got $minJaccard")
     val base = math.ceil(1.0 / minJaccard).toLong.max(2L)
     // shingle set, its size, the geometric block, and the exploded
     // shingle rows all derive from ONE per-row shingled() pass — size and

@@ -251,9 +251,11 @@ object MultimodalOps {
   /** REAL assembler via `javax.imageio`'s TIFF plugin (in the JDK):
     * decodes each page and writes one MULTI-PAGE TIFF with
     * `writeToSequence` — an actual byte-level document assembly, the
-    * in-JDK analog of the reference's page-concat deliverable. Pages
-    * that fail to decode are skipped (counted by the caller via
-    * n_pages vs input size if needed). */
+    * in-JDK analog of the reference's page-concat deliverable. An
+    * undecodable page THROWS: silently skipping would leave the
+    * caller's `n_pages` (the A9 deliverable contract) disagreeing with
+    * the container's image count (reviewed round 3) — filter or probe
+    * upstream if mixed batches are expected. */
   object TiffSequenceAssembler extends PageAssembler {
     def mimetype = "image/tiff"
     def assemble(folder: String, pages: Seq[Array[Byte]]): Array[Byte] = {
@@ -263,10 +265,12 @@ object MultimodalOps {
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
-        pages.foreach { bytes =>
+        pages.zipWithIndex.foreach { case (bytes, i) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          if (img != null)
-            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          if (img == null) throw new IllegalArgumentException(
+            s"TiffSequenceAssembler: page $i of folder $folder is not a " +
+              "decodable image — n_pages must match the written container")
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
         }
         writer.endWriteSequence()
       } finally {

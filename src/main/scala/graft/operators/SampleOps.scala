@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import TextOps.h60x
-
 /** Deterministic, reproducible sampling for training-data pipelines.
   *
   * `df.sample()` is the wrong tool at 100 TB: it is seeded per-RDD so
@@ -34,8 +32,11 @@ object SampleOps {
       case (acc, (stratum, r)) =>
         when(col(strataCol) === stratum, lit(ppm(r))).otherwise(acc)
     }
-    df.filter(
-      expr(s"${h60x(s"concat('$salt:', CAST($keyCol AS STRING))")} % 1000000L")
-        < gate)
+    // Column API end to end — splicing salt/keyCol into a SQL string
+    // would break (or silently alter the hashed expression) on quotes
+    // or non-identifier column names (reviewed round 3)
+    val h = graft.functions.Scalars.h60(
+      concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    df.filter((h % 1000000L) < gate)
   }
 }

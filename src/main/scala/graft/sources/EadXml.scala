@@ -150,6 +150,14 @@ object EadXml {
       prologue: String = "<ead xmlns:xlink=\"http://www.w3.org/1999/xlink\"><archdesc><dsc>",
       epilogue: String = "</dsc></archdesc></ead>"): DataFrame = {
     val spark = components.sparkSession
+    // a non-root row with no parent_id means its parent <c> carried no
+    // @id — its subtree would group under a NULL key no level joins on
+    // and vanish silently (reviewed round 3). Fail loudly instead:
+    // writeback addresses components by @id (bin/publish.rb:126-128),
+    // so an id-less parent is outside the writeback model.
+    require(components.filter(col("depth") > 0 && col("parent_id").isNull).isEmpty,
+      "reconstructTree: components at depth > 0 with NULL parent_id — " +
+        "an ancestor <c> lacks an @id; its subtree cannot be re-attached")
     def elemEsc(c: String) =
       s"replace(replace(replace($c, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
     def attrEsc(c: String) = s"""replace(${elemEsc(c)}, '"', '&quot;')"""
@@ -209,13 +217,23 @@ object EadXml {
     * text; the caller owns writing it (atomically — see
     * `TwoPhaseSink`). */
   def updateDocument(originalXml: String, components: DataFrame): String = {
-    val open = originalXml.indexOf("<dsc")
+    // locate the container on a COMMENT/CDATA-masked copy (same length,
+    // so indices map 1:1 back into the original) — raw markup inside
+    // <!-- --> or CDATA must not fool the splice (reviewed round 3)
+    val masked = {
+      val sb = new StringBuilder(originalXml)
+      for (m <- "(?s)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>".r.findAllMatchIn(originalXml);
+           i <- m.start until m.end) sb.setCharAt(i, ' ')
+      sb.toString
+    }
+    // "<dsc" followed by a delimiter — not a longer tag name like <dscgrp>
+    val open = "<dsc[\\s/>]".r.findFirstMatchIn(masked).map(_.start).getOrElse(-1)
     require(open >= 0, "updateDocument: document has no <dsc> container")
-    val openEnd = originalXml.indexOf('>', open)
+    val openEnd = masked.indexOf('>', open)
     require(openEnd >= 0, "updateDocument: unterminated <dsc> open tag")
-    require(originalXml.charAt(openEnd - 1) != '/',
+    require(masked.charAt(openEnd - 1) != '/',
       "updateDocument: <dsc/> is self-closing — no component tree to update")
-    val close = originalXml.lastIndexOf("</dsc>")
+    val close = masked.lastIndexOf("</dsc>")
     require(close > openEnd, "updateDocument: document has no </dsc> close")
     val inner = reconstructTree(components, prologue = "", epilogue = "")
       .head().getString(0)

@@ -150,6 +150,16 @@ class DedupSimSpec extends SparkSpec {
       s"missed=${(brute -- blocked).toSeq.sorted} spurious=${(blocked -- brute).toSeq.sorted}")
   }
 
+  test("blocked Jaccard rejects thresholds below the digit-count radix cap") {
+    // conv()/to_base() cap at radix 36 in both engines and return NULL
+    // beyond it, which would silently empty the block join — the guard
+    // must throw instead
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.blockedJaccardPairs(docs(1L -> base), minJaccard = 0.02)
+    }
+    assert(e.getMessage.contains("1/36"))
+  }
+
   test("long path graph converges in logarithmic rounds, not diameter") {
     import spark.implicits._
     // path 1-2-…-33: diameter 32. Plain min-label propagation needs 32

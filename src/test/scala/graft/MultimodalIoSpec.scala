@@ -101,6 +101,18 @@ class MultimodalIoSpec extends SparkSpec {
     reader.dispose()
   }
 
+  test("TIFF assembler throws on an undecodable page instead of silently skipping") {
+    // silent skip would leave n_pages disagreeing with the container
+    val pages = Seq(
+      ("f1", 1L, imageBytes("png", 10, 10)),
+      ("f1", 2L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("folder", "pos", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.assemblePages(pages, MultimodalOps.TiffSequenceAssembler).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("real resize scales the long side to the F17 target and re-encodes") {
     val png = imageBytes("png", 320, 200)
     val media = Seq(("a.png", png, 320, 200)).toDF("path", "content", "width", "height")

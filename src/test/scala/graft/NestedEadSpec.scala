@@ -146,6 +146,42 @@ class NestedEadSpec extends SparkSpec {
     assert(back.toSeq === Seq(("k1", null, "none"), ("k1a", "k1", null)))
   }
 
+  test("updateDocument is not fooled by '<dsc>' markup inside comments") {
+    import org.apache.spark.sql.functions._
+    val original =
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink">
+        |<eadheader><!-- old <dsc> layout removed --><eadid>X1</eadid></eadheader>
+        |<archdesc><dsc>
+        |  <c id="z1"><did><unittitle>Only</unittitle></did></c>
+        |</dsc></archdesc>
+        |<!-- trailing note mentioning </dsc> --></ead>""".stripMargin
+    val p = Paths.get(tmpDir("ead_comment"), "c.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val flat = EadXml.componentsTree(spark, p.toString)
+      .withColumn("title", lit("Renamed"))
+    val out = EadXml.updateDocument(original, flat)
+    // both comments intact, splice landed in the REAL container
+    assert(out.contains("<!-- old <dsc> layout removed -->"))
+    assert(out.contains("<!-- trailing note mentioning </dsc> -->"))
+    assert(out.contains("<unittitle>Renamed</unittitle>"))
+    assert(!out.contains("<unittitle>Only</unittitle>"))
+  }
+
+  test("reconstructTree refuses a subtree whose parent lacks an @id") {
+    val p = Paths.get(tmpDir("ead_noid"), "n.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      """<ead><archdesc><dsc>
+        |  <c><did><unittitle>No id</unittitle></did>
+        |    <c id="child"><did><unittitle>Orphan-to-be</unittitle></did></c>
+        |  </c>
+        |</dsc></archdesc></ead>""".stripMargin)
+    val flat = EadXml.componentsTree(spark, p.toString)
+    val e = intercept[IllegalArgumentException] { EadXml.reconstructTree(flat) }
+    assert(e.getMessage.contains("parent_id"))
+  }
+
   test("componentsTree degrades to empty for component-less or empty-<c/> corpora") {
     val dir = tmpDir("nested_ead_degenerate")
     val noC = Paths.get(dir, "no_c.xml")

@@ -119,6 +119,33 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("length-window filter trims NULL-stratum docs in their own window, not to zero") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    val docs = ((1L to 40L).map(i => (i, "en", 100L + i)) ++
+      (50L to 89L).map(i => (i, null: String, 100L + i)))
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = TextOps.lengthWindowFilter(docs, pLo = 0.1, pHi = 0.9)
+      .select("doc_id", "lang").collect()
+    val nullKept = kept.count(_.isNullAt(1))
+    // NULL-lang docs form their own stratum: ~80% survive the 10/90 trim
+    // (an inner join on the raw column would have dropped all 40)
+    assert(nullKept >= 30 && nullKept <= 36, s"null-stratum kept $nullKept")
+    assert(kept.count(!_.isNullAt(1)) >= 30)
+  }
+
+  test("stratified sampling survives quoted salts and non-identifier column names") {
+    import graft.operators.SampleOps
+    val df = (1L to 300L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc id", "the strat")  // spaces: unquotable as raw SQL identifiers
+    val kept = SampleOps.stratifiedSample(df, strataCol = "the strat",
+      rates = Map("a" -> 1.0), defaultRate = 0.0,
+      keyCol = "doc id", salt = "v1's salt").collect()
+    // rate 1.0 keeps every 'a'; default 0.0 drops every 'b'
+    assert(kept.length === 150)
+    assert(kept.forall(_.getString(1) === "a"))
+  }
+
   test("decSum equals exact BigDecimal sum on random money values") {
     import org.apache.spark.sql.functions.col
     val xs = Seq.fill(5000)(BigDecimal(rnd.nextInt(10000000)) / 100)
