@@ -95,18 +95,23 @@ object MetsOps {
   /** One row per (objid, docid, created, title) with the rendered METS
     * document in `mets_xml`.
     *
-    * Shuffle shape (round-2 verdict item 1): ONE hash exchange, placed
-    * before any rendering. `repartition(objid)` satisfies the clustered
-    * distribution of BOTH grouping levels and the ORDER window (hash
-    * partitioning on a subset of the grouping/partition keys co-locates
-    * every row of a folder), so neither aggregate nor the window adds an
-    * exchange — and because the repartition runs on the RAW columns, the
-    * wire carries ~150 B/row of fields instead of ~700 B/row of rendered
-    * XML. The previous shape shuffled the rendered payload twice (once
-    * per grouping level); at 100 TB that is the difference between
-    * shuffling the corpus once as fields and twice as documents. */
+    * Shuffle shape (round-2 verdict item 1, tightened round 4): ONE
+    * RANGE exchange on `objid`, placed before any rendering. Range
+    * partitioning on a subset of the grouping/partition keys satisfies
+    * the clustered distribution of BOTH grouping levels and the ORDER
+    * window (all rows of a folder land in one partition), so neither
+    * aggregate nor the window adds an exchange — and, unlike the round-3
+    * hash exchange, it ALSO satisfies the caller's trailing total order
+    * by `objid` (OrderedDistribution), which removes both the final
+    * range exchange and its sampling pass. That sampling pass was
+    * q52's dominant hidden cost (profiles/q52_r4_baseline.jsonl): to
+    * sample sort keys, Spark re-executed the whole render + two
+    * aggregation levels a second time — ~45% of steady-state work.
+    * Sampling the RAW rows here instead costs one extra cheap scan.
+    * The wire still carries ~150 B/row of fields instead of ~700 B/row
+    * of rendered XML, once. */
   def renderMets(reps: DataFrame): DataFrame = {
-    val parted = reps.repartition(col("objid"))
+    val parted = reps.repartitionByRange(col("objid"))
     // per-row codegen'd rendering AFTER the exchange; the grouped levels
     // below only sort, extract, and join pre-built strings. abs_name is
     // attribute-escaped here too (once per row, codegen'd) — sorting
@@ -120,12 +125,17 @@ object MetsOps {
       .withColumn("tech_xml", expr(techXml))
     // level 1: one row per group key (whole group key == objid itself,
     // part group key == objid/page), reps sorted by cannonical
+    // field EXTRACTION from the collected array goes through
+    // GetArrayStructFields (`col.getField` on array<struct> — native,
+    // codegen'd) rather than a `transform` lambda: higher-order
+    // functions evaluate interpreted per element (the measured-15× trap),
+    // and these extractions run once per rep/fragment on the hot path.
     val groups = rendered
       .groupBy("objid", "docid", "created", "title", "wholepart", "abs_name", "abs_esc")
       .agg(sort_array(collect_list(
         struct(col("cannonical"), col("file_xml"), col("tech_xml")))).as("reps"))
-      .withColumn("files_xml", expr("array_join(transform(reps, r -> r.file_xml), '')"))
-      .withColumn("techs_xml", expr("array_join(transform(reps, r -> r.tech_xml), '')"))
+      .withColumn("files_xml", array_join(col("reps").getField("file_xml"), ""))
+      .withColumn("techs_xml", array_join(col("reps").getField("tech_xml"), ""))
       .drop("reps")
     // member ORDER label = 1-based position among the folder's parts in
     // abs_name order. Computing it as a window BEFORE level 2 (instead of
@@ -159,26 +169,24 @@ object MetsOps {
       .agg(sort_array(collect_list(struct(col("abs_name"), col("techs_xml"),
         col("whole_files"), col("grp_xml"), col("div_xml")))).as("groups"))
       .withColumn("objid_esc", expr(xmlEsc("objid")))
-      .withColumn("amd_tech", expr(
-        """concat('<mets:amdSec ID="tech">',
-          |  array_join(transform(groups, g -> g.techs_xml), ''),
-          |  '</mets:amdSec>')""".stripMargin))
-      .withColumn("file_sec", expr(
-        """concat('<mets:fileSec>',
-          |  '<mets:fileGrp ID="fg', objid_esc, '">',
-          |  array_join(transform(groups, g -> g.whole_files), ''),
-          |  '</mets:fileGrp>',
-          |  array_join(transform(groups, g -> g.grp_xml), ''),
-          |  '</mets:fileSec>')""".stripMargin))
-      .withColumn("struct_map", expr(
-        s"""concat('<mets:structMap>',
-           |  '<mets:div LABEL="', CASE WHEN title IS NULL OR title = ''
-           |                            THEN '[No title]'
-           |                            ELSE ${xmlEsc("title")} END,
-           |  '" TYPE="Folder" ADMID="w">',
-           |  '<mets:fptr FILEID="fg', objid_esc, '"/>',
-           |  array_join(transform(groups, g -> g.div_xml), ''),
-           |  '</mets:div></mets:structMap>')""".stripMargin))
+      .withColumn("amd_tech", concat(
+        lit("<mets:amdSec ID=\"tech\">"),
+        array_join(col("groups").getField("techs_xml"), ""),
+        lit("</mets:amdSec>")))
+      .withColumn("file_sec", concat(
+        lit("<mets:fileSec><mets:fileGrp ID=\"fg"), col("objid_esc"), lit("\">"),
+        array_join(col("groups").getField("whole_files"), ""),
+        lit("</mets:fileGrp>"),
+        array_join(col("groups").getField("grp_xml"), ""),
+        lit("</mets:fileSec>")))
+      .withColumn("struct_map", concat(
+        lit("<mets:structMap><mets:div LABEL=\""),
+        when(col("title").isNull || col("title") === "", lit("[No title]"))
+          .otherwise(expr(xmlEsc("title"))),
+        lit("\" TYPE=\"Folder\" ADMID=\"w\"><mets:fptr FILEID=\"fg"),
+        col("objid_esc"), lit("\"/>"),
+        array_join(col("groups").getField("div_xml"), ""),
+        lit("</mets:div></mets:structMap>")))
       .withColumn("mets_xml", expr(
         s"""concat('<mets:mets xmlns:mets="http://www.loc.gov/METS/"',
            |  ' xmlns:xlink="http://www.w3.org/1999/xlink"',

@@ -43,8 +43,12 @@ object DocQueries {
       // exchange — groupToDoc's groupBy then adds no exchange of its own
       // (hash on the group key already clusters it), so the rendered
       // strings never cross the wire.
+      // range (not hash) repartition: same one-exchange grouping shape,
+      // and the trailing total order by l_orderkey is then already
+      // satisfied — no final range exchange, and its sampling pass no
+      // longer re-executes the render+agg pipeline (q52 profile lesson)
       val rows = Tables(s, d, "lineitem")
-        .repartition(col("l_orderkey"))
+        .repartitionByRange(col("l_orderkey"))
         .withColumn("m_str", expr(
         """concat('[', l_linenumber, '|', l_partkey, '|', l_suppkey,
           |  '|', CAST(floor(l_quantity) AS BIGINT),
@@ -54,7 +58,7 @@ object DocQueries {
           memberCols = Seq("l_partkey", "l_quantity", "l_extendedprice", "m_str"),
           sortCols = Seq("l_linenumber", "l_partkey", "l_suppkey"))
         .withColumn("members_str",
-          expr("array_join(transform(members, m -> m.m_str), '')"))
+          array_join(col("members").getField("m_str"), ""))
         .select("l_orderkey", "n_members", "members_str")
         .orderBy("l_orderkey")
     },
@@ -72,7 +76,9 @@ object DocQueries {
         |GROUP BY l_orderkey ORDER BY l_orderkey""",
       "SURVEY §2.1 S15: grouped document → METS-like XML render") { (s, d) =>
       Tables(s, d, "lineitem")
-        .repartition(col("l_orderkey")) // raw columns cross the wire, not XML
+        // raw columns cross the wire, not XML; range so the trailing
+        // total order adds no exchange and no pipeline-re-running sample
+        .repartitionByRange(col("l_orderkey"))
         .select(col("l_orderkey"),
           concat(lit("<file n=\""), col("l_linenumber"), lit("\" q=\""),
             floor(col("l_quantity")).cast("long"), lit("\"/>")).as("m"))

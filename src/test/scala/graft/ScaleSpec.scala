@@ -53,9 +53,12 @@ class ScaleSpec extends SparkSpec {
       "q41_bucketed_neighbors" -> 7, // buckets twice + bucket self-join + sort
       "q59_simhash_neardup" -> 3,    // band self-join (reused exchange) + distinct + sort
       "q60_stratified_sample" -> 1,  // pure per-row hash gate + sort
+      "q61_top_token_share" -> 3,    // token agg + per-doc agg (both partial-agg) + sort
       "q63_token_chunks" -> 1,       // narrow posexplode/slice + sort
       "q64_sequence_packing" -> 2,   // per-lang window + sort
-      "q65_segment_dedup" -> 4)      // segment window + re-assembly agg + flag join + sort
+      "q65_segment_dedup" -> 4,      // segment window + re-assembly agg + flag join + sort
+      "q66_length_window" -> 3,      // per-stratum cutoffs agg (broadcast back) + sort
+      "q67_orientation_vote" -> 2)   // one exchange on the page key feeds both windows + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
@@ -65,18 +68,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("doc-assembly queries shuffle raw columns once, then sort") {
-    // Round-2 verdict item 1: q52 previously shuffled the RENDERED XML
-    // payload twice (one exchange per grouping level). The redesign hash-
-    // repartitions the raw columns on the folder key before any rendering;
-    // both grouping levels and the ORDER window are satisfied by that one
-    // partitioning, so the only other exchange is the trailing total-order
-    // sort. Pinning the counts keeps a third payload shuffle from
-    // sneaking back in.
+  test("doc-assembly queries shuffle raw columns once — ONE exchange total") {
+    // Round-2 verdict item 1, tightened round 4: the raw columns are
+    // RANGE-repartitioned on the folder key before any rendering. Range
+    // on a subset of the grouping keys satisfies both grouping levels and
+    // the ORDER window (clustered distribution) AND the trailing total
+    // order (ordered distribution) — so the sort adds no exchange and,
+    // critically, no range-sampling pass that re-executes the rendering
+    // pipeline (profiles/q52_r4_baseline.jsonl measured that hidden
+    // second execution at ~45% of steady-state work). One exchange,
+    // carrying fields — never rendered XML.
     val designed = Map(
-      "q42_group_doc_nested" -> 2, // raw repartition + sort
-      "q43_mets_render" -> 2,      // raw repartition + sort
-      "q52_mets_full" -> 2)        // raw repartition + sort
+      "q42_group_doc_nested" -> 1, // raw range repartition; sort is local
+      "q43_mets_render" -> 1,      // raw range repartition; sort is local
+      "q52_mets_full" -> 1)        // raw range repartition; sort is local
     designed.foreach { case (name, expected) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       val plan = df.queryExecution.executedPlan.toString
@@ -107,8 +112,10 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "probe shingles must broadcast-join the corpus side")
     val n = plan.linesIterator.count(_.contains("Exchange"))
-    // hit-count groupBy + flag join + total-order sort (broadcasts excluded)
-    assert(n <= 5, s"q62 plans $n exchanges — corpus-side shuffle crept in")
+    // exact (round-3 verdict item 7): probe-side shingle prep + hit-count
+    // groupBy + flag join + total-order sort (broadcast exchanges counted;
+    // the corpus side itself still never hash-shuffles before the join)
+    assert(n === 5, s"q62 plans $n exchanges — corpus-side shuffle crept in")
   }
 
   test("planted hot LSH bucket: AQE splits the skewed candidate self-join") {
