@@ -60,22 +60,54 @@ object CoreQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
-    // F1: compound predicate filter (dao selection, bin/main.py:133-140).
+    // F1: the dao-candidate predicate in its faithful ARRAY form
+    // (bin/main.py:133-140): a did qualifies when SOME dao is a
+    // harvestable pdf (not under /Accessions/, not show="none") and NO
+    // sibling dao is an already-inserted METS dao (the main.py:138
+    // sibling walk). Each order fabricates a two-dao did from its own
+    // columns so every leg of the predicate is exercised; the filter is
+    // EadXml.daoCandidatesNested itself — the operator the harvest
+    // pipeline runs (round-3 verdict item 2: role exclusion re-pointed
+    // at the array form).
     oracle(
       "q02_compound_filter",
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
-        |FROM orders
-        |WHERE contains(o_orderpriority, '-')
-        |  AND NOT contains(o_orderpriority, 'NOT')
-        |  AND o_orderstatus <> 'P'
-        |  AND o_totalprice > 5000.0
+      """WITH base AS (
+        |  SELECT *, [
+        |    struct_pack(
+        |      href := (CASE WHEN o_totalprice > 5000.0 THEN '/f/'
+        |               ELSE '/Accessions/' END) || o_orderkey || '.pdf',
+        |      "show" := CASE WHEN o_orderstatus = 'P' THEN 'none' END,
+        |      role := CAST(NULL AS VARCHAR)),
+        |    struct_pack(
+        |      href := '/m/' || o_orderkey || '.xml',
+        |      "show" := CAST(NULL AS VARCHAR),
+        |      role := CASE WHEN contains(o_orderpriority, 'URGENT')
+        |              THEN 'http://www.loc.gov/METS/' END)
+        |  ] AS daos FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM base
+        |WHERE len(list_filter(daos, d ->
+        |        d.href LIKE '%.pdf' AND NOT contains(d.href, '/Accessions/')
+        |        AND (d."show" IS NULL OR d."show" <> 'none'))) > 0
+        |  AND len(list_filter(daos, d ->
+        |        d.role IS NOT NULL AND d.role = 'http://www.loc.gov/METS/')) = 0
         |ORDER BY o_orderkey""",
-      "SURVEY §2.2 F1: contains/not-contains/<> compound predicate") { (s, d) =>
-      t(s, d, "orders")
-        .filter(col("o_orderpriority").contains("-")
-          && !col("o_orderpriority").contains("NOT")
-          && col("o_orderstatus") =!= "P"
-          && col("o_totalprice") > 5000.0)
+      "SURVEY §2.2 F1: dao-array candidate predicate (pdf + no METS sibling)") { (s, d) =>
+      val withDaos = t(s, d, "orders").withColumn("daos", array(
+        struct(
+          concat(
+            when(col("o_totalprice") > 5000.0, lit("/f/")).otherwise(lit("/Accessions/")),
+            col("o_orderkey"), lit(".pdf")).as("href"),
+          when(col("o_orderstatus") === "P", lit("none"))
+            .otherwise(lit(null).cast("string")).as("show"),
+          lit(null).cast("string").as("role")),
+        struct(
+          concat(lit("/m/"), col("o_orderkey"), lit(".xml")).as("href"),
+          lit(null).cast("string").as("show"),
+          when(col("o_orderpriority").contains("URGENT"),
+            lit(graft.sources.EadXml.MetsRole))
+            .otherwise(lit(null).cast("string")).as("role"))))
+      graft.sources.EadXml.daoCandidatesNested(withDaos)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
         .orderBy("o_orderkey")
     },

@@ -38,8 +38,10 @@ class NestedEadSpec extends SparkSpec {
     EadXml.componentsTree(spark, eadPath)
       .orderBy("depth", "ancestry", "pos")
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6)))
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("parent_id"),
+        r.getAs[String]("ancestry"), r.getAs[Long]("depth"),
+        r.getAs[Long]("pos"), r.getAs[String]("title"),
+        r.getAs[String]("dao_href")))
 
   test("every nested component becomes a row with parent and ancestry carried down") {
     val byId = rows.map(t => t._1 -> t).toMap
@@ -70,10 +72,17 @@ class NestedEadSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val cols = Seq("id", "parent_id", "ancestry", "depth", "pos",
       "title", "dao_show", "dao_href")
-    // the publish.rb writeback semantic: suppress the harvested dao
+    // the publish.rb writeback semantic: suppress the harvested dao —
+    // expressed on the daos ARRAY (the canonical update surface; the
+    // scalar dao_show is a read-only convenience view of daos[0])
     val updated = EadXml.componentsTree(spark, eadPath)
-      .withColumn("dao_show",
-        when(col("id") === "c001-1", lit("none")).otherwise(col("dao_show")))
+      .withColumn("daos",
+        when(col("id") === "c001-1", transform(col("daos"), d =>
+          struct(d("href").as("href"), lit("none").as("show"),
+            d("role").as("role"), d("title").as("title"))))
+          .otherwise(col("daos")))
+      .withColumn("dao_href", get(col("daos"), lit(0))("href"))
+      .withColumn("dao_show", get(col("daos"), lit(0))("show"))
     val xml = EadXml.reconstructTree(updated).head.getString(0)
     val p = Paths.get(tmpDir("nested_ead_rt"), "rt.xml")
     Files.createDirectories(p.getParent)
@@ -126,8 +135,11 @@ class NestedEadSpec extends SparkSpec {
     Files.createDirectories(p.getParent)
     Files.writeString(p, original)
     val updated = EadXml.componentsTree(spark, p.toString)
-      .withColumn("dao_show",
-        when(col("id") === "k1", lit("none")).otherwise(col("dao_show")))
+      .withColumn("daos",
+        when(col("id") === "k1", transform(col("daos"), d =>
+          struct(d("href").as("href"), lit("none").as("show"),
+            d("role").as("role"), d("title").as("title"))))
+          .otherwise(col("daos")))
     val out = EadXml.updateDocument(original, updated)
     // header, prose, declaration, and <dsc>'s own attributes survive
     assert(out.startsWith("""<?xml version="1.0" encoding="UTF-8"?>"""))
@@ -230,6 +242,74 @@ class NestedEadSpec extends SparkSpec {
       df.select(cols: _*).orderBy("depth", "ancestry", "pos")
         .collect().map(_.toSeq).toSeq
     assert(snap(back) === snap(flat))
+  }
+
+  test("multi-dao did flattens to a daos array and round-trips (main.py:518-532 end state)") {
+    // the post-harvest document: original dao PLUS the inserted METS dao
+    // with xlink:role and xlink:title — the shape a single-dao model
+    // cannot carry (round-3 verdict item 1 of "what's missing")
+    val dir = tmpDir("multi_dao")
+    val original =
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+        |  <c id="m1"><did><unittitle>Harvested</unittitle>
+        |    <dao xlink:href="http://x/a.pdf" xlink:show="new"/>
+        |    <dao xlink:href="http://x/a.mets" xlink:role="http://www.loc.gov/METS/" xlink:title="METS: a"/></did></c>
+        |  <c id="m2"><did><unittitle>Plain</unittitle>
+        |    <dao xlink:href="http://x/b.pdf"/></did></c>
+        |</dsc></archdesc></ead>""".stripMargin
+    val p = Paths.get(dir, "multi.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val flat = EadXml.componentsTree(spark, p.toString)
+    val m1 = flat.filter(org.apache.spark.sql.functions.col("id") === "m1")
+      .select("daos").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(m1.map(_.getString(0)) === Seq("http://x/a.pdf", "http://x/a.mets"))
+    assert(m1.map(_.getString(2)) === Seq(null, "http://www.loc.gov/METS/"))
+    assert(m1.map(_.getString(3)) === Seq(null, "METS: a"))
+    // flatten → splice → re-read: both daos and their role/title survive
+    val out = EadXml.updateDocument(original, flat)
+    val p2 = Paths.get(dir, "multi_rt.xml")
+    Files.writeString(p2, out)
+    val back = EadXml.componentsTree(spark, p2.toString)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "title", "daos").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(snap(back) === snap(flat))
+  }
+
+  test("harvest writeback: insertMetsDao appends the METS dao, F1 then excludes the did, idempotently") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("insert_mets")
+    val original =
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+        |  <c id="h1"><did><unittitle>To harvest</unittitle>
+        |    <dao xlink:href="http://x/h1.pdf" xlink:show="new"/></did></c>
+        |  <c id="h2"><did><unittitle>No dao</unittitle></did></c>
+        |</dsc></archdesc></ead>""".stripMargin
+    val p = Paths.get(dir, "h.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val flat = EadXml.componentsTree(spark, p.toString)
+    // F1 (array form) selects h1: a pdf dao and no METS sibling yet
+    assert(EadXml.daoCandidatesNested(flat).select("id")
+      .collect().map(_.getString(0)).toSeq === Seq("h1"))
+    import spark.implicits._
+    val harvested = Seq(("h1", "http://x/h1.mets", "METS: h1"))
+      .toDF("id", "metsHref", "metsTitle")
+    val updated = EadXml.insertMetsDao(flat, harvested)
+    val out = EadXml.updateDocument(original, updated)
+    val p2 = Paths.get(dir, "h_rt.xml")
+    Files.writeString(p2, out)
+    val back = EadXml.componentsTree(spark, p2.toString)
+    val h1 = back.filter(col("id") === "h1").select("daos")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(h1.map(_.getString(0)) === Seq("http://x/h1.pdf", "http://x/h1.mets"))
+    assert(h1(1).getString(2) === EadXml.MetsRole && h1(1).getString(3) === "METS: h1")
+    // the F1 sibling test (main.py:138) now rejects h1 — harvest converges
+    assert(EadXml.daoCandidatesNested(back).isEmpty)
+    // and a re-run of the writeback is a no-op (idempotent)
+    val again = EadXml.insertMetsDao(back, harvested)
+    assert(again.filter(col("id") === "h1").select(size(col("daos")))
+      .head.getInt(0) === 2)
   }
 
   test("round-trip: flattened candidates feed the F1 predicate downstream") {
