@@ -80,4 +80,76 @@ class HarvestSpec extends SparkSpec {
     assert(s1 === s2)
     assert(s1.count(_ == 200) > 100 && s1.exists(_ != 200))
   }
+
+  /** In-process loopback fixture (no egress needed): paths under /docs/
+    * → 200 with a deterministic body, under /auth/ → 401, anything else
+    * → 404 — the status surface main.py:172-196 dispatches on. */
+  private def withLoopbackServer(f: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        val (status, body) =
+          if (path.startsWith("/docs/")) (200, s"pdf-bytes:$path".getBytes("UTF-8"))
+          else if (path.startsWith("/auth/")) (401, Array.empty[Byte])
+          else (404, Array.empty[Byte])
+        ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+        if (body.nonEmpty) ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("REAL JDK transport: status dispatch + body write-if-absent against a loopback server") {
+    withLoopbackServer { base =>
+      val fetcher = new HttpOps.JdkHttpFetcher(timeoutMs = 5000)
+      val work = Seq(s"$base/docs/a.pdf", s"$base/docs/b.pdf",
+        s"$base/auth/c.pdf", s"$base/missing/d.pdf").toDF("href")
+      val got = HttpOps.fetchAll(work, "href", fetcher)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(1), Option(r.getAs[Array[Byte]](2)).map(new String(_, "UTF-8"))))
+        .toMap
+      assert(got(s"$base/docs/a.pdf") === ((200, Some("pdf-bytes:/docs/a.pdf"))))
+      assert(got(s"$base/docs/b.pdf") === ((200, Some("pdf-bytes:/docs/b.pdf"))))
+      assert(got(s"$base/auth/c.pdf") === ((401, None)))
+      assert(got(s"$base/missing/d.pdf") === ((404, None)))
+      // a dead host is a dead-letter row (599), not a job abort
+      val dead = fetcher.fetch("http://127.0.0.1:1/never.pdf")
+      assert(dead === ((599, null)))
+      // write-if-absent (main.py:184-196): first run writes every 200
+      // body, the re-run skips them all and overwrites nothing
+      val dir = tmpDir("bodies")
+      val results = HttpOps.fetchAll(work, "href", fetcher)
+      assert(HttpOps.writeBodiesIfAbsent(results, dir) === ((2L, 0L)))
+      val first = new java.io.File(dir).listFiles().map(f =>
+        f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+      assert(HttpOps.writeBodiesIfAbsent(results, dir) === ((0L, 2L)))
+      val second = new java.io.File(dir).listFiles().map(f =>
+        f.getName -> java.nio.file.Files.readString(f.toPath)).toMap
+      assert(second === first && first.size === 2)
+      assert(first.values.toSet === Set("pdf-bytes:/docs/a.pdf", "pdf-bytes:/docs/b.pdf"))
+    }
+  }
+
+  test("harvest pipeline end-to-end over the REAL transport (loopback)") {
+    withLoopbackServer { base =>
+      val comps = Seq(
+        ("r001", s"$base/docs/a.pdf", null, null, "Folder A"),
+        ("r002", s"$base/auth/b.pdf", null, null, "Locked"),
+        ("r003", s"$base/missing/c.pdf", null, null, "Gone"))
+        .toDF("id", "href", "show", "role", "title")
+      val out = HarvestPipeline.run(spark, comps, tmpDir("harvest_real"),
+        fetcher = new HttpOps.JdkHttpFetcher(timeoutMs = 5000))
+      val byId = out.collect().map(r => r.getString(0) ->
+        (r.getInt(r.fieldIndex("status")), r.getString(r.fieldIndex("show")))).toMap
+      // the same F3 dispatch the stub path exercises, now on real HTTP
+      assert(byId("r001")._1 === 200 && byId("r001")._2 === "new")
+      assert(byId("r002")._1 === 401 && byId("r002")._2 === "none")
+      assert(byId("r003")._1 === 404 && byId("r003")._2 === "none")
+    }
+  }
 }
