@@ -45,13 +45,26 @@ object Bench {
       val steady = if (first >= 0) timed() else -1.0
       (name, first, steady)
     }
-    def jmap(f: ((String, Double, Double)) => Double): String = results
-      .map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+    // The harness preserves only the tail of this process's output
+    // (round-3 verdict: BENCH_r03's first-run map was truncated away), so
+    // the stdout line is COMPACT — short qNN keys, centisecond precision,
+    // both maps ≈ 1.8 kB — and the full-fidelity record (full names,
+    // nanosecond-derived doubles) goes to BENCH_FULL.json alongside it.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    def jmap(f: ((String, Double, Double)) => Double, key: String => String): String =
+      results.map(t => "\"" + key(t._1) + "\":" + f"${f(t)}%.2f").mkString("{", ",", "}")
+    def jmapFull: String = results
+      .map(t => s""""${t._1}":[${t._2},${t._3}]""").mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val steadyTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(_._2)},"steady":${jmap(_._3)},""" +
-      s""""steady_total":$steadyTotal,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir",""" +
+        f""""steady_total":$steadyTotal%.2f,"keys":"qNN = <qNN>_* first-run | steady; full record in BENCH_FULL.json",""" +
+        s""""queries":${jmap(_._2, shortKey)},"steady":${jmap(_._3, shortKey)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""steady_total":$steadyTotal,"pairs_first_steady":$jmapFull}\n""")
+    println(line)
     spark.stop()
   }
 }
