@@ -218,7 +218,19 @@ object DedupOps {
       .localCheckpoint()
     var converged = false
     var rounds = 0
-    var edgeCount = edges.count()
+    // set-equality probe state: (cardinality, order-independent bit_xor
+    // checksum of the pair hashes) in ONE aggregate job (round-3 verdict
+    // item 5 — previously a count plus a separate exceptAll job per
+    // round). bit_xor never overflows (sum would throw under ANSI), and
+    // both frames are distinct sets, so equal (count, checksum) is
+    // set-equality up to a 2⁻⁶⁴-class hash collision — which the exact
+    // exceptAll verify below rules out on the one round it can trigger.
+    def setStats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var (edgeCount, edgeSum) = setStats(edges)
     while (!converged && rounds < maxIters) {
       // large-star: every node u computes m = min(Γ(u) ∪ {u}) over its
       // FULL (symmetrized) neighborhood and rewires each strictly-larger
@@ -243,11 +255,16 @@ object DedupOps {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      // set equality via carried count + one-way except (both distinct)
-      val nextCount = next.count()
-      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+      // ONE probe job per round; the exact verify runs only when the
+      // cheap (count, checksum) pair already matches — i.e. at most once,
+      // on the convergence round itself (or a vanishingly-unlikely
+      // collision round, where it correctly reports inequality)
+      val (nextCount, nextSum) = setStats(next)
+      converged = nextCount == edgeCount && nextSum == edgeSum &&
+        next.exceptAll(edges).isEmpty
       edges = next
       edgeCount = nextCount
+      edgeSum = nextSum
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(
