@@ -693,5 +693,59 @@ object NorthStarQueries {
       TextOps.lengthWindowFilter(Tables(s, d, "documents"))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // The full orientation vote as a driver-checked query
+    // (bin/orient_image.sh:55-80; round-3 verdict item 8): explode 4
+    // rotation candidates per page → OCR → cheap word-count score →
+    // bottom-2 survivors → costly misspelled-count score (survivors
+    // ONLY) → argmin winner. Pages fabricate deterministic content from
+    // doc_id, so the stub OCR adapter's scores are pure functions of the
+    // same 32-bit polynomial hash in both engines: the oracle replays
+    // h = fold(31·h + byte) over the content bytes with list_reduce
+    // (mask & 4294967295 keeps Java's int wraparound; all downstream
+    // uses are & 3 / & 7 / & 15, which agree between floorMod and
+    // two's-complement masking), derives each rotation's (wc,
+    // misspelled) from the rotation-offset class k = (r/90 − (h&3)) & 3
+    // — k=0 clean 9-word text (0 misspelled), k=2 same-length garble
+    // (4), sideways junk 16/16 — and runs the identical two-window
+    // prune-then-argmin. The costly score never touching pruned rows is
+    // the operator's contract (OrientOpsSpec proves survivors-only).
+    oracle(
+      "q67_orientation_vote",
+      """WITH pages AS (
+        |  SELECT doc_id AS page_id, 'pg' || doc_id AS s FROM documents),
+        |hashed AS (
+        |  SELECT page_id, list_reduce(
+        |      [CAST(17 AS BIGINT)] || list_transform(range(1, length(s) + 1),
+        |        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) & 4294967295) AS h
+        |  FROM pages),
+        |scored AS (
+        |  SELECT page_id, CAST(r AS BIGINT) AS rotation,
+        |    CASE ((r // 90) - (h & 3)) & 3 WHEN 0 THEN 9 WHEN 2 THEN 9
+        |         ELSE 16 END AS wc,
+        |    CASE ((r // 90) - (h & 3)) & 3 WHEN 0 THEN 0 WHEN 2 THEN 4
+        |         ELSE 16 END AS misspelled
+        |  FROM hashed CROSS JOIN (SELECT unnest([0, 90, 180, 270]) AS r)),
+        |surv AS (
+        |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY page_id
+        |           ORDER BY wc, rotation) AS cr FROM scored)
+        |  WHERE cr <= 2),
+        |win AS (
+        |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY page_id
+        |           ORDER BY misspelled, wc, rotation) AS fr FROM surv)
+        |  WHERE fr = 1)
+        |SELECT page_id, rotation, CAST(wc AS BIGINT) AS wc,
+        |  CAST(misspelled AS BIGINT) AS misspelled
+        |FROM win ORDER BY page_id""",
+      "SURVEY §2.4 A4/A5 + §2.5 T1/T2: staged orientation vote end-to-end") { (s, d) =>
+      val pages = Tables(s, d, "documents").select(
+        col("doc_id").as("page_id"),
+        concat(lit("pg"), col("doc_id")).cast("binary").as("content"))
+      graft.operators.OrientOps.orientationVote(pages, Seq("page_id"))
+        .select(col("page_id"), col("rotation").cast("long").as("rotation"),
+          col("wc"), col("misspelled"))
+        .orderBy("page_id")
     })
 }
