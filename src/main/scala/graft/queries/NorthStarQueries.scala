@@ -747,5 +747,56 @@ object NorthStarQueries {
         .select(col("page_id"), col("rotation").cast("long").as("rotation"),
           col("wc"), col("misspelled"))
         .orderBy("page_id")
+    },
+
+    // Duplicated-n-gram fraction (Gopher-style repetition filter): the
+    // share of each doc's 3-gram OCCURRENCES whose gram repeats within
+    // the doc. All-integer counts + one double division; docs with < 3
+    // tokens appear with zero counts and a NULL ratio.
+    oracle(
+      "q68_dup_ngrams",
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN
+         |      list_transform(range(1, len(tk) - 1),
+         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g
+         |  FROM ($TK)),
+         |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS a_grams,
+         |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS a_dup
+         |  FROM cnt GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.a_grams, 0) AS n_grams,
+         |  coalesce(a.a_dup, 0) AS n_dup_grams,
+         |  CASE WHEN a.a_grams > 0 THEN CAST(a.a_dup AS DOUBLE) / a.a_grams
+         |       END AS dup_ratio
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""",
+      "Quality: duplicated-n-gram fraction (repetition filter)") { (s, d) =>
+      TextOps.dupNgramStats(Tables(s, d, "documents")).orderBy("doc_id")
+    },
+
+    // Rare-term salience: per-doc top-3 terms by tf·N/df (TF-IDF's rank
+    // without ln — not bit-stable cross-engine; one integer product +
+    // one double division is). Ties (score desc, term asc).
+    oracle(
+      "q69_rare_terms",
+      s"""WITH tf AS (
+         |  SELECT doc_id, unnest(tk) AS t FROM ($TK)),
+         |tfc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tf GROUP BY 1, 2),
+         |dfc AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, t, tf, df,
+         |    CAST(tf * n_docs AS DOUBLE) / df AS score
+         |  FROM tfc JOIN dfc USING (t) CROSS JOIN n),
+         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |         ORDER BY score DESC, t) AS BIGINT) AS rk FROM scored)
+         |SELECT doc_id, rk, t, tf, df, score FROM rk WHERE rk <= 3
+         |ORDER BY doc_id, rk""",
+      "Text analysis: per-doc top-k rare-term salience (log-free TF-IDF rank)") { (s, d) =>
+      TextOps.rareTerms(Tables(s, d, "documents")).orderBy("doc_id", "rk")
     })
 }

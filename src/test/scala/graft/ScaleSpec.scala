@@ -26,7 +26,8 @@ class ScaleSpec extends SparkSpec {
     // that is the scale shape, not an accident. Everything else must
     // plan hash/sort-merge equi-joins.
     val bounded = Set("q39_cosine_topk", "q40_hyperplane_buckets",
-      "q41_bucketed_neighbors", "q54_cosine_neardup", "q56_ivf_neighbors")
+      "q41_bucketed_neighbors", "q54_cosine_neardup", "q56_ivf_neighbors",
+      "q69_rare_terms") // 1-row corpus-count side, broadcast by construction
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -58,7 +59,9 @@ class ScaleSpec extends SparkSpec {
       "q64_sequence_packing" -> 2,   // per-lang window + sort
       "q65_segment_dedup" -> 4,      // segment window + re-assembly agg + flag join + sort
       "q66_length_window" -> 3,      // per-stratum cutoffs agg (broadcast back) + sort
-      "q67_orientation_vote" -> 2)   // one exchange on the page key feeds both windows + sort
+      "q67_orientation_vote" -> 2,   // one exchange on the page key feeds both windows + sort
+      "q68_dup_ngrams" -> 4,         // gram agg + doc agg + completeness join-back + sort
+      "q69_rare_terms" -> 6)         // ONE tf subtree: tf agg + df window + top-k window + sort (a groupBy+join df formulation re-executed the whole tf subtree: 8)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
