@@ -237,8 +237,20 @@ object DedupOps {
       // neighbor v > u to m. No distinct here: duplicate (u,v) emissions
       // are harmless to the min-aggregation below and the round's final
       // distinct — dropping it saves a full shuffle per round.
+      // Each star phase is a groupBy-min JOINED back to the same frame.
+      // Both consumers cluster on `u`, so ONE explicit repartition(u)
+      // serves the aggregate AND the join side: neither adds an
+      // exchange (subset-of-keys rule), and because the two reads of
+      // `sym`/`large` are the identical canonicalized exchange subtree,
+      // Spark's exchange reuse executes it ONCE per phase instead of
+      // twice. Wall time here is stage latency, not compute
+      // (profiles: ~45 stages for < 3 task-seconds of work at sf0.1) —
+      // fewer exchanges per round is what shrinks the fixpoint.
+      // groupBy (partial-agg) rather than a min-over-window keeps hot
+      // star centers map-side-combined instead of buffered per key.
       val sym = edges.unionAll(
         edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val largeMin = sym.groupBy("u")
         .agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
@@ -246,6 +258,7 @@ object DedupOps {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
+        .repartition(col("u"))
       // small-star: over child→parent edges, each child u rewires its
       // parents (all < u) and itself to m = min(parents)
       val smallMin = large.groupBy("u").agg(min("v").as("m"))
