@@ -135,6 +135,77 @@ class HarvestSpec extends SparkSpec {
     }
   }
 
+  test("harvest last mile: EAD document -> pipeline -> METS-dao writeback -> converged document") {
+    import java.nio.file.{Files, Paths}
+    // the full reference loop (main.py:122-140 select, :172-196 fetch,
+    // :518-532 writeback): flatten a real document, select candidates
+    // with the ARRAY-form F1, run the checkpointed pipeline, append the
+    // METS dao for every 200, splice the document — and prove the
+    // harvest CONVERGES: re-reading the written document yields no new
+    // candidates, while failed fetches remain candidates for a retry.
+    val original =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<ead xmlns:xlink="http://www.w3.org/1999/xlink">
+        |<eadheader><eadid>LM001</eadid></eadheader>
+        |<archdesc><dsc>
+        |  <c id="lm1"><did><unittitle>Will fetch</unittitle>
+        |    <dao xlink:href="http://x/docs/lm1.pdf" xlink:show="new"/></did></c>
+        |  <c id="lm2"><did><unittitle>No dao</unittitle></did></c>
+        |  <c id="lm3"><did><unittitle>Done before</unittitle>
+        |    <dao xlink:href="http://x/docs/lm3.pdf"/>
+        |    <dao xlink:href="http://x/docs/lm3.mets" xlink:role="http://www.loc.gov/METS/" xlink:title="METS: lm3"/></did></c>
+        |</dsc></archdesc></ead>""".stripMargin
+    val p = Paths.get(tmpDir("last_mile"), "lm.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val flat = EadXml.componentsTree(spark, p.toString)
+    // array-form F1: lm1 only (lm2 has no dao, lm3 has the METS sibling)
+    val cands = EadXml.daoCandidatesNested(flat)
+    assert(cands.select("id").as[String].collect().toSeq === Seq("lm1"))
+    // pipeline input: one row per candidate pdf dao
+    val work = cands.select(col("id"), col("title"),
+        explode(col("daos")).as("dao"))
+      .filter(col("dao.href").contains(".pdf"))
+      .select(col("id"), col("dao.href").as("href"),
+        col("dao.show").as("show"), col("dao.role").as("role"),
+        col("title"))
+    val out = HarvestPipeline.run(spark, work, tmpDir("last_mile_ckpt"))
+    // every 200 gets the METS dao appended; stub statuses are
+    // deterministic, so dispatch on what the pipeline actually returned
+    val harvested = out.filter(col("status") === 200)
+      .select(col("id"),
+        concat(regexp_replace(col("href"), "\\.pdf$", ""), lit(".mets")).as("metsHref"),
+        concat(lit("METS: "), col("id")).as("metsTitle"))
+    val nHarvested = harvested.count()
+    val updated = EadXml.insertMetsDao(flat, harvested)
+    val spliced = EadXml.updateDocument(original, updated)
+    assert(spliced.contains("<eadid>LM001</eadid>")) // header untouched
+    val p2 = Paths.get(tmpDir("last_mile2"), "lm2.xml")
+    Files.createDirectories(p2.getParent)
+    Files.writeString(p2, spliced)
+    val back = EadXml.componentsTree(spark, p2.toString)
+    // lm3's pre-existing pair survived verbatim
+    val lm3 = back.filter(col("id") === "lm3").select("daos")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(lm3.length === 2 && lm3(1).getString(3) === "METS: lm3")
+    // harvested components now carry the inserted METS dao...
+    val lm1 = back.filter(col("id") === "lm1").select("daos")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    if (nHarvested == 1L) {
+      assert(lm1.length === 2)
+      assert(lm1(1).getString(0) === "http://x/docs/lm1.mets")
+      assert(lm1(1).getString(2) === EadXml.MetsRole)
+      // ...and the document has CONVERGED: F1 finds nothing new
+      assert(EadXml.daoCandidatesNested(back).isEmpty)
+    } else {
+      // stub returned a non-200 for lm1: it must still be a candidate
+      // (the retry semantics), and the document must be unchanged there
+      assert(lm1.length === 1)
+      assert(EadXml.daoCandidatesNested(back).select("id")
+        .as[String].collect().toSeq === Seq("lm1"))
+    }
+  }
+
   test("harvest pipeline end-to-end over the REAL transport (loopback)") {
     withLoopbackServer { base =>
       val comps = Seq(
