@@ -51,15 +51,19 @@ object Bench {
     // both maps ≈ 1.8 kB — and the full-fidelity record (full names,
     // nanosecond-derived doubles) goes to BENCH_FULL.json alongside it.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
+    // Locale.ROOT: the f-interpolator formats through the DEFAULT locale,
+    // which renders "12,34" on comma-decimal locales — invalid JSON
+    def d2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def jmap(f: ((String, Double, Double)) => Double, key: String => String): String =
-      results.map(t => "\"" + key(t._1) + "\":" + f"${f(t)}%.2f").mkString("{", ",", "}")
+      results.map(t => "\"" + key(t._1) + "\":" + d2(f(t))).mkString("{", ",", "}")
     def jmapFull: String = results
       .map(t => s""""${t._1}":[${t._2},${t._3}]""").mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val steadyTotal = results.map(_._3).sum
     val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir",""" +
-        f""""steady_total":$steadyTotal%.2f,"keys":"qNN = <qNN>_* first-run | steady; full record in BENCH_FULL.json",""" +
+      s"""{"metric":"total","value":${d2(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""steady_total":${d2(steadyTotal)},"keys":"qNN = <qNN>_* first-run | steady; full record in BENCH_FULL.json",""" +
         s""""queries":${jmap(_._2, shortKey)},"steady":${jmap(_._3, shortKey)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +

@@ -28,6 +28,9 @@ object Q52Profile {
       peakMemMB: Double)
 
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats via the default locale; comma-decimal
+    // locales would make the committed profile records invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val queryName = args.headOption.getOrElse("q52_mets_full")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -87,7 +87,7 @@ object CoreQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
         |FROM base
         |WHERE len(list_filter(daos, d ->
-        |        d.href LIKE '%.pdf' AND NOT contains(d.href, '/Accessions/')
+        |        contains(d.href, '.pdf') AND NOT contains(d.href, '/Accessions/')
         |        AND (d."show" IS NULL OR d."show" <> 'none'))) > 0
         |  AND len(list_filter(daos, d ->
         |        d.role IS NOT NULL AND d.role = 'http://www.loc.gov/METS/')) = 0

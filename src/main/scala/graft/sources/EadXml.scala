@@ -148,12 +148,21 @@ object EadXml {
         def fieldOpt(d: Column, name: String): Column =
           if (elemT.fieldNames.contains(name)) d.getField(name).cast("string")
           else lit(null).cast("string")
-        transform(asArray(c.getField("did").getField("dao"), daoT), d =>
+        // a dao-LESS did in a bare-struct-schema corpus surfaces as a
+        // NULL struct; array(NULL) must normalize to "no daos", not to
+        // [struct(null,null,null,null)] — which reconstructTree would
+        // serialize as a spurious <dao/> into every dao-less component
+        // (caught by review probe). Drop null elements first and map an
+        // empty result to NULL.
+        val present = filter(asArray(c.getField("did").getField("dao"), daoT),
+          d => d.isNotNull)
+        when(size(present) > 0, transform(present, d =>
           struct(
             fieldOpt(d, "_xlink:href").as("href"),
             fieldOpt(d, "_xlink:show").as("show"),
             fieldOpt(d, "_xlink:role").as("role"),
-            fieldOpt(d, "_xlink:title").as("title")))
+            fieldOpt(d, "_xlink:title").as("title"))))
+          .otherwise(noDaos)
       case _ => noDaos
     }
   }
@@ -367,8 +376,13 @@ object EadXml {
     * that already carries a METS-role dao is left untouched (the same
     * sibling test F1 uses to exclude it, `bin/main.py:138`). */
   def insertMetsDao(components: DataFrame, harvested: DataFrame): DataFrame = {
+    // dedup by id: a did with several harvestable pdf daos yields several
+    // pipeline rows, and a duplicated join key would duplicate the whole
+    // component row — reconstructTree would then render the <c> subtree
+    // twice (reviewed round 4). One METS dao per component, by contract.
     val h = harvested.select(col("id").as("h_id"),
       col("metsHref").as("h_href"), col("metsTitle").as("h_title"))
+      .dropDuplicates("h_id")
     components.join(broadcast(h), col("id") === col("h_id"), "left")
       .withColumn("daos",
         when(col("h_id").isNotNull

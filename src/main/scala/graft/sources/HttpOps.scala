@@ -73,20 +73,40 @@ object HttpOps {
         val status = resp.statusCode()
         (status, if (status == 200) resp.body() else null)
       } catch {
-        case _: java.io.IOException | _: InterruptedException => (599, null)
+        // restore the interrupt flag: Spark cancels tasks by interrupting
+        // the thread, and swallowing it would make the partition keep
+        // fetching every remaining URL after a job kill (reviewed round 4)
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); (599, null)
+        // includes IllegalArgumentException from URI.create on malformed
+        // hand-keyed hrefs — a bad URL is a dead-letter row, not a job
+        // abort (the documented contract)
+        case scala.util.control.NonFatal(_) => (599, null)
       }
   }
 
   /** Body write-if-absent (`bin/main.py:184-196`): persist each 200
     * body to `<dir>/<name>` unless the file already exists — the
     * reference's "skip downloads whose output is on disk" idempotence
-    * (F7), executor-parallel. CREATE_NEW makes existence-check-and-write
-    * atomic per file, so a concurrent re-run never truncates or
-    * interleaves a file that is already there; rows whose write was
-    * skipped are counted, not failed. Returns (written, skipped). */
+    * (F7), executor-parallel. Each body lands via a unique temp file +
+    * ATOMIC_MOVE: a task killed mid-write leaves only a temp (swept by
+    * the final-state janitor pattern), never a truncated file that every
+    * re-run would then "skip" as done (reviewed round 4) — the visible
+    * file is complete or absent. Existing files short-circuit to
+    * skipped before any write; two LIVE racers on one URL write the
+    * same bytes, so the atomic rename's last-wins replace (POSIX) or
+    * FileAlreadyExistsException (elsewhere) are both benign — the
+    * visible file is always one writer's complete body. Returns
+    * (written, skipped).
+    *
+    * `results` is consumed by ONE action here, but it is a lazily
+    * recomputed plan like any DataFrame: if it wraps a live [[fetchAll]]
+    * (rather than the pipeline's parquet checkpoint of it), this action
+    * re-downloads — persist/checkpoint the fetch output first when the
+    * bodies were already materialized for checksums. */
   def writeBodiesIfAbsent(results: DataFrame, dir: String,
       nameCol: String = "url"): (Long, Long) = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val counts = results
       .filter(col("status") === 200 && col("body").isNotNull)
       .select(col(nameCol).cast("string"), col("body"))
@@ -95,11 +115,20 @@ object HttpOps {
         rows.foreach { r =>
           val name = java.net.URLEncoder.encode(r.getString(0), "UTF-8")
           val p = Paths.get(dir, name)
-          try {
-            Files.write(p, r.getAs[Array[Byte]](1),
-              StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-            written += 1
-          } catch { case _: java.nio.file.FileAlreadyExistsException => skipped += 1 }
+          if (Files.exists(p)) skipped += 1
+          else {
+            val tmp = Paths.get(dir,
+              s".$name._body_${java.util.UUID.randomUUID()}")
+            try {
+              Files.createDirectories(tmp.getParent)
+              Files.write(tmp, r.getAs[Array[Byte]](1))
+              Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+              written += 1
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                Files.deleteIfExists(tmp); skipped += 1
+            }
+          }
         }
         Iterator((written, skipped))
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))

@@ -120,6 +120,10 @@ class HarvestSpec extends SparkSpec {
       // a dead host is a dead-letter row (599), not a job abort
       val dead = fetcher.fetch("http://127.0.0.1:1/never.pdf")
       assert(dead === ((599, null)))
+      // so is a MALFORMED href (URI.create throws IllegalArgumentException,
+      // not IOException — hand-keyed EAD links contain spaces)
+      assert(fetcher.fetch("http://x/a b.pdf") === ((599, null)))
+      assert(fetcher.fetch("not a url at all") === ((599, null)))
       // write-if-absent (main.py:184-196): first run writes every 200
       // body, the re-run skips them all and overwrites nothing
       val dir = tmpDir("bodies")

@@ -312,6 +312,57 @@ class NestedEadSpec extends SparkSpec {
       .head.getInt(0) === 2)
   }
 
+  test("dao-less did in a single-dao-schema corpus: daos stays NULL, no phantom <dao/> on reconstruct") {
+    // with a bare-struct dao schema (the corpus norm), a dao-less did
+    // surfaces a NULL struct; normalizing it into [struct(null,...)]
+    // would make reconstructTree write a spurious <dao/> into every
+    // dao-less component — permanent document corruption the round-trip
+    // compare cannot see (the phantom re-flattens identically).
+    val dir = tmpDir("phantom_dao")
+    val p = Paths.get(dir, "pd.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+        |  <c id="s1"><did><unittitle>Has dao</unittitle>
+        |    <dao xlink:href="http://x/s1.pdf"/></did></c>
+        |  <c id="s2"><did><unittitle>No dao</unittitle></did></c>
+        |</dsc></archdesc></ead>""".stripMargin)
+    val flat = EadXml.componentsTree(spark, p.toString)
+    assert(flat.filter(org.apache.spark.sql.functions.col("id") === "s2")
+      .select("daos").head.isNullAt(0), "dao-less did must have NULL daos")
+    val xml = EadXml.reconstructTree(flat).head.getString(0)
+    assert(!xml.contains("<dao/>"), s"phantom dao rendered: $xml")
+    assert(xml.contains("""<dao xlink:href="http://x/s1.pdf"/>"""))
+  }
+
+  test("insertMetsDao appends ONE METS dao even when harvested lists an id twice") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a did with two harvestable pdf daos produces two pipeline rows; a
+    // duplicated join key would duplicate the component row and the
+    // reconstructed document would render the <c> subtree twice.
+    val dir = tmpDir("dup_harvest")
+    val p = Paths.get(dir, "dh.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+        |  <c id="d1"><did><unittitle>Two pdfs</unittitle>
+        |    <dao xlink:href="http://x/d1a.pdf"/>
+        |    <dao xlink:href="http://x/d1b.pdf"/></did></c>
+        |</dsc></archdesc></ead>""".stripMargin)
+    val flat = EadXml.componentsTree(spark, p.toString)
+    val harvested = Seq(
+      ("d1", "http://x/d1a.mets", "METS: d1"),
+      ("d1", "http://x/d1a.mets", "METS: d1"))
+      .toDF("id", "metsHref", "metsTitle")
+    val updated = EadXml.insertMetsDao(flat, harvested)
+    assert(updated.count() === 1L, "duplicate harvested ids duplicated the component row")
+    val daos = updated.select("daos").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(daos.length === 3, s"expected 2 originals + 1 METS dao, got ${daos.length}")
+    val xml = EadXml.reconstructTree(updated).head.getString(0)
+    assert("<c id=\"d1\">".r.findAllIn(xml).size === 1)
+  }
+
   test("round-trip: flattened candidates feed the F1 predicate downstream") {
     val cands = EadXml.daoCandidates(
       EadXml.componentsTree(spark, eadPath)
