@@ -39,4 +39,30 @@ object SampleOps {
       concat(lit(s"$salt:"), col(keyCol).cast("string")))
     df.filter((h % 1000000L) < gate)
   }
+
+  /** Per-source quota cap — the data-MIXING half of sampling: each
+    * source contributes at most `quota` documents, chosen by hash rank
+    * rather than arrival order, so the selection is a deterministic
+    * pure function of (source, key) — stable across runs, partitionings,
+    * and corpus growth in every source that is already at quota (a new
+    * doc can displace the highest-ranked member only within its own
+    * source). The mixing-weights table of a training run is exactly a
+    * per-source quota/rate vector; this is the quota form, with
+    * [[stratifiedSample]] the rate form.
+    *
+    * Shape at 100 TB: one window partitioned by source (high fan-out
+    * strata assumed; a single mega-source is the skew case — pre-gate it
+    * with [[stratifiedSample]] to bound the window's input). Ties cannot
+    * happen: the hash is salted with the unique key, and the key itself
+    * is the final tiebreak. */
+  def sourceQuota(df: DataFrame, sourceCol: String, keyCol: String,
+      quota: Long, salt: String = "mix"): DataFrame = {
+    require(quota >= 0L, s"quota must be >= 0, got $quota")
+    val h = graft.functions.Scalars.h60(
+      concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("mix_rank", row_number().over(w).cast("long"))
+      .filter(col("mix_rank") <= quota)
+  }
 }

@@ -798,5 +798,60 @@ object NorthStarQueries {
          |ORDER BY doc_id, rk""",
       "Text analysis: per-doc top-k rare-term salience (log-free TF-IDF rank)") { (s, d) =>
       TextOps.rareTerms(Tables(s, d, "documents")).orderBy("doc_id", "rk")
+    },
+
+    // Per-source quota cap — the mixing-weights half of sampling: each
+    // source contributes its `quota` lowest-hash documents, a pure
+    // function of (source, doc_id) — stable across runs, partitionings,
+    // and corpus growth in at-quota sources.
+    oracle(
+      "q70_source_quota",
+      s"""WITH rk AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${h60d("'mix:' || doc_id")}, doc_id) AS BIGINT) AS mix_rank
+         |  FROM documents)
+         |SELECT doc_id, source, mix_rank FROM rk WHERE mix_rank <= 10
+         |ORDER BY doc_id""",
+      "Sampling: deterministic per-source quota cap (data mixing)") { (s, d) =>
+      graft.operators.SampleOps.sourceQuota(
+          Tables(s, d, "documents"), "source", "doc_id", quota = 10L)
+        .select("doc_id", "source", "mix_rank")
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: emails then long digit runs, with per-pattern
+    // counts. Every 7th doc gets deterministic fabricated PII appended
+    // so the patterns actually fire; the oracle fabricates and redacts
+    // identically (Java ≡ RE2 on the lookaround-free common subset).
+    oracle(
+      "q71_pii_redaction",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || doc_id || '@mail.example ref '
+        |           || (doc_id * 37 + 1000000)
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
+        |    AS n_long_numbers,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted_text
+        |FROM aug ORDER BY doc_id""",
+      "Quality: ordered PII-pattern redaction with per-pattern counts") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@mail.example ref "), col("doc_id") * 37 + 1000000L))
+            .otherwise(lit(""))).as("text"))
+      TextOps.redacted(aug)
+        .select("doc_id", "n_emails", "n_long_numbers", "redacted_text")
+        .orderBy("doc_id")
     })
 }
