@@ -34,6 +34,14 @@ object Bench {
     // expression-heavy queries). A query that throws records -1.0.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Double = {
+        // start every timed run from a collected heap: without this, a
+        // payload query's SECOND run inherits the first run's multi-GB
+        // garbage and pays its predecessor's full GC inside the timer
+        // (q52 steady measured 34-47 s in-bench vs 5-13 s in the
+        // committed isolated profiles — the gap is inherited heap debt
+        // plus host noise, not the query). The collection runs BEFORE
+        // t0, so timings exclude it symmetrically for every run.
+        System.gc()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
