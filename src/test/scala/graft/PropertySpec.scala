@@ -156,6 +156,75 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction is idempotent and removes every pattern occurrence") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 60L).map { i =>
+      val pii = i % 3 match {
+        case 0 => s" mail me at person$i@host$i.example or p$i@x.co"
+        case 1 => s" account ${100000L + i * 7919L} pin ${900000L + i}"
+        case _ => ""
+      }
+      (i, s"plain words number ${i % 100} short 123$pii tail")
+    }.toDF("doc_id", "text")
+    val once = TextOps.redacted(docs)
+      .select("doc_id", "n_emails", "n_long_numbers", "redacted_text")
+    val onceRows = once.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    onceRows.values.foreach { case (_, _, t) =>
+      // nothing matchable survives a pass (short numbers like 123 stay)
+      assert(!t.matches(s".*${TextOps.EmailRe}.*"), s"email survived: $t")
+      assert(!t.matches(s".*${TextOps.LongNumRe}.*"), s"long number survived: $t")
+    }
+    // a second pass is a no-op: placeholders contain no redactable text
+    val twice = TextOps.redacted(once.select(col("doc_id"),
+        col("redacted_text").as("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_long_numbers"),
+          r.getAs[String]("redacted_text"))).toMap
+    twice.foreach { case (id, (e, n, t)) =>
+      assert(e === 0L && n === 0L && t === onceRows(id)._3)
+    }
+    // counts fire where PII was planted
+    assert((3L to 60L by 3L).forall(i => onceRows(i)._1 === 2L))
+    assert((1L to 60L).filter(_ % 3 == 1).forall(i => onceRows(i)._2 === 2L))
+  }
+
+  test("source quota selection is stable when OTHER sources grow (mixing reproducibility)") {
+    import graft.operators.SampleOps
+    val base = (1L to 300L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    val grown = base.unionByName(
+      (1000L to 1100L).map(i => (i, "srcNEW")).toDF("doc_id", "source"))
+    def picks(df: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+      SampleOps.sourceQuota(df, "source", "doc_id", quota = 7L)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2).toSet }
+    val before = picks(base)
+    val after = picks(grown)
+    // the original sources' selections are untouched by the new source
+    assert(before.forall { case (s, ids) => after(s) === ids })
+    assert(after("srcNEW").size === 7)
+    // and every selection is a pure function of (source, key): re-run equal
+    assert(picks(base) === before)
+  }
+
+  test("dup-ngram stats equal a brute-force per-document count") {
+    import graft.operators.TextOps
+    val docs = (1L to 40L).map { i =>
+      val words = Seq.fill(3 + rnd.nextInt(25))(s"w${rnd.nextInt(6)}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextOps.dupNgramStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.collect().foreach { r =>
+      val toks = r.getString(1).split(" ")
+      val grams = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val dup = counts.values.filter(_ >= 2).sum.toLong
+      assert(got(r.getLong(0)) === ((grams.size.toLong, dup)))
+    }
+  }
+
   test("length-window filter trims NULL-stratum docs in their own window, not to zero") {
     import graft.operators.TextOps
     import org.apache.spark.sql.functions._
