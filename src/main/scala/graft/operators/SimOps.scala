@@ -191,4 +191,41 @@ object SimOps {
       .withColumn("cosine", expr(s"${dotX("emb_a", "emb_b")} / (norm_a * norm_b)"))
       .select("bucket", "a", "b", "cosine")
   }
+
+  /** Symmetric int8 quantization of the embedding column — the
+    * compression step vector stores and ANN serving run at corpus scale
+    * (4× smaller than float32; the per-vector scale is the standard
+    * max-abs/127 symmetric scheme). Per-row, shuffle-free.
+    *
+    * Cross-engine determinism: max-abs is an order-independent exact
+    * fold; the quantizer is `clamp(floor(x/scale + 0.5), ±127)` WRITTEN
+    * OUT in both engines rather than `round()` (engine tie-breaking
+    * semantics differ; floor(+0.5) is one deterministic formula);
+    * reconstruction error folds sequentially in double (the cosine
+    * discipline), and float→double casts are exact. Zero vectors take
+    * scale 0 and quantize to all-zeros rather than dividing by zero.
+    *
+    * Output: vec_id, n_dims, qscale, sum_q_abs (integer checksum of the
+    * quantized codes — hash-comparable), mse (mean squared
+    * reconstruction error). */
+  def int8Quantized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("qscale", expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |  (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0D""".stripMargin))
+      .withColumn("qvec", expr(
+        """CASE WHEN qscale = 0.0D THEN transform(embedding, x -> 0L)
+          |ELSE transform(embedding, x ->
+          |  CAST(greatest(-127.0D, least(127.0D,
+          |    floor(CAST(x AS DOUBLE) / qscale + 0.5D))) AS BIGINT)) END""".stripMargin))
+      .withColumn("n_dims", expr("CAST(size(embedding) AS BIGINT)"))
+      .withColumn("sum_q_abs", expr(
+        "aggregate(qvec, 0L, (a, q) -> a + abs(q))"))
+      .withColumn("mse", expr(
+        """CASE WHEN size(embedding) = 0 THEN NULL ELSE
+          |  aggregate(zip_with(embedding, qvec, (x, q) ->
+          |      (CAST(x AS DOUBLE) - q * qscale)
+          |        * (CAST(x AS DOUBLE) - q * qscale)),
+          |    CAST(0.0 AS DOUBLE), (a, e) -> a + e) / size(embedding)
+          |END""".stripMargin))
 }

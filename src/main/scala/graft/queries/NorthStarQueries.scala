@@ -853,5 +853,43 @@ object NorthStarQueries {
       TextOps.redacted(aug)
         .select("doc_id", "n_emails", "n_long_numbers", "redacted_text")
         .orderBy("doc_id")
+    },
+
+    // Symmetric int8 embedding quantization: per-vector max-abs/127
+    // scale, clamp(floor(x/scale + 0.5), ±127) codes (one deterministic
+    // formula — engine round() tie semantics differ), sequential-fold
+    // reconstruction MSE. sum_q_abs is the integer checksum of the
+    // codes, so the hash compare pins every quantized value.
+    oracle(
+      "q72_int8_quant",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  qscale,
+        |  CAST(list_reduce([0] || list_transform(qvec, q -> abs(q)),
+        |    (a, q) -> a + q) AS BIGINT) AS sum_q_abs,
+        |  CASE WHEN len(embedding) = 0 THEN NULL ELSE
+        |    list_reduce([CAST(0.0 AS DOUBLE)] ||
+        |      list_transform(range(1, len(embedding) + 1), i ->
+        |        (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - qvec[CAST(i AS INT)] * qscale)
+        |          * (CAST(embedding[CAST(i AS INT)] AS DOUBLE) - qvec[CAST(i AS INT)] * qscale)),
+        |      (a, e) -> a + e) / len(embedding)
+        |  END AS mse
+        |FROM (
+        |  SELECT vec_id, embedding, qscale,
+        |    CASE WHEN qscale = 0.0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding, x ->
+        |      CAST(greatest(-127.0, least(127.0,
+        |        floor(CAST(x AS DOUBLE) / qscale + 0.5))) AS BIGINT)) END AS qvec
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_reduce([CAST(0.0 AS DOUBLE)] ||
+        |        list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |        (a, b) -> greatest(a, b)) / CAST(127.0 AS DOUBLE) AS qscale
+        |    FROM embeddings))
+        |ORDER BY vec_id""",
+      "Embeddings: symmetric int8 quantization with exact reconstruction MSE") { (s, d) =>
+      SimOps.int8Quantized(Tables(s, d, "embeddings"))
+        .select("vec_id", "n_dims", "qscale", "sum_q_abs", "mse")
+        .orderBy("vec_id")
     })
 }

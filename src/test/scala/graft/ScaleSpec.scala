@@ -63,7 +63,8 @@ class ScaleSpec extends SparkSpec {
       "q68_dup_ngrams" -> 4,         // gram agg + doc agg + completeness join-back + sort
       "q69_rare_terms" -> 6,         // ONE tf subtree: tf agg + df window + top-k window + sort (a groupBy+join df formulation re-executed the whole tf subtree: 8)
       "q70_source_quota" -> 2,       // per-source rank window + sort
-      "q71_pii_redaction" -> 1)      // pure per-row regex passes + sort
+      "q71_pii_redaction" -> 1,      // pure per-row regex passes + sort
+      "q72_int8_quant" -> 1)         // pure per-row quantization + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
