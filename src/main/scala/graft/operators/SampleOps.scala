@@ -52,9 +52,14 @@ object SampleOps {
     *
     * Shape at 100 TB: one window partitioned by source (high fan-out
     * strata assumed; a single mega-source is the skew case — pre-gate it
-    * with [[stratifiedSample]] to bound the window's input). Ties cannot
-    * happen: the hash is salted with the unique key, and the key itself
-    * is the final tiebreak. */
+    * with [[stratifiedSample]] to bound the window's input).
+    *
+    * CONTRACT: `keyCol` must be a UNIQUE, NON-NULL key (it is a key).
+    * Under that contract ties cannot happen — the hash is salted with
+    * the key and the key itself is the final tiebreak. NULL keys would
+    * hash to NULL, tie with each other, and order differently across
+    * engines (Spark NULLS FIRST vs DuckDB NULLS LAST) — exactly the
+    * nondeterminism this operator exists to prevent. */
   def sourceQuota(df: DataFrame, sourceCol: String, keyCol: String,
       quota: Long, salt: String = "mix"): DataFrame = {
     require(quota >= 0L, s"quota must be >= 0, got $quota")

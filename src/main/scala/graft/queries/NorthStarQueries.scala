@@ -837,8 +837,11 @@ object NorthStarQueries {
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         |    AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
-        |    AS n_long_numbers,
+        |  -- counts-as-seen: the number pass counts over the
+        |  -- email-redacted text, so counts always equal placements
+        |  CAST(len(regexp_extract_all(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}')) AS BIGINT) AS n_long_numbers,
         |  regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g') AS redacted_text
@@ -858,13 +861,16 @@ object NorthStarQueries {
     // Symmetric int8 embedding quantization: per-vector max-abs/127
     // scale, clamp(floor(x/scale + 0.5), ±127) codes (one deterministic
     // formula — engine round() tie semantics differ), sequential-fold
-    // reconstruction MSE. sum_q_abs is the integer checksum of the
-    // codes, so the hash compare pins every quantized value.
+    // reconstruction MSE. q_codes serializes EVERY code in position
+    // order, so the hash compare pins each quantized value exactly
+    // (sum_q_abs alone is permutation/compensation-blind); mse pins the
+    // double arithmetic.
     oracle(
       "q72_int8_quant",
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS n_dims,
         |  qscale,
+        |  array_to_string(qvec, ',') AS q_codes,
         |  CAST(list_reduce([0] || list_transform(qvec, q -> abs(q)),
         |    (a, q) -> a + q) AS BIGINT) AS sum_q_abs,
         |  CASE WHEN len(embedding) = 0 THEN NULL ELSE
@@ -889,7 +895,8 @@ object NorthStarQueries {
         |ORDER BY vec_id""",
       "Embeddings: symmetric int8 quantization with exact reconstruction MSE") { (s, d) =>
       SimOps.int8Quantized(Tables(s, d, "embeddings"))
-        .select("vec_id", "n_dims", "qscale", "sum_q_abs", "mse")
+        .withColumn("q_codes", array_join(col("qvec"), ","))
+        .select("vec_id", "n_dims", "qscale", "q_codes", "sum_q_abs", "mse")
         .orderBy("vec_id")
     })
 }
