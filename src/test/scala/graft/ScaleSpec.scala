@@ -61,7 +61,7 @@ class ScaleSpec extends SparkSpec {
       "q66_length_window" -> 3,      // per-stratum cutoffs agg (broadcast back) + sort
       "q67_orientation_vote" -> 2,   // one exchange on the page key feeds both windows + sort
       "q68_dup_ngrams" -> 4,         // gram agg + doc agg + completeness join-back + sort
-      "q69_rare_terms" -> 6,         // ONE tf subtree: tf agg + df window + top-k window + sort (a groupBy+join df formulation re-executed the whole tf subtree: 8)
+      "q69_rare_terms" -> 6,         // tf localCheckpointed (agg exchange runs once, off-plan); df groupBy + tf-side join shuffle + corpus-count agg/broadcast + top-k window + sort
       "q70_source_quota" -> 2,       // per-source rank window + sort
       "q71_pii_redaction" -> 1,      // pure per-row regex passes + sort
       "q72_int8_quant" -> 1)         // pure per-row quantization + sort
@@ -72,6 +72,28 @@ class ScaleSpec extends SparkSpec {
       assert(n === expected,
         s"$name plans $n exchanges, designed $expected — shuffle shape changed")
     }
+  }
+
+  test("q69 plans no Window partitioned by the raw term key") {
+    // Round-4 verdict item 1: a COUNT window partitioned by the term
+    // column put every tf row of a stop-term into ONE window partition
+    // (df("the") ≈ N_docs at corpus scale, and AQE cannot split skewed
+    // window partitions — that machinery is join-only). df must stay a
+    // partial-agg groupBy joined back; only the per-doc top-k window
+    // (bounded by WindowGroupLimit) may remain.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("q69_rare_terms")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val termPartitioned = lp.collect {
+      case w: LWindow if w.partitionSpec.exists {
+        case a: AttributeReference => a.name == "t"
+        case _ => false
+      } => w
+    }
+    assert(termPartitioned.isEmpty,
+      "q69 plans a Window partitioned by the raw term column — " +
+        "stop-term rows would form a single un-splittable partition at scale")
   }
 
   test("doc-assembly queries shuffle raw columns once — ONE exchange total") {
