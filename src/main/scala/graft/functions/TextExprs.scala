@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `poly_fingerprint(tk)`: rolling polynomial fingerprint of a token
+  * array — `fold((acc, t) -> (acc·31 + h60(t) % 1000003) % 1000000007)`
+  * from 7, where h60 is the 60-bit md5 prefix hash
+  * ([[graft.functions.Scalars]] h60 / `TextOps.h60x`) — in ONE per-row
+  * loop with no interpreted lambdas (round-4 verdict item 3: the
+  * `aggregate(transform(...))` formulation ran md5 per token through
+  * Catalyst's interpreted HOF evaluator, the same trap measured at ~15×
+  * on SimHash).
+  *
+  * Exact-replay contract (bit-identical to the HOF form and the DuckDB
+  * oracle): `CONV(SUBSTRING(MD5(t),1,15),16,10)` is the first 60 bits of
+  * the md5 digest read big-endian — computed here as
+  * `bigEndianLong(digest[0..8]) >>> 4` with no string round-trip; both
+  * moduli operate on non-negative operands so Java `%` ≡ Spark `%`;
+  * `acc·31 + x` peaks below 2⁶³ so the arithmetic never overflows. An
+  * empty array returns the init 7; a NULL element poisons the result to
+  * NULL (in the HOF form the NULL hash nulls the fold accumulator).
+  */
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = PolyFingerprint.fnName
+
+  override def nullSafeEval(input: Any): Any =
+    PolyFingerprint.fold(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("fp")
+      // the md5+fold loop lives in one static method (one call per row,
+      // no per-element interpreted dispatch); a null return means a NULL
+      // token poisoned the fold
+      s"""
+         |final java.lang.Long $r = graft.functions.PolyFingerprint.fold($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
+}
+
+object PolyFingerprint {
+  val fnName = "poly_fingerprint"
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5 prefix of a UTF-8 string: the value of the digest's
+    * first 15 hex characters, i.e. its first 8 bytes read as a
+    * big-endian long, unsigned-shifted past the 61st bit. */
+  def h60(t: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(t.getBytes)
+    var l = 0L
+    var i = 0
+    while (i < 8) {
+      l = (l << 8) | (dig(i) & 0xffL)
+      i += 1
+    }
+    l >>> 4
+  }
+
+  /** Java-callable whole-row fold; null iff the array has a NULL token. */
+  def fold(tk: ArrayData): java.lang.Long = {
+    val n = tk.numElements()
+    var acc = 7L
+    var i = 0
+    while (i < n) {
+      if (tk.isNullAt(i)) return null
+      acc = (acc * 31L + h60(tk.getUTF8String(i)) % 1000003L) % 1000000007L
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  private val info = new ExpressionInfo(classOf[PolyFingerprint].getName, fnName)
+
+  private[graft] def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(tk) => PolyFingerprint(tk)
+    case other => throw new IllegalArgumentException(
+      s"$fnName expects (array<string>); got ${other.size} args")
+  }
+
+  /** Register `poly_fingerprint` in this session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fnName), info, builder _)
+}

@@ -208,24 +208,23 @@ object SimOps {
     * Output: vec_id, n_dims, qscale, sum_q_abs (integer checksum of the
     * quantized codes — hash-comparable), mse (mean squared
     * reconstruction error). */
-  def int8Quantized(embeddings: DataFrame): DataFrame =
+  def int8Quantized(embeddings: DataFrame): DataFrame = {
+    // fused native expression (round-4 verdict item 3): the previous
+    // four-HOF formulation (aggregate + 2×transform + zip_with) ran
+    // interpreted per element; int8_quant is one codegen'd loop that
+    // replays the identical arithmetic (formula documented on
+    // [[graft.functions.Int8QuantStats]]). `_q` is referenced four
+    // times below and int8_quant is non-cheap, so CollapseProject keeps
+    // the struct materialized once per row instead of re-inlining the
+    // loop into each extraction.
+    graft.functions.Int8QuantStats.register(embeddings.sparkSession)
     embeddings
-      .withColumn("qscale", expr(
-        """aggregate(embedding, CAST(0.0 AS DOUBLE),
-          |  (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0D""".stripMargin))
-      .withColumn("qvec", expr(
-        """CASE WHEN qscale = 0.0D THEN transform(embedding, x -> 0L)
-          |ELSE transform(embedding, x ->
-          |  CAST(greatest(-127.0D, least(127.0D,
-          |    floor(CAST(x AS DOUBLE) / qscale + 0.5D))) AS BIGINT)) END""".stripMargin))
+      .withColumn("_q", expr("int8_quant(embedding)"))
+      .withColumn("qscale", col("_q.qscale"))
+      .withColumn("qvec", col("_q.qvec"))
       .withColumn("n_dims", expr("CAST(size(embedding) AS BIGINT)"))
-      .withColumn("sum_q_abs", expr(
-        "aggregate(qvec, 0L, (a, q) -> a + abs(q))"))
-      .withColumn("mse", expr(
-        """CASE WHEN size(embedding) = 0 THEN NULL ELSE
-          |  aggregate(zip_with(embedding, qvec, (x, q) ->
-          |      (CAST(x AS DOUBLE) - q * qscale)
-          |        * (CAST(x AS DOUBLE) - q * qscale)),
-          |    CAST(0.0 AS DOUBLE), (a, e) -> a + e) / size(embedding)
-          |END""".stripMargin))
+      .withColumn("sum_q_abs", col("_q.sum_q_abs"))
+      .withColumn("mse", col("_q.mse"))
+      .drop("_q")
+  }
 }

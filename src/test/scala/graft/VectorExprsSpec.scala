@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DotProduct, SimHashBits}
+import graft.functions.{DotProduct, Int8QuantStats, PolyFingerprint, SimHashBits}
 import graft.operators.TextOps
 
 class VectorExprsSpec extends SparkSpec {
@@ -11,6 +11,8 @@ class VectorExprsSpec extends SparkSpec {
   private def registerAll(): Unit = {
     DotProduct.register(spark)
     SimHashBits.register(spark)
+    Int8QuantStats.register(spark)
+    PolyFingerprint.register(spark)
   }
 
   /** The round-1 interpreted HOF formulation dot_product must replay
@@ -72,6 +74,109 @@ class VectorExprsSpec extends SparkSpec {
     val native = docs.selectExpr("doc_id", s"simhash_bits($hs, 32) AS simhash")
     assert(native.exceptAll(hof).count() === 0)
     assert(hof.exceptAll(native).count() === 0)
+  }
+
+  /** The replaced four-HOF quantization pipeline (max-abs aggregate, two
+    * transforms, mse aggregate(zip_with)) — int8_quant must replay it
+    * bit-for-bit on real embeddings. */
+  private val hofQuant =
+    """named_struct(
+      |  'qscale', qscale,
+      |  'qvec', qvec,
+      |  'sum_q_abs', aggregate(qvec, 0L, (a, q) -> a + abs(q)),
+      |  'mse', CASE WHEN size(embedding) = 0 THEN NULL ELSE
+      |    aggregate(zip_with(embedding, qvec, (x, q) ->
+      |        (CAST(x AS DOUBLE) - q * qscale)
+      |          * (CAST(x AS DOUBLE) - q * qscale)),
+      |      CAST(0.0 AS DOUBLE), (a, e) -> a + e) / size(embedding)
+      |  END)""".stripMargin
+
+  test("int8_quant is bit-identical to the four-HOF formulation on real embeddings") {
+    registerAll()
+    val e = graft.sources.Tables(spark, sf("sf0.001"), "embeddings")
+    val hof = e
+      .withColumn("qscale", expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |  (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0D""".stripMargin))
+      .withColumn("qvec", expr(
+        """CASE WHEN qscale = 0.0D THEN transform(embedding, x -> 0L)
+          |ELSE transform(embedding, x ->
+          |  CAST(greatest(-127.0D, least(127.0D,
+          |    floor(CAST(x AS DOUBLE) / qscale + 0.5D))) AS BIGINT)) END""".stripMargin))
+      .selectExpr("vec_id", s"$hofQuant AS q")
+    val native = e.selectExpr("vec_id", "int8_quant(embedding) AS q")
+    // exceptAll compares doubles bit-wise through the row hash — both
+    // directions empty means every field of every struct is identical
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
+  test("int8_quant edge cases: empty, zero, and null-element vectors") {
+    registerAll()
+    val df = Seq(
+      (1L, Some(Array(1.0f, -2.0f, 0.5f))),
+      (2L, Some(Array.empty[Float])),
+      (3L, Some(Array(0.0f, 0.0f))),
+      (4L, None))
+      .toDF("id", "embedding")
+      .selectExpr("id", "int8_quant(embedding) AS q")
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    val one = rows(1L).getStruct(1)
+    assert(one.getDouble(0) === 2.0 / 127.0) // max-abs/127
+    assert(one.getSeq[Long](1) === Seq(64L, -127L, 32L)) // floor(x/s + .5)
+    assert(one.getLong(2) === 64L + 127L + 32L)
+    assert(one.getDouble(3) > 0.0)
+    val empty = rows(2L).getStruct(1)
+    assert(empty.getDouble(0) === 0.0 && empty.getSeq[Long](1).isEmpty
+      && empty.getLong(2) === 0L && empty.isNullAt(3), "empty vector: zero stats, NULL mse")
+    val zeros = rows(3L).getStruct(1)
+    assert(zeros.getDouble(0) === 0.0 && zeros.getSeq[Long](1) === Seq(0L, 0L)
+      && zeros.getDouble(3) === 0.0, "zero vector quantizes to all-zero codes, mse 0")
+    assert(rows(4L).isNullAt(1), "NULL vector yields NULL struct")
+  }
+
+  test("int8_quant interpreted eval and codegen agree") {
+    registerAll()
+    val df = graft.sources.Tables(spark, sf("sf0.001"), "embeddings")
+      .selectExpr("vec_id", "int8_quant(embedding) AS q")
+      .selectExpr("vec_id", "q.qscale", "q.qvec", "q.sum_q_abs", "q.mse")
+    val codegen = df.collect()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = df.collect()
+      assert(interp === codegen)
+    }
+  }
+
+  test("poly_fingerprint is identical to the aggregate(transform) HOF formulation") {
+    registerAll()
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+      .withColumn("tk", split(col("text"), " "))
+    val hof = docs.selectExpr("doc_id",
+      s"""aggregate(transform(tk, t -> ${TextOps.h60x("t")} % 1000003L),
+         |  7L, (acc, x) -> (acc * 31L + x) % 1000000007L) AS fp""".stripMargin)
+    val native = docs.selectExpr("doc_id", "poly_fingerprint(tk) AS fp")
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
+  test("poly_fingerprint edge cases and interpreted/codegen agreement") {
+    registerAll()
+    val df = Seq(
+      (1L, Some(Seq(Some("alpha"), Some("beta")))),
+      (2L, Some(Seq.empty[Option[String]])),   // empty → init 7
+      (3L, Some(Seq(Some("alpha"), None))),    // NULL token poisons
+      (4L, None))                              // NULL array
+      .toDF("id", "tk")
+      .selectExpr("id", "poly_fingerprint(tk) AS fp")
+    val codegen = df.collect()
+    val byId = codegen.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getLong(1) === 7L)
+    assert(byId(3L).isNullAt(1) && byId(4L).isNullAt(1))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.collect() === codegen)
+    }
   }
 
   test("simhash_bits interpreted eval and codegen agree") {
