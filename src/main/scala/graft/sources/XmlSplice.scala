@@ -1,0 +1,285 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Span-level in-place XML editing for [[EadXml.updateDocument]]'s
+  * surgical writeback (round-4 verdict item 5: unmodeled mixed content
+  * inside `<c>` must survive).
+  *
+  * A tiny position-tracking element parser (driver-side, one document at
+  * a time) builds the `<c>`/`<did>`/`<unittitle>`/`<dao>` skeleton of the
+  * `<dsc>` region WITHOUT ever re-serializing it; edits are computed as
+  * (start, end, replacement) spans against the original text and applied
+  * back-to-front, so every byte outside an edited span is preserved
+  * verbatim. The parser reads structure from the comment/CDATA-masked
+  * copy (no false tags) and values from the original (identical offsets).
+  *
+  * Assumes well-formed XML — the document already round-tripped through
+  * the Spark XML reader upstream. Attribute values may legally contain
+  * `>`, so tag ends are found with a quote-aware scan, not indexOf. */
+private[sources] object XmlSplice {
+
+  /** The four modeled xlink attributes of a `<dao>`. */
+  final case class Dao(href: Option[String], show: Option[String],
+      role: Option[String], title: Option[String])
+
+  /** A parsed element: spans index the ORIGINAL document.
+    * `openEnd` = index just past the open tag's `>`; for a self-closing
+    * element contentStart == contentEnd == end. `attrs` preserves
+    * document order and holds entity-decoded values. */
+  private final case class Elem(name: String, local: String,
+      start: Int, openEnd: Int, contentStart: Int, contentEnd: Int,
+      end: Int, selfClosing: Boolean, attrs: Seq[(String, String)],
+      children: Vector[Elem])
+
+  /** Apply the modeled-surface updates in `byId` to every `<c>` inside
+    * `[from, to)` (the `<dsc>` inner region), returning the edited
+    * document. `masked` is the comment/CDATA-blanked copy of `original`
+    * (same length). */
+  def editComponents(original: String, masked: String, from: Int, to: Int,
+      byId: Map[String, (Option[String], Option[Seq[Dao]])]): String = {
+    val edits = ArrayBuffer.empty[(Int, Int, String)]
+    def walk(e: Elem): Unit = {
+      if (e.local == "c")
+        for (id <- e.attrs.collectFirst { case ("id", v) => v };
+             surface <- byId.get(id)) editsForC(original, e, surface, edits)
+      e.children.foreach(walk)
+    }
+    parseForest(original, masked, from, to).foreach(walk)
+    val sb = new StringBuilder(original)
+    for ((s, t, repl) <- edits.sortBy(-_._1)) sb.replace(s, t, repl)
+    sb.toString
+  }
+
+  // ---- edit computation ------------------------------------------------
+
+  private def editsForC(original: String, c: Elem,
+      surface: (Option[String], Option[Seq[Dao]]),
+      edits: ArrayBuffer[(Int, Int, String)]): Unit = {
+    val (title, daos) = surface
+    c.children.find(_.local == "did") match {
+      case None =>
+        // no <did> at all: nothing modeled exists in the document — if the
+        // table carries a surface, materialize a fresh did after the open
+        // tag (or rebuild a self-closing <c/> into an open pair)
+        val frag = renderDid(title, daos)
+        if (frag.nonEmpty) {
+          if (c.selfClosing) {
+            val openTag = original.substring(c.start, c.openEnd)
+            val reopened = openTag.substring(0, openTag.length - 2).stripTrailing() + ">"
+            edits += ((c.start, c.end, s"$reopened$frag</${c.name}>"))
+          } else edits += ((c.openEnd, c.openEnd, frag))
+        }
+      case Some(d) if d.selfClosing =>
+        val frag = renderDid(title, daos)
+        if (frag.nonEmpty) edits += ((d.start, d.end, frag))
+      case Some(d) =>
+        editTitle(original, d, title, edits)
+        editDaos(original, d, daos.getOrElse(Seq.empty), edits)
+    }
+  }
+
+  private def editTitle(original: String, did: Elem, title: Option[String],
+      edits: ArrayBuffer[(Int, Int, String)]): Unit =
+    (did.children.find(_.local == "unittitle"), title) match {
+      case (Some(u), Some(t)) =>
+        // compare entity-decoded, space-trimmed — the same value the XML
+        // reader produced at flatten time; equal means KEEP original bytes
+        val docText =
+          decodeEntities(original.substring(u.contentStart, u.contentEnd)).trim
+        if (docText != t) {
+          if (u.selfClosing)
+            edits += ((u.start, u.end, s"<${u.name}>${escElem(t)}</${u.name}>"))
+          else edits += ((u.contentStart, u.contentEnd, escElem(t)))
+        }
+      case (Some(u), None) => edits += ((u.start, u.end, ""))
+      case (None, Some(t)) =>
+        edits += ((did.openEnd, did.openEnd, s"<unittitle>${escElem(t)}</unittitle>"))
+      case (None, None) => ()
+    }
+
+  private def editDaos(original: String, did: Elem, want: Seq[Dao],
+      edits: ArrayBuffer[(Int, Int, String)]): Unit = {
+    val have = did.children.filter(_.local == "dao")
+    // positional diff: the update flows (attribute mutation, METS-dao
+    // append) preserve prefix order by construction
+    for ((e, w) <- have.zip(want)) {
+      val docDao = Dao(attr(e, "xlink:href"), attr(e, "xlink:show"),
+        attr(e, "xlink:role"), attr(e, "xlink:title"))
+      if (docDao != w) edits += ((e.start, e.openEnd, rewriteOpenTag(e, w)))
+    }
+    if (want.size > have.size) {
+      val insertion = want.drop(have.size).map(renderDao).mkString
+      val at = have.lastOption.map(_.end).getOrElse(did.contentEnd)
+      edits += ((at, at, insertion))
+    }
+    for (e <- have.drop(want.size)) edits += ((e.start, e.end, ""))
+  }
+
+  /** Rebuild a dao's open tag: modeled xlink attributes substituted (or
+    * dropped when the new value is null, or appended in canonical order
+    * when newly set), every OTHER attribute preserved in document
+    * order. */
+  private def rewriteOpenTag(e: Elem, w: Dao): String = {
+    val modeled = Map("xlink:href" -> w.href, "xlink:show" -> w.show,
+      "xlink:role" -> w.role, "xlink:title" -> w.title)
+    val kept = e.attrs.flatMap { case (k, v) =>
+      modeled.get(k) match {
+        case Some(Some(nv)) => Some(k -> nv)
+        case Some(None) => None
+        case None => Some(k -> v)
+      }
+    }
+    val added = Seq("xlink:href", "xlink:show", "xlink:role", "xlink:title")
+      .filterNot(k => e.attrs.exists(_._1 == k))
+      .flatMap(k => modeled(k).map(k -> _))
+    val attrs = (kept ++ added)
+      .map { case (k, v) => s""" $k="${escAttr(v)}"""" }.mkString
+    s"<${e.name}$attrs" + (if (e.selfClosing) "/>" else ">")
+  }
+
+  /** Render a dao exactly as [[EadXml.reconstructTree]]'s shell does —
+    * the four modeled attributes in href/show/role/title order,
+    * self-closing. */
+  private def renderDao(d: Dao): String = {
+    val attrs = Seq("href" -> d.href, "show" -> d.show,
+      "role" -> d.role, "title" -> d.title)
+      .collect { case (k, Some(v)) => s""" xlink:$k="${escAttr(v)}"""" }
+      .mkString
+    s"<dao$attrs/>"
+  }
+
+  private def renderDid(title: Option[String], daos: Option[Seq[Dao]]): String =
+    if (title.isEmpty && daos.forall(_.isEmpty)) ""
+    else "<did>" +
+      title.fold("")(t => s"<unittitle>${escElem(t)}</unittitle>") +
+      daos.getOrElse(Seq.empty).map(renderDao).mkString + "</did>"
+
+  // same escaping discipline as reconstructTree's elemEsc/attrEsc
+  private def escElem(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def escAttr(s: String): String = escElem(s).replace("\"", "&quot;")
+
+  private def attr(e: Elem, name: String): Option[String] =
+    e.attrs.collectFirst { case (`name`, v) => v }
+
+  // ---- parsing ---------------------------------------------------------
+
+  private val attrRe =
+    """([^\s=/>"']+)\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+
+  /** Parse the element forest of `[from, to)`. Structure is read from
+    * `masked` (comments/CDATA are spaces there, so every remaining `<` is
+    * real markup); names and attribute values from `original`. */
+  private def parseForest(original: String, masked: String,
+      from: Int, to: Int): Vector[Elem] = {
+    final case class Frame(name: String, local: String, start: Int,
+        openEnd: Int, attrs: Seq[(String, String)],
+        kids: ArrayBuffer[Elem])
+    val roots = ArrayBuffer.empty[Elem]
+    var stack = List.empty[Frame]
+    def attach(e: Elem): Unit =
+      stack.headOption.fold(roots += e)(_.kids += e)
+    var i = from
+    while (i < to) {
+      val lt = masked.indexOf('<', i)
+      if (lt < 0 || lt >= to) i = to
+      else if (masked.startsWith("<?", lt)) {
+        val e = masked.indexOf("?>", lt)
+        i = if (e < 0) to else e + 2
+      } else if (masked.startsWith("</", lt)) {
+        val gt = tagEnd(masked, lt)
+        stack match {
+          case f :: rest =>
+            stack = rest
+            attach(Elem(f.name, f.local, f.start, f.openEnd,
+              f.openEnd, lt, gt + 1, selfClosing = false, f.attrs,
+              f.kids.toVector))
+          case Nil => () // stray close (malformed) — skip
+        }
+        i = gt + 1
+      } else {
+        val gt = tagEnd(masked, lt)
+        val selfClosing = masked.charAt(gt - 1) == '/'
+        val tagBody = original.substring(lt + 1, if (selfClosing) gt - 1 else gt)
+        val name = tagBody.takeWhile(ch => !ch.isWhitespace && ch != '/')
+        val attrs = attrRe.findAllMatchIn(tagBody.drop(name.length)).map { m =>
+          m.group(1) -> decodeEntities(
+            if (m.group(2) != null) m.group(2) else m.group(3))
+        }.toVector
+        if (selfClosing)
+          attach(Elem(name, localName(name), lt, gt + 1, gt + 1, gt + 1,
+            gt + 1, selfClosing = true, attrs, Vector.empty))
+        else stack ::= Frame(name, localName(name), lt, gt + 1, attrs,
+          ArrayBuffer.empty)
+        i = gt + 1
+      }
+    }
+    // unclosed frames (malformed): attach what we have, innermost first
+    while (stack.nonEmpty) {
+      val f = stack.head
+      stack = stack.tail
+      attach(Elem(f.name, f.local, f.start, f.openEnd, f.openEnd, to, to,
+        selfClosing = false, f.attrs, f.kids.toVector))
+    }
+    roots.toVector
+  }
+
+  private def localName(name: String): String = {
+    val c = name.lastIndexOf(':')
+    if (c < 0) name else name.substring(c + 1)
+  }
+
+  /** Index of the tag's closing `>`, skipping quoted attribute values
+    * (where `>` is legal). */
+  private def tagEnd(text: String, lt: Int): Int = {
+    var i = lt + 1
+    var quote: Char = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else if (ch == '"' || ch == '\'') quote = ch
+      else if (ch == '>') return i
+      i += 1
+    }
+    text.length - 1
+  }
+
+  /** Decode the five XML entities plus numeric character references —
+    * the inverse of what the Spark XML reader applied at flatten time, so
+    * document text compares equal to table values when unchanged. */
+  private[sources] def decodeEntities(s: String): String = {
+    if (!s.contains('&')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: Option[String] =
+          if (semi < 0 || semi - i > 11) None
+          else s.substring(i + 1, semi) match {
+            case "amp" => Some("&")
+            case "lt" => Some("<")
+            case "gt" => Some(">")
+            case "quot" => Some("\"")
+            case "apos" => Some("'")
+            case ref if ref.startsWith("#x") || ref.startsWith("#X") =>
+              try Some(new String(Character.toChars(
+                Integer.parseInt(ref.substring(2), 16))))
+              catch { case _: RuntimeException => None }
+            case ref if ref.startsWith("#") =>
+              try Some(new String(Character.toChars(
+                Integer.parseInt(ref.substring(1)))))
+              catch { case _: RuntimeException => None }
+            case _ => None
+          }
+        decoded match {
+          case Some(d) => sb.append(d); i = semi + 1
+          case None => sb.append(ch); i += 1
+        }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -363,6 +363,89 @@ class NestedEadSpec extends SparkSpec {
     assert("<c id=\"d1\">".r.findAllIn(xml).size === 1)
   }
 
+  test("updateDocument preserves unmodeled mixed content INSIDE components (r4 verdict item 5)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // real EADs carry <scopecontent>, prose text nodes, and unmodeled
+    // attributes inside <c>/<did> — the reference operates on the full
+    // parsed document (bin/main.py:123-140) so they survive its in-place
+    // writeback. The splice edits only the modeled id/title/daos surface.
+    val original =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+        |  <c id="mx1" level="file" audience="external"><did><unittitle>Harvest me</unittitle>
+        |      <unitdate normal="1901/1902">1901-1902</unitdate>
+        |      <dao xlink:type="simple" xlink:href="http://x/mx1.pdf" xlink:show="new"/>
+        |      <physdesc><extent>2 boxes</extent></physdesc></did>
+        |    <scopecontent><p>Prose &amp; notes the model does not carry.</p></scopecontent>
+        |    free-floating text node
+        |    <c id="mx1a"><did><unittitle>Nested child</unittitle></did>
+        |      <odd><p>more unmodeled prose</p></odd></c>
+        |  </c>
+        |  <c id="mx2"><did><unittitle>Untouched</unittitle></did>
+        |    <bioghist><p>kept verbatim</p></bioghist></c>
+        |</dsc></archdesc></ead>""".stripMargin
+    val p = Paths.get(tmpDir("mixed_content"), "mx.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val flat = EadXml.componentsTree(spark, p.toString)
+
+    // identity update: NOTHING changed → the whole document must come
+    // back byte-for-byte (no span is rewritten, so no normalization)
+    assert(EadXml.updateDocument(original, flat) === original)
+
+    // harvest update: insert the METS dao into mx1 only
+    val harvested = Seq(("mx1", "http://x/mx1.mets", "METS: mx1"))
+      .toDF("id", "metsHref", "metsTitle")
+    val out = EadXml.updateDocument(original, EadXml.insertMetsDao(flat, harvested))
+    // every unmodeled byte survives
+    assert(out.contains("<scopecontent><p>Prose &amp; notes the model does not carry.</p></scopecontent>"))
+    assert(out.contains("free-floating text node"))
+    assert(out.contains("<odd><p>more unmodeled prose</p></odd>"))
+    assert(out.contains("<bioghist><p>kept verbatim</p></bioghist>"))
+    assert(out.contains("""<unitdate normal="1901/1902">1901-1902</unitdate>"""))
+    assert(out.contains("<physdesc><extent>2 boxes</extent></physdesc>"))
+    assert(out.contains("""<c id="mx1" level="file" audience="external">"""))
+    // the untouched original dao keeps its unmodeled xlink:type attribute
+    assert(out.contains(
+      """<dao xlink:type="simple" xlink:href="http://x/mx1.pdf" xlink:show="new"/>"""))
+    // the METS dao landed after it, inside mx1's did
+    assert(out.contains(
+      """<dao xlink:href="http://x/mx1.mets" xlink:role="http://www.loc.gov/METS/" xlink:title="METS: mx1"/>"""))
+    // and the updated document still parses back to the updated table
+    val p2 = Paths.get(tmpDir("mixed_content2"), "mx2.xml")
+    Files.createDirectories(p2.getParent)
+    Files.writeString(p2, out)
+    val back = EadXml.componentsTree(spark, p2.toString)
+    val mx1 = back.filter(col("id") === "mx1").select("daos")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(mx1.map(_.getString(0)) === Seq("http://x/mx1.pdf", "http://x/mx1.mets"))
+    assert(EadXml.daoCandidatesNested(back).isEmpty, "harvest converged")
+  }
+
+  test("updateDocument attribute mutation preserves the dao's unmodeled attributes in place") {
+    import org.apache.spark.sql.functions._
+    // the publish.rb semantic: flip xlink:show on an existing dao — the
+    // rewrite must touch ONLY the modeled xlink attrs and keep everything
+    // else (unmodeled attrs, document order) where it was
+    val original =
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+        |  <c id="at1"><did><unittitle>T</unittitle>
+        |    <dao xlink:type="simple" xlink:href="http://x/a.pdf" xlink:show="new" altrender="thumb"/></did></c>
+        |</dsc></archdesc></ead>""".stripMargin
+    val p = Paths.get(tmpDir("attr_mut"), "am.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val updated = EadXml.componentsTree(spark, p.toString)
+      .withColumn("daos", transform(col("daos"), d =>
+        struct(d("href").as("href"), lit("none").as("show"),
+          d("role").as("role"), d("title").as("title"))))
+    val out = EadXml.updateDocument(original, updated)
+    assert(out.contains(
+      """<dao xlink:type="simple" xlink:href="http://x/a.pdf" xlink:show="none" altrender="thumb"/>"""),
+      s"dao tag not rewritten in place: $out")
+  }
+
   test("round-trip: flattened candidates feed the F1 predicate downstream") {
     val cands = EadXml.daoCandidates(
       EadXml.componentsTree(spark, eadPath)
