@@ -24,6 +24,24 @@ object NorthStarQueries {
 
   import TextOps.h60d
 
+  /** q31's multilingual augmentation: doc_id % 7 → a 20-function-word
+    * snippet appended to the text (the q71 fabricated-PII discipline —
+    * the synthetic corpus is monolingual, so the multilingual signal is
+    * planted deterministically and the oracle plants the identical one).
+    * Snippets are drawn from [[TextOps.langProfiles]] so they outscore
+    * the base text's ~3 incidental English function words. doc_id % 7 ∈
+    * {0, 5, 6} stays unaugmented: mostly 'en', with zero-function-word
+    * docs classifying 'und'. */
+  private[queries] val langAugSnippets: Seq[(Int, String)] = Seq(
+    1 -> ("el la de que y en los se del las un por con una su para es " +
+      "al no como"),
+    2 -> ("der die und den von zu das mit sich des auf für ist im dem " +
+      "nicht ein eine als auch"),
+    3 -> ("de la le et les des en un du une que est dans qui par pour " +
+      "au sur se ce"),
+    4 -> ("di il la che per una sono con non le si dei come lo della " +
+      "più nel anche gli ha"))
+
   /** DuckDB CTE fragments shared by the text queries. */
   private val TK = "SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk FROM documents"
   private val SH =
@@ -65,18 +83,38 @@ object NorthStarQueries {
 
     oracle(
       "q31_lang_id",
-      s"""SELECT doc_id, s_en, s_es, s_de,
-         |  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
-         |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_guess
-         |FROM (SELECT doc_id,
-         |  CAST(len(list_filter(tk, t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS s_en,
-         |  CAST(len(list_filter(tk, t -> list_contains(['el','la','de','los'], t))) AS BIGINT) AS s_es,
-         |  CAST(len(list_filter(tk, t -> list_contains(['der','die','und','das'], t))) AS BIGINT) AS s_de
-         |  FROM ($TK))
-         |ORDER BY doc_id""",
-      "Text analysis: n-gram/stopword language-ID heuristic") { (s, d) =>
-      TextOps.langScored(Tables(s, d, "documents"))
-        .select("doc_id", "s_en", "s_es", "s_de", "lang_guess")
+      {
+        val scoreCols = TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val augCase = NorthStarQueries.langAugSnippets.map { case (m, snip) =>
+          s"WHEN doc_id % 7 = $m THEN ' $snip'"
+        }.mkString(" ")
+        s"""SELECT doc_id, ${TextOps.langProfiles.map(p => s"s_${p._1}").mkString(", ")},
+           |  ${TextOps.langGuessSql} AS lang_guess
+           |FROM (SELECT doc_id,
+           |  $scoreCols
+           |  FROM (SELECT doc_id, string_split(
+           |          concat(coalesce(text, ''), CASE $augCase ELSE '' END),
+           |          ' ') AS tk
+           |        FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: function-word-profile language-ID over a multilingual corpus") { (s, d) =>
+      // the synthetic corpus is monolingual; like q71's fabricated PII,
+      // deterministic per-doc_id snippets make it genuinely multilingual
+      // so the classifier's output is non-degenerate (round-4 verdict
+      // item 6) — docs with no function words at all classify 'und'
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          NorthStarQueries.langAugSnippets.foldLeft(
+            when(lit(false), lit(""))) { case (w, (m, snip)) =>
+            w.when(col("doc_id") % 7 === m, lit(s" $snip"))
+          }.otherwise(lit(""))).as("text"))
+      val outCols =
+        "doc_id" +: TextOps.langProfiles.map(p => s"s_${p._1}") :+ "lang_guess"
+      TextOps.langScored(aug)
+        .select(outCols.head, outCols.tail: _*)
         .orderBy("doc_id")
     },
 
