@@ -560,6 +560,8 @@ object NorthStarQueries {
          |       FROM events GROUP BY 1)
          |SELECT a.event_type, a.v_zero, a.mmax, n.num,
          |  ${HllSketch.estimateSql("a.mmax", "n.num")} AS estimate,
+         |  ${HllSketch.correctedSql("a.v_zero",
+              HllSketch.estimateSql("a.mmax", "n.num"))} AS hll_corrected,
          |  ex.exact_distinct
          |FROM agg a
          |JOIN nm n ON n.event_type = a.event_type
@@ -576,6 +578,8 @@ object NorthStarQueries {
           col("sk.mmax").as("mmax"),
           col("sk.num").as("num"),
           expr(HllSketch.estimateSql("sk.mmax", "sk.num")).as("estimate"),
+          expr(HllSketch.correctedSql("sk.v_zero",
+            HllSketch.estimateSql("sk.mmax", "sk.num"))).as("hll_corrected"),
           col("exact_distinct"))
         .orderBy("event_type")
     },

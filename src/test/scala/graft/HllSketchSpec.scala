@@ -49,6 +49,55 @@ class HllSketchSpec extends SparkSpec {
     assert(math.abs(est - 1000.0) / 1000.0 < 0.4, s"estimate $est too far from 1000")
   }
 
+  test("small-range correction: linear counting kicks in and beats the raw estimate") {
+    HllSketch.register(spark)
+    // tiny cardinalities are exactly where raw alpha*m^2/Z over-reads;
+    // the corrected estimate must switch to linear counting (est <= 2.5m
+    // and empty registers exist) and land near the true count
+    for (n <- Seq(1, 5, 20, 50)) {
+      val row = (1 to n).map(i => s"v$i").toDF("v")
+        .agg(expr("hll_sketch(v)").as("sk"))
+        .select(
+          expr(HllSketch.estimateSql("sk.mmax", "sk.num")).as("raw"),
+          expr(HllSketch.correctedSql("sk.v_zero",
+            HllSketch.estimateSql("sk.mmax", "sk.num"))).as("corrected"))
+        .head
+      val (raw, corrected) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(corrected - n) <= math.abs(raw - n) + 1e-9,
+        s"n=$n: corrected $corrected worse than raw $raw")
+      // linear counting with m=64 is near-exact this small
+      assert(math.abs(corrected - n) / n < 0.25,
+        s"n=$n: corrected $corrected too far off")
+    }
+    // large range: the switch must leave the raw estimate untouched
+    val big = (1 to 5000).map(i => s"u$i").toDF("v")
+      .agg(expr("hll_sketch(v)").as("sk"))
+      .select(
+        expr(HllSketch.estimateSql("sk.mmax", "sk.num")).as("raw"),
+        expr(HllSketch.correctedSql("sk.v_zero",
+          HllSketch.estimateSql("sk.mmax", "sk.num"))).as("corrected"))
+      .head
+    assert(big.getDouble(0) === big.getDouble(1),
+      "above the 2.5m threshold the corrected estimate must be the raw one")
+  }
+
+  test("corrected estimate replays bit-for-bit in DuckDB-equivalent JVM arithmetic") {
+    HllSketch.register(spark)
+    // the CASE ladder ships PRECOMPUTED literals: selecting lut[v_zero]
+    // and multiplying by 64.0 must equal the Scala-side reference exactly
+    val row = (1 to 12).map(i => s"x$i").toDF("v")
+      .agg(expr("hll_sketch(v)").as("sk"))
+      .select(col("sk.v_zero"),
+        expr(HllSketch.correctedSql("sk.v_zero",
+          HllSketch.estimateSql("sk.mmax", "sk.num"))).as("corrected"))
+      .head
+    val vZero = row.getLong(0)
+    val expected = 64.0 * java.lang.Double.parseDouble(
+      java.lang.Double.toString(math.log(64.0 / vZero)))
+    assert(java.lang.Double.doubleToRawLongBits(row.getDouble(1))
+      === java.lang.Double.doubleToRawLongBits(expected))
+  }
+
   test("estimates are within tolerance on real grouped data (vs exact)") {
     HllSketch.register(spark)
     val rows = graft.sources.Tables(spark, sf("sf0.01"), "events")
