@@ -63,8 +63,19 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!Files.exists(Paths.get(s"$scaled/documents.parquet")))
+    // a marker records WHAT the cached slice was built from — silently
+    // reusing a slice generated at a different factor or from a
+    // different base would stamp BENCH_SCALE.json with wrong-scale
+    // ratios (reviewed round 5)
+    val marker = Paths.get(s"$scaled/_GENERATED_FROM")
+    val stamp = s"base=$base factor=$factor"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp
+    if (!fresh) {
       generate(spark, base, scaled, factor)
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
+    }
 
     def timed(name: String, dir: String): Double = {
       System.gc()
@@ -116,7 +127,15 @@ object ScaleSmoke {
         length(col("text")).cast("long").as("n_chars"))
     docs.repartition(8).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
-    val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    val embSrc = spark.read.parquet(s"$base/embeddings.parquet")
+    // rotation by k is only a distinct isometry for k < dims: slice
+    // lengths go negative past it and k == dims is the identity (an
+    // exact replica-0 duplicate, silently breaking the decorrelation
+    // the linear-scaling argument rests on — reviewed round 5)
+    val dims = embSrc.select(size(col("embedding"))).head.getInt(0)
+    require(factor <= dims,
+      s"scale factor $factor exceeds embedding dims $dims — rotation replicas would collide")
+    val embs = embSrc
       .crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("k") * lit(Stride)).as("vec_id"),

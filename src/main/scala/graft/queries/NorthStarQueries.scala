@@ -32,15 +32,15 @@ object NorthStarQueries {
     * the base text's ~3 incidental English function words. doc_id % 7 ∈
     * {0, 5, 6} stays unaugmented: mostly 'en', with zero-function-word
     * docs classifying 'und'. */
-  private[queries] val langAugSnippets: Seq[(Int, String)] = Seq(
-    1 -> ("el la de que y en los se del las un por con una su para es " +
-      "al no como"),
-    2 -> ("der die und den von zu das mit sich des auf für ist im dem " +
-      "nicht ein eine als auch"),
-    3 -> ("de la le et les des en un du une que est dans qui par pour " +
-      "au sur se ce"),
-    4 -> ("di il la che per una sono con non le si dei come lo della " +
-      "più nel anche gli ha"))
+  private[queries] val langAugSnippets: Seq[(Int, String)] = {
+    val byLang = TextOps.langProfiles.toMap
+    // derived from the profiles themselves (not hand-copied) so a
+    // profile edit can never leave the planted corpus signal voting for
+    // a stale word set (reviewed round 5)
+    Seq("es", "de", "fr", "it").zipWithIndex.map { case (l, i) =>
+      (i + 1) -> byLang(l).mkString(" ")
+    }
+  }
 
   /** DuckDB CTE fragments shared by the text queries. */
   private val TK = "SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk FROM documents"

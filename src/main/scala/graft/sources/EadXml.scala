@@ -363,7 +363,13 @@ object EadXml {
 
   /** Nested struct field access that degrades to NULL when the field is
     * absent from the inferred schema (e.g. no component at this depth
-    * carries a dao anywhere in the corpus). */
+    * carries a dao anywhere in the corpus). A terminal STRUCT means the
+    * element carries attributes and/or children somewhere in the corpus;
+    * its text content then lives in the reader's `_VALUE` field — take
+    * that (the modeled title IS the text), not a struct-to-string cast
+    * (which would stringify `{attr, text}` junk into every title and
+    * make even an identity writeback rewrite the document — reviewed
+    * round 5). A struct with no `_VALUE` has no text content → NULL. */
   private def getOpt(c: Column, t: StructType, path: Seq[String]): Column = {
     var cur: DataType = t
     var out = c
@@ -373,7 +379,12 @@ object EadXml {
         cur = st(f).dataType
       case _ => return lit(null).cast("string")
     }
-    out.cast("string")
+    cur match {
+      case st: StructType if st.fieldNames.contains("_VALUE") =>
+        out.getField("_VALUE").cast("string")
+      case _: StructType => lit(null).cast("string")
+      case _ => out.cast("string")
+    }
   }
 
   /** The F1 dao-candidate predicate (`bin/main.py:133-140`) over a

@@ -47,7 +47,14 @@ private[sources] object XmlSplice {
     }
     parseForest(original, masked, from, to).foreach(walk)
     val sb = new StringBuilder(original)
-    for ((s, t, repl) <- edits.sortBy(-_._1)) sb.replace(s, t, repl)
+    // back-to-front so earlier spans stay valid. Two INSERTS can share a
+    // position (title + daos into an empty <did></did>); the edit applied
+    // LAST ends up FIRST in the buffer, so equal positions apply in
+    // reverse append order to preserve title-before-daos (the
+    // renderDid/reconstructTree element order — reviewed round 5).
+    for (((s, t, repl), _) <- edits.zipWithIndex
+           .sortBy { case ((s, _, _), i) => (-s, -i) })
+      sb.replace(s, t, repl)
     sb.toString
   }
 
@@ -82,17 +89,31 @@ private[sources] object XmlSplice {
   private def editTitle(original: String, did: Elem, title: Option[String],
       edits: ArrayBuffer[(Int, Int, String)]): Unit =
     (did.children.find(_.local == "unittitle"), title) match {
+      // a unittitle with CHILD ELEMENTS (<unitdate> etc.) is outside the
+      // plain-text title model — the table value cannot faithfully
+      // compare against mixed content, so its bytes are never touched
+      // (the same out-of-model preservation contract as scopecontent)
+      case (Some(u), _) if u.children.nonEmpty => ()
       case (Some(u), Some(t)) =>
-        // compare entity-decoded, space-trimmed — the same value the XML
-        // reader produced at flatten time; equal means KEEP original bytes
+        // compare reader-decoded, space-trimmed — the same value the XML
+        // reader produced at flatten time; equal means KEEP original
+        // bytes. A content rewrite replaces only the inner span, so
+        // attributes on the unittitle tag survive.
         val docText =
-          decodeEntities(original.substring(u.contentStart, u.contentEnd)).trim
+          decodeContent(original.substring(u.contentStart, u.contentEnd)).trim
         if (docText != t) {
           if (u.selfClosing)
             edits += ((u.start, u.end, s"<${u.name}>${escElem(t)}</${u.name}>"))
           else edits += ((u.contentStart, u.contentEnd, escElem(t)))
         }
-      case (Some(u), None) => edits += ((u.start, u.end, ""))
+      case (Some(u), None) =>
+        // delete only when the document actually carries text the table
+        // nulled out; a text-less unittitle (empty element, or one whose
+        // only payload is attributes → flattened to NULL) is already in
+        // the "no title" state and must survive an identity update
+        val docText = if (u.selfClosing) ""
+          else decodeContent(original.substring(u.contentStart, u.contentEnd)).trim
+        if (docText.nonEmpty) edits += ((u.start, u.end, ""))
       case (None, Some(t)) =>
         edits += ((did.openEnd, did.openEnd, s"<unittitle>${escElem(t)}</unittitle>"))
       case (None, None) => ()
@@ -243,6 +264,25 @@ private[sources] object XmlSplice {
       i += 1
     }
     text.length - 1
+  }
+
+  /** Decode an element's CONTENT span the way the XML reader does:
+    * CDATA sections contribute their payload verbatim (no entity
+    * decoding inside), everything else entity-decodes — so document text
+    * compares equal to table values when unchanged (a CDATA-wrapped
+    * title must not trigger a spurious rewrite on an identity update —
+    * reviewed round 5). */
+  private[sources] def decodeContent(s: String): String = {
+    val cdata = "(?s)<!\\[CDATA\\[(.*?)\\]\\]>".r
+    val sb = new StringBuilder(s.length)
+    var last = 0
+    for (m <- cdata.findAllMatchIn(s)) {
+      sb.append(decodeEntities(s.substring(last, m.start)))
+      sb.append(m.group(1))
+      last = m.end
+    }
+    sb.append(decodeEntities(s.substring(last)))
+    sb.toString
   }
 
   /** Decode the five XML entities plus numeric character references —

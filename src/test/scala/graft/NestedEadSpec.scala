@@ -446,6 +446,59 @@ class NestedEadSpec extends SparkSpec {
       s"dao tag not rewritten in place: $out")
   }
 
+  test("identity update is byte-stable for attributed, CDATA, nested-markup, and empty unittitles") {
+    import org.apache.spark.sql.functions._
+    // four shapes that used to destabilize an identity writeback
+    // (reviewed round 5): an ATTRIBUTED unittitle infers as struct (its
+    // text lives in _VALUE); a CDATA-wrapped title decodes differently
+    // from its raw span; a unittitle with CHILD MARKUP is out of the
+    // plain-text model entirely; an EMPTY unittitle flattens to NULL.
+    val original =
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+        |  <c id="t1"><did><unittitle type="collection">Papers</unittitle></did></c>
+        |  <c id="t2"><did><unittitle><![CDATA[A & B]]></unittitle></did></c>
+        |  <c id="t3"><did><unittitle>Letters <unitdate>1901</unitdate></unittitle></did></c>
+        |  <c id="t4"><did><unittitle></unittitle></did></c>
+        |</dsc></archdesc></ead>""".stripMargin
+    val p = Paths.get(tmpDir("title_shapes"), "ts.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val flat = EadXml.componentsTree(spark, p.toString)
+    // the attributed title extracts its TEXT, not struct-to-string junk
+    assert(flat.filter(col("id") === "t1").select("title").head.getString(0) === "Papers")
+    assert(flat.filter(col("id") === "t2").select("title").head.getString(0) === "A & B")
+    assert(EadXml.updateDocument(original, flat) === original)
+    // editing the attributed title rewrites only the content span —
+    // the type attribute survives
+    val renamed = flat.withColumn("title",
+      when(col("id") === "t1", lit("Renamed")).otherwise(col("title")))
+    val out = EadXml.updateDocument(original, renamed)
+    assert(out.contains("""<unittitle type="collection">Renamed</unittitle>"""))
+    // the nested-markup title is out of model: untouched even when the
+    // table tries to change it
+    val hijack = flat.withColumn("title", lit("X"))
+    assert(EadXml.updateDocument(original, hijack)
+      .contains("<unittitle>Letters <unitdate>1901</unitdate></unittitle>"))
+  }
+
+  test("materializing a did into an empty <did></did> keeps title-before-daos order") {
+    import org.apache.spark.sql.functions._
+    val original =
+      """<ead xmlns:xlink="http://www.w3.org/1999/xlink"><archdesc><dsc>
+        |  <c id="e1"><did></did></c>
+        |</dsc></archdesc></ead>""".stripMargin
+    val p = Paths.get(tmpDir("empty_did"), "ed.xml")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, original)
+    val updated = EadXml.componentsTree(spark, p.toString)
+      .withColumn("title", lit("T"))
+      .withColumn("dao_href", lit("http://x/e1.pdf"))
+    val out = EadXml.updateDocument(original, updated)
+    assert(out.contains(
+      """<did><unittitle>T</unittitle><dao xlink:href="http://x/e1.pdf"/></did>"""),
+      s"element order wrong: $out")
+  }
+
   test("round-trip: flattened candidates feed the F1 predicate downstream") {
     val cands = EadXml.daoCandidates(
       EadXml.componentsTree(spark, eadPath)
