@@ -499,6 +499,67 @@ class NestedEadSpec extends SparkSpec {
       s"element order wrong: $out")
   }
 
+  test("randomized documents: identity updates are byte-stable and dao edits round-trip") {
+    import org.apache.spark.sql.functions._
+    // seeded generator sweeping the shape space the span editor has to
+    // survive: attributed/CDATA/nested-markup/absent titles, 0-2 daos
+    // with unmodeled attributes, scopecontent prose, free text nodes,
+    // nested components, comments containing fake <dsc> markup
+    val rnd = new scala.util.Random(4242)
+    def genDoc(docIdx: Int): String = {
+      var n = 0
+      def comp(depth: Int): String = {
+        n += 1
+        val id = s"g$docIdx-$n"
+        val cAttr = if (rnd.nextBoolean()) """ level="file"""" else ""
+        val title = rnd.nextInt(5) match {
+          case 0 => ""
+          case 1 => s"<unittitle>T $n &amp; co</unittitle>"
+          case 2 => s"""<unittitle type="k$n">Val $n</unittitle>"""
+          case 3 => s"<unittitle><![CDATA[C & $n]]></unittitle>"
+          case 4 => s"<unittitle>Mix $n <unitdate>19$n</unitdate></unittitle>"
+        }
+        val daos = (0 until rnd.nextInt(3)).map { j =>
+          val extra = if (rnd.nextBoolean()) s""" altrender="a$j"""" else ""
+          val show = if (rnd.nextBoolean()) """ xlink:show="new"""" else ""
+          s"""<dao$extra xlink:href="http://x/$id-$j.pdf"$show/>"""
+        }.mkString
+        val prose = if (rnd.nextBoolean())
+          s"<scopecontent><p>notes $n &amp; more</p></scopecontent>" else ""
+        val loose = if (rnd.nextBoolean()) s" loose $n " else ""
+        val kids = if (depth < 2 && rnd.nextInt(3) == 0)
+          comp(depth + 1) + comp(depth + 1) else ""
+        s"""<c id="$id"$cAttr><did>$title$daos</did>$prose$loose$kids</c>"""
+      }
+      "<ead xmlns:xlink=\"http://www.w3.org/1999/xlink\"><eadheader>" +
+        "<!-- fake <dsc> in a comment --><eadid>R</eadid></eadheader>" +
+        s"""<archdesc><dsc>${(1 to 3).map(_ => comp(0)).mkString}</dsc></archdesc></ead>"""
+    }
+    val dir = tmpDir("random_ead")
+    Files.createDirectories(Paths.get(dir))
+    for (i <- 1 to 5) {
+      val original = genDoc(i)
+      val p = Paths.get(dir, s"r$i.xml")
+      Files.writeString(p, original)
+      val flat = EadXml.componentsTree(spark, p.toString)
+      assert(EadXml.updateDocument(original, flat) === original,
+        s"identity update not byte-stable for doc $i:\n$original")
+      // modeled edit: suppress every dao; everything else must survive
+      // and the re-read table must equal the updated one
+      val updated = flat.withColumn("daos", transform(col("daos"), d =>
+        struct(d("href").as("href"), lit("none").as("show"),
+          d("role").as("role"), d("title").as("title"))))
+      val out = EadXml.updateDocument(original, updated)
+      val p2 = Paths.get(dir, s"r${i}_rt.xml")
+      Files.writeString(p2, out)
+      val back = EadXml.componentsTree(spark, p2.toString)
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "parent_id", "depth", "pos", "title", "daos")
+          .orderBy("depth", "pos", "id").collect().map(_.toSeq).toSeq
+      assert(snap(back) === snap(updated), s"dao edit did not round-trip for doc $i")
+    }
+  }
+
   test("round-trip: flattened candidates feed the F1 predicate downstream") {
     val cands = EadXml.daoCandidates(
       EadXml.componentsTree(spark, eadPath)
