@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import SimOps.dotX
+
+/** Embedding-space clustering for the training-data pipeline: a
+  * deterministic Lloyd k-means and the SemDeDup-style semantic
+  * near-duplicate pruning built on top of it (cluster first, then compare
+  * only within a cluster — Abbas et al., "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication", 2023).
+  *
+  * Cross-engine determinism (the DuckDB oracle must replay every bit):
+  *
+  *  - **Fixed-point coordinates.** Each float coordinate is quantized
+  *    once to an integer number of micro-units,
+  *    `floor(x * 1e6 + 0.5)`, carried as an integer-valued DOUBLE.
+  *    Centroid updates then sum BIGINTs — exact and order-independent,
+  *    where a float sum would depend on partitioning. The quantization
+  *    error (≤ 5e-7 per coordinate) is irrelevant to cluster assignment
+  *    quality and is part of the operator's published contract.
+  *  - **One distance formula.** `d²(v, c) = v·v + c·c − 2·(v·c)` with
+  *    every dot product the sequential [[graft.functions.DotProduct]]
+  *    fold — identical text in the oracle, so ties and near-ties
+  *    resolve identically. Ties break toward the smaller cluster id
+  *    via lexicographic `(dist, cluster)` minimization.
+  *  - **Deterministic seeding.** Initial centroids are the k lowest
+  *    vec_ids (the [[SimOps.ivfAssign]] convention): trained RNG
+  *    seeding would converge engine-dependently.
+  *
+  * Scale shape: centroids live in ONE collected array row that
+  * broadcasts; assignment is a map-side HOF argmin over k candidates —
+  * no shuffle, no k× row fanout (contrast a cross-join + groupBy argmin,
+  * which shuffles k·N rows). The centroid update is a posexplode +
+  * `groupBy(cluster, dim)` partial aggregation: map-side combine
+  * collapses each partition to ≤ k·dim rows before the exchange, the
+  * same discipline as q69's document-frequency fix. Long sums stay exact
+  * below 2^63 micro-units ≈ 9e11 rows per cluster at |x| ≤ 10.
+  */
+object ClusterOps {
+
+  /** `(cluster, cvec, c2)` rows → one broadcastable row holding all
+    * centroids as `cents: array<struct<cluster, cvec, c2>>`, sorted by
+    * cluster id (collect_list order is partition-dependent; the sort
+    * restores determinism — argmin itself is order-free, but a
+    * deterministic array keeps plans and profiles reproducible). */
+  private def packed(cent: DataFrame): DataFrame =
+    cent.agg(sort_array(collect_list(struct(
+      col("cluster"), col("cvec"), col("c2")))).as("cents"))
+
+  /** Map-side assignment: each vector picks the lexicographically
+    * smallest `(dist, cluster)` over the packed centroid array. */
+  private def assigned(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(packed(cent)))
+      .withColumn("_best", expr(
+        """array_min(transform(cents, c -> named_struct(
+          |  'dist', m2 + c.c2 - 2.0D * dot_product(mvec, c.cvec),
+          |  'cluster', c.cluster)))""".stripMargin))
+      .select(col("vec_id"), col("mvec"), col("m2"),
+        col("_best.cluster").as("cluster"))
+
+  /** Lloyd recentering: mean of the member vectors, dimension-wise, as
+    * exact BIGINT micro-unit sums divided in DOUBLE. Clusters that lose
+    * every member drop out (k shrinks — deterministic, documented). */
+  private def recentered(assign: DataFrame): DataFrame =
+    assign
+      .select(col("cluster"), posexplode(col("mvec")).as(Seq("dim", "mv")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("mv").cast("long")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(sort_array(collect_list(named_struct(" +
+        "'dim', dim, 'v', CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))), p -> p.v)")
+        .as("cvec"))
+      .withColumn("c2", expr(dotX("cvec", "cvec")))
+
+  /** vec_id → cluster after `rounds` assignment passes (`rounds - 1`
+    * Lloyd recenterings), plus the final cluster's member count.
+    * Output: `vec_id, cluster, cluster_size`, integer-typed. */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
+      rounds: Int = 2): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val vecs = SimOps.register(embeddings)
+      .select(col("vec_id"),
+        // Spark floor(double) yields LONG; cast back so mvec stays
+        // array<double> for dot_product (values are integer-exact)
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS DOUBLE))")
+          .as("mvec"))
+      .withColumn("m2", expr(dotX("mvec", "mvec")))
+    val cent0 = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("mvec").as("cvec"),
+        col("m2").as("c2"))
+    // Each round's assignment feeds BOTH the next recentering and the
+    // next assignment (and the last one feeds sizes + the final join), so
+    // an unbroken lineage would re-execute the whole prefix once per
+    // consumer — exponential in `rounds`. localCheckpoint materializes
+    // each round once (the [[DedupOps.componentKeepers]] fixpoint
+    // discipline): O(N·dim) storage, linear work per round.
+    val first = assigned(vecs, cent0).localCheckpoint()
+    val finalAssign = (2 to rounds).foldLeft(first) { (a, _) =>
+      assigned(a, recentered(a)).localCheckpoint()
+    }
+    val sizes = finalAssign.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    finalAssign.select("vec_id", "cluster")
+      .join(broadcast(sizes), Seq("cluster"))
+      .select("vec_id", "cluster", "cluster_size")
+  }
+
+  /** SemDeDup: within each k-means cluster, a vector is PRUNED when some
+    * lower-id cluster-mate sits above `minCosine` (first-occurrence-wins,
+    * the [[DedupOps.exactDupGroups]] F7 semantic); cosine is exact, on
+    * the ORIGINAL float coordinates. One row per vector:
+    * `vec_id, cluster, n_dups (lower-id near-dups), kept`.
+    *
+    * Scale shape: the only pair join is the within-cluster self-join —
+    * the entire point of SemDeDup is that k is chosen to hold expected
+    * cluster size ~constant (k ∝ N), so per-cluster work is bounded and
+    * the join is a plain equi-join on the cluster key; a skewed giant
+    * cluster is AQE skew-split like any hot join key. No all-pairs
+    * anywhere. */
+  def semDedupKeepers(embeddings: DataFrame, minCosine: Double,
+      k: Int = 8, rounds: Int = 2): DataFrame = {
+    // one materialization feeds the pair join's both sides and the final
+    // keep-flag join — without it the embeddings⋈assignment shuffle join
+    // would execute three times
+    val e = SimOps.withNorm(embeddings)
+      .join(kmeansAssign(embeddings, k, rounds), Seq("vec_id"))
+      .localCheckpoint()
+    val lo = e.select(col("cluster"), col("vec_id").as("a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val hi = e.select(col("cluster"), col("vec_id").as("b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val dups = lo.join(hi, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .filter(expr(s"${dotX("emb_a", "emb_b")} / (norm_a * norm_b)") >= minCosine)
+      .groupBy(col("b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    e.select("vec_id", "cluster")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (col("n_dups").isNull).as("kept"))
+  }
+}

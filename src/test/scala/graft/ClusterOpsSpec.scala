@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ClusterOps
+
+/** Invariants of the deterministic k-means + SemDeDup family
+  * ([[graft.operators.ClusterOps]]). The bit-level oracle check is
+  * q73/q74's job; this spec pins the algebraic properties a refactor
+  * could silently break. */
+class ClusterOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two well-separated blobs on the first two axes plus their seeds:
+    * ids 0..3 near (1,0,…), ids 4..7 near (0,1,…) — with k=2 the seeds
+    * are 0 and 1, so after one recentering the blobs must split cleanly
+    * along the axis. */
+  private def blobs = Seq(
+    (0L, Array(1.0f, 0.1f, 0f, 0f)),
+    (1L, Array(0.1f, 1.0f, 0f, 0f)),
+    (2L, Array(0.9f, 0.0f, 0f, 0f)),
+    (3L, Array(1.1f, 0.2f, 0f, 0f)),
+    (4L, Array(0.0f, 0.9f, 0f, 0f)),
+    (5L, Array(0.2f, 1.1f, 0f, 0f)),
+    (6L, Array(0.95f, 0.05f, 0f, 0f)),
+    (7L, Array(0.05f, 0.95f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("kmeansAssign: total, deterministic, and separates clean blobs") {
+    val out = ClusterOps.kmeansAssign(blobs, k = 2, rounds = 2)
+      .orderBy("vec_id").collect()
+    assert(out.length === 8, "every vector gets exactly one cluster")
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val xBlob = Set(0L, 2L, 3L, 6L).map(byId)
+    val yBlob = Set(1L, 4L, 5L, 7L).map(byId)
+    assert(xBlob.size === 1 && yBlob.size === 1 && xBlob != yBlob,
+      s"blobs must separate, got $byId")
+    // cluster_size agrees with the assignment itself
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).distinct === Array(rows.length.toLong))
+    }
+    // determinism: a second independent run reproduces the assignment
+    val again = ClusterOps.kmeansAssign(blobs, k = 2, rounds = 2)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("kmeansAssign: rounds=1 is pure seed-nearest assignment") {
+    val out = ClusterOps.kmeansAssign(blobs, k = 2, rounds = 1)
+      .orderBy("vec_id").collect()
+    // seed 0 = (1, .1): nearest for the x blob; seed 1 = (.1, 1): y blob
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 2L, 3L, 6L).forall(byId(_) == 0L))
+    assert(Set(1L, 4L, 5L, 7L).forall(byId(_) == 1L))
+  }
+
+  test("semDedupKeepers: first-occurrence-wins within a cluster") {
+    // ids 2/3/6 are near-identical to 0 (cosine ≫ 0.99); 4/5/7 to 1.
+    val out = ClusterOps.semDedupKeepers(blobs, minCosine = 0.95, k = 2)
+      .orderBy("vec_id").collect()
+    assert(out.length === 8)
+    val kept = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    // the lowest id of each near-dup group survives; every pruned row
+    // records at least one lower-id neighbor
+    assert(kept.contains(0L) && kept.contains(1L))
+    out.filterNot(_.getBoolean(3)).foreach { r =>
+      assert(r.getLong(2) >= 1L, s"pruned ${r.getLong(0)} needs a dup count")
+    }
+    // pruning never orphans: kept + pruned partition the input
+    assert(out.map(_.getLong(0)).toSet === (0L to 7L).toSet)
+  }
+
+  test("semDedupKeepers: threshold above max cosine keeps everything") {
+    val out = ClusterOps.semDedupKeepers(blobs, minCosine = 1.1, k = 2)
+      .collect()
+    assert(out.forall(_.getBoolean(3)))
+    assert(out.forall(_.getLong(2) === 0L))
+  }
+}

@@ -27,7 +27,8 @@ class ScaleSpec extends SparkSpec {
     // plan hash/sort-merge equi-joins.
     val bounded = Set("q39_cosine_topk", "q40_hyperplane_buckets",
       "q41_bucketed_neighbors", "q54_cosine_neardup", "q56_ivf_neighbors",
-      "q69_rare_terms") // 1-row corpus-count side, broadcast by construction
+      "q69_rare_terms", // 1-row corpus-count side, broadcast by construction
+      "q73_kmeans_clusters", "q74_semdedup") // 1-row packed-centroid broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -64,7 +65,9 @@ class ScaleSpec extends SparkSpec {
       "q69_rare_terms" -> 6,         // tf localCheckpointed (agg exchange runs once, off-plan); df groupBy + tf-side join shuffle + corpus-count agg/broadcast + top-k window + sort
       "q70_source_quota" -> 2,       // per-source rank window + sort
       "q71_pii_redaction" -> 1,      // pure per-row regex passes + sort
-      "q72_int8_quant" -> 1)         // pure per-row quantization + sort
+      "q72_int8_quant" -> 1,         // pure per-row quantization + sort
+      "q73_kmeans_clusters" -> 3,    // post-checkpoint: sizes agg + its broadcast + sort (per-round assignment is a map-side 1-row centroid broadcast; recentering exchanges run once inside the checkpoint jobs)
+      "q74_semdedup" -> 5)           // post-checkpoint: cluster self-join (2) + dup-count agg + keep-flag join-back + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
