@@ -16,7 +16,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryDef] =
     CoreQueries.defs ++ StreamingQueries.defs ++ NorthStarQueries.defs ++
-      DocQueries.defs ++ JdbcQueries.defs ++ ClusterQueries.defs
+      DocQueries.defs ++ JdbcQueries.defs ++ ClusterQueries.defs ++
+      CorpusQueries.defs
 
   /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows > 0.
     *

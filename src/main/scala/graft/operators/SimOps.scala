@@ -192,6 +192,40 @@ object SimOps {
       .select("bucket", "a", "b", "cosine")
   }
 
+  /** Recall@k of the hyperplane-LSH candidate set against the exact
+    * brute-force cosine top-k — the evaluation loop every ANN deployment
+    * runs before trusting a bucketing config (more bands/bits trade
+    * recall against join fan-out; this measures the trade).
+    *
+    * Per probe: `n_truth` exact top-k neighbors, `n_hits` of them that
+    * share the probe's LSH bucket, `recall = n_hits / n_truth`. The
+    * truth side is the bounded probe broadcast ([[cosineTopK]]); the
+    * candidate side is the bucket equi-join ([[bucketedNeighbors]]);
+    * truth is localCheckpointed so the ranking window runs once across
+    * its two consumers. Both inputs are per-probe bounded, so the
+    * semi-join and aggregations stay tiny at any corpus size. */
+  def annRecallAtK(embeddings: DataFrame, nQueries: Int = 50, k: Int = 5,
+      nBits: Int = 12): DataFrame = {
+    val truth = cosineTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    // both pair directions in ONE pass (a union of two selects would
+    // duplicate the entire bucket-join subtree in the plan)
+    val cand = bucketedNeighbors(embeddings, nBits)
+      .select(explode(array(
+        struct(col("a").as("q_id"), col("b").as("n_id")),
+        struct(col("b").as("q_id"), col("a").as("n_id")))).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"))
+      .filter(col("q_id") < nQueries)
+    val hits = truth.join(cand, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE)")
+          .as("recall"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the
     * compression step vector stores and ANN serving run at corpus scale
     * (4× smaller than float32; the per-vector scale is the standard

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.QueryDef, QueryDef.oracle
+import graft.operators.{SimOps, TextOps}
+import graft.sources.Tables
+import TextOps.h60d
+
+/** Corpus-curation additions: published quality-rule filters and the
+  * ANN-quality evaluation loop. */
+object CorpusQueries {
+
+  /** DuckDB mirror of the q40/q41 norm + hyperplane-bucket CTE, with the
+    * plane count as a parameter (q41 evaluates the production 12-bit
+    * config; the recall eval intentionally runs a coarser one). */
+  private def bucketCte(nBits: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce([0.0::DOUBLE] || list_transform(range(1, len(embedding)+1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (acc,x) -> acc + x)) AS norm,
+       |    list_reduce([0::BIGINT] || list_transform(range(0, $nBits), j ->
+       |      CASE WHEN list_reduce([0.0::DOUBLE] ||
+       |             list_transform(range(1, len(embedding)+1),
+       |               i -> embedding[i]::DOUBLE
+       |                    * ((${h60d("i::VARCHAR || '_' || j::VARCHAR")} % 2001 - 1000) / 1000.0)),
+       |             (acc, x) -> acc + x) >= 0.0
+       |           THEN CAST(power(2.0, j) AS BIGINT) ELSE 0 END),
+       |      (acc, x) -> acc + x) AS bucket
+       |  FROM embeddings)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    oracle(
+      "q75_gopher_rules",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |base AS (
+        |  SELECT doc_id, tk,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |    CAST(list_reduce([0::BIGINT] || list_transform(tk,
+        |      t -> CAST(length(t) AS BIGINT)), (acc, t) -> acc + t) AS BIGINT) AS sum_len
+        |  FROM tk),
+        |w AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+        |wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY 1, 2),
+        |topw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_w FROM wc GROUP BY 1),
+        |bgr AS (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+        |        FROM tk),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bgr GROUP BY 1, 2),
+        |topb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_b FROM bgc GROUP BY 1),
+        |j AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    1.0::DOUBLE - CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_word_frac,
+        |    CAST(tw.top_w AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS top_word_share,
+        |    CASE WHEN b.n_tokens > 1
+        |         THEN CAST(coalesce(tb.top_b, 0) AS DOUBLE) / CAST(b.n_tokens - 1 AS DOUBLE)
+        |         ELSE 0.0::DOUBLE END AS top_bigram_share,
+        |    CAST(b.sum_len AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS mean_word_len
+        |  FROM base b JOIN topw tw USING (doc_id) LEFT JOIN topb tb USING (doc_id))
+        |SELECT doc_id, n_tokens, dup_word_frac, top_word_share, top_bigram_share,
+        |  mean_word_len,
+        |  (mean_word_len >= 3.0::DOUBLE AND mean_word_len <= 10.0::DOUBLE
+        |   AND dup_word_frac <= 0.6::DOUBLE AND top_word_share <= 0.125::DOUBLE
+        |   AND top_bigram_share <= 0.06::DOUBLE) AS keep
+        |FROM j ORDER BY doc_id""",
+      "Quality: Gopher-style repetition rules + conjunctive keep flag") { (s, d) =>
+      TextOps.gopherStats(Tables(s, d, "documents"))
+        .orderBy("doc_id")
+    },
+
+    oracle(
+      "q76_ann_recall",
+      s"""WITH ${bucketCte(4)},
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_reduce([0.0::DOUBLE] || list_transform(range(1, len(q.embedding)+1),
+         |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (acc,x) -> acc + x)
+         |          / (q.norm * c.norm) DESC, c.vec_id) AS rank
+         |    FROM e q JOIN e c ON q.vec_id < 50 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 5),
+         |cand AS (
+         |  SELECT l.vec_id AS q_id, r.vec_id AS n_id
+         |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |  WHERE l.vec_id < 50),
+         |hits AS (
+         |  SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN cand c ON t.q_id = c.q_id AND t.n_id = c.n_id
+         |  GROUP BY 1),
+         |tt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1)
+         |SELECT tt.q_id, tt.n_truth, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(tt.n_truth AS DOUBLE) AS recall
+         |FROM tt LEFT JOIN hits h USING (q_id)
+         |ORDER BY tt.q_id""",
+      "Similarity: LSH candidate recall@k vs exact brute-force top-k") { (s, d) =>
+      // 4 bits (16 buckets): the coarse config whose recall is actually
+      // informative on the near-orthogonal synthetic corpus — at 12 bits
+      // no probe shares a bucket with any true neighbor and the eval
+      // measures nothing but zero
+      SimOps.annRecallAtK(Tables(s, d, "embeddings"), nBits = 4)
+        .orderBy("q_id")
+    })
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SimOps, TextOps}
+
+/** Behavioural pins for the corpus-curation additions: Gopher repetition
+  * rules ([[TextOps.gopherStats]]) and ANN recall evaluation
+  * ([[SimOps.annRecallAtK]]). Bit-level cross-engine equality is
+  * q75/q76's oracle job; this spec pins the rule semantics on
+  * constructed fixtures. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherStats: repetition and word-length rules fire as published") {
+    val docs = Seq(
+      // varied text, sane word lengths → keeps (20 tokens: at 10 a
+      // unique bigram is already 1/9 > 0.06, the short-doc edge)
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliet kilo lima mike november oscar papa quebec romeo sierra tango"),
+      // one token dominates → top_word_share and dup_word_frac both fail
+      (2L, "spam spam spam spam spam spam spam spam spam ham"),
+      // 1-char tokens → mean_word_len < 3 fails
+      (3L, "a b c d e f g h i j"),
+      // repeated bigram loop: distinct words but one dominating bigram
+      (4L, "on and on and on and on and on and on and off")
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherStats(docs).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+
+    assert(byId(1L).getBoolean(6), "varied doc must keep")
+    assert(byId(1L).getDouble(2) === 0.0) // all-distinct → dup frac 0
+
+    assert(!byId(2L).getBoolean(6), "spam doc must drop")
+    assert(byId(2L).getDouble(3) === 0.9) // top word 9/10
+
+    assert(!byId(3L).getBoolean(6), "1-char tokens fail mean length")
+    assert(byId(3L).getDouble(5) === 1.0)
+
+    assert(!byId(4L).getBoolean(6), "bigram loop must drop")
+    // "on and" appears 6 times among 12 bigrams
+    assert(byId(4L).getDouble(4) === 0.5)
+  }
+
+  test("annRecallAtK: identical vectors recall 1.0; n_truth caps at corpus") {
+    // 6 copies of the same vector: every probe's true top-k IS its bucket
+    val same = (0L to 5L)
+      .map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimOps.annRecallAtK(same, nQueries = 3, k = 5, nBits = 4)
+      .orderBy("q_id").collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getLong(1) === 5L, "top-k of 6-row corpus is the other 5")
+      assert(r.getLong(2) === 5L)
+      assert(r.getDouble(3) === 1.0)
+    }
+  }
+
+  test("annRecallAtK: probes with no bucket-mates recall 0, never NULL") {
+    // opposite-signed vectors land in different half-spaces for any
+    // plane that separates them; with 1 bit the two groups split and a
+    // probe's true nearest (the opposite vector) may be unreachable —
+    // either way every probe row must exist with a defined recall
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(-0.9f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = SimOps.annRecallAtK(vecs, nQueries = 4, k = 2, nBits = 1)
+      .orderBy("q_id").collect()
+    assert(out.length === 4, "one row per probe even at zero hits")
+    out.foreach { r =>
+      assert(!r.isNullAt(3))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+}

@@ -28,7 +28,8 @@ class ScaleSpec extends SparkSpec {
     val bounded = Set("q39_cosine_topk", "q40_hyperplane_buckets",
       "q41_bucketed_neighbors", "q54_cosine_neardup", "q56_ivf_neighbors",
       "q69_rare_terms", // 1-row corpus-count side, broadcast by construction
-      "q73_kmeans_clusters", "q74_semdedup") // 1-row packed-centroid broadcast
+      "q73_kmeans_clusters", "q74_semdedup", // 1-row packed-centroid broadcast
+      "q76_ann_recall") // bounded probe set + plane table broadcasts (q39/q41 shapes)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -67,7 +68,9 @@ class ScaleSpec extends SparkSpec {
       "q71_pii_redaction" -> 1,      // pure per-row regex passes + sort
       "q72_int8_quant" -> 1,         // pure per-row quantization + sort
       "q73_kmeans_clusters" -> 3,    // post-checkpoint: sizes agg + its broadcast + sort (per-round assignment is a map-side 1-row centroid broadcast; recentering exchanges run once inside the checkpoint jobs)
-      "q74_semdedup" -> 5)           // post-checkpoint: cluster self-join (2) + dup-count agg + keep-flag join-back + sort
+      "q74_semdedup" -> 5,           // post-checkpoint: cluster self-join (2) + dup-count agg + keep-flag join-back + sort
+      "q75_gopher_rules" -> 7,       // word + bigram two-level partial aggs (2 each) + two doc_id join-backs + sort
+      "q76_ann_recall" -> 10)        // truth checkpointed (brute-force window off-plan); candidate side = q41's bucket-join shape + one exploded direction pass; semi-join, hit/truth aggs, join-back, sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
