@@ -29,12 +29,17 @@ object StreamOps {
     * analog of the mtime-incremental scan (`bin/batch.sh:24-27`): the
     * source tracks processed files exactly-once in the checkpoint. */
   def eventsStream(spark: SparkSession, dir: String,
-      glob: String = "events*.parquet"): DataFrame = {
+      glob: String = "events*.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val reader = spark.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", glob)
-      .parquet(dir)
+    val bounded = // > 0: cap files per micro-batch (multi-batch testing)
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    bounded.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -94,6 +99,61 @@ object StreamOps {
         date_format(col("e_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         col("p_value"))
+  }
+
+  /** Event row for the custom-state quota operator (flatMapGroupsWithState
+    * needs a typed Dataset; the Encoder comes from this case class). */
+  final case class QuotaEvent(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String)
+
+  /** Per-key admission quota with EXPLICIT state — the custom-state
+    * streaming primitive (`flatMapGroupsWithState`) the windowed
+    * aggregations can't express: admit the first `quota` events per
+    * event_type across the whole stream's lifetime, drop the rest. The
+    * state per key is one long (admitted-so-far), persisted in the state
+    * store across micro-batches and restarts; this is the streaming form
+    * of q70's per-source quota mixing, where "first" means arrival order
+    * instead of hash rank.
+    *
+    * Determinism: WITHIN a micro-batch rows sort by (ts, event_id)
+    * before admission, so a single-batch run (AvailableNow over one
+    * file, or the batch execution of the same operator) is fully
+    * deterministic; across micro-batches admission follows arrival
+    * order, which is the operator's contract (a quota is about what
+    * arrived first, not a total order — the spec aligns file order with
+    * ts order so both notions coincide).
+    *
+    * Scale shape: one exchange on the group key; state size = #keys × 8
+    * bytes, no timeout needed because the key domain (event types /
+    * sources) is bounded by construction. For unbounded key domains add
+    * a GroupStateTimeout — documented, not defaulted, because silently
+    * expiring a quota would re-admit. Works identically on a batch
+    * DataFrame (state starts empty, one "batch" = the whole input),
+    * which is what the stream≡batch spec exploits. */
+  def quotaAdmit(events: DataFrame, quota: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[QuotaEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, QuotaEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var admitted = state.getOption.getOrElse(0L)
+          // materialize before updating state: the returned iterator is
+          // consumed after this function returns
+          val out = rows.toVector
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .flatMap { e =>
+              if (admitted < quota) { admitted += 1; Some(e) } else None
+            }
+          state.update(admitted)
+          out.iterator
+      }
+      .toDF()
   }
 
   /** Run any of the above to completion over the files currently present

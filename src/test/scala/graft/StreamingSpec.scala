@@ -45,6 +45,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("custom-state quota admit: multi-batch stream equals batch window") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val srcDir = tmpDir("quota_src")
+    // three files, ts strictly increasing ACROSS files and mtime aligned
+    // with ts order, so file-arrival order == event-time order and the
+    // admission contract has one unambiguous reference answer
+    (0 until 3).foreach { f =>
+      val rows = (0 until 20).map { i =>
+        Row(f * 100L + i, (f * 10000L + i * 10L) * 1000000000L,
+          (i % 4).toLong, s"type${i % 3}", 1.0, "{}")
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), StreamOps.eventsRawSchema)
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$srcDir/stage$f")
+      val part = new java.io.File(s"$srcDir/stage$f").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"events$f%d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + f * 60000L)
+    }
+    val quota = 7
+    val streamed = StreamOps.quotaAdmit(
+      StreamOps.eventsStream(spark, srcDir, maxFilesPerTrigger = 1), quota)
+    val got = StreamOps.runAvailableNow(spark, streamed,
+        "t_quota", tmpDir("ckpt"))
+      .select("event_id").orderBy("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    // reference: first `quota` per event_type in (ts, event_id) order
+    val all = spark.read.parquet(s"$srcDir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val expected = all
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select("event_id").orderBy("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    assert(got.size === 3 * quota, "3 event types, quota admits each")
+    // the same operator over the same rows as ONE batch agrees — the
+    // unified-model contract (state starts empty, whole input = 1 batch)
+    val batch = StreamOps.quotaAdmit(all, quota)
+      .select("event_id").orderBy("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(batch === expected)
+  }
+
   test("session windows produce plausible per-user sessions") {
     val streamed = StreamOps.sessionCounts(StreamOps.eventsStream(spark, dir))
     val got = StreamOps.runAvailableNowComplete(spark, streamed,
