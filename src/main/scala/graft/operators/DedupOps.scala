@@ -121,6 +121,47 @@ object DedupOps {
       .select("a", "b", "jaccard")
   }
 
+  /** Decile histogram of true Jaccard over the LSH candidate pairs —
+    * the threshold-calibration readout a dedup deployment runs before
+    * fixing its τ: `bucket = floor(jaccard·10)`, pair count per bucket,
+    * and the running "pairs at or above this bucket" total (read the τ
+    * that prunes the volume you intend). Pairs are LSH-bounded; the
+    * histogram is a partial aggregation onto ≤ 11 keys, and the
+    * cumulative window runs over those 11 rows — nothing here grows
+    * with the corpus beyond the candidate generation itself. */
+  def pairCalibrationHistogram(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    minhashCandidatePairs(documents)
+      .withColumn("bucket", expr(
+        "CAST(floor(jaccard * CAST(10.0 AS DOUBLE)) AS BIGINT)"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs",
+        sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)))
+  }
+
+  /** Cross-source near-duplicate overlap matrix: for verified pairs at
+    * or above `minJaccard`, how many land within/between each pair of
+    * sources — the governance readout for "which feeds duplicate each
+    * other" (licensing leakage, mirror detection, mixing-weight
+    * correction). Pair endpoints order as (source_lo ≤ source_hi) so
+    * each unordered source pair is one row.
+    *
+    * Scale shape: the doc→source map joins onto the LSH-bounded pair
+    * set (two hash joins on the doc key); the matrix groupBy has at most
+    * |sources|² keys — partial agg collapses it map-side. */
+  def sourceOverlapMatrix(documents: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    minhashCandidatePairs(documents)
+      .filter(col("jaccard") >= minJaccard)
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SimHash near-duplicate pairs: a 60-bit SimHash splits into four
     * 15-bit bands; docs sharing any (band, value) are candidates, then
     * exact Hamming distance (bit_count of xor — codegen'd integer ops)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef, QueryDef.oracle
-import graft.operators.{SimOps, TextOps}
+import graft.operators.{DedupOps, SimOps, TextOps}
 import graft.sources.Tables
 import TextOps.h60d
 
@@ -99,5 +99,71 @@ object CorpusQueries {
       // measures nothing but zero
       SimOps.annRecallAtK(Tables(s, d, "embeddings"), nBits = 4)
         .orderBy("q_id")
+    },
+
+    oracle(
+      "q77_pair_calibration",
+      s"""WITH sh AS (${NorthStarQueries.SH}),
+         |sig AS (${NorthStarQueries.SIG()}),
+         |bands AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+         |  FROM sig WHERE sig[1] <> -1),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id < y.doc_id),
+         |pj AS (
+         |  SELECT a, b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = a
+         |  JOIN sh sb ON sb.doc_id = b),
+         |g AS (
+         |  SELECT CAST(floor(jaccard * 10.0::DOUBLE) AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pj GROUP BY 1)
+         |SELECT bucket, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_pairs
+         |FROM g ORDER BY bucket""",
+      "Dedup governance: Jaccard decile histogram over LSH candidates") { (s, d) =>
+      DedupOps.pairCalibrationHistogram(Tables(s, d, "documents"))
+        .orderBy("bucket")
+    },
+
+    oracle(
+      "q78_source_overlap",
+      s"""WITH sh AS (${NorthStarQueries.SH}),
+         |sig AS (${NorthStarQueries.SIG()}),
+         |bands AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+         |  FROM sig WHERE sig[1] <> -1),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id < y.doc_id),
+         |pj AS (
+         |  SELECT a, b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = a
+         |  JOIN sh sb ON sb.doc_id = b)
+         |SELECT least(da.source, db.source) AS source_lo,
+         |  greatest(da.source, db.source) AS source_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pj
+         |JOIN documents da ON da.doc_id = pj.a
+         |JOIN documents db ON db.doc_id = pj.b
+         |WHERE jaccard >= 0.5::DOUBLE
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""",
+      "Dedup governance: cross-source near-duplicate overlap matrix") { (s, d) =>
+      DedupOps.sourceOverlapMatrix(Tables(s, d, "documents"))
+        .orderBy("source_lo", "source_hi")
     })
 }

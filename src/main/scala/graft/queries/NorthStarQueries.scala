@@ -43,15 +43,15 @@ object NorthStarQueries {
   }
 
   /** DuckDB CTE fragments shared by the text queries. */
-  private val TK = "SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk FROM documents"
-  private val SH =
+  private[queries] val TK = "SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tk FROM documents"
+  private[queries] val SH =
     s"""SELECT doc_id, lang, n_chars,
        |  CASE WHEN len(tk) >= 3 THEN
        |    list_distinct(list_transform(range(1, len(tk) - 1),
        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
        |  ELSE CAST([] AS VARCHAR[]) END AS sh
        |FROM ($TK)""".stripMargin
-  private def SIG(k: Int = 16) =
+  private[queries] def SIG(k: Int = 16) =
     s"""SELECT doc_id, sh, list_transform(range(0, $k), j ->
        |  coalesce(list_min(list_transform(hs, h ->
        |    ((${h60d("'a:' || j::VARCHAR")} % 1000000006 + 1) * h

@@ -57,6 +57,41 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("pairCalibrationHistogram: buckets split by similarity, cum runs high-to-low") {
+    // two exact-dup groups (J=1 → bucket 10) and one partial overlap
+    // high enough for LSH to surface
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // J = 1.0
+      (3L, s"$base kilo"), (4L, s"$base lima"),      // J = 8/10 vs each other
+      (5L, "uno dos tres cuatro cinco seis siete ocho nueve diez")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.DedupOps.pairCalibrationHistogram(docs)
+      .orderBy("bucket").collect()
+    val byBucket = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byBucket.contains(10L), "exact dups land in bucket 10 (J = 1.0)")
+    // cum_pairs at the LOWEST bucket equals the total pair count
+    val total = out.map(_.getLong(1)).sum
+    assert(out.head.getLong(2) === total)
+    // cum is non-increasing as buckets rise
+    val cums = out.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (lo, hi) => lo >= hi })
+  }
+
+  test("sourceOverlapMatrix: planted cross-source dups count once per unordered pair") {
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val b = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, a, "srcA"), (2L, a, "srcB"),   // cross-source dup
+      (3L, b, "srcB"), (4L, b, "srcB"),   // within-source dup
+      (5L, "solo words nothing like the others at all here now", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.DedupOps.sourceOverlapMatrix(docs, minJaccard = 0.9)
+      .orderBy("source_lo", "source_hi").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("srcA", "srcB", 1L), ("srcB", "srcB", 1L)))
+  }
+
   test("annRecallAtK: probes with no bucket-mates recall 0, never NULL") {
     // opposite-signed vectors land in different half-spaces for any
     // plane that separates them; with 1 bit the two groups split and a

@@ -70,7 +70,9 @@ class ScaleSpec extends SparkSpec {
       "q73_kmeans_clusters" -> 3,    // post-checkpoint: sizes agg + its broadcast + sort (per-round assignment is a map-side 1-row centroid broadcast; recentering exchanges run once inside the checkpoint jobs)
       "q74_semdedup" -> 5,           // post-checkpoint: cluster self-join (2) + dup-count agg + keep-flag join-back + sort
       "q75_gopher_rules" -> 7,       // word + bigram two-level partial aggs (2 each) + two doc_id join-backs + sort
-      "q76_ann_recall" -> 10)        // truth checkpointed (brute-force window off-plan); candidate side = q41's bucket-join shape + one exploded direction pass; semi-join, hit/truth aggs, join-back, sort
+      "q76_ann_recall" -> 10,        // truth checkpointed (brute-force window off-plan); candidate side = q41's bucket-join shape + one exploded direction pass; semi-join, hit/truth aggs, join-back, sort
+      "q77_pair_calibration" -> 7,   // q36's candidate chain + ≤11-key histogram agg + single-partition cum window + sort
+      "q78_source_overlap" -> 9)     // q36's candidate chain + two doc→source joins + |sources|²-key agg + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
