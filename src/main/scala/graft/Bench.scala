@@ -1,9 +1,25 @@
 package graft
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Wall-clock is contention-sensitive: a busy neighbor on the host can
+    * double every reading without any plan change (the round-5 record read
+    * q52 at 6.9× its round-4 number on an untouched code path, and the
+    * judge's rerun couldn't reproduce either figure). Task-seconds
+    * (executor run time summed over every task of every stage the query
+    * ran) and executor-CPU-seconds are contention-invariant up to scheduler
+    * noise, so the record carries them alongside wall: a regression moves
+    * task-seconds, a noisy host moves only wall. Median-of-N steady reps
+    * (default 3, SPARK_GRAFT_BENCH_REPS) with min/max spread replaces the
+    * single steady rep for the same reason.
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,63 +35,103 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Per-stage executor run/CPU accumulation. Stage-completed events
+    // arrive asynchronously on the listener bus; each timed run snapshots
+    // the counters after a short settle window (same approach as the
+    // committed Q52Profile harness this listener is lifted from).
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        runMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+      }
+    })
+
     // Warm the session once (JIT, codegen cache, file index) so the first
     // timed query doesn't absorb JVM/session startup; queries run in name
     // order for stable, comparable per-query numbers.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // Each query runs TWICE (round-2 verdict item 7): the first run pays
-    // whole-stage-codegen compilation and JIT warmup, the second is the
-    // steady state a long-lived cluster job sees. "queries"/"value" stay
-    // first-run so rounds remain comparable; "steady" reports the second
-    // run. noop sink both times: every output column is fully computed
-    // and serialized (a bare count() lets ColumnPruning/EliminateSorts
-    // strip the projections and trailing sort, flattering
+
+    final case class Rep(wall: Double, taskSec: Double, cpuSec: Double)
+    final case class QRes(name: String, first: Rep, steady: Seq[Rep]) {
+      private def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+      def steadyWallMed: Double = med(steady.map(_.wall))
+      def steadyTaskMed: Double = med(steady.map(_.taskSec))
+      def steadyCpuMed: Double = med(steady.map(_.cpuSec))
+      def steadyWallMin: Double = if (steady.isEmpty) -1.0 else steady.map(_.wall).min
+      def steadyWallMax: Double = if (steady.isEmpty) -1.0 else steady.map(_.wall).max
+    }
+
+    // Each query runs once warm (pays whole-stage-codegen compilation +
+    // JIT) then `reps` steady repetitions; "queries"/"value" stay
+    // first-run so rounds remain comparable, "steady" is now the MEDIAN
+    // of the steady reps. noop sink every time: every output column is
+    // fully computed and serialized (a bare count() lets ColumnPruning/
+    // EliminateSorts strip the projections and trailing sort, flattering
     // expression-heavy queries). A query that throws records -1.0.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def timed(): Double = {
+      def timed(): Option[Rep] = {
         // start every timed run from a collected heap: without this, a
-        // payload query's SECOND run inherits the first run's multi-GB
-        // garbage and pays its predecessor's full GC inside the timer
-        // (q52 steady measured 34-47 s in-bench vs 5-13 s in the
-        // committed isolated profiles — the gap is inherited heap debt
-        // plus host noise, not the query). The collection runs BEFORE
-        // t0, so timings exclude it symmetrically for every run.
+        // payload query's run inherits its predecessor's multi-GB garbage
+        // and pays someone else's full GC inside the timer. The
+        // collection runs BEFORE t0, so timings exclude it symmetrically.
         System.gc()
+        runMs.set(0L); cpuMs.set(0L)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        if (ok) elapsed else -1.0
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (!ok) None
+        else {
+          Thread.sleep(300) // listener-bus settle before counter snapshot
+          Some(Rep(wall, runMs.get / 1000.0, cpuMs.get / 1000.0))
+        }
       }
-      val first = timed()
-      val steady = if (first >= 0) timed() else -1.0
-      (name, first, steady)
+      val first = timed().getOrElse(Rep(-1.0, -1.0, -1.0))
+      val steady =
+        if (first.wall < 0) Seq.empty[Rep]
+        else (1 to reps).flatMap(_ => timed())
+      QRes(name, first, steady)
     }
+
     // The harness preserves only the tail of this process's output
     // (round-3 verdict: BENCH_r03's first-run map was truncated away), so
-    // the stdout line is COMPACT — short qNN keys, centisecond precision,
-    // both maps ≈ 1.8 kB — and the full-fidelity record (full names,
-    // nanosecond-derived doubles) goes to BENCH_FULL.json alongside it.
+    // the stdout line is COMPACT — short qNN keys, centisecond precision —
+    // and the full-fidelity record (full names, every rep, CPU seconds,
+    // spread) goes to BENCH_FULL.json alongside it.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     // Locale.ROOT: the f-interpolator formats through the DEFAULT locale,
     // which renders "12,34" on comma-decimal locales — invalid JSON
     def d2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def jmap(f: ((String, Double, Double)) => Double, key: String => String): String =
-      results.map(t => "\"" + key(t._1) + "\":" + d2(f(t))).mkString("{", ",", "}")
-    def jmapFull: String = results
-      .map(t => s""""${t._1}":[${t._2},${t._3}]""").mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val steadyTotal = results.map(_._3).sum
+    def jmap(f: QRes => Double): String =
+      results.map(r => "\"" + shortKey(r.name) + "\":" + d2(f(r))).mkString("{", ",", "}")
+    val total = results.map(_.first.wall).sum
+    val steadyTotal = results.map(_.steadyWallMed).sum
+    val taskTotal = results.map(_.steadyTaskMed).sum
     val line =
-      s"""{"metric":"total","value":${d2(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""steady_total":${d2(steadyTotal)},"keys":"qNN = <qNN>_* first-run | steady; full record in BENCH_FULL.json",""" +
-        s""""queries":${jmap(_._2, shortKey)},"steady":${jmap(_._3, shortKey)}}"""
+      s"""{"metric":"total","value":${d2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,""" +
+        s""""steady_total":${d2(steadyTotal)},"task_total":${d2(taskTotal)},""" +
+        s""""keys":"qNN=<qNN>_*; queries=first-run wall, steady=median-of-$reps wall, task=median task-seconds; full record incl. spread+cpu in BENCH_FULL.json",""" +
+        s""""queries":${jmap(_.first.wall)},"steady":${jmap(_.steadyWallMed)},"task":${jmap(_.steadyTaskMed)}}"""
+    def repArr(rs: Seq[Rep]): String =
+      rs.map(r => s"[${r.wall},${r.taskSec},${r.cpuSec}]").mkString("[", ",", "]")
+    val fullRows = results.map { r =>
+      s""""${r.name}":{"first":${repArr(Seq(r.first))},"steady":${repArr(r.steady)},""" +
+        s""""steadyWallMed":${r.steadyWallMed},"steadyWallMin":${r.steadyWallMin},""" +
+        s""""steadyWallMax":${r.steadyWallMax},"steadyTaskMed":${r.steadyTaskMed},""" +
+        s""""steadyCpuMed":${r.steadyCpuMed}}"""
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-        s""""steady_total":$steadyTotal,"pairs_first_steady":$jmapFull}\n""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
+        s""""steady_total":$steadyTotal,"task_total":$taskTotal,""" +
+        s""""rep_shape":"[wallSec,taskSec,cpuSec]","per_query":$fullRows}\n""")
     println(line)
     spark.stop()
   }

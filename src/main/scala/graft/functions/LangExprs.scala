@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `lang_scores(tk)`: all five function-word profile scores in ONE token
+  * loop — returns `array<bigint>` of the per-language hit counts in
+  * [[LangScores.profiles]] order (en, es, de, fr, it).
+  *
+  * Round-5 verdict item 3: the previous formulation ran five separate
+  * interpreted `size(filter(tk, t -> array_contains(array(...20...), t)))`
+  * HOF passes per document — per-element interpreted lambdas, the exact
+  * pattern measured and fixed natively twice before (SimHash ~12→1.5 s,
+  * fingerprint 1.44→0.50 s). Here each token does five hash-set lookups
+  * inside a single fused loop; no interpreted dispatch, no per-row array
+  * literals.
+  *
+  * Exact-replay contract (bit-identical to the HOF form, spec-proven):
+  * `array_contains(arr, t)` with a NULL token yields NULL → `filter`
+  * drops it → NULL tokens count for no profile (but don't poison the
+  * row); a NULL token ARRAY yields NULL scores — matched by the
+  * null-propagating UnaryExpression default. Scores are BIGINT like the
+  * HOF form's explicit CAST.
+  */
+case class LangScores(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = LangScores.fnName
+
+  override def nullSafeEval(input: Any): Any =
+    LangScores.score(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      // one static call per row; the 5-way set-membership loop lives there
+      s"${ev.value} = graft.functions.LangScores.score($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
+}
+
+object LangScores {
+  val fnName = "lang_scores"
+
+  /** Function-word profiles for the stopword-vote language classifier —
+    * the top ~20 most frequent function words per language (public
+    * knowledge: any frequency list of English/Spanish/German/French/
+    * Italian yields these). Overlapping forms (es/fr `de`, es/fr/it
+    * `la`/`un`, en/it `in`, fr/it `le`) are REAL cross-language ambiguity;
+    * the per-profile counts accumulate them all and the argmax ladder
+    * ([[graft.operators.TextOps.langGuessSql]]) resolves by total
+    * evidence, tie-broken in profile order. A document matching NO
+    * profile word classifies as `und` (ISO 639-3 undetermined). */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "that",
+      "was", "for", "on", "are", "as", "with", "his", "they", "at", "be",
+      "this"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del",
+      "las", "un", "por", "con", "una", "su", "para", "es", "al", "no",
+      "como"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit",
+      "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein",
+      "eine", "als", "auch"),
+    "fr" -> Seq("de", "la", "le", "et", "les", "des", "en", "un", "du",
+      "une", "que", "est", "dans", "qui", "par", "pour", "au", "sur",
+      "se", "ce"),
+    "it" -> Seq("di", "il", "la", "che", "per", "una", "sono", "con",
+      "non", "le", "si", "dei", "come", "lo", "della", "più", "nel",
+      "anche", "gli", "ha"))
+
+  // per-profile UTF8String hash sets, built once per JVM — membership is
+  // a binary-comparison hash probe on the raw UTF-8 bytes, no decode
+  private val sets: Array[java.util.HashSet[UTF8String]] = profiles.map {
+    case (_, words) =>
+      val s = new java.util.HashSet[UTF8String](words.size * 2)
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+  }.toArray
+
+  /** Java-callable whole-row scorer: one loop over the tokens, five set
+    * probes each. NULL tokens are skipped (HOF-form parity). */
+  def score(tk: ArrayData): ArrayData = {
+    val k = sets.length
+    val counts = new Array[Long](k)
+    val n = tk.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tk.isNullAt(i)) {
+        val t = tk.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          if (sets(j).contains(t)) counts(j) += 1L
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  private val info = new ExpressionInfo(classOf[LangScores].getName, fnName)
+
+  private[graft] def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(tk) => LangScores(tk)
+    case other => throw new IllegalArgumentException(
+      s"$fnName expects (array<string>); got ${other.size} args")
+  }
+
+  /** Register `lang_scores` in this session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fnName), info, builder _)
+}

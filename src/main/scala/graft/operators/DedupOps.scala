@@ -103,7 +103,21 @@ object DedupOps {
 
   /** Candidate near-duplicate pairs (doc a < doc b sharing any LSH
     * bucket), verified with true shingle-set Jaccard. The self-join keys
-    * on (band, bucket) — the LSH scale path described above. */
+    * on (band, bucket) — the LSH scale path described above.
+    *
+    * The verify step is the exploded equi-join shape (round-5 verdict
+    * item 5, same shape as [[blockedJaccardPairs]]): common shingles are
+    * COUNTED by joining candidate pairs against per-shingle rows on the
+    * shingle VALUE — `(a,b) ⋈ (a,g) ⋈ (b,g) → groupBy(a,b).count` — so
+    * the shuffles carry narrow (doc, shingle) rows instead of whole
+    * shingle ARRAYS riding two joins. One pass computes BOTH counts the
+    * Jaccard needs: expanding a pair over side a's shingles gives
+    * |A| = count(*) for free, and the b-side probe is a LEFT join with a
+    * hit marker, so c = count(hit) — and candidate pairs whose buckets
+    * collided without a single shared shingle still emit (jaccard 0)
+    * without re-joining the candidate spine. Jaccard = c / (na + nb − c)
+    * is bit-identical to `|A∩B| / |A∪B|` because the shingle arrays are
+    * already distinct. Only |B| needs a size join afterwards. */
   def minhashCandidatePairs(documents: DataFrame): DataFrame = {
     val banded = lshBanded(documents)
     val a = banded.select(col("doc_id").as("a"), col("band"), col("bucket"))
@@ -112,12 +126,16 @@ object DedupOps {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val sh = TextOps.shingled(documents).select(col("doc_id"), col("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"))
+    val shr = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     cand
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .withColumn("jaccard", expr(
-        """CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
-          | / size(array_distinct(concat(sh_a, sh_b)))""".stripMargin))
+      .join(shr.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(shr.select(col("doc_id").as("b"), col("g"), lit(1).as("hit")),
+        Seq("b", "g"), "left")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("na"), count(col("hit")).as("c"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("jaccard", expr("CAST(c AS DOUBLE) / (na + nb - c)"))
       .select("a", "b", "jaccard")
   }
 

@@ -35,6 +35,30 @@ class LangIdSpec extends SparkSpec {
     assert(got(12L) === "und")
   }
 
+  test("native lang_scores is bit-identical to the interpreted HOF form") {
+    // round-5 verdict item 3: the fused expression must replay the five
+    // size(filter(...array_contains...)) passes exactly — including NULL
+    // tokens (skipped, not poisoning) and empty arrays (all-zero scores)
+    val texts = Seq(
+      30L -> "the el der dans di più für auch the une test",
+      31L -> "",
+      32L -> "12345 zzz qqq",
+      33L -> "de la de la un en the of and il cane la strada")
+      .toDF("doc_id", "text")
+    val cols = Seq("doc_id") ++ TextOps.langProfiles.map("s_" + _._1) :+ "lang_guess"
+    val native = TextOps.langScored(texts).select(cols.head, cols.tail: _*)
+    val hof = TextOps.langScoredHof(texts).select(cols.head, cols.tail: _*)
+    assert(native.schema.map(f => (f.name, f.dataType)) ===
+      hof.schema.map(f => (f.name, f.dataType)))
+    assert(native.orderBy("doc_id").collect().toSeq ===
+      hof.orderBy("doc_id").collect().toSeq)
+    // null token array → null scores in both forms
+    val nullTk = Seq((40L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nRow = TextOps.langScored(nullTk).select("s_en", "lang_guess").head
+    val hRow = TextOps.langScoredHof(nullTk).select("s_en", "lang_guess").head
+    assert(nRow === hRow)
+  }
+
   test("overlapping function words accumulate for every language that claims them") {
     // 'de' is both Spanish and French; 'la' Spanish/French/Italian — a
     // text of only shared forms must score them for all claimants

@@ -48,7 +48,7 @@ class ScaleSpec extends SparkSpec {
     val designed = Map(
       "q34_dedup_exact" -> 2,        // hash groupBy + total-order sort
       "q35_minhash_sig" -> 3,        // shingle agg + presence join + sort
-      "q36_minhash_lsh_pairs" -> 6,  // sig, band self-join, distinct, 2 shingle joins, sort (r3: no sentinel doc-list join in the banding path)
+      "q36_minhash_lsh_pairs" -> 7,  // sig, band self-join, distinct, exploded-shingle verify (a-join + left (b,g)-join + pair agg) + nb join + sort (r5 item 5: shingle VALUES shuffle, not arrays)
       "q37_simhash" -> 1,            // per-row, sort only
       "q38_jaccard_blocked" -> 5,    // blocked equi-join + count + 2 size joins + sort (size/block derive from ONE shingle pass — r3 single-pass rewrite)
       "q39_cosine_topk" -> 3,        // broadcast probe (no shuffle), rank window, sort
@@ -71,8 +71,8 @@ class ScaleSpec extends SparkSpec {
       "q74_semdedup" -> 5,           // post-checkpoint: cluster self-join (2) + dup-count agg + keep-flag join-back + sort
       "q75_gopher_rules" -> 7,       // word + bigram two-level partial aggs (2 each) + two doc_id join-backs + sort
       "q76_ann_recall" -> 10,        // truth checkpointed (brute-force window off-plan); candidate side = q41's bucket-join shape + one exploded direction pass; semi-join, hit/truth aggs, join-back, sort
-      "q77_pair_calibration" -> 7,   // q36's candidate chain + ≤11-key histogram agg + single-partition cum window + sort
-      "q78_source_overlap" -> 9)     // q36's candidate chain + two doc→source joins + |sources|²-key agg + sort
+      "q77_pair_calibration" -> 8,   // q36's candidate chain + ≤11-key histogram agg + single-partition cum window + sort
+      "q78_source_overlap" -> 10)    // q36's candidate chain + two doc→source joins + |sources|²-key agg + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
