@@ -36,15 +36,21 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_SCALE_FACTOR replicas, default 10) */
 object ScaleSmoke {
 
-  /** The dedup/ANN family named by the verdict item, plus q69 — the
-    * round-4 scale-killer (df window on the raw term key) whose
-    * partial-agg reshape this smoke independently evidences. */
+  /** The dedup/ANN family named by the round-4 verdict item, plus q69 —
+    * the round-4 scale-killer (df window on the raw term key) whose
+    * partial-agg reshape this smoke independently evidences — plus
+    * (round-5 verdict item 4) the round-5 families: clustering
+    * (q73/q74 — SemDeDup's within-cluster self-join is exactly the shape
+    * a 10× run stresses) and corpus governance (q75–q78). */
   val targets: Seq[String] = Seq(
     "q34_dedup_exact", "q35_minhash_sig", "q36_minhash_lsh_pairs",
     "q37_simhash", "q38_jaccard_blocked", "q39_cosine_topk",
     "q40_hyperplane_buckets", "q41_bucketed_neighbors",
     "q57_transitive_keepers", "q59_simhash_neardup",
-    "q62_decontamination", "q65_segment_dedup", "q69_rare_terms")
+    "q62_decontamination", "q65_segment_dedup", "q69_rare_terms",
+    "q73_kmeans_clusters", "q74_semdedup", "q74_semdedup_scaledk",
+    "q75_gopher_rules", "q76_ann_recall", "q77_pair_calibration",
+    "q78_source_overlap")
 
   private val Stride = 1000000L
 
@@ -77,30 +83,57 @@ object ScaleSmoke {
       Files.write(marker, stamp.getBytes(StandardCharsets.UTF_8))
     }
 
+    // q74's registered query runs the ORACLE configuration (fixed k=8)
+    // — at fixed k the within-cluster pair join is superlinear BY
+    // CONTRACT (cluster size ∝ N). The smoke additionally measures the
+    // documented scale path (ClusterOps scaladoc: k ∝ N via kForCorpus,
+    // hash seeding) so the record shows the prescription actually holds
+    // the ratio, not just claims it. Target cluster size 625 makes the
+    // base corpus (5k vectors) run k=8 — comparable work to q74 there.
+    val scaledK: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        val emb = graft.sources.Tables(s, dir, "embeddings")
+        val k = graft.operators.ClusterOps.kForCorpus(emb.count(), 625L)
+        graft.operators.ClusterOps
+          .semDedupKeepers(emb, minCosine = 0.3, k = k, seedMode = "hash")
+          .orderBy("vec_id")
+      }
+    def queryFn(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name == "q74_semdedup_scaledk") scaledK else SparkEntry.queries(name)
+
     def timed(name: String, dir: String): Double = {
       System.gc()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      queryFn(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
+    // median of 3 steady reps per scale (after one warm run absorbing
+    // codegen/JIT): single-rep readings proved bimodal — an intermittent
+    // JIT/codegen churn can inflate one rep's CPU ~10× on identical
+    // stages (committed q78 profile: steady reps 12.6 / 43.3 / 5.9 s
+    // wall, 70 / 665 / 56 CPU-s, zero new codegen classes) — and a
+    // last-rep record can't tell that from a real cliff. Same
+    // median-of-N methodology as Bench.
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val rows = targets.map { name =>
-      // two runs per scale: the first absorbs codegen/JIT for this query,
-      // the second is the comparable number; both are recorded
-      val b = Seq(timed(name, base), timed(name, base))
-      val x = Seq(timed(name, scaled), timed(name, scaled))
-      val ratio = x.last / b.last
-      println(f"[scale] $name%-24s base ${b.head}%.2f/${b.last}%.2f s   " +
-        f"x$factor ${x.head}%.2f/${x.last}%.2f s   ratio ${ratio}%.1f")
+      val bw = timed(name, base)
+      val b = Seq.fill(3)(timed(name, base))
+      val xw = timed(name, scaled)
+      val x = Seq.fill(3)(timed(name, scaled))
+      val ratio = med(x) / med(b)
+      println(f"[scale] $name%-24s base $bw%.2f|${b.map(v => f"$v%.2f").mkString("/")} s   " +
+        f"x$factor $xw%.2f|${x.map(v => f"$v%.2f").mkString("/")} s   ratio ${ratio}%.1f")
       name -> ((b, x, ratio))
     }
 
-    val totalB = rows.map(_._2._1.last).sum
-    val totalX = rows.map(_._2._2.last).sum
+    val totalB = rows.map(r => med(r._2._1)).sum
+    val totalX = rows.map(r => med(r._2._2)).sum
     val perQuery = rows.map { case (n, (b, x, r)) =>
-      f""""$n":{"base":[${b.head}%.2f,${b.last}%.2f],""" +
-        f""""x$factor":[${x.head}%.2f,${x.last}%.2f],"ratio":$r%.2f}"""
+      f""""$n":{"base":[${b.map(v => f"$v%.2f").mkString(",")}],""" +
+        f""""x$factor":[${x.map(v => f"$v%.2f").mkString(",")}],""" +
+        f""""base_med":${med(b)}%.2f,"x${factor}_med":${med(x)}%.2f,"ratio":$r%.2f}"""
     }.mkString(",")
     val json =
       f"""{"factor":$factor,"base":"$base","scaled":"$scaled",""" +

@@ -26,8 +26,21 @@ import SimOps.dotX
   *    resolve identically. Ties break toward the smaller cluster id
   *    via lexicographic `(dist, cluster)` minimization.
   *  - **Deterministic seeding.** Initial centroids are the k lowest
-  *    vec_ids (the [[SimOps.ivfAssign]] convention): trained RNG
-  *    seeding would converge engine-dependently.
+  *    ACTUAL vec_ids present (the [[SimOps.ivfAssign]] convention) — a
+  *    top-k, not a `vec_id < k` filter, so a filtered corpus with
+  *    non-dense ids still seeds fully instead of silently assigning
+  *    NULL clusters from an empty seed set (round-5 advice). Trained
+  *    RNG seeding would converge engine-dependently.
+  *
+  *    **Quality caveat**: lowest-id seeds are deterministic by contract
+  *    but arbitrary in embedding space — if low ids correlate (e.g.
+  *    ingestion order groups similar documents), seeds start clustered
+  *    and Lloyd converges to a poor local optimum. At real scale prefer
+  *    `seedMode = "hash"`: k lowest by md5-hash of vec_id, a
+  *    deterministic analogue of k-means‖'s random oversampling
+  *    (Bahmani et al., "Scalable k-means++", VLDB 2012) that spreads
+  *    seeds uniformly over the corpus regardless of id layout, at the
+  *    cost of no longer matching the lowid oracle fixture.
   *
   * Scale shape: centroids live in ONE collected array row that
   * broadcasts; assignment is a map-side HOF argmin over k candidates —
@@ -76,10 +89,19 @@ object ClusterOps {
 
   /** vec_id → cluster after `rounds` assignment passes (`rounds - 1`
     * Lloyd recenterings), plus the final cluster's member count.
-    * Output: `vec_id, cluster, cluster_size`, integer-typed. */
+    * Output: `vec_id, cluster, cluster_size`, integer-typed.
+    *
+    * `seedMode`: `"lowid"` (default) seeds from the k lowest vec_ids —
+    * the oracle-replayable convention; `"hash"` seeds from the k lowest
+    * `(md5-hash(vec_id), vec_id)` — deterministic hash-sampled spread
+    * (see the seeding caveat in the object scaladoc). Both are a
+    * driver-free top-k (`TakeOrderedAndProject`: per-partition heap,
+    * single tiny merge). */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8,
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2, seedMode: String = "lowid"): DataFrame = {
     require(k >= 1 && rounds >= 1)
+    require(seedMode == "lowid" || seedMode == "hash",
+      s"seedMode must be 'lowid' or 'hash', got '$seedMode'")
     val vecs = SimOps.register(embeddings)
       .select(col("vec_id"),
         // Spark floor(double) yields LONG; cast back so mvec stays
@@ -87,7 +109,13 @@ object ClusterOps {
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS DOUBLE))")
           .as("mvec"))
       .withColumn("m2", expr(dotX("mvec", "mvec")))
-    val cent0 = vecs.filter(col("vec_id") < k)
+    val seedBase = seedMode match {
+      case "lowid" => vecs.orderBy(col("vec_id"))
+      case "hash" => vecs.orderBy(
+        expr(s"${TextOps.h60x("CAST(vec_id AS STRING)")}").asc,
+        col("vec_id").asc)
+    }
+    val cent0 = seedBase.limit(k)
       .select(col("vec_id").as("cluster"), col("mvec").as("cvec"),
         col("m2").as("c2"))
     // Each round's assignment feeds BOTH the next recentering and the
@@ -118,14 +146,21 @@ object ClusterOps {
     * cluster size ~constant (k ∝ N), so per-cluster work is bounded and
     * the join is a plain equi-join on the cluster key; a skewed giant
     * cluster is AQE skew-split like any hot join key. No all-pairs
-    * anywhere. */
+    * anywhere.
+    *
+    * **Callers MUST scale k with the corpus** (round-5 advice): the
+    * default k=8 is a fixture-scale convenience, not a scale answer —
+    * at fixed k the expected cluster size grows linearly with N and the
+    * self-join emits O((N/k)²·k) pairs. Pick k ≈ N / targetClusterSize
+    * (SemDeDup's published runs use tens of thousands of clusters for
+    * web-scale corpora); [[kForCorpus]] computes exactly that. */
   def semDedupKeepers(embeddings: DataFrame, minCosine: Double,
-      k: Int = 8, rounds: Int = 2): DataFrame = {
+      k: Int = 8, rounds: Int = 2, seedMode: String = "lowid"): DataFrame = {
     // one materialization feeds the pair join's both sides and the final
     // keep-flag join — without it the embeddings⋈assignment shuffle join
     // would execute three times
     val e = SimOps.withNorm(embeddings)
-      .join(kmeansAssign(embeddings, k, rounds), Seq("vec_id"))
+      .join(kmeansAssign(embeddings, k, rounds, seedMode), Seq("vec_id"))
       .localCheckpoint()
     val lo = e.select(col("cluster"), col("vec_id").as("a"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
@@ -141,5 +176,15 @@ object ClusterOps {
       .select(col("vec_id"), col("cluster"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         (col("n_dups").isNull).as("kept"))
+  }
+
+  /** The k that holds expected cluster size at `targetClusterSize` for a
+    * corpus of `corpusRows` — the value [[semDedupKeepers]]' scale
+    * argument assumes the caller passes (counting the corpus first is
+    * one cheap metadata-backed aggregate next to the pair join it
+    * bounds). */
+  def kForCorpus(corpusRows: Long, targetClusterSize: Long = 1000L): Int = {
+    require(corpusRows >= 0 && targetClusterSize >= 1)
+    math.max(1L, corpusRows / targetClusterSize).min(Int.MaxValue.toLong).toInt
   }
 }

@@ -128,13 +128,21 @@ object DedupOps {
     val sh = TextOps.shingled(documents).select(col("doc_id"), col("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"))
     val shr = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // `merge` hints: every join side here is CORPUS-scale (exploded
+    // shingle rows, per-doc sizes). Catalyst's size estimate for a
+    // Generate is a small multiple of the compressed parquet scan, so
+    // without the hint it happily BROADCASTS the exploded corpus — the
+    // 10× smoke caught exactly that (repeated multi-GB hash-relation
+    // builds dominating the profile). Sort-merge is the spillable,
+    // AQE-skew-splittable choice at 100 TB.
     cand
-      .join(shr.select(col("doc_id").as("a"), col("g")), Seq("a"))
-      .join(shr.select(col("doc_id").as("b"), col("g"), lit(1).as("hit")),
-        Seq("b", "g"), "left")
+      .join(shr.select(col("doc_id").as("a"), col("g")).hint("merge"), Seq("a"))
+      .join(shr.select(col("doc_id").as("b"), col("g"), lit(1).as("hit"))
+        .hint("merge"), Seq("b", "g"), "left")
       .groupBy("a", "b")
       .agg(count(lit(1)).as("na"), count(col("hit")).as("c"))
-      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb"))
+        .hint("merge"), Seq("b"))
       .withColumn("jaccard", expr("CAST(c AS DOUBLE) / (na + nb - c)"))
       .select("a", "b", "jaccard")
   }
@@ -169,11 +177,15 @@ object DedupOps {
     * |sources|² keys — partial agg collapses it map-side. */
   def sourceOverlapMatrix(documents: DataFrame,
       minJaccard: Double = 0.5): DataFrame = {
+    // merge hints: the doc→source map is corpus-scale — same
+    // don't-broadcast-the-corpus discipline as the pair verify above
     val src = documents.select(col("doc_id"), col("source"))
     minhashCandidatePairs(documents)
       .filter(col("jaccard") >= minJaccard)
-      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
-      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a"))
+        .hint("merge"), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b"))
+        .hint("merge"), Seq("b"))
       .select(least(col("src_a"), col("src_b")).as("source_lo"),
         greatest(col("src_a"), col("src_b")).as("source_hi"))
       .groupBy("source_lo", "source_hi")
@@ -451,8 +463,23 @@ object DedupOps {
     * bounded-fan-out argument as LSH bucketing, with hot shingles
     * (stop-gram skew) the known failure mode → [[SkewOps]] salting if
     * AQE's skew split isn't enough. Geometric blocks keep the per-row
-    * probe fan-out at a constant 3 regardless of document size. */
-  def blockedJaccardPairs(documents: DataFrame, minJaccard: Double = 0.2): DataFrame = {
+    * probe fan-out at a constant 3 regardless of document size.
+    *
+    * `maxShingleDocFrac` (round-5 verdict item 2) is the standard
+    * MinHash-practice df-cap: drop shingles appearing in more than that
+    * fraction of documents BEFORE blocking — a shingle shared by >X% of
+    * the corpus carries no dedup signal but fans out quadratically in
+    * its (g, lang, blk) key. The hot set is bounded by construction
+    * (at most shinglesPerDoc / frac distinct values exceed the cap), so
+    * it broadcasts as one array row and the prune is a per-row
+    * `array_except`; nsh / blk / Jaccard are then computed on the
+    * PRUNED sets, so the result is the exact Jaccard of the capped
+    * shingle sets — identical to the uncapped result whenever no
+    * shingle exceeds the cap (spec-pinned), approximate-by-contract
+    * otherwise. `None` (the default, and the oracle form) prunes
+    * nothing. */
+  def blockedJaccardPairs(documents: DataFrame, minJaccard: Double = 0.2,
+      maxShingleDocFrac: Option[Double] = None): DataFrame = {
     // lower bound 1/36: the digit count runs through conv()/to_base(),
     // whose radix caps at 36 in BOTH engines (beyond it they return
     // NULL, which would silently empty the join — reviewed round 3).
@@ -461,11 +488,33 @@ object DedupOps {
     require(minJaccard >= 1.0 / 36 && minJaccard <= 1.0,
       s"minJaccard must be in [1/36, 1] (digit-count radix cap), got $minJaccard")
     val base = math.ceil(1.0 / minJaccard).toLong.max(2L)
+    val shSets = {
+      val raw = TextOps.shingled(documents)
+      maxShingleDocFrac match {
+        case None => raw
+        case Some(frac) =>
+          require(frac > 0.0 && frac <= 1.0,
+            s"maxShingleDocFrac must be in (0, 1], got $frac")
+          // df per shingle is one partial-agg groupBy over the exploded
+          // rows (shingle arrays are distinct per doc, so row count =
+          // doc frequency); the corpus count rides a 1-row broadcast
+          // (the q69 corpus-count discipline)
+          val nDocs = raw.agg(count(lit(1)).as("n_docs"))
+          val hot = raw.select(explode(col("sh")).as("g"))
+            .groupBy("g").agg(count(lit(1)).as("df"))
+            .crossJoin(broadcast(nDocs))
+            .filter(col("df").cast("double") > col("n_docs") * frac)
+            .agg(sort_array(collect_list(col("g"))).as("hot"))
+          raw.crossJoin(broadcast(hot))
+            .withColumn("sh", expr("array_except(sh, hot)"))
+            .drop("hot")
+      }
+    }
     // shingle set, its size, the geometric block, and the exploded
     // shingle rows all derive from ONE per-row shingled() pass — size and
     // digit-count are narrow projections and explode is narrow, so
     // attaching (lang, blk) to every shingle row costs no join/shuffle
-    val withMeta = TextOps.shingled(documents)
+    val withMeta = shSets
       .select(col("doc_id"), col("lang"), col("sh"),
         size(col("sh")).cast("long").as("nsh"))
       .withColumn("blk", length(conv(col("nsh"), 10, base.toInt)).cast("long"))

@@ -210,12 +210,17 @@ object SimOps {
       .select(col("q_id"), col("n_id")).localCheckpoint()
     // both pair directions in ONE pass (a union of two selects would
     // duplicate the entire bucket-join subtree in the plan)
+    // the candidate-side probe filter is DERIVED from the truth set (a
+    // broadcast semi-join on its distinct q_ids) rather than re-encoding
+    // cosineTopK's `vec_id < nQueries` convention by value — if the
+    // probe convention ever changes (e.g. sampled probes), recall still
+    // compares the same probe sets by construction (round-5 advice)
     val cand = bucketedNeighbors(embeddings, nBits)
       .select(explode(array(
         struct(col("a").as("q_id"), col("b").as("n_id")),
         struct(col("b").as("q_id"), col("a").as("n_id")))).as("p"))
       .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"))
-      .filter(col("q_id") < nQueries)
+      .join(broadcast(truth.select("q_id").distinct()), Seq("q_id"), "left_semi")
     val hits = truth.join(cand, Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
     truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))

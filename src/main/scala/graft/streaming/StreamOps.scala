@@ -142,16 +142,33 @@ object StreamOps {
       .flatMapGroupsWithState[Long, QuotaEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
-          var admitted = state.getOption.getOrElse(0L)
-          // materialize before updating state: the returned iterator is
-          // consumed after this function returns
-          val out = rows.toVector
-            .sortBy(e => (e.ts.getTime, e.event_id))
-            .flatMap { e =>
-              if (admitted < quota) { admitted += 1; Some(e) } else None
+          val admitted = state.getOption.getOrElse(0L)
+          val rem = quota - admitted
+          if (rem <= 0L) {
+            // exhausted key: drain without materializing — a hot
+            // event_type in a large micro-batch would otherwise load
+            // every row into a Vector just to sort and drop them all
+            // (round-5 advice)
+            Iterator.empty
+          } else {
+            // keep only the `rem` (ts, event_id)-smallest rows via a
+            // bounded max-heap — O(n log rem) time, O(rem) memory,
+            // instead of sorting the whole group; the admitted output
+            // (ascending) is identical to sort-then-take
+            val ord = Ordering.by[QuotaEvent, (Long, Long)](
+              e => (e.ts.getTime, e.event_id))
+            val heap = scala.collection.mutable.PriorityQueue.empty[QuotaEvent](ord)
+            val cap = math.min(rem, Int.MaxValue.toLong).toInt
+            rows.foreach { e =>
+              if (heap.size < cap) heap.enqueue(e)
+              else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
             }
-          state.update(admitted)
-          out.iterator
+            // materialize before updating state: the returned iterator is
+            // consumed after this function returns
+            val out = heap.dequeueAll.reverse
+            state.update(admitted + out.size)
+            out.iterator
+          }
       }
       .toDF()
   }

@@ -54,6 +54,47 @@ class ClusterOpsSpec extends SparkSpec {
     assert(Set(1L, 4L, 5L, 7L).forall(byId(_) == 1L))
   }
 
+  test("kmeansAssign: seeds come from the k lowest ACTUAL ids (non-dense corpora seed fully)") {
+    // round-5 advice: with `vec_id < k` seeding, a filtered corpus whose
+    // ids all exceed k seeded EMPTY and silently assigned NULL clusters.
+    // Shift every blob id by 1000: the k lowest actual ids are 1000/1001,
+    // and the assignment must stay total with the same blob split.
+    val shifted = blobs.withColumn("vec_id", col("vec_id") + 1000L)
+    val out = ClusterOps.kmeansAssign(shifted, k = 2, rounds = 2)
+      .orderBy("vec_id").collect()
+    assert(out.length === 8, "every vector gets exactly one cluster")
+    assert(out.forall(!_.isNullAt(1)), "no NULL clusters from an empty seed set")
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val xBlob = Set(1000L, 1002L, 1003L, 1006L).map(byId)
+    val yBlob = Set(1001L, 1004L, 1005L, 1007L).map(byId)
+    assert(xBlob.size === 1 && yBlob.size === 1 && xBlob != yBlob)
+  }
+
+  test("kmeansAssign: hash seeding is deterministic, total, and converges on blobs") {
+    // seedMode="hash" picks k lowest by md5(vec_id): pseudo-random but
+    // fully deterministic spread. With enough Lloyd rounds the clean
+    // blobs must still separate regardless of which side the seeds
+    // landed on; two runs must agree bit-for-bit.
+    val out = ClusterOps.kmeansAssign(blobs, k = 2, rounds = 5, seedMode = "hash")
+      .orderBy("vec_id").collect()
+    assert(out.length === 8)
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val xBlob = Set(0L, 2L, 3L, 6L).map(byId)
+    val yBlob = Set(1L, 4L, 5L, 7L).map(byId)
+    assert(xBlob.size === 1 && yBlob.size === 1 && xBlob != yBlob,
+      s"hash-seeded blobs must separate, got $byId")
+    val again = ClusterOps.kmeansAssign(blobs, k = 2, rounds = 5, seedMode = "hash")
+      .orderBy("vec_id").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("kForCorpus holds expected cluster size at the target") {
+    assert(ClusterOps.kForCorpus(0L) === 1)
+    assert(ClusterOps.kForCorpus(999L) === 1)
+    assert(ClusterOps.kForCorpus(1000000L) === 1000)
+    assert(ClusterOps.kForCorpus(1000000L, 100L) === 10000)
+  }
+
   test("semDedupKeepers: first-occurrence-wins within a cluster") {
     // ids 2/3/6 are near-identical to 0 (cosine ≫ 0.99); 4/5/7 to 1.
     val out = ClusterOps.semDedupKeepers(blobs, minCosine = 0.95, k = 2)

@@ -150,6 +150,30 @@ class DedupSimSpec extends SparkSpec {
       s"missed=${(brute -- blocked).toSeq.sorted} spurious=${(blocked -- brute).toSeq.sorted}")
   }
 
+  test("df-cap prune: cap 1.0 is a no-op; a hot shingle stops pairing docs") {
+    // docs 1/2 are near-dups on REAL content; docs 3/4 share ONLY the
+    // stop phrase (every doc carries it, so its shingles have df = 1.0)
+    val stop = "click here to subscribe now"
+    val d = docs(
+      1L -> s"$base $stop",
+      2L -> s"${base.replace("sigma", "sygma")} $stop",
+      3L -> s"one two three four five six seven $stop",
+      4L -> s"red orange yellow green blue indigo violet $stop")
+    def pairSet(cap: Option[Double]) =
+      DedupOps.blockedJaccardPairs(d, minJaccard = 0.1, maxShingleDocFrac = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap 1.0: df > n_docs never fires — bit-identical to the exact form
+    val exact = pairSet(None)
+    assert(pairSet(Some(1.0)) === exact)
+    // uncapped, the stop phrase alone pairs 3/4; capped at 50% the
+    // ubiquitous shingles carry no signal and 3/4 drop out, while the
+    // real near-dup 1/2 survives on its content shingles
+    assert(exact.contains((3L, 4L)), s"stop-phrase pair expected uncapped: $exact")
+    val capped = pairSet(Some(0.5))
+    assert(capped.contains((1L, 2L)), s"real near-dup must survive the cap: $capped")
+    assert(!capped.contains((3L, 4L)), s"stop-phrase-only pair must be pruned: $capped")
+  }
+
   test("blocked Jaccard rejects thresholds below the digit-count radix cap") {
     // conv()/to_base() cap at radix 36 in both engines and return NULL
     // beyond it, which would silently empty the block join — the guard

@@ -48,7 +48,7 @@ class ScaleSpec extends SparkSpec {
     val designed = Map(
       "q34_dedup_exact" -> 2,        // hash groupBy + total-order sort
       "q35_minhash_sig" -> 3,        // shingle agg + presence join + sort
-      "q36_minhash_lsh_pairs" -> 7,  // sig, band self-join, distinct, exploded-shingle verify (a-join + left (b,g)-join + pair agg) + nb join + sort (r5 item 5: shingle VALUES shuffle, not arrays)
+      "q36_minhash_lsh_pairs" -> 10, // sig, band self-join, distinct, exploded-shingle verify (merge-hinted a-join + left (b,g)-join + pair agg) + merge-hinted nb join + sort (r5 item 5: shingle VALUES shuffle, not arrays; corpus sides pinned OUT of broadcast)
       "q37_simhash" -> 1,            // per-row, sort only
       "q38_jaccard_blocked" -> 5,    // blocked equi-join + count + 2 size joins + sort (size/block derive from ONE shingle pass — r3 single-pass rewrite)
       "q39_cosine_topk" -> 3,        // broadcast probe (no shuffle), rank window, sort
@@ -70,9 +70,9 @@ class ScaleSpec extends SparkSpec {
       "q73_kmeans_clusters" -> 3,    // post-checkpoint: sizes agg + its broadcast + sort (per-round assignment is a map-side 1-row centroid broadcast; recentering exchanges run once inside the checkpoint jobs)
       "q74_semdedup" -> 5,           // post-checkpoint: cluster self-join (2) + dup-count agg + keep-flag join-back + sort
       "q75_gopher_rules" -> 7,       // word + bigram two-level partial aggs (2 each) + two doc_id join-backs + sort
-      "q76_ann_recall" -> 10,        // truth checkpointed (brute-force window off-plan); candidate side = q41's bucket-join shape + one exploded direction pass; semi-join, hit/truth aggs, join-back, sort
-      "q77_pair_calibration" -> 8,   // q36's candidate chain + ≤11-key histogram agg + single-partition cum window + sort
-      "q78_source_overlap" -> 10)    // q36's candidate chain + two doc→source joins + |sources|²-key agg + sort
+      "q76_ann_recall" -> 12,        // truth checkpointed (brute-force window off-plan); candidate side = q41's bucket-join shape + one exploded direction pass; probe-set semi-join now DERIVED from truth (distinct agg + its broadcast, r5 advice) + hit/truth aggs, join-back, sort
+      "q77_pair_calibration" -> 11,  // q36's candidate chain + ≤11-key histogram agg + single-partition cum window + sort
+      "q78_source_overlap" -> 15)    // q36's candidate chain + two doc→source joins + |sources|²-key agg + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
