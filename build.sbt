@@ -32,4 +32,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // driver-vs-local[8] 3× gap). The machine has 128 GiB; a real 32-core
   // executor would get far more than 8g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVMOPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -41,6 +41,14 @@ object Q52Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // A long-lived session running 78+ distinct plans thrashes the
+      // generated-class cache at its default size; evicted classes
+      // unload at the next full GC and class unloading deoptimizes
+      // compiled call sites — the suspected source of the intermittent
+      // ~10x CPU inflation on single reps (see BENCH_NOTES round 6).
+      // Static conf, so it must be set before the first session.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

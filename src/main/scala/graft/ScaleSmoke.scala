@@ -66,6 +66,14 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // A long-lived session running 78+ distinct plans thrashes the
+      // generated-class cache at its default size; evicted classes
+      // unload at the next full GC and class unloading deoptimizes
+      // compiled call sites — the suspected source of the intermittent
+      // ~10x CPU inflation on single reps (see BENCH_NOTES round 6).
+      // Static conf, so it must be set before the first session.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -74,7 +82,7 @@ object ScaleSmoke {
     // different base would stamp BENCH_SCALE.json with wrong-scale
     // ratios (reviewed round 5)
     val marker = Paths.get(s"$scaled/_GENERATED_FROM")
-    val stamp = s"base=$base factor=$factor"
+    val stamp = s"base=$base factor=$factor parts=64"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp
     if (!fresh) {
@@ -117,11 +125,12 @@ object ScaleSmoke {
     // last-rep record can't tell that from a real cliff. Same
     // median-of-N methodology as Bench.
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt.max(1)
     val rows = targets.map { name =>
       val bw = timed(name, base)
-      val b = Seq.fill(3)(timed(name, base))
+      val b = Seq.fill(reps)(timed(name, base))
       val xw = timed(name, scaled)
-      val x = Seq.fill(3)(timed(name, scaled))
+      val x = Seq.fill(reps)(timed(name, scaled))
       val ratio = med(x) / med(b)
       println(f"[scale] $name%-24s base $bw%.2f|${b.map(v => f"$v%.2f").mkString("/")} s   " +
         f"x$factor $xw%.2f|${x.map(v => f"$v%.2f").mkString("/")} s   ratio ${ratio}%.1f")
@@ -158,7 +167,12 @@ object ScaleSmoke {
         (col("doc_id") + col("k") * lit(Stride)).as("doc_id"),
         col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
-    docs.repartition(8).write.mode("overwrite")
+    // 64 output files, not 8: a slice holding 10x the data in 8 files
+    // runs its scan/map stages at 8 tasks on 32 cores — the smoke then
+    // measures file-layout starvation, not the plan (a real cluster
+    // reading 10x the data gets ~10x the splits). Splits must scale
+    // with volume for the ratio to mean anything.
+    docs.repartition(64).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     val embSrc = spark.read.parquet(s"$base/embeddings.parquet")
     // rotation by k is only a distinct isometry for k < dims: slice
@@ -177,7 +191,7 @@ object ScaleSmoke {
             |       slice(embedding, 1, CAST(k AS INT)))""".stripMargin))
           .as("embedding"),
         col("label"))
-    embs.repartition(8).write.mode("overwrite")
+    embs.repartition(64).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
     println(s"[scale] generated ${factor}x slice at $out")
   }

@@ -70,4 +70,49 @@ object SampleOps {
     df.withColumn("mix_rank", row_number().over(w).cast("long"))
       .filter(col("mix_rank") <= quota)
   }
+
+  /** Temperature-scaled source mixing weights — the standard LLM
+    * data-mixing reweighting (multinomial sampling with temperature,
+    * the α-scaling of Conneau & Lample, "Cross-lingual Language Model
+    * Pretraining", 2019 §3.1, used by every multi-source pretraining
+    * recipe since): `w_s ∝ share_s^α` normalized over sources, which
+    * up-weights minority sources relative to their natural share.
+    * One row per source: `n_docs, share, weight, boost` (boost =
+    * weight / share, the factor to apply to a source's natural
+    * sampling rate).
+    *
+    * α is FIXED at 0.5 — not a parameter — because `sqrt` is the one
+    * power IEEE 754 requires correctly rounded, so both engines produce
+    * the identical double; `pow(x, 0.5)` or any other α is
+    * library-dependent in the last ulp and would break the bit-exact
+    * oracle. (If a deployment needs another α, the operator is the
+    * template; the oracle then becomes tolerance-based.)
+    *
+    * Cross-engine determinism: the normalization denominator is a sum
+    * of doubles — order-dependent — so it folds SEQUENTIALLY over the
+    * source list sorted by source name (one tiny array row, the packed
+    * discipline of [[graft.operators.ClusterOps]]); the DuckDB oracle
+    * replays the same ordered `list_reduce`.
+    *
+    * Shape at 100 TB: one partial-agg count per source (|sources| keys,
+    * map-side collapse), then everything happens on |sources| rows in
+    * one packed array — nothing downstream grows with the corpus. */
+  def temperatureMixWeights(documents: DataFrame,
+      sourceCol: String = "source"): DataFrame = {
+    val packed = documents.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .agg(sort_array(collect_list(struct(col("source"), col("n_docs"))))
+        .as("ss"))
+    packed
+      .withColumn("total", expr("aggregate(ss, 0L, (a, x) -> a + x.n_docs)"))
+      .withColumn("denom", expr(
+        """aggregate(ss, CAST(0.0 AS DOUBLE),
+          |  (a, x) -> a + sqrt(CAST(x.n_docs AS DOUBLE) / CAST(total AS DOUBLE)))""".stripMargin))
+      .select(explode(col("ss")).as("s"), col("total"), col("denom"))
+      .select(col("s.source").as("source"), col("s.n_docs").as("n_docs"),
+        expr("CAST(s.n_docs AS DOUBLE) / CAST(total AS DOUBLE)").as("share"),
+        expr("sqrt(CAST(s.n_docs AS DOUBLE) / CAST(total AS DOUBLE)) / denom")
+          .as("weight"))
+      .withColumn("boost", expr("weight / share"))
+  }
 }

@@ -269,6 +269,37 @@ object TextOps {
       .withColumn("top_share", expr("CAST(top_cnt AS DOUBLE) / n_tokens"))
       .select("doc_id", "n_tokens", "top_cnt", "top_share")
 
+  /** Per-document unigram-rarity score — the log-free surrogate for a
+    * unigram LM perplexity filter (CCNet-style "does this look like
+    * normal language" scoring without shipping a KenLM model):
+    * `mean_df_rate = (Σ_t∈doc df(t)) / (n_tokens · N_docs)`, the mean
+    * document-frequency RATE over the document's token occurrences.
+    * High ⇒ common, fluent vocabulary; low ⇒ rare/garbled tokens. The
+    * ratio is monotone in the mean unigram log-probability's argument
+    * but needs no `ln`, so it stays cross-engine bit-exact (the q69
+    * no-ln discipline): all-integer numerator, one double division.
+    *
+    * Shape at 100 TB: the q69 shape exactly — tf and df are two-level
+    * partial aggregations on doc-bounded / vocab keys (never a window
+    * on the raw term), the tf⋈df equi-join shuffles narrow rows, the
+    * corpus count rides a 1-row broadcast. Every doc has ≥ 1 token
+    * (the empty string tokenizes to [""]), so no join-back is needed
+    * for completeness. */
+  def unigramRarity(documents: DataFrame): DataFrame = {
+    val tf = tokenized(documents)
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    tf.join(dft, Seq("t"))
+      .groupBy("doc_id")
+      .agg(sum(expr("tf * df")).as("sum_df"), sum(col("tf")).as("n_tokens"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n_tokens"), col("sum_df"),
+        expr("CAST(sum_df AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_docs AS DOUBLE))")
+          .as("mean_df_rate"))
+  }
+
   /** Per-document duplicated-n-gram fraction — the Gopher-style
     * repetition filter: the share of a document's n-gram OCCURRENCES
     * whose gram appears at least twice within the document (boilerplate,

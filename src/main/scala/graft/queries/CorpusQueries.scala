@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef, QueryDef.oracle
-import graft.operators.{DedupOps, SimOps, TextOps}
+import graft.operators.{DedupOps, SampleOps, SimOps, TextOps}
 import graft.sources.Tables
 import TextOps.h60d
 
@@ -165,5 +165,51 @@ object CorpusQueries {
       "Dedup governance: cross-source near-duplicate overlap matrix") { (s, d) =>
       DedupOps.sourceOverlapMatrix(Tables(s, d, "documents"))
         .orderBy("source_lo", "source_hi")
+    },
+
+    oracle(
+      "q79_source_temperature",
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+        |d AS (
+        |  SELECT list_reduce(
+        |    [0.0::DOUBLE] || list(sqrt(CAST(c.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE))
+        |      ORDER BY c.source),
+        |    (a, x) -> a + x) AS denom
+        |  FROM c, t)
+        |SELECT c.source, c.n_docs,
+        |  CAST(c.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        |  sqrt(CAST(c.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE)) / d.denom AS weight,
+        |  (sqrt(CAST(c.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE)) / d.denom)
+        |    / (CAST(c.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE)) AS boost
+        |FROM c, t, d
+        |ORDER BY c.source""",
+      "Mixing: temperature-scaled (alpha=0.5) source sampling weights") { (s, d) =>
+      SampleOps.temperatureMixWeights(Tables(s, d, "documents"))
+        .orderBy("source")
+    },
+
+    oracle(
+      "q80_unigram_rarity",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+        |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |agg AS (
+        |  SELECT tf.doc_id,
+        |    CAST(sum(tf.tf * dft.df) AS BIGINT) AS sum_df,
+        |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+        |  FROM tf JOIN dft USING (t) GROUP BY 1)
+        |SELECT a.doc_id, a.n_tokens, a.sum_df,
+        |  CAST(a.sum_df AS DOUBLE)
+        |    / (CAST(a.n_tokens AS DOUBLE) * CAST(nd.n_docs AS DOUBLE)) AS mean_df_rate
+        |FROM agg a, nd
+        |ORDER BY a.doc_id""",
+      "Quality: unigram-rarity score (log-free LM-perplexity surrogate)") { (s, d) =>
+      TextOps.unigramRarity(Tables(s, d, "documents"))
+        .orderBy("doc_id")
     })
 }

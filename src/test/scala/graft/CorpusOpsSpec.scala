@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{SimOps, TextOps}
+import graft.operators.{SampleOps, SimOps, TextOps}
 
 /** Behavioural pins for the corpus-curation additions: Gopher repetition
   * rules ([[TextOps.gopherStats]]) and ANN recall evaluation
@@ -40,6 +40,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!byId(4L).getBoolean(6), "bigram loop must drop")
     // "on and" appears 6 times among 12 bigrams
     assert(byId(4L).getDouble(4) === 0.5)
+  }
+
+  test("temperatureMixWeights: sqrt-share weights, minority boosted, weights sum to 1") {
+    // 90/10 split: share 0.9/0.1 -> weight sqrt(.9)/(sqrt(.9)+sqrt(.1)) ~= 0.75
+    val d = ((1 to 90).map(i => (i.toLong, "web")) ++
+      (1 to 10).map(i => (100L + i, "books")))
+      .toDF("doc_id", "source")
+    val rows = SampleOps.temperatureMixWeights(d)
+      .orderBy("source").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("books", "web"))
+    val books = rows(0); val web = rows(1)
+    assert(books.getLong(1) === 10L && web.getLong(1) === 90L)
+    val denom = math.sqrt(0.9) + math.sqrt(0.1)
+    assert(math.abs(web.getDouble(3) - math.sqrt(0.9) / denom) < 1e-15)
+    assert(math.abs(books.getDouble(3) - math.sqrt(0.1) / denom) < 1e-15)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    // temperature flattens: minority boosted above its share, majority damped
+    assert(books.getDouble(4) > 1.0 && web.getDouble(4) < 1.0)
+  }
+
+  test("unigramRarity: common-vocabulary docs score above rare-vocabulary docs") {
+    val d = Seq(
+      (1L, "the cat and the dog"),     // shares vocabulary with doc 2
+      (2L, "the dog and the bird"),
+      (3L, "zyx qwv jkl mnp ssst"))    // tokens appearing nowhere else
+      .toDF("doc_id", "text")
+    val rows = TextOps.unigramRarity(d).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 3: every token df=1, n_tokens=5 -> sum_df=5, rate 5/(5*3)=1/3
+    assert(rows(3L) === ((5L, 5L, 5.0 / 15.0)))
+    // docs 1/2 share 'the'(df2 twice), 'and'(df2), 'dog'(df2): rate > doc 3's
+    assert(rows(1L)._3 > rows(3L)._3 && rows(2L)._3 > rows(3L)._3)
+    // every doc appears exactly once
+    assert(rows.keySet === Set(1L, 2L, 3L))
   }
 
   test("annRecallAtK: identical vectors recall 1.0; n_truth caps at corpus") {

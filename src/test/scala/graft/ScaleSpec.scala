@@ -29,7 +29,8 @@ class ScaleSpec extends SparkSpec {
       "q41_bucketed_neighbors", "q54_cosine_neardup", "q56_ivf_neighbors",
       "q69_rare_terms", // 1-row corpus-count side, broadcast by construction
       "q73_kmeans_clusters", "q74_semdedup", // 1-row packed-centroid broadcast
-      "q76_ann_recall") // bounded probe set + plane table broadcasts (q39/q41 shapes)
+      "q76_ann_recall", // bounded probe set + plane table broadcasts (q39/q41 shapes)
+      "q79_source_temperature", "q80_unigram_rarity") // 1-row corpus-count / packed-weights broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -72,7 +73,9 @@ class ScaleSpec extends SparkSpec {
       "q75_gopher_rules" -> 7,       // word + bigram two-level partial aggs (2 each) + two doc_id join-backs + sort
       "q76_ann_recall" -> 12,        // truth checkpointed (brute-force window off-plan); candidate side = q41's bucket-join shape + one exploded direction pass; probe-set semi-join now DERIVED from truth (distinct agg + its broadcast, r5 advice) + hit/truth aggs, join-back, sort
       "q77_pair_calibration" -> 11,  // q36's candidate chain + ≤11-key histogram agg + single-partition cum window + sort
-      "q78_source_overlap" -> 15)    // q36's candidate chain + two doc→source joins + |sources|²-key agg + sort
+      "q78_source_overlap" -> 15,    // q36's candidate chain + two doc→source joins + |sources|²-key agg + sort
+      "q79_source_temperature" -> 2, // per-source partial-agg count + 1-row pack; everything after is |sources|-row; sort
+      "q80_unigram_rarity" -> 8)     // tf agg + df agg + tf⋈df join + per-doc agg + 1-row corpus-count broadcast + sort (the q69 shape)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
