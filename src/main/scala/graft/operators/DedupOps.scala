@@ -429,6 +429,30 @@ object DedupOps {
       .withColumn("contaminated", col("n_hit_shingles") > 0L)
   }
 
+  /** Contamination REPORT — the governance matrix behind
+    * [[decontaminate]]'s boolean: for each (probe document, corpus
+    * source), how many corpus documents hit it and how many shingle
+    * occurrences in total. This is the readout an eval owner reads to
+    * answer "WHICH benchmark leaked into WHICH feed, and how badly",
+    * before deciding between dropping documents and dropping sources.
+    *
+    * Shape at 100 TB: identical to [[decontaminate]] — the probe
+    * shingle set is bounded and broadcast, the corpus side streams
+    * through the scan once (its source column rides the same per-row
+    * pass, no corpus join), and the aggregation has at most
+    * |probes|·|sources| keys with an exact two-level distinct count. */
+  def contaminationReport(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val probeShingles = broadcast(
+      TextOps.shingleRows(probes)
+        .select(col("doc_id").as("probe_id"), col("g")))
+    TextOps.shingled(corpus)
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+      .join(probeShingles, Seq("g"))
+      .groupBy("probe_id", "source")
+      .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+        count(lit(1)).as("n_hit_shingles"))
+  }
+
   /** Blocked n-gram Jaccard: all pairs within (lang, size-block ± 1)
     * blocks whose shingle Jaccard ≥ `minJaccard`.
     *

@@ -192,6 +192,37 @@ object SimOps {
       .select("bucket", "a", "b", "cosine")
   }
 
+  /** Per-vector approximate KNN graph: both directions of the LSH
+    * bucket pairs ranked by EXACT cosine, top `k` kept per vector —
+    * the neighbor-list artifact SemDeDup/embedding-dedup pipelines
+    * materialize once and reuse (cluster seeding, near-dup sweeps,
+    * diversity sampling all read it).
+    *
+    * Shape at 100 TB: the only corpus-wide joins are the single-band
+    * bucket equi-join ([[bucketedNeighbors]]) and one exploded
+    * direction pass; the per-vector rank window plans as
+    * WindowGroupLimit (per-partition top-k heap before the exchange),
+    * so no vector's full candidate list ever sorts globally. Each pair
+    * appears once per direction (a vector has exactly ONE bucket in a
+    * single-band signature — no dedup needed). Ties (equal cosine)
+    * break by neighbor id; cosine is the bit-exact sequential-fold
+    * [[graft.functions.DotProduct]], so ranks replay identically in
+    * the oracle. */
+  def knnGraph(embeddings: DataFrame, k: Int = 3, nBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val both = bucketedNeighbors(embeddings, nBits)
+      .select(explode(array(
+        struct(col("a").as("q_id"), col("b").as("n_id"), col("cosine")),
+        struct(col("b").as("q_id"), col("a").as("n_id"), col("cosine")))).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"),
+        col("p.cosine").as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    both.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Recall@k of the hyperplane-LSH candidate set against the exact
     * brute-force cosine top-k — the evaluation loop every ANN deployment
     * runs before trusting a bucketing config (more bands/bits trade

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.QueryDef, QueryDef.oracle
 import graft.operators.{DedupOps, SampleOps, SimOps, TextOps}
 import graft.sources.Tables
@@ -211,5 +213,50 @@ object CorpusQueries {
       "Quality: unigram-rarity score (log-free LM-perplexity surrogate)") { (s, d) =>
       TextOps.unigramRarity(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    oracle(
+      "q81_knn_graph",
+      s"""WITH ${bucketCte(12)},
+         |pairs AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    list_reduce([0.0::DOUBLE] || list_transform(range(1, len(l.embedding)+1),
+         |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE), (acc, x) -> acc + x)
+         |      / (l.norm * r.norm) AS cosine
+         |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |bi AS (
+         |  SELECT a AS q_id, b AS n_id, cosine FROM pairs
+         |  UNION ALL
+         |  SELECT b AS q_id, a AS n_id, cosine FROM pairs)
+         |SELECT q_id, n_id, cosine, rank FROM (
+         |  SELECT q_id, n_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+         |  FROM bi)
+         |WHERE rank <= 3
+         |ORDER BY q_id, rank""",
+      "Similarity: per-vector approximate KNN graph (LSH buckets, exact cosine)") { (s, d) =>
+      SimOps.knnGraph(Tables(s, d, "embeddings"))
+        .orderBy("q_id", "rank")
+    },
+
+    oracle(
+      "q82_contamination_report",
+      s"""WITH sh AS (${NorthStarQueries.SH}),
+         |p AS (SELECT doc_id AS probe_id, unnest(sh) AS g FROM sh WHERE doc_id < 25),
+         |c AS (SELECT s.doc_id, d.source, unnest(s.sh) AS g
+         |      FROM sh s JOIN documents d USING (doc_id) WHERE s.doc_id >= 25)
+         |SELECT p.probe_id, c.source,
+         |  CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs_hit,
+         |  CAST(count(*) AS BIGINT) AS n_hit_shingles
+         |FROM c JOIN p USING (g)
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""",
+      "Governance: per-(benchmark, source) contamination matrix") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      DedupOps.contaminationReport(
+          corpus = docs.filter(col("doc_id") >= 25),
+          probes = docs.filter(col("doc_id") < 25))
+        .orderBy("probe_id", "source")
     })
 }

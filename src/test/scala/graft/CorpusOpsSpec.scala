@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{SampleOps, SimOps, TextOps}
+import graft.operators.{DedupOps, SampleOps, SimOps, TextOps}
 
 /** Behavioural pins for the corpus-curation additions: Gopher repetition
   * rules ([[TextOps.gopherStats]]) and ANN recall evaluation
@@ -74,6 +74,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(1L)._3 > rows(3L)._3 && rows(2L)._3 > rows(3L)._3)
     // every doc appears exactly once
     assert(rows.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("knnGraph: identical vectors rank first both ways, k bounds each list") {
+    val d = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 0f, 0f, 0f)),      // identical to 1
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),    // close to 1/2
+      (4L, Array(0.85f, 0.15f, 0f, 0f)))  // same half-space bucket family
+      .toDF("vec_id", "embedding")
+    val g = SimOps.knnGraph(d, k = 2, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // symmetric: every directed edge has its reverse somewhere in the pair set
+    val perQ = g.groupBy(_._1)
+    perQ.foreach { case (_, rows) => assert(rows.length <= 2, s"k=2 violated: ${rows.toSeq}") }
+    // identical vectors are each other's rank-1 with cosine exactly 1.0
+    val r1 = g.find(e => e._1 == 1L && e._4 == 1L).get
+    assert(r1._2 === 2L && r1._3 === 1.0)
+    val r2 = g.find(e => e._1 == 2L && e._4 == 1L).get
+    assert(r2._2 === 1L && r2._3 === 1.0)
+  }
+
+  test("contaminationReport: per-(probe, source) doc and shingle counts are exact") {
+    val probe = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon", "web"),   // 2 hit shingles (abc, bcd... with n=3: shingles of probe: [abg? no—
+      (2L, "alpha beta gamma zeta eta theta", "web"),  // shares shingle (alpha,beta,gamma)
+      (3L, "one two three four five six", "books"))    // no overlap
+      .toDF("doc_id", "text", "source")
+    val rows = DedupOps.contaminationReport(corpus, probe)
+      .orderBy("probe_id", "source").collect()
+    // probe shingles (n=3): (alpha beta gamma), (beta gamma delta)
+    // doc 1 contains both; doc 2 contains the first only; books never hit
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 100L && r.getString(1) === "web")
+    assert(r.getLong(2) === 2L)  // two distinct web docs hit
+    assert(r.getLong(3) === 3L)  // three hit shingle occurrences (2 + 1)
   }
 
   test("annRecallAtK: identical vectors recall 1.0; n_truth caps at corpus") {

@@ -30,7 +30,8 @@ class ScaleSpec extends SparkSpec {
       "q69_rare_terms", // 1-row corpus-count side, broadcast by construction
       "q73_kmeans_clusters", "q74_semdedup", // 1-row packed-centroid broadcast
       "q76_ann_recall", // bounded probe set + plane table broadcasts (q39/q41 shapes)
-      "q79_source_temperature", "q80_unigram_rarity") // 1-row corpus-count / packed-weights broadcast
+      "q79_source_temperature", "q80_unigram_rarity", // 1-row corpus-count / packed-weights broadcast
+      "q81_knn_graph") // plane-table broadcast (q41's bucket shape)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -75,7 +76,9 @@ class ScaleSpec extends SparkSpec {
       "q77_pair_calibration" -> 11,  // q36's candidate chain + ≤11-key histogram agg + single-partition cum window + sort
       "q78_source_overlap" -> 15,    // q36's candidate chain + two doc→source joins + |sources|²-key agg + sort
       "q79_source_temperature" -> 2, // per-source partial-agg count + 1-row pack; everything after is |sources|-row; sort
-      "q80_unigram_rarity" -> 8)     // tf agg + df agg + tf⋈df join + per-doc agg + 1-row corpus-count broadcast + sort (the q69 shape)
+      "q80_unigram_rarity" -> 8,     // tf agg + df agg + tf⋈df join + per-doc agg + 1-row corpus-count broadcast + sort (the q69 shape)
+      "q81_knn_graph" -> 8,          // q41's bucket self-join + exploded directions + per-vector WindowGroupLimit rank + sort
+      "q82_contamination_report" -> 4) // bounded probe-shingle broadcast + (probe, source) agg with exact distinct (2-level) + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
