@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions.col
 
 import graft.QueryDef, QueryDef.oracle
-import graft.operators.{DedupOps, SampleOps, SimOps, TextOps}
+import graft.operators.{CurateOps, DedupOps, SampleOps, SimOps, TextOps}
 import graft.sources.Tables
 import TextOps.h60d
 
@@ -258,5 +258,95 @@ object CorpusQueries {
           corpus = docs.filter(col("doc_id") >= 25),
           probes = docs.filter(col("doc_id") < 25))
         .orderBy("probe_id", "source")
+    },
+
+    // The end-to-end curation decision: every rule's verdict per
+    // document plus the conjunctive keep. The oracle is the four
+    // already-proven rule oracles' CTEs assembled over one scan.
+    oracle(
+      "q83_curation_report",
+      {
+        val scoreCols = TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        s"""WITH RECURSIVE tkt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |lang AS (
+           |  SELECT doc_id, ${TextOps.langGuessSql} AS lang_guess FROM (
+           |    SELECT doc_id, $scoreCols FROM tkt)),
+           |base AS (
+           |  SELECT doc_id, tk,
+           |    CAST(len(tk) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+           |    CAST(list_reduce([0::BIGINT] || list_transform(tk,
+           |      t -> CAST(length(t) AS BIGINT)), (acc, t) -> acc + t) AS BIGINT) AS sum_len
+           |  FROM tkt),
+           |w AS (SELECT doc_id, unnest(tk) AS t FROM tkt),
+           |wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY 1, 2),
+           |topw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_w FROM wc GROUP BY 1),
+           |bgr AS (SELECT doc_id,
+           |          unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+           |        FROM tkt),
+           |bgc AS (SELECT doc_id, g, count(*) AS c FROM bgr GROUP BY 1, 2),
+           |topb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_b FROM bgc GROUP BY 1),
+           |gop AS (
+           |  SELECT b.doc_id,
+           |    (CAST(b.sum_len AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) >= 3.0::DOUBLE
+           |     AND CAST(b.sum_len AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) <= 10.0::DOUBLE
+           |     AND 1.0::DOUBLE - CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) <= 0.6::DOUBLE
+           |     AND CAST(tw.top_w AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) <= 0.125::DOUBLE
+           |     AND (CASE WHEN b.n_tokens > 1
+           |               THEN CAST(coalesce(tb.top_b, 0) AS DOUBLE) / CAST(b.n_tokens - 1 AS DOUBLE)
+           |               ELSE 0.0::DOUBLE END) <= 0.06::DOUBLE) AS gopher_ok
+           |  FROM base b JOIN topw tw USING (doc_id) LEFT JOIN topb tb USING (doc_id)),
+           |cuts AS (
+           |  SELECT lang, quantile_cont(n_chars, 0.05) AS len_lo,
+           |         quantile_cont(n_chars, 0.95) AS len_hi
+           |  FROM documents GROUP BY 1),
+           |lenok AS (
+           |  SELECT d.doc_id,
+           |    (d.n_chars >= c.len_lo AND d.n_chars <= c.len_hi) AS length_ok
+           |  FROM documents d JOIN cuts c USING (lang)),
+           |sh AS (${NorthStarQueries.SH}),
+           |sig AS (${NorthStarQueries.SIG()}),
+           |bands AS (
+           |  SELECT doc_id, unnest(range(0, 4)) AS band,
+           |    unnest(list_transform(range(0, 4), b ->
+           |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+           |  FROM sig WHERE sig[1] <> -1),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+           |  WHERE x.doc_id < y.doc_id),
+           |verified AS (
+           |  SELECT a, b FROM cand
+           |  JOIN sh sa ON sa.doc_id = a
+           |  JOIN sh sb ON sb.doc_id = b
+           |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+           |edges AS (SELECT a AS u, b AS v FROM verified
+           |          UNION SELECT b AS u, a AS v FROM verified),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+           |fin AS (SELECT id AS doc_id, min(r) AS keeper FROM reach GROUP BY id)
+           |SELECT d.doc_id,
+           |  l.lang_guess <> 'und' AS lang_ok,
+           |  g.gopher_ok,
+           |  coalesce(lo.length_ok, false) AS length_ok,
+           |  (coalesce(f.keeper, d.doc_id) = d.doc_id) AS dedup_keeper,
+           |  (l.lang_guess <> 'und' AND g.gopher_ok
+           |   AND coalesce(lo.length_ok, false)
+           |   AND coalesce(f.keeper, d.doc_id) = d.doc_id) AS kept
+           |FROM documents d
+           |JOIN lang l USING (doc_id)
+           |JOIN gop g USING (doc_id)
+           |LEFT JOIN lenok lo USING (doc_id)
+           |LEFT JOIN fin f USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      },
+      "Curation: end-to-end per-rule verdicts + conjunctive keep") { (s, d) =>
+      CurateOps.curationReport(Tables(s, d, "documents"))
+        .orderBy("doc_id")
     })
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupOps, SampleOps, SimOps, TextOps}
+import graft.operators.{CurateOps, DedupOps, SampleOps, SimOps, TextOps}
 
 /** Behavioural pins for the corpus-curation additions: Gopher repetition
   * rules ([[TextOps.gopherStats]]) and ANN recall evaluation
@@ -111,6 +111,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getLong(0) === 100L && r.getString(1) === "web")
     assert(r.getLong(2) === 2L)  // two distinct web docs hit
     assert(r.getLong(3) === 3L)  // three hit shingle occurrences (2 + 1)
+  }
+
+  test("curationReport: each rule vetoes independently; dup family keeps its first id") {
+    // all 25 words distinct (top-word share 0.04, unique bigrams) with
+    // two 'en' function words so every gopher rule AND lang-ID pass
+    val fluent = "the quick brown fox jumps over a lazy dog and runs far away " +
+      "beyond quiet green hills where old river bends south again toward sunset"
+    val d = Seq(
+      (1L, fluent, "en"),
+      (2L, fluent + " indeed", "en"),                  // near-dup of 1 -> loses to lower id
+      (3L, ("zz " * 40).trim, "en"),                   // repetition junk: gopher veto
+      (4L, "9 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val rep = CurateOps.curationReport(d).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(4), r.getBoolean(5))).toMap
+    // doc 1 keeps; doc 2 is the near-dup family's higher id -> dedup_keeper false, kept false
+    assert(rep(1L)._3 === true && rep(1L)._4 === true, s"doc 1 must keep: $rep")
+    assert(rep(2L)._3 === false && rep(2L)._4 === false, s"doc 2 must lose dedup: $rep")
+    // doc 4 is pure repetition: gopher rule vetoes (and lang 'und' too)
+    assert(rep(4L)._2 === false && rep(4L)._4 === false)
   }
 
   test("annRecallAtK: identical vectors recall 1.0; n_truth caps at corpus") {

@@ -78,7 +78,8 @@ class ScaleSpec extends SparkSpec {
       "q79_source_temperature" -> 2, // per-source partial-agg count + 1-row pack; everything after is |sources|-row; sort
       "q80_unigram_rarity" -> 8,     // tf agg + df agg + tf⋈df join + per-doc agg + 1-row corpus-count broadcast + sort (the q69 shape)
       "q81_knn_graph" -> 8,          // q41's bucket self-join + exploded directions + per-vector WindowGroupLimit rank + sort
-      "q82_contamination_report" -> 4) // bounded probe-shingle broadcast + (probe, source) agg with exact distinct (2-level) + sort
+      "q82_contamination_report" -> 4, // bounded probe-shingle broadcast + (probe, source) agg with exact distinct (2-level) + sort
+      "q83_curation_report" -> 15)   // q36's merge-hinted pair chain + gopher two-level aggs + length-window cutoff broadcast + four doc-keyed report joins + sort (closure labels off-plan: componentKeepers checkpoints)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
