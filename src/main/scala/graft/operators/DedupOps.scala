@@ -101,6 +101,29 @@ object DedupOps {
           .as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bucket"))
 
+  /** LSH bucket-health statistics, per band: the readout a dedup
+    * deployment checks BEFORE committing a (bands, rows) config to a
+    * corpus-scale pair join — bucket count, docs banded, the hottest
+    * bucket's size, and the exact candidate-pair total this banding
+    * would emit (Σ c·(c−1)/2 over buckets). A hot bucket here is the
+    * quadratic bomb caught early; pair growth between two corpus
+    * snapshots is the drift alarm.
+    *
+    * Shape at 100 TB: two nested partial aggregations — (band, bucket)
+    * keys collapse map-side, then ≤ `bands` keys; all-integer
+    * arithmetic, nothing corpus-scale past the first agg. */
+  def lshBucketStats(documents: DataFrame, bands: Int = 4,
+      rows: Int = 4): DataFrame =
+    lshBanded(documents, bands, rows)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_docs"),
+        max(col("c")).as("max_bucket"),
+        // `div`, not `/`: SQL `/` on BIGINTs is double division; the
+        // pair count must stay an exact integer (c·(c−1) is even)
+        sum(expr("(c * (c - 1L)) div 2L")).as("n_cand_pairs"))
+
   /** Candidate near-duplicate pairs (doc a < doc b sharing any LSH
     * bucket), verified with true shingle-set Jaccard. The self-join keys
     * on (band, bucket) — the LSH scale path described above.
@@ -415,10 +438,16 @@ object DedupOps {
     * set, count hits per doc (partial agg), left-join the flag back.
     * Output: every corpus doc with `n_hit_shingles` and `contaminated`.
     */
-  def decontaminate(corpus: DataFrame, probes: DataFrame): DataFrame = {
+  // `n` is the shingle width: the oracle surface runs the corpus default
+  // (3), while published decontamination practice runs long grams (8-13,
+  // e.g. GPT-3's 13-gram overlap rule) so that only verbatim spans hit —
+  // the parameter is the same operator at the published setting, and the
+  // 13-gram path is spec-exercised.
+  def decontaminate(corpus: DataFrame, probes: DataFrame,
+      n: Int = 3): DataFrame = {
     val probeShingles = broadcast(
-      TextOps.shingleRows(probes).select("g").distinct())
-    val hits = TextOps.shingleRows(corpus)
+      TextOps.shingleRows(probes, n).select("g").distinct())
+    val hits = TextOps.shingleRows(corpus, n)
       .join(probeShingles, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_shingles"))
@@ -441,11 +470,12 @@ object DedupOps {
     * through the scan once (its source column rides the same per-row
     * pass, no corpus join), and the aggregation has at most
     * |probes|·|sources| keys with an exact two-level distinct count. */
-  def contaminationReport(corpus: DataFrame, probes: DataFrame): DataFrame = {
+  def contaminationReport(corpus: DataFrame, probes: DataFrame,
+      n: Int = 3): DataFrame = {
     val probeShingles = broadcast(
-      TextOps.shingleRows(probes)
+      TextOps.shingleRows(probes, n)
         .select(col("doc_id").as("probe_id"), col("g")))
-    TextOps.shingled(corpus)
+    TextOps.shingled(corpus, n)
       .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
       .join(probeShingles, Seq("g"))
       .groupBy("probe_id", "source")

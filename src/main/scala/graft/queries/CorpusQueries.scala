@@ -348,5 +348,27 @@ object CorpusQueries {
       "Curation: end-to-end per-rule verdicts + conjunctive keep") { (s, d) =>
       CurateOps.curationReport(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    oracle(
+      "q84_lsh_bucket_stats",
+      s"""WITH sh AS (${NorthStarQueries.SH}),
+         |sig AS (${NorthStarQueries.SIG()}),
+         |bands AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+         |  FROM sig WHERE sig[1] <> -1),
+         |bc AS (SELECT band, bucket, CAST(count(*) AS BIGINT) AS c
+         |       FROM bands GROUP BY 1, 2)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(max(c) AS BIGINT) AS max_bucket,
+         |  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM bc GROUP BY 1
+         |ORDER BY band""",
+      "Governance: per-band LSH bucket-health stats (hot-bucket early warning)") { (s, d) =>
+      DedupOps.lshBucketStats(Tables(s, d, "documents"))
+        .orderBy("band")
     })
 }

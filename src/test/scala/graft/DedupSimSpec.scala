@@ -174,6 +174,43 @@ class DedupSimSpec extends SparkSpec {
     assert(!capped.contains((3L, 4L)), s"stop-phrase-only pair must be pruned: $capped")
   }
 
+  test("13-gram decontamination hits only verbatim spans; 3-gram over-fires") {
+    // published practice (e.g. 13-gram overlap rules) uses long shingles
+    // so only verbatim quotes hit. The corpus doc shares a 13-token
+    // verbatim span with probe 1, and merely common SHORT phrasing with
+    // probe 2 — at n=13 only the verbatim span is contamination.
+    val span = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val probes = docs(
+      100L -> s"$span and some trailing probe text here",
+      101L -> "totally different words with the quick brown fox phrase")
+    val verbatim = docs(1L -> s"leading corpus text then $span closes it")
+    val phrasing = docs(2L -> "unrelated doc reusing the quick brown fox only")
+    val corpus = verbatim.unionByName(phrasing)
+    val at13 = DedupOps.decontaminate(corpus, probes, n = 13)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(at13(1L) === true, "verbatim 13-gram span must flag")
+    assert(at13(2L) === false, "shared short phrasing must NOT flag at n=13")
+    val at3 = DedupOps.decontaminate(corpus, probes, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(at3(2L) === true, "at n=3 the shared trigram fires — the over-trigger n=13 exists to avoid")
+  }
+
+  test("lshBucketStats: integer invariants tie out against the banding") {
+    val nearDup = base.replace("sigma", "sygma")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> "completely different text entirely here now")
+    val stats = DedupOps.lshBucketStats(d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(stats.length === 4, "one row per band")
+    stats.foreach { case (_, nBuckets, nDocs, maxB, pairs) =>
+      assert(nDocs === 3L, "every banded doc counted once per band")
+      assert(nBuckets >= 1L && maxB >= 1L && maxB <= 3L)
+      // pair identity: sum c(c-1)/2 with 3 docs is 0, 1, or 3
+      assert(Set(0L, 1L, 3L).contains(pairs))
+    }
+    // near-dups 1/2 share at least one bucket in some band
+    assert(stats.exists(_._4 >= 2L), "near-dups must collide somewhere")
+  }
+
   test("blocked Jaccard rejects thresholds below the digit-count radix cap") {
     // conv()/to_base() cap at radix 36 in both engines and return NULL
     // beyond it, which would silently empty the block join — the guard
