@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, HllSketch, NgramShingles, SimHashBits}
+import graft.functions.{DotProduct, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -39,5 +39,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(HllSketch.fnName),
       new ExpressionInfo(classOf[HllSketch].getName, HllSketch.fnName),
       HllSketch.builder _))
+    e.injectFunction((
+      FunctionIdentifier(PolyFingerprint.fnName),
+      new ExpressionInfo(classOf[PolyFingerprint].getName, PolyFingerprint.fnName),
+      PolyFingerprint.builder _))
+    e.injectFunction((
+      FunctionIdentifier(Int8QuantStats.fnName),
+      new ExpressionInfo(classOf[Int8QuantStats].getName, Int8QuantStats.fnName),
+      Int8QuantStats.builder _))
+    e.injectFunction((
+      FunctionIdentifier(LangScores.fnName),
+      new ExpressionInfo(classOf[LangScores].getName, LangScores.fnName),
+      LangScores.builder _))
   }
 }

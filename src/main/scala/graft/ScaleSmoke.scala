@@ -50,7 +50,9 @@ object ScaleSmoke {
     "q62_decontamination", "q65_segment_dedup", "q69_rare_terms",
     "q73_kmeans_clusters", "q74_semdedup", "q74_semdedup_scaledk",
     "q75_gopher_rules", "q76_ann_recall", "q77_pair_calibration",
-    "q78_source_overlap")
+    "q78_source_overlap", "q79_source_temperature", "q80_unigram_rarity",
+    "q81_knn_graph", "q82_contamination_report", "q83_curation_report",
+    "q84_lsh_bucket_stats")
 
   private val Stride = 1000000L
 

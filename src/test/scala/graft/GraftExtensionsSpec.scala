@@ -68,5 +68,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("hll_sketch(CAST(id AS STRING)) AS sk")
       .selectExpr("sk.v_zero", "sk.mmax", "sk.num").head
     assert(agg.getLong(0) >= 0L && agg.getLong(2) > 0L)
+    // the round-5/6 expressions ship through the same deployment path
+    val row2 = spark.sql(
+      """SELECT
+        |  poly_fingerprint(array('a', 'b')) AS fp,
+        |  int8_quant(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))).qscale AS qs,
+        |  lang_scores(array('the', 'el', 'zzz')) AS ls
+        |""".stripMargin).head
+    assert(row2.getLong(0) > 0L)
+    assert(row2.getDouble(1) > 0.0)
+    assert(row2.getSeq[Long](2) === Seq(1L, 1L, 0L, 0L, 0L))
   }
 }
