@@ -457,6 +457,33 @@ object TextOps {
     if (shardSpan.isDefined) packed else packed.drop("shard")
   }
 
+  /** Packing-efficiency report over [[packSequences]]' greedy binning,
+    * per language stream: bins consumed (exactly ceil(total/budget) —
+    * greedy cum-sum packing is contiguous, so only the tail bin is
+    * partial), fill rate, and the two numbers that decide whether
+    * greedy is good enough: how many documents CROSS a bin boundary
+    * (split cost at training time — a high fraction argues for
+    * best-fit binning) and how many exceed the budget outright (must
+    * be chunked first — see [[chunked]]). All-integer aggregates plus
+    * one double division; ≤ |langs| output rows. */
+  def packingReport(documents: DataFrame,
+      tokenBudget: Long = 512L): DataFrame = {
+    require(tokenBudget >= 1L, s"tokenBudget must be >= 1, got $tokenBudget")
+    packSequences(documents, tokenBudget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_doc_tokens"),
+        sum(expr(s"CASE WHEN bin_offset + n_tokens > ${tokenBudget}L THEN 1L ELSE 0L END"))
+          .as("n_split_docs"),
+        sum(expr(s"CASE WHEN n_tokens > ${tokenBudget}L THEN 1L ELSE 0L END"))
+          .as("n_over_budget"))
+      .withColumn("n_bins",
+        expr(s"(total_tokens + ${tokenBudget - 1}L) div ${tokenBudget}L"))
+      .withColumn("fill_rate", expr(
+        s"CAST(total_tokens AS DOUBLE) / (CAST(n_bins AS DOUBLE) * CAST($tokenBudget AS DOUBLE))"))
+  }
+
   /** Rolling polynomial fingerprint over the token stream (order-
     * sensitive, init 7, mod 1e9+7). Cross-engine-exact: all int64 ops.
     * Runs in the native [[graft.functions.PolyFingerprint]] expression —

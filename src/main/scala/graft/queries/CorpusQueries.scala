@@ -370,5 +370,31 @@ object CorpusQueries {
       "Governance: per-band LSH bucket-health stats (hot-bucket early warning)") { (s, d) =>
       DedupOps.lshBucketStats(Tables(s, d, "documents"))
         .orderBy("band")
+    },
+
+    oracle(
+      "q85_packing_report",
+      """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(len(tk)) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS BIGINT) AS bin_offset
+        |  FROM tk),
+        |a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens,
+        |    CAST(sum(CASE WHEN bin_offset + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+        |    CAST(sum(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_budget
+        |  FROM p GROUP BY 1)
+        |SELECT lang, n_docs, total_tokens, max_doc_tokens, n_split_docs,
+        |  n_over_budget,
+        |  CAST((total_tokens + 511) // 512 AS BIGINT) AS n_bins,
+        |  CAST(total_tokens AS DOUBLE)
+        |    / (CAST((total_tokens + 511) // 512 AS DOUBLE) * CAST(512 AS DOUBLE)) AS fill_rate
+        |FROM a ORDER BY lang""",
+      "Packing: per-stream bin utilization + boundary-split report") { (s, d) =>
+      TextOps.packingReport(Tables(s, d, "documents"))
+        .orderBy("lang")
     })
 }

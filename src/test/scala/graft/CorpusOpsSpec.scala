@@ -134,6 +134,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rep(4L)._2 === false && rep(4L)._4 === false)
   }
 
+  test("packingReport: bins, splits, and over-budget docs tie out exactly") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words(300), "en"),   // bin 0, offset 0
+      (2L, words(300), "en"),   // starts at 300, crosses the 512 boundary
+      (3L, words(600), "fr"))   // alone: over budget AND split
+      .toDF("doc_id", "text", "lang")
+    val rep = TextOps.packingReport(d, tokenBudget = 512L)
+      .orderBy("lang").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    val (enDocs, enTok, enSplit, enOver, enBins, enFill) = rep("en")
+    assert(enDocs === 2L && enTok === 600L && enBins === 2L)
+    assert(enSplit === 1L && enOver === 0L)
+    assert(math.abs(enFill - 600.0 / 1024.0) < 1e-15)
+    val (frDocs, frTok, frSplit, frOver, frBins, _) = rep("fr")
+    assert(frDocs === 1L && frTok === 600L && frBins === 2L)
+    assert(frSplit === 1L && frOver === 1L)
+  }
+
   test("annRecallAtK: identical vectors recall 1.0; n_truth caps at corpus") {
     // 6 copies of the same vector: every probe's true top-k IS its bucket
     val same = (0L to 5L)

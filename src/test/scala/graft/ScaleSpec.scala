@@ -80,7 +80,8 @@ class ScaleSpec extends SparkSpec {
       "q81_knn_graph" -> 8,          // q41's bucket self-join + exploded directions + per-vector WindowGroupLimit rank + sort
       "q82_contamination_report" -> 4, // bounded probe-shingle broadcast + (probe, source) agg with exact distinct (2-level) + sort
       "q83_curation_report" -> 15,   // q36's merge-hinted pair chain + gopher two-level aggs + length-window cutoff broadcast + four doc-keyed report joins + sort (closure labels off-plan: componentKeepers checkpoints)
-      "q84_lsh_bucket_stats" -> 4)   // sig agg + (band, bucket) agg + <=bands agg (partial-agg collapse) + sort
+      "q84_lsh_bucket_stats" -> 4,   // sig agg + (band, bucket) agg + <=bands agg (partial-agg collapse) + sort
+      "q85_packing_report" -> 2)     // ONE per-lang exchange feeds window + agg (same key), local sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
