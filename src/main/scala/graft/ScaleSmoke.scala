@@ -52,7 +52,8 @@ object ScaleSmoke {
     "q75_gopher_rules", "q76_ann_recall", "q77_pair_calibration",
     "q78_source_overlap", "q79_source_temperature", "q80_unigram_rarity",
     "q81_knn_graph", "q82_contamination_report", "q83_curation_report",
-    "q84_lsh_bucket_stats")
+    "q84_lsh_bucket_stats", "q85_packing_report",
+    "q86_bloom_decontaminate")
 
   private val Stride = 1000000L
 

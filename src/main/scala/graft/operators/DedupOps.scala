@@ -483,6 +483,71 @@ object DedupOps {
         count(lit(1)).as("n_hit_shingles"))
   }
 
+  /** Bloom-prefilter decontamination — [[decontaminate]]'s scale path
+    * for when the PROBE side is itself corpus-sized (cross-corpus
+    * leakage screening: "which of my documents verbatim-overlap that
+    * other 10 TB feed"), so its raw distinct shingles are too large to
+    * broadcast. Results are EXACTLY [[decontaminate]]'s: the Bloom
+    * bitset only prunes, and an exact verify join removes its false
+    * positives.
+    *
+    * The bitset is built and applied entirely as dataframes — no
+    * driver-side `stat.bloomFilter` collect, no UDF:
+    *   1. probe shingles → `bloomHashes` positions each
+    *      (`pmod(xxhash64(g, i), bloomBits)` — k independent hashes by
+    *      seeding the hash tuple), distinct;
+    *   2. positions → 64-bit words (`bit_or` of masks, partial-agg
+    *      friendly), densified against `range(bloomBits/64)` and
+    *      collected into ONE row carrying the whole bitset as an
+    *      `array<long>` (2^20 bits = 16 K longs ≈ 128 KB — broadcastable
+    *      at ANY probe cardinality, where the raw shingle set is not);
+    *   3. corpus shingles filter NARROWLY against the broadcast row:
+    *      all k probed bits set ⇒ candidate. Negatives — the
+    *      overwhelming majority when corpora don't overlap — never
+    *      reach a shuffle;
+    *   4. candidates (already down to ~true hits + the fp rate) verify
+    *      against the exact probe shingle set in a standard shuffle
+    *      join, then count per doc.
+    *
+    * Shape at 100 TB: the corpus side stays scan → narrow filter; the
+    * only corpus-cardinality shuffle is the per-doc hit count over
+    * verified hits. Size `bloomBits` ≈ 10× distinct probe shingles for
+    * a ~1% fp rate at k=5 (standard m/n ≈ 10 sizing). */
+  def bloomDecontaminate(corpus: DataFrame, probes: DataFrame,
+      n: Int = 3, bloomBits: Long = 1L << 17, bloomHashes: Int = 5): DataFrame = {
+    require(bloomBits >= 64L && bloomBits % 64L == 0L,
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    require(bloomHashes >= 1, s"bloomHashes must be >= 1, got $bloomHashes")
+    val nWords = bloomBits / 64L
+    val positionsOf = // k bit positions probed for a shingle column `g`
+      s"transform(sequence(0, ${bloomHashes - 1}), i -> pmod(xxhash64(g, i), ${bloomBits}L))"
+    val probeShingles = TextOps.shingleRows(probes, n).select("g").distinct()
+    val words = probeShingles
+      .select(explode(expr(positionsOf)).as("pos")).distinct()
+      .select(expr("pos div 64").as("widx"),
+        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy("widx").agg(expr("bit_or(mask)").as("word"))
+    val bitset = corpus.sparkSession.range(nWords).toDF("widx")
+      .join(words, Seq("widx"), "left")
+      .agg(expr("transform(array_sort(collect_list(struct(widx, coalesce(word, 0L) AS word))), x -> x.word)")
+        .as("bits"))
+    val candidates = TextOps.shingleRows(corpus, n)
+      .join(broadcast(bitset))
+      .filter(expr(s"""forall($positionsOf, p ->
+        |  (element_at(bits, CAST(p div 64 AS INT) + 1)
+        |   & shiftleft(1L, CAST(p % 64 AS INT))) <> 0L)""".stripMargin))
+      .select("doc_id", "g")
+    val hits = candidates
+      .join(probeShingles, Seq("g")) // exact verify: bloom fps die here
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_shingles"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"))
+      .withColumn("contaminated", col("n_hit_shingles") > 0L)
+  }
+
   /** Blocked n-gram Jaccard: all pairs within (lang, size-block ± 1)
     * blocks whose shingle Jaccard ≥ `minJaccard`.
     *

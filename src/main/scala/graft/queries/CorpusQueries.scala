@@ -396,5 +396,32 @@ object CorpusQueries {
       "Packing: per-stream bin utilization + boundary-split report") { (s, d) =>
       TextOps.packingReport(Tables(s, d, "documents"))
         .orderBy("lang")
+    },
+
+    // Same probe/corpus split and EXACT same semantics as q62 — the
+    // oracle is q62's SQL — but the Spark plan is the bloom-prefilter
+    // scale path: the only thing broadcast is the 2 K-long bitset row,
+    // the raw probe-shingle set never broadcasts, and false positives
+    // die in the exact verify join (which is what keeps this
+    // hash-checkable against an exact oracle).
+    oracle(
+      "q86_bloom_decontaminate",
+      s"""WITH sh AS (${NorthStarQueries.SH}),
+         |probes AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 25),
+         |corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= 25),
+         |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+         |         FROM corpus c JOIN probes p ON p.g = c.g GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(h.n_hit_shingles, 0) AS n_hit_shingles,
+         |  coalesce(h.n_hit_shingles, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id >= 25
+         |ORDER BY d.doc_id""",
+      "Dedup: bloom-prefilter decontamination (bitset broadcast, exact verify)") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      DedupOps.bloomDecontaminate(
+          corpus = docs.filter(col("doc_id") >= 25),
+          probes = docs.filter(col("doc_id") < 25))
+        .orderBy("doc_id")
     })
 }

@@ -195,6 +195,29 @@ class DedupSimSpec extends SparkSpec {
     assert(at3(2L) === true, "at n=3 the shared trigram fires — the over-trigger n=13 exists to avoid")
   }
 
+  test("bloomDecontaminate: bit-identical to decontaminate, even when every bloom bit collides") {
+    val span = "one two three four five six seven eight nine ten"
+    val probes = docs(
+      100L -> s"$span with probe-only continuation words",
+      101L -> "entirely disjoint probe content nothing shared anywhere")
+    val corpus = docs(
+      1L -> s"corpus doc quoting $span verbatim in the middle",
+      2L -> "clean corpus doc sharing no trigram with any probe at all",
+      3L -> s"another hit because $span appears here too")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val exact = rows(DedupOps.decontaminate(corpus, probes))
+    assert(exact.exists(_._3) && exact.exists(!_._3), "fixture must mix hits and misses")
+    // production sizing: bloom prunes, verify confirms — identical output
+    assert(rows(DedupOps.bloomDecontaminate(corpus, probes)) === exact)
+    // degenerate 64-bit bloom: nearly every shingle collides into the
+    // same few words, so the prefilter passes almost everything —
+    // results must STILL be exact because the verify join kills the fps
+    assert(rows(DedupOps.bloomDecontaminate(corpus, probes, bloomBits = 64L,
+      bloomHashes = 2)) === exact)
+  }
+
   test("lshBucketStats: integer invariants tie out against the banding") {
     val nearDup = base.replace("sigma", "sygma")
     val d = docs(1L -> base, 2L -> nearDup, 3L -> "completely different text entirely here now")
