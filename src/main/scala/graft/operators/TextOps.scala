@@ -300,6 +300,59 @@ object TextOps {
           .as("mean_df_rate"))
   }
 
+  /** DSIR-style hashed-feature target affinity — data selection toward
+    * a target domain (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling"): features are hashed unigram + bigram
+    * occurrences (DSIR's hashed n-grams, n ≤ 2; bigrams contain a space
+    * so the two feature kinds cannot collide pre-hash), and each corpus
+    * document scores the RATIO of its mean feature rate under the
+    * target sample vs under the raw corpus:
+    * `affinity = (Σ_b c_b·t_b / T) / (Σ_b c_b·r_b / R)` — the log-free
+    * monotone surrogate for the DSIR log-importance weight (q69/q80
+    * no-ln discipline: all-integer sufficient statistics, one double
+    * expression at the end, identical op order in both engines).
+    * Resample/top-k on `affinity` to skew a corpus toward the target.
+    *
+    * Shape at 100 TB: the bucket tables are bounded by `numBuckets`
+    * REGARDLESS of corpus size — both broadcast by construction; the
+    * raw distribution reuses the per-doc bucket counts (a second-level
+    * partial agg, no second corpus scan); totals ride a 1-row
+    * broadcast; the only corpus-scale shuffles key on (doc_id, b) and
+    * doc_id. `sum_ct`/`sum_cr` stay exact in BIGINT up to ~10^18
+    * (per-bucket target counts × doc length); beyond that, flip the
+    * sums to DOUBLE and accept last-ulp drift. */
+  def targetAffinity(corpus: DataFrame, target: DataFrame,
+      numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val featureBucket = // hashed unigram+bigram occurrences, one row each
+      s"""transform(
+         |  concat(tk, CASE WHEN size(tk) > 1
+         |    THEN transform(sequence(0, size(tk) - 2), i -> tk[i] || ' ' || tk[i + 1])
+         |    ELSE CAST(array() AS ARRAY<STRING>) END),
+         |  f -> pmod(${h60x("f")}, ${numBuckets}L))""".stripMargin
+    def bucketRows(documents: DataFrame): DataFrame =
+      tokenized(documents)
+        .select(col("doc_id"), explode(expr(featureBucket)).as("b"))
+    val docBuckets = bucketRows(corpus)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val rawBuckets = docBuckets.groupBy("b").agg(sum("c").as("r"))
+    val tgtBuckets = bucketRows(target).groupBy("b").agg(count(lit(1)).as("t"))
+    val totals = tgtBuckets.agg(sum("t").as("tot_t"))
+      .crossJoin(rawBuckets.agg(sum("r").as("tot_r")))
+    docBuckets
+      .join(broadcast(tgtBuckets), Seq("b"), "left")
+      .join(broadcast(rawBuckets), Seq("b")) // inner: raw derives from docBuckets
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * coalesce(col("t"), lit(0L))).as("sum_ct"),
+        sum(col("c") * col("r")).as("sum_cr"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_feats"), col("sum_ct"), col("sum_cr"),
+        ((col("sum_ct").cast("double") * col("tot_r").cast("double"))
+          / (col("sum_cr").cast("double") * col("tot_t").cast("double")))
+          .as("affinity"))
+  }
+
   /** Per-document duplicated-n-gram fraction — the Gopher-style
     * repetition filter: the share of a document's n-gram OCCURRENCES
     * whose gram appears at least twice within the document (boilerplate,

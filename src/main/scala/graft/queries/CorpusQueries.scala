@@ -423,5 +423,42 @@ object CorpusQueries {
           corpus = docs.filter(col("doc_id") >= 25),
           probes = docs.filter(col("doc_id") < 25))
         .orderBy("doc_id")
+    },
+
+    // DSIR-style data selection: src0 plays the curated target sample,
+    // every other source is the raw corpus being scored. All-BIGINT
+    // sufficient statistics; the one double expression runs in the
+    // identical op order in both engines.
+    oracle(
+      "q87_target_affinity",
+      s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+         |feats AS (
+         |  SELECT doc_id, source, unnest(tk || CASE WHEN len(tk) > 1
+         |      THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS f
+         |  FROM tk),
+         |fb AS (SELECT doc_id, source, ${h60d("f")} % 4096 AS b FROM feats),
+         |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+         |       FROM fb WHERE source <> 'src0' GROUP BY 1, 2),
+         |rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS r FROM db GROUP BY 1),
+         |tb AS (SELECT b, CAST(count(*) AS BIGINT) AS t
+         |       FROM fb WHERE source = 'src0' GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(t) AS BIGINT) FROM tb) AS tot_t,
+         |               (SELECT CAST(sum(r) AS BIGINT) FROM rb) AS tot_r),
+         |agg AS (
+         |  SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_feats,
+         |    CAST(sum(db.c * coalesce(tb.t, 0)) AS BIGINT) AS sum_ct,
+         |    CAST(sum(db.c * rb.r) AS BIGINT) AS sum_cr
+         |  FROM db LEFT JOIN tb USING (b) JOIN rb USING (b) GROUP BY 1)
+         |SELECT a.doc_id, a.n_feats, a.sum_ct, a.sum_cr,
+         |  (CAST(a.sum_ct AS DOUBLE) * CAST(tot.tot_r AS DOUBLE))
+         |    / (CAST(a.sum_cr AS DOUBLE) * CAST(tot.tot_t AS DOUBLE)) AS affinity
+         |FROM agg a, tot ORDER BY a.doc_id""",
+      "Selection: DSIR-style hashed unigram+bigram target-affinity score") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      TextOps.targetAffinity(
+          corpus = docs.filter(col("source") =!= "src0"),
+          target = docs.filter(col("source") === "src0"))
+        .orderBy("doc_id")
     })
 }

@@ -153,6 +153,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(frSplit === 1L && frOver === 1L)
   }
 
+  test("targetAffinity: target-vocab docs outscore off-vocab docs; feature counts tie out") {
+    val target = Seq((100L, "alpha beta gamma alpha beta", "t"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = Seq(
+      (1L, "alpha beta gamma", "c"),       // pure target vocabulary
+      (2L, "delta epsilon zeta", "c"),     // disjoint vocabulary
+      (3L, "alpha beta epsilon zeta", "c")) // mixed
+      .toDF("doc_id", "text", "lang")
+    val rows = TextOps.targetAffinity(corpus, target)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    // n_feats = tokens + bigrams = 2n - 1
+    assert(rows(1L)._1 === 5L && rows(2L)._1 === 5L && rows(3L)._1 === 7L)
+    // disjoint vocab never hits a target bucket (4096 buckets, ~no collisions)
+    assert(rows(2L)._2 === 0L && rows(2L)._3 === 0.0)
+    // pure target vocab strictly outscores mixed, mixed outscores disjoint
+    assert(rows(1L)._3 > rows(3L)._3 && rows(3L)._3 > rows(2L)._3)
+  }
+
   test("annRecallAtK: identical vectors recall 1.0; n_truth caps at corpus") {
     // 6 copies of the same vector: every probe's true top-k IS its bucket
     val same = (0L to 5L)

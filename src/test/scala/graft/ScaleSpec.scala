@@ -32,7 +32,8 @@ class ScaleSpec extends SparkSpec {
       "q76_ann_recall", // bounded probe set + plane table broadcasts (q39/q41 shapes)
       "q79_source_temperature", "q80_unigram_rarity", // 1-row corpus-count / packed-weights broadcast
       "q81_knn_graph", // plane-table broadcast (q41's bucket shape)
-      "q86_bloom_decontaminate") // 1-row bloom-bitset broadcast (~128 KB at any probe cardinality)
+      "q86_bloom_decontaminate", // 1-row bloom-bitset broadcast (~128 KB at any probe cardinality)
+      "q87_target_affinity") // 1-row feature-totals broadcast; bucket tables join hashed on b
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -83,7 +84,8 @@ class ScaleSpec extends SparkSpec {
       "q83_curation_report" -> 15,   // q36's merge-hinted pair chain + gopher two-level aggs + length-window cutoff broadcast + four doc-keyed report joins + sort (closure labels off-plan: componentKeepers checkpoints)
       "q84_lsh_bucket_stats" -> 4,   // sig agg + (band, bucket) agg + <=bands agg (partial-agg collapse) + sort
       "q85_packing_report" -> 2,     // ONE per-lang exchange feeds window + agg (same key), local sort
-      "q86_bloom_decontaminate" -> 10) // probe-shingle distinct ×2 (bitset build + verify: two narrow probe scans beat checkpointing a corpus-sized shingle set) + position distinct + densify join + 1-row pack + bitset/verify/hits broadcasts + doc agg + sort
+      "q86_bloom_decontaminate" -> 10, // probe-shingle distinct ×2 (bitset build + verify: two narrow probe scans beat checkpointing a corpus-sized shingle set) + position distinct + densify join + 1-row pack + bitset/verify/hits broadcasts + doc agg + sort
+      "q87_target_affinity" -> 15)   // (doc,b) agg + bucket-table aggs/broadcasts (≤numBuckets rows by construction) + two 1-row totals + per-doc agg + sort; docBuckets subtree reuses its exchange
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
