@@ -187,4 +187,40 @@ object ClusterOps {
     require(corpusRows >= 0 && targetClusterSize >= 1)
     math.max(1L, corpusRows / targetClusterSize).min(Int.MaxValue.toLong).toInt
   }
+
+  /** Product quantization (the PQ of IVF-PQ): split each embedding into
+    * `m` contiguous sub-vectors and run the SAME deterministic
+    * fixed-point k-means ([[kmeansAssign]]) independently per subspace;
+    * a vector's code is its m-tuple of subspace cluster ids. Memory at
+    * serving time drops from dim·4 bytes to m code ids — the standard
+    * compressed-ANN representation — while `cell_size` (occupancy of
+    * each of the ≤ k^m code cells) is the balance readout that tells
+    * you whether the codebook actually spreads the corpus.
+    *
+    * Subspace boundaries use integer `div` so both engines slice
+    * identically for any dim (subspace s covers
+    * (s·dim div m, (s+1)·dim div m]).
+    *
+    * Shape at 100 TB: m independent kmeansAssign chains (each the q73
+    * shape: per-round 1-row centroid broadcast, localCheckpointed), an
+    * m-way vec_id equi-join of narrow (vec_id, code) rows, and a cell
+    * census bounded by k^m rows — broadcast back by construction. */
+  def pqEncode(embeddings: DataFrame, m: Int = 2, k: Int = 4,
+      rounds: Int = 2): DataFrame = {
+    require(m >= 1 && k >= 1 && rounds >= 1,
+      s"m, k, rounds must all be >= 1, got m=$m k=$k rounds=$rounds")
+    val coded = (0 until m).map { s =>
+      val lo = s"(($s * size(embedding)) div $m)"
+      val hi = s"((${s + 1} * size(embedding)) div $m)"
+      val sub = embeddings.select(col("vec_id"),
+        expr(s"slice(embedding, 1 + $lo, $hi - $lo)").as("embedding"))
+      kmeansAssign(sub, k, rounds)
+        .select(col("vec_id"), col("cluster").as(s"code_$s"))
+    }.reduce(_.join(_, Seq("vec_id")))
+    val codeCols = (0 until m).map(s => s"code_$s")
+    val cells = coded.groupBy(codeCols.map(col): _*)
+      .agg(count(lit(1)).as("cell_size"))
+    coded.join(broadcast(cells), codeCols)
+      .select((col("vec_id") +: codeCols.map(col)) :+ col("cell_size"): _*)
+  }
 }

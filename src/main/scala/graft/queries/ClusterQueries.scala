@@ -22,51 +22,60 @@ object ClusterQueries {
     s"list_reduce([0.0::DOUBLE] || list_transform(range(1, len($a)+1), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, z) -> acc + z)"
 
-  /** Shared oracle CTE chain ending in `a2(vec_id, cluster)` — the k=8,
-    * two-round k-means assignment. */
-  private val kmeansCtes: String =
-    s"""m2t AS (
+  /** Parameterized oracle CTE chain ending in `${p}a2(vec_id, cluster)`
+    * — a k-cluster, two-round fixed-point k-means over `src` (a table
+    * name or parenthesized subquery yielding (vec_id, embedding)).
+    * Prefix `p` namespaces the CTEs so several chains — q88's
+    * per-subspace codebooks — can share one WITH clause. The seed
+    * filter `vec_id < k` matches [[ClusterOps.kmeansAssign]]'s
+    * lowest-k-ids seeding on the driver tables' dense ids. */
+  private def kmeansCtesFor(src: String, k: Int, p: String): String =
+    s"""${p}m2t AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE + 0.5::DOUBLE)) AS mvec
-       |  FROM embeddings),
-       |mdt AS (
-       |  SELECT vec_id, mvec, ${dotD("mvec", "mvec")} AS m2 FROM m2t),
-       |c0 AS (
+       |  FROM $src),
+       |${p}mdt AS (
+       |  SELECT vec_id, mvec, ${dotD("mvec", "mvec")} AS m2 FROM ${p}m2t),
+       |${p}c0 AS (
        |  SELECT vec_id AS cluster, mvec AS cvec, m2 AS c2
-       |  FROM mdt WHERE vec_id < 8),
-       |s1 AS (
+       |  FROM ${p}mdt WHERE vec_id < $k),
+       |${p}s1 AS (
        |  SELECT v.vec_id, c.cluster,
        |    v.m2 + c.c2 - 2.0::DOUBLE * ${dotD("v.mvec", "c.cvec")} AS dist
-       |  FROM mdt v CROSS JOIN c0 c),
-       |a1 AS (
+       |  FROM ${p}mdt v CROSS JOIN ${p}c0 c),
+       |${p}a1 AS (
        |  SELECT vec_id, cluster FROM (
        |    SELECT vec_id, cluster,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-       |    FROM s1)
+       |    FROM ${p}s1)
        |  WHERE rn = 1),
-       |ex1 AS (
+       |${p}ex1 AS (
        |  SELECT a.cluster,
        |    unnest(range(1, len(v.mvec)+1)) AS dim,
        |    unnest(list_transform(range(1, len(v.mvec)+1), i -> CAST(v.mvec[i] AS BIGINT))) AS mv
-       |  FROM a1 a JOIN mdt v USING (vec_id)),
-       |u1 AS (
+       |  FROM ${p}a1 a JOIN ${p}mdt v USING (vec_id)),
+       |${p}u1 AS (
        |  SELECT cluster, dim,
        |    CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cv
-       |  FROM ex1 GROUP BY 1, 2),
-       |c1 AS (
-       |  SELECT cluster, list(cv ORDER BY dim) AS cvec FROM u1 GROUP BY 1),
-       |c1n AS (
-       |  SELECT cluster, cvec, ${dotD("cvec", "cvec")} AS c2 FROM c1),
-       |s2 AS (
+       |  FROM ${p}ex1 GROUP BY 1, 2),
+       |${p}c1 AS (
+       |  SELECT cluster, list(cv ORDER BY dim) AS cvec FROM ${p}u1 GROUP BY 1),
+       |${p}c1n AS (
+       |  SELECT cluster, cvec, ${dotD("cvec", "cvec")} AS c2 FROM ${p}c1),
+       |${p}s2 AS (
        |  SELECT v.vec_id, c.cluster,
        |    v.m2 + c.c2 - 2.0::DOUBLE * ${dotD("v.mvec", "c.cvec")} AS dist
-       |  FROM mdt v CROSS JOIN c1n c),
-       |a2 AS (
+       |  FROM ${p}mdt v CROSS JOIN ${p}c1n c),
+       |${p}a2 AS (
        |  SELECT vec_id, cluster FROM (
        |    SELECT vec_id, cluster,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-       |    FROM s2)
+       |    FROM ${p}s2)
        |  WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle CTE chain ending in `a2(vec_id, cluster)` — the k=8,
+    * two-round k-means assignment (q73/q74's surface). */
+  private val kmeansCtes: String = kmeansCtesFor("embeddings", 8, "")
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -106,6 +115,32 @@ object ClusterQueries {
          |ORDER BY a.vec_id""",
       "Dedup: SemDeDup — within-k-means-cluster cosine pruning") { (s, d) =>
       ClusterOps.semDedupKeepers(Tables(s, d, "embeddings"), minCosine = 0.3)
+        .orderBy("vec_id")
+    },
+
+    // Product quantization: m=2 subspaces (integer-div halves of the
+    // embedding), k=4 codewords each, the same two-round fixed-point
+    // k-means per subspace — two prefixed copies of the kmeans CTE
+    // chain over sliced vectors, joined into the code tuple.
+    oracle(
+      "q88_pq_codes",
+      s"""WITH ${kmeansCtesFor(
+             "(SELECT vec_id, embedding[1:len(embedding)//2] AS embedding FROM embeddings)",
+             4, "x")},
+         |${kmeansCtesFor(
+             "(SELECT vec_id, embedding[len(embedding)//2+1:len(embedding)] AS embedding FROM embeddings)",
+             4, "y")},
+         |coded AS (
+         |  SELECT x.vec_id, x.cluster AS code_0, y.cluster AS code_1
+         |  FROM xa2 x JOIN ya2 y USING (vec_id)),
+         |cells AS (
+         |  SELECT code_0, code_1, CAST(count(*) AS BIGINT) AS cell_size
+         |  FROM coded GROUP BY 1, 2)
+         |SELECT c.vec_id, c.code_0, c.code_1, l.cell_size
+         |FROM coded c JOIN cells l USING (code_0, code_1)
+         |ORDER BY c.vec_id""",
+      "ANN: product-quantization codes (m=2, k=4) + cell occupancy") { (s, d) =>
+      ClusterOps.pqEncode(Tables(s, d, "embeddings"))
         .orderBy("vec_id")
     })
 }

@@ -45,6 +45,30 @@ class ClusterOpsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("pqEncode: subspaces code independently; cell census ties out") {
+    // 4-dim vectors, m=2 → 2-dim halves. Seeds (k=2) are ids 0/1, far
+    // apart in BOTH halves, so each half splits near-seed-0 vs near-seed-1.
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(10f, 10f, 10f, 10f)),
+      (2L, Array(0.1f, 0f, 0.2f, 0f)),    // near 0 in both halves
+      (3L, Array(9.9f, 10f, 0f, 0.1f)),   // half0 near 1, half1 near 0
+      (4L, Array(0f, 0.1f, 10f, 9.9f)))   // half0 near 0, half1 near 1
+      .toDF("vec_id", "embedding")
+    val out = ClusterOps.pqEncode(vecs, m = 2, k = 2)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L)._1 === out(2L)._1 && out(0L)._2 === out(2L)._2,
+      "id 2 shares id 0's cell")
+    assert(out(3L)._1 === out(1L)._1 && out(3L)._2 === out(0L)._2,
+      "id 3 mixes: half0 with seed 1, half1 with seed 0")
+    assert(out(4L)._1 === out(0L)._1 && out(4L)._2 === out(1L)._2,
+      "id 4 mixes the other way")
+    // cell occupancy: (0,0) holds ids 0+2; every other occupied cell is a singleton
+    assert(out(0L)._3 === 2L && out(1L)._3 === 1L
+      && out(3L)._3 === 1L && out(4L)._3 === 1L)
+  }
+
   test("kmeansAssign: rounds=1 is pure seed-nearest assignment") {
     val out = ClusterOps.kmeansAssign(blobs, k = 2, rounds = 1)
       .orderBy("vec_id").collect()
