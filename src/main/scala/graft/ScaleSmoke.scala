@@ -53,7 +53,8 @@ object ScaleSmoke {
     "q78_source_overlap", "q79_source_temperature", "q80_unigram_rarity",
     "q81_knn_graph", "q82_contamination_report", "q83_curation_report",
     "q84_lsh_bucket_stats", "q85_packing_report",
-    "q86_bloom_decontaminate", "q87_target_affinity", "q88_pq_codes")
+    "q86_bloom_decontaminate", "q87_target_affinity", "q88_pq_codes",
+    "q89_knn_pagerank")
 
   private val Stride = 1000000L
 

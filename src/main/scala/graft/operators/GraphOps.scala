@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-centrality operators over corpus-derived graphs. The first
+  * consumer is graph-based data weighting: PageRank over the approximate
+  * KNN graph scores how "central" a document's embedding is in the
+  * corpus manifold — hubs are canonical/redundant content, low-rank
+  * nodes are outliers — and the score feeds sampling the same way
+  * [[TextOps.targetAffinity]] or [[SampleOps]] quotas do.
+  *
+  * Determinism contract (the q73 fixed-point discipline): ranks live in
+  * integer MICRO-UNITS (scale 10⁶) and every update is BIGINT
+  * arithmetic — `div` for the per-edge split, exact integer sums for
+  * the inflow (integer addition is associative, so shuffle order can't
+  * change a result), and a rational damping step
+  * `r' = base + (num·inflow) div den`. No floating point exists
+  * anywhere in the iteration, so Spark and the DuckDB oracle replay
+  * bit-identically; the one double column is a final display division.
+  */
+object GraphOps {
+
+  val Scale = 1000000L
+
+  /** Deterministic integer PageRank over an explicit edge list.
+    *
+    * `edges`: (src, dst) rows — parallel edges count twice; a node's
+    * out-degree is its edge count. `nodes`: one row per `vec_id`
+    * (defines the rank domain; isolated nodes stay at the base).
+    * Damping is the rational `dampNum/dampDen` (default 85/100);
+    * dangling mass (nodes with no out-edges) is dropped rather than
+    * redistributed — the standard simplification when ranks feed a
+    * RELATIVE sampling weight, documented here because it means ranks
+    * do not sum exactly to N·Scale.
+    *
+    * Shape at 100 TB: the edge list is degree-joined and
+    * localCheckpointed ONCE (it feeds every iteration — the
+    * [[DedupOps.componentKeepers]] lineage discipline), each iteration
+    * is one narrow equi-join on src plus a partial-agg sum on dst, and
+    * each new rank vector localCheckpoints so lineage stays O(1) in
+    * the iteration count. Skewed in-degree (a viral hub) is a hot
+    * GROUPBY key — partial aggregation absorbs it map-side. */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 2,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampDen >= 1L && dampNum >= 0L && dampNum <= dampDen,
+      s"damping must satisfy 0 <= num <= den, got $dampNum/$dampDen")
+    val base = ((dampDen - dampNum) * Scale) / dampDen
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val linked = edges.join(deg, Seq("src")).localCheckpoint()
+    val n = nodes.select("vec_id")
+    val r0 = n.select(col("vec_id"), lit(Scale).as("r"))
+    val ranks = (1 to iters).foldLeft(r0) { (r, _) =>
+      val inflow = linked
+        .join(r, linked("src") === r("vec_id"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      n.join(inflow, n("vec_id") === inflow("dst"), "left")
+        .select(col("vec_id"),
+          (lit(base) + expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("vec_id"), col("r").as("pagerank_micro"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("pagerank"))
+  }
+
+  /** PageRank over the approximate KNN graph ([[SimOps.knnGraph]]):
+    * each vector points at its top-k bucket neighbors, and centrality
+    * in the resulting directed graph scores manifold-typicality for
+    * sampling/weighting. Same LSH-bounded join shapes as q81 for the
+    * graph build; [[pageRank]]'s iteration cost is O(E) = O(N·k). */
+  def knnPageRank(embeddings: DataFrame, k: Int = 3, nBits: Int = 12,
+      iters: Int = 2): DataFrame =
+    pageRank(
+      SimOps.knnGraph(embeddings, k, nBits)
+        .select(col("q_id").as("src"), col("n_id").as("dst")),
+      embeddings.select("vec_id"), iters)
+}

@@ -460,5 +460,52 @@ object CorpusQueries {
           corpus = docs.filter(col("source") =!= "src0"),
           target = docs.filter(col("source") === "src0"))
         .orderBy("doc_id")
+    },
+
+    // Integer fixed-point PageRank over q81's KNN graph, two unrolled
+    // iterations. Everything in the iteration is BIGINT (// division,
+    // exact sums), so the oracle replays it bit-for-bit; dangling mass
+    // is dropped by both engines identically.
+    oracle(
+      "q89_knn_pagerank",
+      s"""WITH ${bucketCte(12)},
+         |pairs AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    list_reduce([0.0::DOUBLE] || list_transform(range(1, len(l.embedding)+1),
+         |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE), (acc, x) -> acc + x)
+         |      / (l.norm * r.norm) AS cosine
+         |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |bi AS (
+         |  SELECT a AS q_id, b AS n_id, cosine FROM pairs
+         |  UNION ALL
+         |  SELECT b AS q_id, a AS n_id, cosine FROM pairs),
+         |knn AS (
+         |  SELECT q_id AS src, n_id AS dst FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, n_id) AS rank
+         |    FROM bi)
+         |  WHERE rank <= 3),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM knn GROUP BY 1),
+         |n AS (SELECT vec_id FROM embeddings),
+         |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM n),
+         |i1 AS (SELECT k.dst, CAST(sum(r.r // d.outdeg) AS BIGINT) AS inflow
+         |       FROM knn k JOIN deg d USING (src) JOIN r0 r ON r.vec_id = k.src
+         |       GROUP BY 1),
+         |r1 AS (SELECT n.vec_id,
+         |         CAST(150000 + (85 * coalesce(i1.inflow, 0)) // 100 AS BIGINT) AS r
+         |       FROM n LEFT JOIN i1 ON i1.dst = n.vec_id),
+         |i2 AS (SELECT k.dst, CAST(sum(r.r // d.outdeg) AS BIGINT) AS inflow
+         |       FROM knn k JOIN deg d USING (src) JOIN r1 r ON r.vec_id = k.src
+         |       GROUP BY 1),
+         |r2 AS (SELECT n.vec_id,
+         |         CAST(150000 + (85 * coalesce(i2.inflow, 0)) // 100 AS BIGINT) AS r
+         |       FROM n LEFT JOIN i2 ON i2.dst = n.vec_id)
+         |SELECT vec_id, r AS pagerank_micro,
+         |  CAST(r AS DOUBLE) / 1000000.0::DOUBLE AS pagerank
+         |FROM r2 ORDER BY vec_id""",
+      "Graph: integer fixed-point PageRank over the KNN graph") { (s, d) =>
+      graft.operators.GraphOps.knnPageRank(Tables(s, d, "embeddings"))
+        .orderBy("vec_id")
     })
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.GraphOps
+
+/** Exact-value pins for the integer fixed-point PageRank
+  * ([[graft.operators.GraphOps]]). Bit-level cross-engine equality is
+  * q89's oracle job; this spec hand-computes the micro-unit arithmetic
+  * on a star graph so a refactor can't silently change the fixed-point
+  * contract. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: star hub accumulates; exact micro-unit values; dangling mass drops") {
+    // 2,3,4 each point only at 1; 1 is dangling (its mass drops).
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    // iter1: inflow(1) = 3·(1000000 div 1); r(1) = 150000 + (85·3000000) div 100
+    // iter2: spokes sat at 150000, so inflow(1) = 450000 → r(1) = 532500
+    val out = GraphOps.pageRank(edges, nodes, iters = 2)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 532500L)
+    Seq(2L, 3L, 4L).foreach { v =>
+      assert(out(v)._1 === 150000L, s"spoke $v gets only the base")
+    }
+    assert(out(1L)._2 === 0.5325)
+    // determinism: an independent run reproduces every micro-unit
+    val again = GraphOps.pageRank(edges, nodes, iters = 2)
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out.map { case (k, v) => k -> v._1 })
+  }
+
+  test("pageRank: parallel edges split a node's rank across its out-degree") {
+    // 2 has TWO edges (both to 1): each carries r div 2 — together the
+    // whole (truncated) rank, same as one edge to one target would.
+    val edges = Seq((2L, 1L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L).toDF("vec_id")
+    val out = GraphOps.pageRank(edges, nodes, iters = 1)
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // inflow(1) = 2·(1000000 div 2) = 1000000 → r(1) = 150000 + 850000
+    assert(out(1L) === 1000000L && out(2L) === 150000L)
+  }
+}

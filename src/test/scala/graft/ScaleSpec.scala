@@ -86,7 +86,8 @@ class ScaleSpec extends SparkSpec {
       "q85_packing_report" -> 2,     // ONE per-lang exchange feeds window + agg (same key), local sort
       "q86_bloom_decontaminate" -> 10, // probe-shingle distinct ×2 (bitset build + verify: two narrow probe scans beat checkpointing a corpus-sized shingle set) + position distinct + densify join + 1-row pack + bitset/verify/hits broadcasts + doc agg + sort
       "q87_target_affinity" -> 15,   // (doc,b) agg + bucket-table aggs/broadcasts (≤numBuckets rows by construction) + two 1-row totals + per-doc agg + sort; docBuckets subtree reuses its exchange
-      "q88_pq_codes" -> 15)          // post-checkpoint: 2 subspace chains × (sizes agg + broadcast + code join) + vec_id code join + k^m cell agg/broadcast + sort (per-round centroid work runs inside the checkpoint jobs)
+      "q88_pq_codes" -> 15,          // post-checkpoint: 2 subspace chains × (sizes agg + broadcast + code join) + vec_id code join + k^m cell agg/broadcast + sort (per-round centroid work runs inside the checkpoint jobs)
+      "q89_knn_pagerank" -> 1)       // sort only: the KNN-graph build and every O(E) iteration run inside localCheckpoint jobs (q57 lineage discipline), so the final plan reads the checkpointed rank vector
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
