@@ -188,6 +188,51 @@ object DedupOps {
         sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)))
   }
 
+  /** LSH banding planner — the MMDS s-curve `1 − (1 − s^r)^b` evaluated
+    * against the corpus's MEASURED candidate-pair Jaccard histogram
+    * ([[pairCalibrationHistogram]]): for each candidate (bands, rows)
+    * config, the expected number of detected pairs and the detection
+    * rate, per decile midpoint. This is the decision table read before
+    * re-banding a corpus — q84 says whether today's buckets are
+    * healthy; this says what a DIFFERENT banding would have caught.
+    *
+    * Cross-engine determinism: the s-curve's powers are integer
+    * exponents, computed as SEQUENTIAL multiplication folds (never
+    * `pow`, whose libm rounding differs across engines), and the
+    * per-config total folds the per-decile terms in bucket order —
+    * every double op replays in the identical order in DuckDB.
+    *
+    * Shape at 100 TB: everything downstream of the histogram is
+    * ≤ 11·|configs| rows; the corpus-scale work is exactly
+    * [[pairCalibrationHistogram]]'s LSH-bounded chain. */
+  def bandingPlanner(documents: DataFrame,
+      configs: Seq[(Int, Int)] =
+        Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) => b >= 1 && r >= 1 },
+      s"configs must be non-empty with bands, rows >= 1: $configs")
+    val session = documents.sparkSession
+    import session.implicits._
+    val cfg = configs.toDF("bands", "rows_per_band")
+    pairCalibrationHistogram(documents)
+      .select("bucket", "n_pairs")
+      .crossJoin(broadcast(cfg))
+      .withColumn("s", expr(
+        "LEAST(CAST(2 * bucket + 1 AS DOUBLE) / CAST(20 AS DOUBLE), CAST(1.0 AS DOUBLE))"))
+      .withColumn("p_detect", expr(
+        """CAST(1.0 AS DOUBLE) - aggregate(sequence(1, bands), CAST(1.0 AS DOUBLE),
+          |  (acc, i) -> acc * (CAST(1.0 AS DOUBLE) -
+          |    aggregate(sequence(1, rows_per_band), CAST(1.0 AS DOUBLE),
+          |      (a2, j) -> a2 * s)))""".stripMargin))
+      .withColumn("ed", expr("CAST(n_pairs AS DOUBLE) * p_detect"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum("n_pairs").as("n_pairs"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(bucket, ed))),
+               |  x -> x.ed), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""
+          .stripMargin).as("expected_detected"))
+      .withColumn("detect_rate",
+        expr("expected_detected / CAST(n_pairs AS DOUBLE)"))
+  }
+
   /** Cross-source near-duplicate overlap matrix: for verified pairs at
     * or above `minJaccard`, how many land within/between each pair of
     * sources — the governance readout for "which feeds duplicate each

@@ -507,5 +507,64 @@ object CorpusQueries {
       "Graph: integer fixed-point PageRank over the KNN graph") { (s, d) =>
       graft.operators.GraphOps.knnPageRank(Tables(s, d, "embeddings"))
         .orderBy("vec_id")
+    },
+
+    // MMDS s-curve planner over q77's measured decile histogram. The
+    // powers are sequential multiplication folds and the per-config
+    // total folds deciles in bucket order — identical double op order
+    // in both engines, so even the rates hash-match.
+    oracle(
+      "q90_banding_planner",
+      s"""WITH sh AS (${NorthStarQueries.SH}),
+         |sig AS (${NorthStarQueries.SIG()}),
+         |bands AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+         |  FROM sig WHERE sig[1] <> -1),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id < y.doc_id),
+         |pj AS (
+         |  SELECT a, b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = a
+         |  JOIN sh sb ON sb.doc_id = b),
+         |g AS (
+         |  SELECT CAST(floor(jaccard * 10.0::DOUBLE) AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pj GROUP BY 1),
+         |cfg AS (SELECT * FROM (VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+         |        AS t(bands, rows_per_band)),
+         |x AS (
+         |  SELECT g.bucket, g.n_pairs, c.bands, c.rows_per_band,
+         |    least(CAST(2 * g.bucket + 1 AS DOUBLE) / CAST(20 AS DOUBLE),
+         |      1.0::DOUBLE) AS s
+         |  FROM g CROSS JOIN cfg c),
+         |y AS (
+         |  SELECT bucket, n_pairs, bands, rows_per_band,
+         |    1.0::DOUBLE - list_reduce([1.0::DOUBLE] ||
+         |      list_transform(range(1, bands + 1), i -> 1.0::DOUBLE -
+         |        list_reduce([1.0::DOUBLE] ||
+         |          list_transform(range(1, rows_per_band + 1), j -> s),
+         |          (a2, z) -> a2 * z)),
+         |      (acc, w) -> acc * w) AS p_detect
+         |  FROM x),
+         |z AS (SELECT bucket, n_pairs, bands, rows_per_band,
+         |        CAST(n_pairs AS DOUBLE) * p_detect AS ed FROM y),
+         |f AS (
+         |  SELECT bands, rows_per_band, CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+         |    list_reduce([0.0::DOUBLE] || list(ed ORDER BY bucket),
+         |      (acc, v) -> acc + v) AS expected_detected
+         |  FROM z GROUP BY 1, 2)
+         |SELECT bands, rows_per_band, n_pairs, expected_detected,
+         |  expected_detected / CAST(n_pairs AS DOUBLE) AS detect_rate
+         |FROM f ORDER BY bands, rows_per_band""",
+      "Dedup governance: s-curve banding planner over the measured histogram") { (s, d) =>
+      DedupOps.bandingPlanner(Tables(s, d, "documents"))
+        .orderBy("bands", "rows_per_band")
     })
 }

@@ -218,6 +218,29 @@ class DedupSimSpec extends SparkSpec {
       bloomHashes = 2)) === exact)
   }
 
+  test("bandingPlanner: rates bounded, monotone in band count, exact on a pure-dup corpus") {
+    // identical docs: every candidate pair has jaccard 1.0 → s-curve
+    // midpoint s = 1 → p_detect = 1 for EVERY config, so
+    // expected_detected = n_pairs exactly and rate = 1.0
+    val dups = docs(1L -> base, 2L -> base, 3L -> base)
+    val pure = DedupOps.bandingPlanner(dups).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(pure.length === 5, "one row per default config")
+    pure.foreach { case (_, _, n, ed, rate) =>
+      assert(n === 3L && ed === 3.0 && rate === 1.0)
+    }
+    // mixed corpus: rates stay in [0,1] and detection is monotone in
+    // the band count at fixed total hashes (more bands = more chances)
+    val mixed = docs(1L -> base, 2L -> base.replace("sigma", "sygma"),
+      3L -> "completely different text entirely here now")
+    val rows = DedupOps.bandingPlanner(mixed).collect()
+      .map(r => (r.getInt(0), r.getDouble(4))).toMap
+    assert(rows.values.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rows(16) >= rows(8) && rows(8) >= rows(4)
+      && rows(4) >= rows(2) && rows(2) >= rows(1),
+      s"detection must be monotone in bands: $rows")
+  }
+
   test("lshBucketStats: integer invariants tie out against the banding") {
     val nearDup = base.replace("sigma", "sygma")
     val d = docs(1L -> base, 2L -> nearDup, 3L -> "completely different text entirely here now")

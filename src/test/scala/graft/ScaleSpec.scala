@@ -33,7 +33,8 @@ class ScaleSpec extends SparkSpec {
       "q79_source_temperature", "q80_unigram_rarity", // 1-row corpus-count / packed-weights broadcast
       "q81_knn_graph", // plane-table broadcast (q41's bucket shape)
       "q86_bloom_decontaminate", // 1-row bloom-bitset broadcast (~128 KB at any probe cardinality)
-      "q87_target_affinity") // 1-row feature-totals broadcast; bucket tables join hashed on b
+      "q87_target_affinity", // 1-row feature-totals broadcast; bucket tables join hashed on b
+      "q90_banding_planner") // |configs|-row planner-grid broadcast (5 rows by default)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -87,7 +88,8 @@ class ScaleSpec extends SparkSpec {
       "q86_bloom_decontaminate" -> 10, // probe-shingle distinct ×2 (bitset build + verify: two narrow probe scans beat checkpointing a corpus-sized shingle set) + position distinct + densify join + 1-row pack + bitset/verify/hits broadcasts + doc agg + sort
       "q87_target_affinity" -> 15,   // (doc,b) agg + bucket-table aggs/broadcasts (≤numBuckets rows by construction) + two 1-row totals + per-doc agg + sort; docBuckets subtree reuses its exchange
       "q88_pq_codes" -> 15,          // post-checkpoint: 2 subspace chains × (sizes agg + broadcast + code join) + vec_id code join + k^m cell agg/broadcast + sort (per-round centroid work runs inside the checkpoint jobs)
-      "q89_knn_pagerank" -> 1)       // sort only: the KNN-graph build and every O(E) iteration run inside localCheckpoint jobs (q57 lineage discipline), so the final plan reads the checkpointed rank vector
+      "q89_knn_pagerank" -> 1,       // sort only: the KNN-graph build and every O(E) iteration run inside localCheckpoint jobs (q57 lineage discipline), so the final plan reads the checkpointed rank vector
+      "q90_banding_planner" -> 13)   // q77's LSH-bounded histogram chain + |configs|-row broadcast + ≤11·|configs| planner agg + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
