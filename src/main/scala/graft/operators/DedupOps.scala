@@ -471,6 +471,68 @@ object DedupOps {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Content-defined-chunking segment dedup — [[segmentDedup]]'s
+    * insertion-robust sibling (the CDC idea from storage dedup, applied
+    * to token streams): a segment boundary falls AFTER token `i`
+    * whenever the hash of the trailing `window`-token span divides
+    * `divisor` — boundaries are decided by CONTENT, not position, so
+    * inserting one token at a document's head shifts only the segments
+    * up to the first surviving boundary, and everything after still
+    * dedups against the unedited copy (fixed-width segmentation loses
+    * every match after an insertion — spec-demonstrated).
+    *
+    * Expected segment length ≈ `divisor` tokens. No min/max segment
+    * clamps (classic CDC adds them to bound variance); documented
+    * simplification — the divisor alone controls the distribution.
+    *
+    * Shape at 100 TB: per-row narrow segment derivation (O(window) md5
+    * per token — constant per token; a rolling-polynomial native
+    * expression is the established swap if this passes profiling
+    * thresholds), then exactly [[segmentDedup]]'s shape: one window
+    * shuffle on the segment text (hot boilerplate segment → AQE), one
+    * doc-bounded re-assembly agg, one flag-back join. */
+  def cdcSegmentDedup(documents: DataFrame, window: Int = 4,
+      divisor: Long = 8L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(divisor >= 1L, s"divisor must be >= 1, got $divisor")
+    val winHash = TextOps.h60x(
+      s"array_join(slice(tk, CAST(i - $window + 1 AS INT), $window), ' ')")
+    val segRows = TextOps.tokenized(documents)
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("bnd", expr(
+        s"""CASE WHEN n >= ${window}L THEN
+           |  filter(sequence(${window}L, n), i -> pmod($winHash, ${divisor}L) = 0L)
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .withColumn("spans", expr(
+        """filter(zip_with(concat(array(1L), transform(bnd, x -> x + 1L)),
+          |                concat(bnd, array(n)),
+          |                (s, e) -> struct(s AS s, e AS e)),
+          |  p -> p.s <= p.e)""".stripMargin))
+      .select(col("doc_id"), col("tk"),
+        posexplode(col("spans")).as(Seq("pos", "sp")))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        expr("array_join(slice(tk, CAST(sp.s AS INT), CAST(sp.e - sp.s + 1 AS INT)), ' ')")
+          .as("seg_text"))
+    val firstWins = Window.partitionBy("seg_text").orderBy("doc_id", "seg_idx")
+    val kept = segRows
+      .withColumn("rk", row_number().over(firstWins))
+      .filter(col("rk") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_segments"),
+        expr("""array_join(transform(sort_array(collect_list(
+               |  struct(seg_idx, seg_text))), x -> x.seg_text), ' ')"""
+          .stripMargin).as("kept_text"))
+    val totals = segRows.groupBy("doc_id").agg(count(lit(1)).as("n_segments"))
+    documents.select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any n-gram
     * shingle with a probe (benchmark/eval) set — the screening step a
     * training-data pipeline runs so eval questions don't leak into

@@ -566,5 +566,55 @@ object CorpusQueries {
       "Dedup governance: s-curve banding planner over the measured histogram") { (s, d) =>
       DedupOps.bandingPlanner(Tables(s, d, "documents"))
         .orderBy("bands", "rows_per_band")
+    },
+
+    // Content-defined chunking: boundary after token i when the md5
+    // hash of the trailing 4-token window divides 8. DuckDB's seg_idx
+    // (unfiltered k with a WHERE) may skip the one empty span a
+    // boundary-at-n leaves, vs Spark's contiguous posexplode index —
+    // seg_idx only ORDERS (tie-break + reassembly), never outputs, and
+    // relative order is identical, so results hash-match.
+    oracle(
+      "q91_cdc_segment_dedup",
+      s"""WITH tks AS (SELECT doc_id, tk, len(tk) AS n FROM (${NorthStarQueries.TK})),
+         |b AS (
+         |  SELECT doc_id, tk, n,
+         |    list_filter(range(4, n + 1),
+         |      i -> (${h60d("array_to_string(tk[i-3:i], ' ')")}) % 8 = 0) AS bnd
+         |  FROM tks),
+         |sp AS (
+         |  SELECT doc_id, tk,
+         |    [1] || list_transform(bnd, x -> x + 1) AS starts,
+         |    bnd || [n] AS ends
+         |  FROM b),
+         |sg AS (
+         |  SELECT doc_id, k AS seg_idx,
+         |    array_to_string(tk[starts[k]:ends[k]], ' ') AS seg_text
+         |  FROM (SELECT doc_id, tk, starts, ends,
+         |          unnest(range(1, len(starts) + 1)) AS k
+         |        FROM sp)
+         |  WHERE starts[k] <= ends[k]),
+         |dd AS (
+         |  SELECT doc_id, seg_idx, seg_text,
+         |    ROW_NUMBER() OVER (PARTITION BY seg_text
+         |      ORDER BY doc_id, seg_idx) AS rk
+         |  FROM sg),
+         |kp AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_segments,
+         |    string_agg(seg_text, ' ' ORDER BY seg_idx) AS kept_text
+         |  FROM dd WHERE rk = 1 GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+         |        FROM sg GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(t.n_segments, 0) AS n_segments,
+         |  coalesce(k.n_kept_segments, 0) AS n_kept_segments,
+         |  coalesce(k.kept_text, '') AS kept_text
+         |FROM documents d
+         |LEFT JOIN tot t ON t.doc_id = d.doc_id
+         |LEFT JOIN kp k ON k.doc_id = d.doc_id
+         |ORDER BY d.doc_id""",
+      "Dedup: content-defined-chunking segment dedup (insertion-robust)") { (s, d) =>
+      DedupOps.cdcSegmentDedup(Tables(s, d, "documents"))
+        .orderBy("doc_id")
     })
 }

@@ -218,6 +218,29 @@ class DedupSimSpec extends SparkSpec {
       bloomHashes = 2)) === exact)
   }
 
+  test("cdcSegmentDedup: content-defined boundaries survive a head insertion; fixed-width ones don't") {
+    // doc 2 = doc 1 with ONE token prepended. CDC boundaries re-align
+    // after the first surviving content boundary, so doc 2 re-dedups
+    // most of its segments against doc 1; fixed-width segmentation
+    // shifts every 8-token frame and keeps everything.
+    val body = (1 to 64).map(i => s"tok${i % 23}_${i % 7}").mkString(" ")
+    val d = docs(1L -> body, 2L -> s"INSERTED $body")
+    val cdc = DedupOps.cdcSegmentDedup(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n1, k1) = cdc(1L)
+    val (n2, k2) = cdc(2L)
+    assert(n1 >= 2L, s"divisor 8 over 64 tokens must cut several segments, got $n1")
+    assert(k1 === n1, "first doc keeps everything")
+    assert(k2 < n2, s"shifted copy must re-dedup some tail segments: kept $k2 of $n2")
+    val fixed = DedupOps.segmentDedup(d, segTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed(2L) === 9L, "fixed-width keeps ALL 9 shifted frames — the failure CDC exists to fix")
+    // determinism + identity: running on the single doc alone keeps all
+    val solo = DedupOps.cdcSegmentDedup(docs(1L -> body)).collect().head
+    assert(solo.getLong(1) === n1 && solo.getLong(2) === n1
+      && solo.getString(3) === body, "reassembly must be lossless")
+  }
+
   test("bandingPlanner: rates bounded, monotone in band count, exact on a pure-dup corpus") {
     // identical docs: every candidate pair has jaccard 1.0 → s-curve
     // midpoint s = 1 → p_detect = 1 for EVERY config, so
