@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits}
+import graft.functions.{CdcBoundaries, DotProduct, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(LangScores.fnName),
       new ExpressionInfo(classOf[LangScores].getName, LangScores.fnName),
       LangScores.builder _))
+    e.injectFunction((
+      FunctionIdentifier(CdcBoundaries.fnName),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, CdcBoundaries.fnName),
+      CdcBoundaries.builder _))
   }
 }

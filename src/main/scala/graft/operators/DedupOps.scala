@@ -486,24 +486,24 @@ object DedupOps {
     * simplification — the divisor alone controls the distribution.
     *
     * Shape at 100 TB: per-row narrow segment derivation (O(window) md5
-    * per token — constant per token; a rolling-polynomial native
-    * expression is the established swap if this passes profiling
-    * thresholds), then exactly [[segmentDedup]]'s shape: one window
-    * shuffle on the segment text (hot boilerplate segment → AQE), one
-    * doc-bounded re-assembly agg, one flag-back join. */
+    * per token — constant per token, running in the native
+    * [[graft.functions.CdcBoundaries]] single-pass scan after the HOF
+    * form benched at 15.6 task-seconds), then exactly
+    * [[segmentDedup]]'s shape: one window shuffle on the segment text
+    * (hot boilerplate segment → AQE), one doc-bounded re-assembly agg,
+    * one flag-back join. */
   def cdcSegmentDedup(documents: DataFrame, window: Int = 4,
       divisor: Long = 8L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(window >= 1, s"window must be >= 1, got $window")
     require(divisor >= 1L, s"divisor must be >= 1, got $divisor")
-    val winHash = TextOps.h60x(
-      s"array_join(slice(tk, CAST(i - $window + 1 AS INT), $window), ' ')")
+    graft.functions.CdcBoundaries.register(documents.sparkSession)
     val segRows = TextOps.tokenized(documents)
       .withColumn("n", size(col("tk")).cast("long"))
-      .withColumn("bnd", expr(
-        s"""CASE WHEN n >= ${window}L THEN
-           |  filter(sequence(${window}L, n), i -> pmod($winHash, ${divisor}L) = 0L)
-           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      // native single-pass boundary scan; spec-proven bit-identical to
+      // the interpreted filter(sequence(...), i -> pmod(h60(...))) HOF
+      // form (which benched at 15.6 task-seconds — the #2 query)
+      .withColumn("bnd", expr(s"cdc_boundaries(tk, $window, ${divisor}L)"))
       .withColumn("spans", expr(
         """filter(zip_with(concat(array(1L), transform(bnd, x -> x + 1L)),
           |                concat(bnd, array(n)),

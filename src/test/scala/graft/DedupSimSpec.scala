@@ -241,6 +241,31 @@ class DedupSimSpec extends SparkSpec {
       && solo.getString(3) === body, "reassembly must be lossless")
   }
 
+  test("cdc_boundaries native expression is bit-identical to the interpreted HOF form") {
+    graft.functions.CdcBoundaries.register(spark)
+    val winHash = graft.operators.TextOps.h60x(
+      "array_join(slice(tk, CAST(i - 4 + 1 AS INT), 4), ' ')")
+    val d = docs(
+      1L -> base,
+      2L -> base.replace("sigma", "sygma"),
+      3L -> "a b",                        // n < window → empty
+      4L -> (1 to 200).map(i => s"t$i").mkString(" "))
+      .withColumn("tk", org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " "))
+      .withColumn("n", org.apache.spark.sql.functions.expr(
+        "CAST(size(tk) AS BIGINT)"))
+    val hof = d.selectExpr("doc_id",
+      s"""CASE WHEN n >= 4L THEN
+         |  filter(sequence(4L, n), i -> pmod($winHash, 8L) = 0L)
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END AS bnd""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = d.selectExpr("doc_id", "cdc_boundaries(tk, 4, 8L) AS bnd")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === hof)
+    assert(native(3L) === Seq.empty[Long])
+    assert(native(4L).nonEmpty, "200 tokens at divisor 8 must cut somewhere")
+  }
+
   test("bandingPlanner: rates bounded, monotone in band count, exact on a pure-dup corpus") {
     // identical docs: every candidate pair has jaccard 1.0 → s-curve
     // midpoint s = 1 → p_detect = 1 for EVERY config, so

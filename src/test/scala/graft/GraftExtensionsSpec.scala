@@ -78,5 +78,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row2.getLong(0) > 0L)
     assert(row2.getDouble(1) > 0.0)
     assert(row2.getSeq[Long](2) === Seq(1L, 1L, 0L, 0L, 0L))
+    // cdc_boundaries: n < window → empty; divisor 1 → every position
+    val row3 = spark.sql(
+      """SELECT
+        |  cdc_boundaries(array('a'), 4, 8L) AS short,
+        |  cdc_boundaries(array('a', 'b', 'c'), 2, 1L) AS all_pos
+        |""".stripMargin).head
+    assert(row3.getSeq[Long](0) === Seq.empty[Long])
+    assert(row3.getSeq[Long](1) === Seq(2L, 3L))
   }
 }
