@@ -66,6 +66,51 @@ object GraphOps {
       (col("r").cast("double") / lit(Scale.toDouble)).as("pagerank"))
   }
 
+  /** Label coherence over the approximate KNN graph — the
+    * neighborhood-vote mislabel detector (the k-NN consistency check
+    * behind confident-learning-style label auditing): each vector's
+    * neighbors vote with THEIR labels; a vector whose own label loses
+    * the vote is flagged incoherent (mislabeled, or sitting in another
+    * label's embedding region — either way, a curation lead).
+    *
+    * `labels`: (vec_id, label) — inner-joined against the graph's
+    * domain. Majority = highest neighbor count, ties broken by label
+    * ascending (bit-deterministic). Vectors with NO graph neighbors
+    * (alone in their LSH bucket) keep NULL majority/coherent — absence
+    * of evidence, distinct from disagreement.
+    *
+    * Shape at 100 TB: [[SimOps.knnGraph]]'s LSH-bounded build, then
+    * everything is narrow (vec, label) joins and ≤ |labels| per-vector
+    * partial aggs; the vote window is bounded by k by construction. */
+  def labelCoherence(embeddings: DataFrame, labels: DataFrame,
+      k: Int = 3, nBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lb = labels.select(col("vec_id"), col("label"))
+    val edges = SimOps.knnGraph(embeddings, k, nBits)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val votes = edges
+      .join(lb.select(col("vec_id").as("n_id"), col("label").as("n_label")), Seq("n_id"))
+      .groupBy("q_id", "n_label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_label").asc)
+    val majority = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_label").as("majority_label"))
+    val deg = edges.groupBy("q_id").agg(count(lit(1)).as("nn"))
+    val agree = edges
+      .join(lb.select(col("vec_id").as("n_id"), col("label").as("n_label")), Seq("n_id"))
+      .join(lb.select(col("vec_id").as("q_id"), col("label").as("q_label")), Seq("q_id"))
+      .filter(col("n_label") === col("q_label"))
+      .groupBy("q_id").agg(count(lit(1)).as("na"))
+    lb.join(deg, lb("vec_id") === deg("q_id"), "left").drop("q_id")
+      .join(agree, lb("vec_id") === agree("q_id"), "left").drop("q_id")
+      .join(majority, lb("vec_id") === majority("q_id"), "left").drop("q_id")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("nn"), lit(0L)).as("n_neighbors"),
+        coalesce(col("na"), lit(0L)).as("n_agree"),
+        col("majority_label"),
+        (col("label") === col("majority_label")).as("coherent"))
+  }
+
   /** PageRank over the approximate KNN graph ([[SimOps.knnGraph]]):
     * each vector points at its top-k bucket neighbors, and centrality
     * in the resulting directed graph scores manifold-typicality for

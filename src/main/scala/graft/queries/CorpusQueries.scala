@@ -616,5 +616,69 @@ object CorpusQueries {
       "Dedup: content-defined-chunking segment dedup (insertion-robust)") { (s, d) =>
       DedupOps.cdcSegmentDedup(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    // Neighborhood label audit: each embedding's KNN neighbors vote
+    // with their documents' lang labels (vec_id ≡ doc_id in the driver
+    // tables); a vector whose own label loses the vote is a
+    // mislabel/outlier lead. Majority ties break by label ascending —
+    // bit-deterministic, and NULL (not false) when a vector has no
+    // bucket neighbors.
+    oracle(
+      "q92_label_coherence",
+      s"""WITH ${bucketCte(12)},
+         |pairs AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    list_reduce([0.0::DOUBLE] || list_transform(range(1, len(l.embedding)+1),
+         |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE), (acc, x) -> acc + x)
+         |      / (l.norm * r.norm) AS cosine
+         |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |bi AS (
+         |  SELECT a AS q_id, b AS n_id, cosine FROM pairs
+         |  UNION ALL
+         |  SELECT b AS q_id, a AS n_id, cosine FROM pairs),
+         |knn AS (
+         |  SELECT q_id AS src, n_id AS dst FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, n_id) AS rank
+         |    FROM bi)
+         |  WHERE rank <= 3),
+         |lb AS (
+         |  SELECT e.vec_id, d.lang AS label
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings) e
+         |  JOIN documents d ON d.doc_id = e.vec_id),
+         |v AS (SELECT k.src AS q_id, l.label AS n_label,
+         |        CAST(count(*) AS BIGINT) AS c
+         |      FROM knn k JOIN lb l ON l.vec_id = k.dst GROUP BY 1, 2),
+         |mj AS (SELECT q_id, n_label AS majority_label FROM (
+         |        SELECT q_id, n_label,
+         |          ROW_NUMBER() OVER (PARTITION BY q_id
+         |            ORDER BY c DESC, n_label) AS rn
+         |        FROM v) WHERE rn = 1),
+         |deg AS (SELECT src AS q_id, CAST(count(*) AS BIGINT) AS nn
+         |        FROM knn GROUP BY 1),
+         |ag AS (SELECT k.src AS q_id, CAST(count(*) AS BIGINT) AS na
+         |       FROM knn k
+         |       JOIN lb l ON l.vec_id = k.dst
+         |       JOIN lb o ON o.vec_id = k.src AND o.label = l.label
+         |       GROUP BY 1)
+         |SELECT l.vec_id, l.label,
+         |  coalesce(d.nn, 0) AS n_neighbors,
+         |  coalesce(a.na, 0) AS n_agree,
+         |  m.majority_label,
+         |  l.label = m.majority_label AS coherent
+         |FROM lb l
+         |LEFT JOIN deg d ON d.q_id = l.vec_id
+         |LEFT JOIN ag a ON a.q_id = l.vec_id
+         |LEFT JOIN mj m ON m.q_id = l.vec_id
+         |ORDER BY l.vec_id""",
+      "Graph: KNN neighborhood label-coherence audit (mislabel leads)") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val emb = Tables(s, d, "embeddings")
+      graft.operators.GraphOps.labelCoherence(emb,
+          emb.select("vec_id").distinct()
+            .join(docs.select(col("doc_id").as("vec_id"), col("lang").as("label")), Seq("vec_id")))
+        .orderBy("vec_id")
     })
 }

@@ -30,6 +30,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(again === out.map { case (k, v) => k -> v._1 })
   }
 
+  test("labelCoherence: minority label in a tight cluster flags incoherent") {
+    // four identical vectors share every LSH bucket; labels A,A,A,B.
+    // Each vector's 3 neighbors are the other three: the A's see
+    // {A,A,B} → majority A, coherent; B sees {A,A,A} → incoherent.
+    val vec = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val emb = Seq(0L, 1L, 2L, 3L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val labels = Seq((0L, "A"), (1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("vec_id", "label")
+    val out = GraphOps.labelCoherence(emb, labels)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4), r.getBoolean(5)))
+      .toMap
+    Seq(0L, 1L, 2L).foreach { v =>
+      val (nn, na, mj, ok) = out(v)
+      assert(nn === 3L && na === 2L && mj === "A" && ok,
+        s"A-labeled $v must be coherent: $out")
+    }
+    val (nn, na, mj, ok) = out(3L)
+    assert(nn === 3L && na === 0L && mj === "A" && !ok,
+      "the minority B vector is the mislabel lead")
+  }
+
   test("pageRank: parallel edges split a node's rank across its out-degree") {
     // 2 has TWO edges (both to 1): each carries r div 2 — together the
     // whole (truncated) rank, same as one edge to one target would.
