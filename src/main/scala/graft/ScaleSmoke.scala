@@ -54,7 +54,8 @@ object ScaleSmoke {
     "q81_knn_graph", "q82_contamination_report", "q83_curation_report",
     "q84_lsh_bucket_stats", "q85_packing_report",
     "q86_bloom_decontaminate", "q87_target_affinity", "q88_pq_codes",
-    "q89_knn_pagerank", "q90_banding_planner", "q91_cdc_segment_dedup")
+    "q89_knn_pagerank", "q90_banding_planner", "q91_cdc_segment_dedup",
+    "q92_label_coherence")
 
   private val Stride = 1000000L
 

@@ -15,23 +15,14 @@ object Scratch {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "q52_mets_full").split(",")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "q92_label_coherence").split(",")
     names.foreach { name =>
-      // construction INSIDE the timer — iterative queries (q57) do their
-      // fixpoint work eagerly while the DataFrame is being built
-      def timed(): Unit = {
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
-      timed(); timed()
-      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val n = plan.linesIterator.count(_.contains("Exchange"))
+      println(s"[plan] $name exchanges=$n")
+      println(plan)
     }
-    spark.stop()
   }
 }

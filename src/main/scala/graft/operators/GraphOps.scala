@@ -69,41 +69,45 @@ object GraphOps {
   /** Label coherence over the approximate KNN graph — the
     * neighborhood-vote mislabel detector (the k-NN consistency check
     * behind confident-learning-style label auditing): each vector's
-    * neighbors vote with THEIR labels; a vector whose own label loses
-    * the vote is flagged incoherent (mislabeled, or sitting in another
-    * label's embedding region — either way, a curation lead).
+    * labeled neighbors vote with THEIR labels; a vector whose own label
+    * loses the vote is flagged incoherent (mislabeled, or sitting in
+    * another label's embedding region — either way, a curation lead).
     *
-    * `labels`: (vec_id, label) — inner-joined against the graph's
-    * domain. Majority = highest neighbor count, ties broken by label
-    * ascending (bit-deterministic). Vectors with NO graph neighbors
-    * (alone in their LSH bucket) keep NULL majority/coherent — absence
-    * of evidence, distinct from disagreement.
+    * `labels`: (vec_id, label). All three readouts are over LABELED
+    * neighbors (an unlabeled neighbor can't vote, so it doesn't count
+    * toward the denominator either). Majority = highest labeled-neighbor
+    * count, ties broken by label ascending (bit-deterministic, computed
+    * as a struct-min argmax — no rank window). Vectors with NO labeled
+    * graph neighbors (alone in their LSH bucket) keep NULL
+    * majority/coherent — absence of evidence, distinct from
+    * disagreement.
     *
-    * Shape at 100 TB: [[SimOps.knnGraph]]'s LSH-bounded build, then
-    * everything is narrow (vec, label) joins and ≤ |labels| per-vector
-    * partial aggs; the vote window is bounded by k by construction. */
+    * Shape at 100 TB: [[SimOps.knnGraph]]'s LSH-bounded build; the
+    * label table is localCheckpointed ONCE (narrow (vec_id, label)
+    * rows — the q69 tf discipline) so its lineage isn't re-executed per
+    * reference; after the single edge⋈label join everything is two
+    * per-vector partial aggs over ≤ k·|labels| vote rows and one narrow
+    * join-back. */
   def labelCoherence(embeddings: DataFrame, labels: DataFrame,
       k: Int = 3, nBits: Int = 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lb = labels.select(col("vec_id"), col("label"))
+    val lb = labels.select(col("vec_id"), col("label")).localCheckpoint()
     val edges = SimOps.knnGraph(embeddings, k, nBits)
       .select(col("q_id"), col("n_id")).localCheckpoint()
     val votes = edges
       .join(lb.select(col("vec_id").as("n_id"), col("label").as("n_label")), Seq("n_id"))
       .groupBy("q_id", "n_label").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("n_label").asc)
-    val majority = votes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("n_label").as("majority_label"))
-    val deg = edges.groupBy("q_id").agg(count(lit(1)).as("nn"))
-    val agree = edges
-      .join(lb.select(col("vec_id").as("n_id"), col("label").as("n_label")), Seq("n_id"))
-      .join(lb.select(col("vec_id").as("q_id"), col("label").as("q_label")), Seq("q_id"))
-      .filter(col("n_label") === col("q_label"))
-      .groupBy("q_id").agg(count(lit(1)).as("na"))
-    lb.join(deg, lb("vec_id") === deg("q_id"), "left").drop("q_id")
-      .join(agree, lb("vec_id") === agree("q_id"), "left").drop("q_id")
-      .join(majority, lb("vec_id") === majority("q_id"), "left").drop("q_id")
+    // one pass over the (q_id, n_label, c) votes: degree = Σc, agreement
+    // = Σc on the own-label row, majority = argmax by (c desc, label asc)
+    // via min(struct(-c, label)) — bit-deterministic, window-free
+    val stats = votes
+      .join(lb.select(col("vec_id").as("q_id"), col("label").as("own")), Seq("q_id"))
+      .groupBy("q_id").agg(
+        sum(col("c")).as("nn"),
+        sum(when(col("n_label") === col("own"), col("c")).otherwise(lit(0L))).as("na"),
+        min(struct((-col("c")).as("nc"), col("n_label").as("l"))).as("mj"))
+      .select(col("q_id"), col("nn"), col("na"),
+        col("mj").getField("l").as("majority_label"))
+    lb.join(stats, lb("vec_id") === stats("q_id"), "left").drop("q_id")
       .select(col("vec_id"), col("label"),
         coalesce(col("nn"), lit(0L)).as("n_neighbors"),
         coalesce(col("na"), lit(0L)).as("n_agree"),

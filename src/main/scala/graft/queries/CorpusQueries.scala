@@ -656,21 +656,18 @@ object CorpusQueries {
          |          ROW_NUMBER() OVER (PARTITION BY q_id
          |            ORDER BY c DESC, n_label) AS rn
          |        FROM v) WHERE rn = 1),
-         |deg AS (SELECT src AS q_id, CAST(count(*) AS BIGINT) AS nn
-         |        FROM knn GROUP BY 1),
-         |ag AS (SELECT k.src AS q_id, CAST(count(*) AS BIGINT) AS na
-         |       FROM knn k
-         |       JOIN lb l ON l.vec_id = k.dst
-         |       JOIN lb o ON o.vec_id = k.src AND o.label = l.label
-         |       GROUP BY 1)
+         |st AS (SELECT v.q_id,
+         |         CAST(sum(v.c) AS BIGINT) AS nn,
+         |         CAST(sum(CASE WHEN v.n_label = o.label THEN v.c ELSE 0 END)
+         |           AS BIGINT) AS na
+         |       FROM v JOIN lb o ON o.vec_id = v.q_id GROUP BY 1)
          |SELECT l.vec_id, l.label,
-         |  coalesce(d.nn, 0) AS n_neighbors,
-         |  coalesce(a.na, 0) AS n_agree,
+         |  coalesce(s.nn, 0) AS n_neighbors,
+         |  coalesce(s.na, 0) AS n_agree,
          |  m.majority_label,
          |  l.label = m.majority_label AS coherent
          |FROM lb l
-         |LEFT JOIN deg d ON d.q_id = l.vec_id
-         |LEFT JOIN ag a ON a.q_id = l.vec_id
+         |LEFT JOIN st s ON s.q_id = l.vec_id
          |LEFT JOIN mj m ON m.q_id = l.vec_id
          |ORDER BY l.vec_id""",
       "Graph: KNN neighborhood label-coherence audit (mislabel leads)") { (s, d) =>

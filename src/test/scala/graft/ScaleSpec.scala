@@ -90,7 +90,8 @@ class ScaleSpec extends SparkSpec {
       "q88_pq_codes" -> 15,          // post-checkpoint: 2 subspace chains × (sizes agg + broadcast + code join) + vec_id code join + k^m cell agg/broadcast + sort (per-round centroid work runs inside the checkpoint jobs)
       "q89_knn_pagerank" -> 1,       // sort only: the KNN-graph build and every O(E) iteration run inside localCheckpoint jobs (q57 lineage discipline), so the final plan reads the checkpointed rank vector
       "q90_banding_planner" -> 13,   // q77's LSH-bounded histogram chain + |configs|-row broadcast + ≤11·|configs| planner agg + sort
-      "q91_cdc_segment_dedup" -> 6)  // q65's shape over content-defined spans: seg-text window + re-assembly agg + totals agg + two flag-back joins + sort (narrow per-row span derivation, no extra shuffle)
+      "q91_cdc_segment_dedup" -> 6,  // q65's shape over content-defined spans: seg-text window + re-assembly agg + totals agg + two flag-back joins + sort (narrow per-row span derivation, no extra shuffle)
+      "q92_label_coherence" -> 6)    // post-checkpoint (KNN graph + label table both localCheckpointed): edge⋈label vote agg + own-label join (2 sides) + struct-min argmax agg reusing q_id partitioning + lb join-back + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
