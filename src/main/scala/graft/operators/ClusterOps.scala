@@ -97,8 +97,11 @@ object ClusterOps {
     * (see the seeding caveat in the object scaladoc). Both are a
     * driver-free top-k (`TakeOrderedAndProject`: per-partition heap,
     * single tiny merge). */
-  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
-      rounds: Int = 2, seedMode: String = "lowid"): DataFrame = {
+  /** The full Lloyd loop, returning the final `(vec_id, mvec, m2,
+    * cluster)` assignment (localCheckpointed — safe to consume many
+    * times). Shared spine of [[kmeansAssign]] and [[clusterQuality]]. */
+  private def finalAssignment(embeddings: DataFrame, k: Int,
+      rounds: Int, seedMode: String): DataFrame = {
     require(k >= 1 && rounds >= 1)
     require(seedMode == "lowid" || seedMode == "hash",
       s"seedMode must be 'lowid' or 'hash', got '$seedMode'")
@@ -125,14 +128,72 @@ object ClusterOps {
     // each round once (the [[DedupOps.componentKeepers]] fixpoint
     // discipline): O(N·dim) storage, linear work per round.
     val first = assigned(vecs, cent0).localCheckpoint()
-    val finalAssign = (2 to rounds).foldLeft(first) { (a, _) =>
+    (2 to rounds).foldLeft(first) { (a, _) =>
       assigned(a, recentered(a)).localCheckpoint()
     }
+  }
+
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
+      rounds: Int = 2, seedMode: String = "lowid"): DataFrame = {
+    val finalAssign = finalAssignment(embeddings, k, rounds, seedMode)
     val sizes = finalAssign.groupBy("cluster")
       .agg(count(lit(1)).as("cluster_size"))
     finalAssign.select("vec_id", "cluster")
       .join(broadcast(sizes), Seq("cluster"))
       .select("vec_id", "cluster", "cluster_size")
+  }
+
+  /** Per-cluster quality readout over the final k-means state — the
+    * "is this codebook any good" census a clustering-driven pipeline
+    * (SemDeDup pruning, IVF/PQ serving) checks before trusting the
+    * partition: occupancy, inertia, the medoid, the worst member, and
+    * the nearest other centroid (clusters whose `nn_dist2` is small
+    * relative to `spread` are blurred together — candidates for
+    * re-seeding or a larger k).
+    *
+    * Centroids here are the means of the FINAL members (one recentering
+    * past the last assignment — the statistic a quality report wants),
+    * so `inertia` is the classic within-cluster sum of squares against
+    * the reported centroid. All distance outputs are floored to BIGINT
+    * micro-units² — cross-engine-exact, and the sum stays exact below
+    * 2^63 (≈ 9e5 rows/cluster at dim 8 with |x| ≤ 1; report full units
+    * upstream if a corpus outgrows that).
+    *
+    * Output (≤ k rows): `cluster, cluster_size, inertia, medoid_id,
+    * spread, nn_cluster, nn_dist2`; `nn_*` are NULL when k = 1.
+    *
+    * Shape at 100 TB: the member pass is ONE broadcast join of the
+    * checkpointed assignment against the ≤ k-row centroid table plus a
+    * per-cluster partial agg; the inter-centroid pass is a k×k
+    * broadcast nested-loop over ≤ k rows per side — bounded by
+    * construction, never corpus-scale. */
+  def clusterQuality(embeddings: DataFrame, k: Int = 8,
+      rounds: Int = 2, seedMode: String = "lowid"): DataFrame = {
+    val assign = finalAssignment(embeddings, k, rounds, seedMode)
+    val cent = recentered(assign)
+    val md = assign.join(broadcast(cent), Seq("cluster"))
+      .withColumn("dist2",
+        col("m2") + col("c2") - lit(2.0) * expr(dotX("mvec", "cvec")))
+    val stats = md.groupBy("cluster").agg(
+        count(lit(1)).as("cluster_size"),
+        sum(floor(col("dist2")).cast("long")).as("inertia"),
+        min(struct(col("dist2").as("d"), col("vec_id").as("v"))).as("_med"),
+        floor(max(col("dist2"))).cast("long").as("spread"))
+      .select(col("cluster"), col("cluster_size"), col("inertia"),
+        col("_med").getField("v").as("medoid_id"), col("spread"))
+    val nn = cent.select(col("cluster"), col("cvec"), col("c2"))
+      .join(broadcast(cent.select(col("cluster").as("oc"),
+        col("cvec").as("ovec"), col("c2").as("o2"))),
+        col("cluster") =!= col("oc"))
+      .select(col("cluster"), struct(
+        (col("c2") + col("o2") - lit(2.0) * expr(dotX("cvec", "ovec"))).as("d"),
+        col("oc").as("c")).as("p"))
+      .groupBy("cluster").agg(min(col("p")).as("q"))
+      .select(col("cluster"), col("q").getField("c").as("nn_cluster"),
+        floor(col("q").getField("d")).cast("long").as("nn_dist2"))
+    stats.join(nn, Seq("cluster"), "left")
+      .select(col("cluster"), col("cluster_size"), col("inertia"),
+        col("medoid_id"), col("spread"), col("nn_cluster"), col("nn_dist2"))
   }
 
   /** SemDeDup: within each k-means cluster, a vector is PRUNED when some

@@ -142,5 +142,57 @@ object ClusterQueries {
       "ANN: product-quantization codes (m=2, k=4) + cell occupancy") { (s, d) =>
       ClusterOps.pqEncode(Tables(s, d, "embeddings"))
         .orderBy("vec_id")
+    },
+
+    // Cluster-quality census: centroids are the means of the FINAL
+    // members (one recentering past the last assignment), inertia /
+    // spread / inter-centroid distances replay the same fixed-point
+    // arithmetic and are floored to BIGINT micro-units² so both engines
+    // emit identical integers.
+    oracle(
+      "q93_cluster_quality",
+      s"""WITH $kmeansCtes,
+         |fex AS (
+         |  SELECT a.cluster,
+         |    unnest(range(1, len(v.mvec)+1)) AS dim,
+         |    unnest(list_transform(range(1, len(v.mvec)+1), i -> CAST(v.mvec[i] AS BIGINT))) AS mv
+         |  FROM a2 a JOIN mdt v USING (vec_id)),
+         |fu AS (
+         |  SELECT cluster, dim,
+         |    CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cv
+         |  FROM fex GROUP BY 1, 2),
+         |fc AS (
+         |  SELECT cluster, list(cv ORDER BY dim) AS cvec FROM fu GROUP BY 1),
+         |fcn AS (
+         |  SELECT cluster, cvec, ${dotD("cvec", "cvec")} AS c2 FROM fc),
+         |md AS (
+         |  SELECT a.vec_id, a.cluster,
+         |    v.m2 + c.c2 - 2.0::DOUBLE * ${dotD("v.mvec", "c.cvec")} AS dist2
+         |  FROM a2 a JOIN mdt v USING (vec_id) JOIN fcn c USING (cluster)),
+         |st AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size,
+         |    CAST(sum(CAST(floor(dist2) AS BIGINT)) AS BIGINT) AS inertia,
+         |    CAST(floor(max(dist2)) AS BIGINT) AS spread
+         |  FROM md GROUP BY 1),
+         |med AS (
+         |  SELECT cluster, vec_id AS medoid_id FROM (
+         |    SELECT cluster, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist2, vec_id) AS rn
+         |    FROM md) WHERE rn = 1),
+         |nnb AS (
+         |  SELECT cluster, nn_cluster, CAST(floor(d) AS BIGINT) AS nn_dist2 FROM (
+         |    SELECT a.cluster, b.cluster AS nn_cluster,
+         |      a.c2 + b.c2 - 2.0::DOUBLE * ${dotD("a.cvec", "b.cvec")} AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY a.cluster
+         |        ORDER BY a.c2 + b.c2 - 2.0::DOUBLE * ${dotD("a.cvec", "b.cvec")},
+         |          b.cluster) AS rn
+         |    FROM fcn a JOIN fcn b ON a.cluster <> b.cluster) WHERE rn = 1)
+         |SELECT s.cluster, s.cluster_size, s.inertia, m.medoid_id, s.spread,
+         |  n.nn_cluster, n.nn_dist2
+         |FROM st s JOIN med m USING (cluster) LEFT JOIN nnb n USING (cluster)
+         |ORDER BY s.cluster""",
+      "Clustering: per-cluster quality census (inertia/medoid/spread/NN margin)") { (s, d) =>
+      ClusterOps.clusterQuality(Tables(s, d, "embeddings"))
+        .orderBy("cluster")
     })
 }

@@ -112,6 +112,40 @@ class ClusterOpsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("clusterQuality: census ties out against a hand-checkable split") {
+    // blobs split cleanly (k=2, rounds=2): one cluster per blob, 4
+    // members each. The readout must agree with the assignment.
+    val assign = ClusterOps.kmeansAssign(blobs, k = 2, rounds = 2)
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = ClusterOps.clusterQuality(blobs, k = 2, rounds = 2)
+      .orderBy("cluster").collect()
+    assert(out.length === 2, "one census row per surviving cluster")
+    out.foreach { r =>
+      val (cluster, size) = (r.getLong(0), r.getLong(1))
+      val members = assign.filter(_._2 == cluster).keySet
+      assert(size === members.size.toLong)
+      assert(members.contains(r.getLong(3)), "medoid is a member")
+      assert(r.getLong(2) >= 0L && r.getLong(4) >= 0L,
+        "inertia and spread are non-negative")
+      assert(r.getLong(4) * size >= r.getLong(2),
+        "inertia cannot exceed size x worst member")
+      // two clusters: each other's nearest neighbor
+      assert(r.getLong(5) === out.map(_.getLong(0)).filter(_ != cluster).head)
+      assert(r.getLong(6) > r.getLong(4),
+        "well-separated blobs: inter-centroid gap exceeds within-cluster spread")
+    }
+    // nn_dist2 is symmetric for k=2 (same pair, same formula)
+    assert(out(0).getLong(6) === out(1).getLong(6))
+  }
+
+  test("clusterQuality: k=1 has no neighbor columns, inertia still exact") {
+    val out = ClusterOps.clusterQuality(blobs, k = 1, rounds = 1).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 8L)
+    assert(out(0).isNullAt(5) && out(0).isNullAt(6),
+      "nn_cluster/nn_dist2 are NULL when there is no other cluster")
+  }
+
   test("kForCorpus holds expected cluster size at the target") {
     assert(ClusterOps.kForCorpus(0L) === 1)
     assert(ClusterOps.kForCorpus(999L) === 1)
