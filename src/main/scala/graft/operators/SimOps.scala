@@ -278,6 +278,35 @@ object SimOps {
     * Output: vec_id, n_dims, qscale, sum_q_abs (integer checksum of the
     * quantized codes — hash-comparable), mse (mean squared
     * reconstruction error). */
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * probe vector (vec_id < nQueries), the `m` HIGHEST-cosine corpus
+    * vectors whose `label` differs from the probe's (the "confusable but
+    * wrong" examples a retrieval/embedding trainer wants as negatives;
+    * easy negatives are a wasted gradient). [[cosineTopK]]'s shape with
+    * a label guard: the corpus side streams, only the bounded probe set
+    * is broadcast, and the per-probe rank is a WindowGroupLimit bounded
+    * by m. Rows with a NULL label on either side drop out (no label, no
+    * verdict — same contract as [[graft.operators.GraphOps.labelCoherence]]).
+    *
+    * Output: `q_id, q_label, n_id, n_label, rank, cosine`. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 50,
+      m: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("norm").as("n_norm"), col("label").as("n_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("cosine", expr(s"${dotX("q_emb", "n_emb")} / (q_norm * n_norm)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select("q_id", "q_label", "n_id", "n_label", "rank", "cosine")
+  }
+
   def int8Quantized(embeddings: DataFrame): DataFrame = {
     // fused native expression (round-4 verdict item 3): the previous
     // four-HOF formulation (aggregate + 2×transform + zip_with) ran

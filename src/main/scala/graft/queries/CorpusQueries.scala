@@ -677,5 +677,34 @@ object CorpusQueries {
           emb.select("vec_id").distinct()
             .join(docs.select(col("doc_id").as("vec_id"), col("lang").as("label")), Seq("vec_id")))
         .orderBy("vec_id")
+    },
+
+    // Hard-negative mining: for each probe, the m highest-cosine vectors
+    // with a DIFFERENT label — q39's bounded-probe-broadcast shape plus
+    // the label guard (which also subsumes q_id <> n_id).
+    oracle(
+      "q94_hard_negatives",
+      """WITH e AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_reduce([0.0::DOUBLE] || list_transform(range(1, len(embedding)+1),
+        |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (acc,x) -> acc + x)) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    c.vec_id AS n_id, c.label AS n_label,
+        |    list_reduce([0.0::DOUBLE] || list_transform(range(1, len(q.embedding)+1),
+        |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (acc,x) -> acc + x)
+        |      / (q.norm * c.norm) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 50 AND c.label <> q.label),
+        |ranked AS (
+        |  SELECT q_id, q_label, n_id, n_label, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, q_label, n_id, n_label, rank, cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""",
+      "Similarity: hard-negative mining (top-m confusable different-label)") { (s, d) =>
+      SimOps.hardNegatives(Tables(s, d, "embeddings"))
+        .orderBy("q_id", "rank")
     })
 }

@@ -82,6 +82,22 @@ class DedupSimSpec extends SparkSpec {
     assert(top(2)._1 === 3L && math.abs(top(2)._3) < 1e-12)
   }
 
+  test("hard negatives skip same-label vectors however close they sit") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f, 0.0f), 1),   // identical but SAME label — never a negative
+      (2L, Array(0.9f, 0.1f, 0.0f), 2),   // close, other label → the hardest negative
+      (3L, Array(0.0f, 1.0f, 0.0f), 2),   // orthogonal, other label
+      (4L, Array(0.8f, 0.2f, 0.0f), 1))   // close, same label — excluded
+      .toDF("vec_id", "embedding", "label")
+    val out = SimOps.hardNegatives(vecs, nQueries = 1, m = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(out.length === 2)
+    assert(out(0) === ((2L, 2, 1L)), "hardest negative = closest other-label")
+    assert(out(1) === ((3L, 2, 2L)))
+  }
+
   test("hyperplane buckets are deterministic and colocate identical vectors") {
     val vecs = Seq(
       (0L, Array.fill(8)(0.5f)),

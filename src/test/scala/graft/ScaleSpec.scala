@@ -35,7 +35,8 @@ class ScaleSpec extends SparkSpec {
       "q86_bloom_decontaminate", // 1-row bloom-bitset broadcast (~128 KB at any probe cardinality)
       "q87_target_affinity", // 1-row feature-totals broadcast; bucket tables join hashed on b
       "q90_banding_planner", // |configs|-row planner-grid broadcast (5 rows by default)
-      "q93_cluster_quality") // k x k inter-centroid pass: both sides <= k rows by construction
+      "q93_cluster_quality", // k x k inter-centroid pass: both sides <= k rows by construction
+      "q94_hard_negatives") // bounded probe-set broadcast (q39's shape)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -93,7 +94,8 @@ class ScaleSpec extends SparkSpec {
       "q90_banding_planner" -> 13,   // q77's LSH-bounded histogram chain + |configs|-row broadcast + ≤11·|configs| planner agg + sort
       "q91_cdc_segment_dedup" -> 6,  // q65's shape over content-defined spans: seg-text window + re-assembly agg + totals agg + two flag-back joins + sort (narrow per-row span derivation, no extra shuffle)
       "q92_label_coherence" -> 6,    // post-checkpoint (KNN graph + label table both localCheckpointed): edge⋈label vote agg + own-label join (2 sides) + struct-min argmax agg reusing q_id partitioning + lb join-back + sort
-      "q93_cluster_quality" -> 10)   // post-checkpoint: final recentering (posexplode agg ×2 + centroid broadcast) + per-cluster census agg + ≤k-row nn pass (broadcast + agg) + stats⋈nn join + sort — member pass is ONE broadcast join, no corpus self-join
+      "q93_cluster_quality" -> 10,   // post-checkpoint: final recentering (posexplode agg ×2 + centroid broadcast) + per-cluster census agg + ≤k-row nn pass (broadcast + agg) + stats⋈nn join + sort — member pass is ONE broadcast join, no corpus self-join
+      "q94_hard_negatives" -> 3)     // q39's shape: bounded probe broadcast + per-probe WindowGroupLimit rank + sort; corpus side streams
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
