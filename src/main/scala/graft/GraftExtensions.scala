@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CdcBoundaries, DotProduct, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits}
+import graft.functions.{CdcBoundaries, DotProduct, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -55,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CdcBoundaries.fnName),
       new ExpressionInfo(classOf[CdcBoundaries].getName, CdcBoundaries.fnName),
       CdcBoundaries.builder _))
+    e.injectFunction((
+      FunctionIdentifier(WinnowFingerprints.fnName),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, WinnowFingerprints.fnName),
+      WinnowFingerprints.builder _))
   }
 }

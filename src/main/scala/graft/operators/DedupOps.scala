@@ -533,6 +533,41 @@ object DedupOps {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Winnowed fingerprint census: per-document statistics of the
+    * [[graft.functions.WinnowFingerprints]] selection (Schleimer et al.,
+    * SIGMOD 2003) — `n_kgrams` (hashable k-gram count), `n_fp` (selected
+    * fingerprints), the min/max fingerprint, a `bit_xor` set checksum
+    * (order-free, overflow-free — comparable across engines and runs),
+    * and `density_ppm` (floor(1e6 · n_fp / n_kgrams); the paper's
+    * expected density is 2/(w+1) ≈ 400000 ppm at the default w=4).
+    * Documents with fewer than w k-grams select nothing (NULL min/max/
+    * xor, density over the k-grams that do exist).
+    *
+    * This is the position-robust overlap primitive: any shared run of
+    * ≥ k+w−1 tokens shares a fingerprint, so matching `fp_xor`/bounds on
+    * wildly different documents is noise, but a downstream pair join on
+    * exploded fingerprints (the [[minhashCandidatePairs]] shape) finds
+    * partial overlap that whole-doc hashing misses.
+    *
+    * Shape at 100 TB: one native per-row loop (no shuffle), then the
+    * total-order sort the driver contract requires — the q37 shape. */
+  def winnowStats(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    graft.functions.WinnowFingerprints.register(documents.sparkSession)
+    TextOps.tokenized(documents)
+      .withColumn("fp", expr(s"winnow_fingerprints(tk, $k, $w)"))
+      .withColumn("n_kgrams",
+        greatest(lit(0L), size(col("tk")).cast("long") - lit(k - 1).cast("long")))
+      .withColumn("n_fp", size(col("fp")).cast("long"))
+      .select(col("doc_id"), col("n_kgrams"), col("n_fp"),
+        expr("array_min(fp)").as("fp_min"),
+        expr("array_max(fp)").as("fp_max"),
+        when(col("n_fp") > 0L,
+          expr("aggregate(fp, CAST(0 AS BIGINT), (a, x) -> a ^ x)")).as("fp_xor"),
+        when(col("n_kgrams") > 0L,
+          expr("n_fp * 1000000L div n_kgrams")).otherwise(lit(0L)).as("density_ppm"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any n-gram
     * shingle with a probe (benchmark/eval) set — the screening step a
     * training-data pipeline runs so eval questions don't leak into

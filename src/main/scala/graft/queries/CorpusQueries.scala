@@ -706,5 +706,47 @@ object CorpusQueries {
       "Similarity: hard-negative mining (top-m confusable different-label)") { (s, d) =>
       SimOps.hardNegatives(Tables(s, d, "embeddings"))
         .orderBy("q_id", "rank")
+    },
+
+    // Winnowed fingerprint census (k=3 token-grams, w=4 hash windows):
+    // the oracle replays the selection relationally — every k-gram hash,
+    // a w-window rightmost-min pick per window position, distinct
+    // selected positions. bit_xor is the order-free set checksum.
+    oracle(
+      "q95_winnow_fingerprints",
+      s"""WITH tkx AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |hx AS (
+         |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tkx),
+         |hh AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    ${h60d("array_to_string(tk[pos:pos+2], ' ')")} AS h
+         |  FROM (SELECT doc_id, tk, unnest(range(1, n - 1)) AS pos
+         |        FROM hx WHERE n >= 3)),
+         |sel AS (
+         |  SELECT doc_id, spos, h FROM (
+         |    SELECT a.doc_id, b.pos AS spos, b.h,
+         |      ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.pos
+         |        ORDER BY b.h ASC, b.pos DESC) AS rn
+         |    FROM hh a JOIN hh b ON b.doc_id = a.doc_id
+         |      AND b.pos BETWEEN a.pos - 3 AND a.pos
+         |    WHERE a.pos >= 4) WHERE rn = 1),
+         |fp AS (SELECT DISTINCT doc_id, spos, h FROM sel),
+         |ag AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |    min(h) AS fp_min, max(h) AS fp_max, bit_xor(h) AS fp_xor
+         |  FROM fp GROUP BY 1),
+         |base AS (
+         |  SELECT doc_id, greatest(n - 2, CAST(0 AS BIGINT)) AS n_kgrams FROM hx)
+         |SELECT b.doc_id, b.n_kgrams,
+         |  coalesce(a.n_fp, 0) AS n_fp, a.fp_min, a.fp_max, a.fp_xor,
+         |  CASE WHEN b.n_kgrams > 0
+         |    THEN coalesce(a.n_fp, 0) * 1000000 // b.n_kgrams
+         |    ELSE 0 END AS density_ppm
+         |FROM base b LEFT JOIN ag a USING (doc_id)
+         |ORDER BY b.doc_id""",
+      "Dedup: winnowed fingerprint census (SIGMOD'03 local fingerprinting)") { (s, d) =>
+      DedupOps.winnowStats(Tables(s, d, "documents"))
+        .orderBy("doc_id")
     })
 }

@@ -282,6 +282,43 @@ class DedupSimSpec extends SparkSpec {
     assert(native(4L).nonEmpty, "200 tokens at divisor 8 must cut somewhere")
   }
 
+  test("winnowStats: density near 2/(w+1), short docs select nothing, identity is exact") {
+    import graft.operators.DedupOps
+    val words = (1 to 400).map(i => s"w${i % 97}x$i").mkString(" ")
+    val out = DedupOps.winnowStats(docs(
+        (1L, words),
+        (2L, words),            // identical → identical census
+        (3L, "a b c"),          // 1 k-gram < w windows → nothing selected
+        (4L, "a b")))           // no k-gram at all
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) === 398L)
+    // the paper's expected density is 2/(w+1) = 0.4 at w=4; allow slack
+    assert(r1.getLong(6) > 250000L && r1.getLong(6) < 550000L,
+      s"density ${r1.getLong(6)} ppm far from the winnowing expectation")
+    assert(r1.toSeq.drop(1) === out(1).toSeq.drop(1), "identical docs, identical census")
+    assert(out(2).getLong(2) === 0L && out(2).isNullAt(5), "sub-window doc selects nothing")
+    assert(out(3).getLong(1) === 0L && out(3).getLong(6) === 0L)
+  }
+
+  test("winnowStats guarantee: a shared >= k+w-1 token run shares a fingerprint") {
+    import graft.operators.{DedupOps, TextOps}
+    graft.functions.WinnowFingerprints.register(spark)
+    // two documents with entirely different text EXCEPT a planted shared
+    // run of k+w-1 = 6 tokens: winnowing must select at least one common
+    // fingerprint from inside the run (the SIGMOD'03 guarantee), which
+    // is what makes fingerprints joinable for partial-overlap detection.
+    val shared = "the quick brown fox jumps high"
+    val d = docs(
+      (1L, s"alpha beta gamma delta $shared epsilon zeta eta theta"),
+      (2L, s"one two three four five six seven $shared eight nine ten"))
+    val fps = TextOps.tokenized(d)
+      .selectExpr("doc_id", "explode(winnow_fingerprints(tk, 3, 4)) AS h")
+      .collect().groupBy(_.getLong(0)).map { case (k2, rs) => k2 -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "shared 6-token run must contribute a common fingerprint")
+  }
+
   test("bandingPlanner: rates bounded, monotone in band count, exact on a pure-dup corpus") {
     // identical docs: every candidate pair has jaccard 1.0 → s-curve
     // midpoint s = 1 → p_detect = 1 for EVERY config, so

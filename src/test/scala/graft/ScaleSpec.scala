@@ -95,7 +95,8 @@ class ScaleSpec extends SparkSpec {
       "q91_cdc_segment_dedup" -> 6,  // q65's shape over content-defined spans: seg-text window + re-assembly agg + totals agg + two flag-back joins + sort (narrow per-row span derivation, no extra shuffle)
       "q92_label_coherence" -> 6,    // post-checkpoint (KNN graph + label table both localCheckpointed): edge⋈label vote agg + own-label join (2 sides) + struct-min argmax agg reusing q_id partitioning + lb join-back + sort
       "q93_cluster_quality" -> 10,   // post-checkpoint: final recentering (posexplode agg ×2 + centroid broadcast) + per-cluster census agg + ≤k-row nn pass (broadcast + agg) + stats⋈nn join + sort — member pass is ONE broadcast join, no corpus self-join
-      "q94_hard_negatives" -> 3)     // q39's shape: bounded probe broadcast + per-probe WindowGroupLimit rank + sort; corpus side streams
+      "q94_hard_negatives" -> 3,     // q39's shape: bounded probe broadcast + per-probe WindowGroupLimit rank + sort; corpus side streams
+      "q95_winnow_fingerprints" -> 1) // pure per-row native winnow loop + sort (the q37 shape)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
