@@ -300,6 +300,103 @@ object TextOps {
           .as("mean_df_rate"))
   }
 
+  /** Per-document bigram-surprise score — the CONDITIONAL companion to
+    * [[unigramRarity]]'s marginal rarity, and the log-free surrogate for
+    * the bigram-LM perplexity filter (CCNet's KenLM scoring step without
+    * shipping a model): for every bigram occurrence (w1, w2), surprise =
+    * `(c1(w1) · 1e6) div c2(w1, w2)` — how much more often the first
+    * word appears than this particular continuation (≥ 1e6; a
+    * deterministic continuation of a word scores the floor, a one-off
+    * continuation of a stop-word scores huge). The document score is the
+    * integer mean over its bigram occurrences. All-BIGINT (the q69
+    * no-ln discipline); exact while `c1 · 1e6 < 2^63`, i.e. below
+    * ~9e12 corpus token occurrences of one word — flip the scale factor
+    * down (or the sums to DOUBLE) beyond that.
+    *
+    * Shape at 100 TB: the q80 shape plus one key — bigram counts and
+    * unigram counts are two-level partial aggregations on vocab-bounded
+    * keys (never a window on the raw term); the scoring joins shuffle
+    * narrow (doc_id, w1, w2) rows on (w1, w2) then w1; the per-doc mean
+    * is a doc-keyed partial agg; docs with < 2 tokens come back via the
+    * final left join with n_bigrams = 0. */
+  def bigramSurprise(documents: DataFrame): DataFrame = {
+    val toks = tokenized(documents)
+    val bg = toks
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(tk) > 1
+          | THEN transform(sequence(0, size(tk) - 2),
+          |   i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
+          | ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"""
+          .stripMargin).as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = toks.select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val ag = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, bg("w1") === c1("t"))
+      .withColumn("s", expr("(c1 * 1000000L) div c2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("ss"))
+    documents.select("doc_id")
+      .join(ag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0L, expr("ss div n_bigrams"))
+          .otherwise(lit(0L)).as("surprise_fp"))
+  }
+
+  /** Per-source distribution drift — total-variation distance between
+    * each source's unigram distribution and the corpus-wide one, in
+    * floored micro-units: `tv_ppm = (Σ_t |p_fp(t) − q_fp(t)|) div 2`
+    * with `p_fp = (st · 1e6) div S_s` (term share within the source) and
+    * `q_fp = (ct · 1e6) div T` (corpus share). The governance readout
+    * that flags a source whose vocabulary stopped looking like the rest
+    * of the corpus (scraper drift, language shift, spam injection)
+    * BEFORE it poisons mixing weights downstream (q79 consumes per-source
+    * counts; this says whether the source still belongs).
+    *
+    * Vocabulary terms ABSENT from a source still contribute their full
+    * corpus share to the distance; rather than materializing
+    * |vocab| × |sources| rows, that tail is reconstructed as
+    * `Q − Σ_{t∈source} q_fp` where `Q = Σ_vocab q_fp` is a corpus
+    * constant (≤ 1e6) — the union-domain sum without the union-domain
+    * join. Flooring makes every engine emit identical integers; the
+    * ±|vocab∩source| ppm floor bias is part of the published contract.
+    *
+    * Shape at 100 TB: (source, t) and vocab counts are two-level partial
+    * aggs; the one corpus-scale join keys on the vocab term; Q and T
+    * ride a 1-row broadcast; output is |sources| rows. */
+  def sourceDrift(documents: DataFrame): DataFrame = {
+    // three consumers (vocab counts, source totals, the scoring join):
+    // checkpoint the narrow (source, t) counts once — the q69 tf
+    // discipline — so the corpus-scale tokenize+agg runs exactly once
+    val st = tokenized(documents)
+      .select(col("source"), explode(col("tk")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("st"))
+      .localCheckpoint()
+    val ct = st.groupBy("t").agg(sum(col("st")).as("ct"))
+    val totals = ct.agg(sum(col("ct")).as("tt"))
+    // two consumers (the corpus constant Q and the scoring join):
+    // checkpoint the narrow vocab-share table so the vocab agg runs once
+    val qf = ct.crossJoin(broadcast(totals))
+      .withColumn("q_fp", expr("(ct * 1000000L) div tt"))
+      .localCheckpoint()
+    val bigQ = broadcast(qf.agg(sum(col("q_fp")).as("qq")))
+    val ss = st.groupBy("source").agg(sum(col("st")).as("s_tokens"))
+    st.join(qf.select("t", "q_fp"), Seq("t"))
+      .join(broadcast(ss), Seq("source"))
+      .withColumn("p_fp", expr("(st * 1000000L) div s_tokens"))
+      .groupBy("source")
+      .agg(max(col("s_tokens")).as("n_tokens"),
+        sum(expr("abs(p_fp - q_fp)")).as("sum_abs"),
+        sum(col("q_fp")).as("sum_q"))
+      .crossJoin(bigQ)
+      .select(col("source"), col("n_tokens"),
+        expr("(sum_abs + (qq - sum_q)) div 2").as("tv_ppm"))
+  }
+
   /** DSIR-style hashed-feature target affinity — data selection toward
     * a target domain (Xie et al., "Data Selection for Language Models
     * via Importance Resampling"): features are hashed unigram + bigram

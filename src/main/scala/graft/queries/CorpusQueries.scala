@@ -748,5 +748,73 @@ object CorpusQueries {
       "Dedup: winnowed fingerprint census (SIGMOD'03 local fingerprinting)") { (s, d) =>
       DedupOps.winnowStats(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    // Bigram-surprise LM scoring: per-occurrence surprise is the integer
+    // ratio of the first word's corpus count to the bigram's corpus
+    // count (micro-units, floored); the doc score is the integer mean.
+    oracle(
+      "q96_bigram_surprise",
+      """WITH tkx AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |        FROM tkx WHERE len(tk) > 1)),
+        |c2 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(tk) AS t FROM tkx) GROUP BY 1),
+        |sc AS (
+        |  SELECT b.doc_id, (c1.c1 * 1000000) // c2.c2 AS s
+        |  FROM bg b
+        |  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |  JOIN c1 ON c1.t = b.w1),
+        |ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(s) AS BIGINT) AS ss
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN a.n_bigrams > 0 THEN a.ss // a.n_bigrams ELSE 0 END
+        |    AS surprise_fp
+        |FROM documents d LEFT JOIN ag a USING (doc_id)
+        |ORDER BY d.doc_id""",
+      "Text: bigram-surprise LM quality score (log-free fixed point)") { (s, d) =>
+      TextOps.bigramSurprise(Tables(s, d, "documents"))
+        .orderBy("doc_id")
+    },
+
+    // Per-source total-variation drift from the corpus unigram
+    // distribution; absent-term mass reconstructed via the corpus
+    // constant Q instead of a |vocab| x |sources| join.
+    oracle(
+      "q97_source_drift",
+      """WITH st AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS st
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY 1, 2),
+        |ct AS (SELECT t, CAST(sum(st) AS BIGINT) AS ct FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM ct),
+        |qf AS (SELECT t, (ct * 1000000) // tt AS q_fp FROM ct CROSS JOIN tot),
+        |qq AS (SELECT CAST(sum(q_fp) AS BIGINT) AS qq FROM qf),
+        |ss AS (SELECT source, CAST(sum(st) AS BIGINT) AS s_tokens
+        |       FROM st GROUP BY 1),
+        |pc AS (
+        |  SELECT st.source, ss.s_tokens,
+        |    abs((st.st * 1000000) // ss.s_tokens - qf.q_fp) AS a,
+        |    qf.q_fp
+        |  FROM st JOIN qf USING (t) JOIN ss USING (source)),
+        |ag AS (
+        |  SELECT source, max(s_tokens) AS n_tokens,
+        |    CAST(sum(a) AS BIGINT) AS sum_abs, CAST(sum(q_fp) AS BIGINT) AS sum_q
+        |  FROM pc GROUP BY 1)
+        |SELECT a.source, a.n_tokens,
+        |  (a.sum_abs + (q.qq - a.sum_q)) // 2 AS tv_ppm
+        |FROM ag a CROSS JOIN qq q
+        |ORDER BY a.source""",
+      "Text: per-source total-variation drift vs corpus unigram distribution") { (s, d) =>
+      TextOps.sourceDrift(Tables(s, d, "documents"))
+        .orderBy("source")
     })
 }

@@ -76,6 +76,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.keySet === Set(1L, 2L, 3L))
   }
 
+  test("bigramSurprise: formulaic continuations score the floor; one-off continuations spike") {
+    val d = Seq(
+      (1L, "a b a b a b"),   // 'a b' and 'b a' are the ONLY continuations
+      (2L, "a b a b a c"),   // one surprising 'a c' at the end
+      (3L, "x"))             // single token: no bigram
+      .toDF("doc_id", "text")
+    val rows = TextOps.bigramSurprise(d).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    assert(rows(3L) === ((0L, 0L)), "bigram-less doc scores 0, not NULL")
+    // corpus: c1(a)=6, c2(a,b)=5 -> surprise(a,b)=1200000;
+    // c1(b)=5, c2(b,a)=4 -> surprise(b,a)=1250000;
+    // c2(a,c)=1 -> surprise(a,c)=6000000 — doc 2's mean must exceed doc 1's
+    assert(rows(1L)._1 === 5L && rows(2L)._1 === 5L)
+    assert(rows(1L)._2 === (1200000L * 3 + 1250000L * 2) / 5)
+    assert(rows(2L)._2 > rows(1L)._2, "the one-off continuation raises the mean")
+  }
+
+  test("sourceDrift: a vocabulary-disjoint source drifts to ~1e6 ppm, clones sit near 0") {
+    val d = Seq(
+      (1L, "the cat sat", "web"),
+      (2L, "the cat sat", "mirror"),    // identical distribution to web
+      (3L, "zzq wvx plk", "spam"))      // fully disjoint vocabulary
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.sourceDrift(d).orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set("web", "mirror", "spam"))
+    assert(rows("spam")._1 === 3L)
+    // spam shares NO terms: TV approaches 1 (floor bias trims a few ppm)
+    assert(rows("spam")._2 > 600000L, s"disjoint source must drift, got $rows")
+    // web ≡ mirror: identical p, so both sit at the same (small) distance
+    assert(rows("web")._2 === rows("mirror")._2)
+    assert(rows("web")._2 < rows("spam")._2)
+  }
+
   test("knnGraph: identical vectors rank first both ways, k bounds each list") {
     val d = Seq(
       (1L, Array(1.0f, 0f, 0f, 0f)),

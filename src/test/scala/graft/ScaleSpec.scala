@@ -36,7 +36,8 @@ class ScaleSpec extends SparkSpec {
       "q87_target_affinity", // 1-row feature-totals broadcast; bucket tables join hashed on b
       "q90_banding_planner", // |configs|-row planner-grid broadcast (5 rows by default)
       "q93_cluster_quality", // k x k inter-centroid pass: both sides <= k rows by construction
-      "q94_hard_negatives") // bounded probe-set broadcast (q39's shape)
+      "q94_hard_negatives", // bounded probe-set broadcast (q39's shape)
+      "q97_source_drift") // 1-row corpus-total and Q-constant broadcasts
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -96,7 +97,9 @@ class ScaleSpec extends SparkSpec {
       "q92_label_coherence" -> 6,    // post-checkpoint (KNN graph + label table both localCheckpointed): edge⋈label vote agg + own-label join (2 sides) + struct-min argmax agg reusing q_id partitioning + lb join-back + sort
       "q93_cluster_quality" -> 10,   // post-checkpoint: final recentering (posexplode agg ×2 + centroid broadcast) + per-cluster census agg + ≤k-row nn pass (broadcast + agg) + stats⋈nn join + sort — member pass is ONE broadcast join, no corpus self-join
       "q94_hard_negatives" -> 3,     // q39's shape: bounded probe broadcast + per-probe WindowGroupLimit rank + sort; corpus side streams
-      "q95_winnow_fingerprints" -> 1) // pure per-row native winnow loop + sort (the q37 shape)
+      "q95_winnow_fingerprints" -> 1, // pure per-row native winnow loop + sort (the q37 shape)
+      "q96_bigram_surprise" -> 7,    // q80's shape + one key: bigram agg + unigram agg + (w1,w2) join + w1 join + per-doc agg + doc join-back + sort; both count tables partial-agg
+      "q97_source_drift" -> 7)       // post-checkpoint (st + vocab-share qf): 1-row Q agg/broadcast + term join + ss agg/broadcast + per-source agg + sort; |sources| rows out
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
