@@ -56,7 +56,8 @@ object ScaleSmoke {
     "q86_bloom_decontaminate", "q87_target_affinity", "q88_pq_codes",
     "q89_knn_pagerank", "q90_banding_planner", "q91_cdc_segment_dedup",
     "q92_label_coherence", "q93_cluster_quality", "q94_hard_negatives",
-    "q95_winnow_fingerprints", "q96_bigram_surprise", "q97_source_drift")
+    "q95_winnow_fingerprints", "q96_bigram_surprise", "q97_source_drift",
+    "q98_winnow_containment", "q99_hashed_doc_vectors", "q100_data_recipe")
 
   private val Stride = 1000000L
 

@@ -568,6 +568,64 @@ object DedupOps {
           expr("n_fp * 1000000L div n_kgrams")).otherwise(lit(0L)).as("density_ppm"))
   }
 
+  /** Near-containment pairs over winnowed fingerprints — the ASYMMETRIC
+    * dedup signal Jaccard misses: a short document quoted whole inside a
+    * long one has tiny Jaccard (the union is huge) but containment ≈ 1
+    * on the short side. Candidate pairs are documents sharing ≥
+    * `minShared` winnowed fingerprints (set semantics — repeated text
+    * inside one doc counts once); `cont_a_ppm = (shared · 1e6) div
+    * n_fp_a` is the fraction of a's fingerprint set found in b (and
+    * symmetrically for b). The SIGMOD'03 guarantee makes this sound:
+    * every shared token run of ≥ k+w−1 contributes a shared
+    * fingerprint, so high containment ⇒ large literal overlap.
+    *
+    * `maxHashDocFrac` < 1 drops fingerprint hashes present in more than
+    * that fraction of documents before pairing (the q38 df-cap
+    * discipline: a boilerplate fingerprint in f% of docs generates
+    * (fN)²/2 candidate pairs — at corpus scale cap it; 1.0 = exact).
+    *
+    * Shape at 100 TB: fingerprints are ~2/(w+1) of k-grams per doc
+    * (winnowing IS the size reduction vs shingle-level joins), the
+    * fingerprint set is localCheckpointed once for its three consumers,
+    * and the only pair join is the fingerprint-hash equi-join — hot
+    * hashes are capped by the df prune, residual skew is AQE's.
+    * Output: `a, b, shared, n_fp_a, n_fp_b, cont_a_ppm, cont_b_ppm`. */
+  def winnowContainmentPairs(documents: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxHashDocFrac: Double = 1.0): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    require(maxHashDocFrac > 0.0 && maxHashDocFrac <= 1.0,
+      s"maxHashDocFrac must be in (0, 1], got $maxHashDocFrac")
+    graft.functions.WinnowFingerprints.register(documents.sparkSession)
+    val fp = TextOps.tokenized(documents)
+      .select(col("doc_id"),
+        explode(expr(s"winnow_fingerprints(tk, $k, $w)")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val nfp = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pruned =
+      if (maxHashDocFrac >= 1.0) fp
+      else {
+        val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+        val hot = fp.groupBy("h").agg(count(lit(1)).as("hdf"))
+          .crossJoin(broadcast(nDocs))
+          .filter(expr(s"CAST(hdf AS DOUBLE) / CAST(n_docs AS DOUBLE) > $maxHashDocFrac"))
+          .select("h")
+        fp.join(hot, Seq("h"), "left_anti")
+      }
+    val shared = pruned.select(col("doc_id").as("a"), col("h"))
+      .join(pruned.select(col("doc_id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(nfp.select(col("doc_id").as("a"), col("n_fp").as("n_fp_a")), Seq("a"))
+      .join(nfp.select(col("doc_id").as("b"), col("n_fp").as("n_fp_b")), Seq("b"))
+      .select(col("a"), col("b"), col("shared"), col("n_fp_a"), col("n_fp_b"),
+        expr("(shared * 1000000L) div n_fp_a").as("cont_a_ppm"),
+        expr("(shared * 1000000L) div n_fp_b").as("cont_b_ppm"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any n-gram
     * shingle with a probe (benchmark/eval) set — the screening step a
     * training-data pipeline runs so eval questions don't leak into

@@ -98,9 +98,15 @@ object SampleOps {
     * map-side collapse), then everything happens on |sources| rows in
     * one packed array — nothing downstream grows with the corpus. */
   def temperatureMixWeights(documents: DataFrame,
-      sourceCol: String = "source"): DataFrame = {
-    val packed = documents.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"))
+      sourceCol: String = "source"): DataFrame =
+    tempWeights(documents.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs")))
+
+  /** The α=0.5 weight computation over any per-source count table
+    * `(source, n_docs)` — shared by [[temperatureMixWeights]] (doc
+    * counts) and [[dataRecipe]] (token counts). */
+  private def tempWeights(counts: DataFrame): DataFrame = {
+    val packed = counts
       .agg(sort_array(collect_list(struct(col("source"), col("n_docs"))))
         .as("ss"))
     packed
@@ -114,5 +120,33 @@ object SampleOps {
         expr("sqrt(CAST(s.n_docs AS DOUBLE) / CAST(total AS DOUBLE)) / denom")
           .as("weight"))
       .withColumn("boost", expr("weight / share"))
+  }
+
+  /** The data-recipe table every multi-source pretraining run pins down
+    * before training: per source, its TOKEN count, its temperature
+    * weight ([[temperatureMixWeights]]'s α=0.5 formula over token
+    * shares rather than doc counts — tokens are what the budget buys),
+    * the planned token allocation `floor(budget · weight)`, and
+    * `epochs_ppm = (planned · 1e6) div n_tokens` — how many times the
+    * source repeats to fill its allocation (above 1e6 ⇒ the source is
+    * over-sampled/repeated, the signal to cap or collect more data).
+    *
+    * Cross-engine determinism: the weight is the q79 bit-exact sqrt
+    * formula; `floor(double)` of the identical product is identical;
+    * everything after is BIGINT arithmetic.
+    *
+    * Shape at 100 TB: one explode + per-source partial-agg token count
+    * (|sources| keys), then |sources|-row arithmetic in one packed
+    * array — the q79 shape over token counts. */
+  def dataRecipe(documents: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val tokCounts = TextOps.tokenized(documents)
+      .select(col("source"), explode(col("tk")).as("t"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    tempWeights(tokCounts)
+      .select(col("source"), col("n_docs").as("n_tokens"), col("weight"),
+        expr(s"CAST(floor(CAST($budget AS DOUBLE) * weight) AS BIGINT)")
+          .as("planned_tokens"))
+      .withColumn("epochs_ppm", expr("(planned_tokens * 1000000L) div n_tokens"))
   }
 }

@@ -321,21 +321,23 @@ object TextOps {
     * final left join with n_bigrams = 0. */
   def bigramSurprise(documents: DataFrame): DataFrame = {
     val toks = tokenized(documents)
+    // bigrams as 'w1 w2' STRINGS via `||` (the q87 featureBucket form —
+    // tokens are space-free by construction, so the join key is exact);
+    // the struct-per-element `transform(..., i -> named_struct(...))`
+    // formulation profiled at 2 × ~8 s single-task stages on sf0.1,
+    // ~10× this form
     val bg = toks
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), explode(expr(
         """CASE WHEN size(tk) > 1
-          | THEN transform(sequence(0, size(tk) - 2),
-          |   i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
-          | ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"""
-          .stripMargin).as("bgs"))
-      .select(col("doc_id"), explode(col("bgs")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          | THEN transform(sequence(0, size(tk) - 2), i -> tk[i] || ' ' || tk[i + 1])
+          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("b"))
+    val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
     val c1 = toks.select(explode(col("tk")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c1"))
     val ag = bg
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, bg("w1") === c1("t"))
+      .join(c2, Seq("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(c1, col("w1") === c1("t"))
       .withColumn("s", expr("(c1 * 1000000L) div c2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("ss"))
@@ -395,6 +397,41 @@ object TextOps {
       .crossJoin(bigQ)
       .select(col("source"), col("n_tokens"),
         expr("(sum_abs + (qq - sum_q)) div 2").as("tv_ppm"))
+  }
+
+  /** Feature-hashed document vectors — the hashing trick (Weinberger et
+    * al., "Feature Hashing for Large Scale Multitask Learning", ICML
+    * 2009): every token occurrence lands in dimension `h60(t) mod dim`
+    * with sign `1 − 2·(h60('s_' || t) mod 2)` (the unbiasing sign hash;
+    * the salt keeps the two hashes independent pre-image), and the
+    * document vector is the per-dimension signed occurrence sum — exact
+    * BIGINT, no model required. This is the text→vector bridge: cast to
+    * float and the whole ANN/clustering family (q39–q41, q73/q74, q81)
+    * runs on corpora that never saw an embedding model.
+    *
+    * Output: `doc_id, n_tokens, vec_str` (the dim-length vector
+    * comma-joined — the q35 array-stringify oracle convention).
+    *
+    * Shape at 100 TB: explode → (doc_id, dim) partial agg (≤ dim rows
+    * per doc pre-shuffle thanks to map-side combine) → per-doc pack;
+    * the dense fill is a dim-bounded per-row transform. No corpus-scale
+    * join anywhere. */
+  def hashedDocVector(documents: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val sj = tokenized(documents)
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .select(col("doc_id"),
+        expr(s"pmod(${h60x("t")}, ${dim}L)").as("j"),
+        expr(s"1L - 2L * pmod(${h60x("'s_' || t")}, 2L)").as("sgn"))
+    sj.groupBy("doc_id", "j").agg(sum(col("sgn")).as("v"), count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        map_from_entries(sort_array(collect_list(struct(col("j"), col("v")))))
+          .as("m"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"""array_join(transform(sequence(0L, ${dim - 1}L),
+                |  j -> CAST(coalesce(element_at(m, j), 0L) AS STRING)), ',')"""
+          .stripMargin).as("vec_str"))
   }
 
   /** DSIR-style hashed-feature target affinity — data selection toward

@@ -29,6 +29,30 @@ object CorpusQueries {
        |      (acc, x) -> acc + x) AS bucket
        |  FROM embeddings)""".stripMargin
 
+  /** DuckDB mirror of the native `winnow_fingerprints(tk, 3, 4)` scan:
+    * CTEs ending in `fp(doc_id, spos, h)` — every k-gram hash, the
+    * rightmost-min pick per w-window, distinct selected positions
+    * (shared by q95's census and q98's containment pairs). */
+  private def winnowCte: String =
+    s"""tkx AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |hx AS (
+       |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tkx),
+       |hh AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    ${h60d("array_to_string(tk[pos:pos+2], ' ')")} AS h
+       |  FROM (SELECT doc_id, tk, unnest(range(1, n - 1)) AS pos
+       |        FROM hx WHERE n >= 3)),
+       |sel AS (
+       |  SELECT doc_id, spos, h FROM (
+       |    SELECT a.doc_id, b.pos AS spos, b.h,
+       |      ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.pos
+       |        ORDER BY b.h ASC, b.pos DESC) AS rn
+       |    FROM hh a JOIN hh b ON b.doc_id = a.doc_id
+       |      AND b.pos BETWEEN a.pos - 3 AND a.pos
+       |    WHERE a.pos >= 4) WHERE rn = 1),
+       |fp AS (SELECT DISTINCT doc_id, spos, h FROM sel)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     oracle(
@@ -714,24 +738,7 @@ object CorpusQueries {
     // selected positions. bit_xor is the order-free set checksum.
     oracle(
       "q95_winnow_fingerprints",
-      s"""WITH tkx AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |hx AS (
-         |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tkx),
-         |hh AS (
-         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |    ${h60d("array_to_string(tk[pos:pos+2], ' ')")} AS h
-         |  FROM (SELECT doc_id, tk, unnest(range(1, n - 1)) AS pos
-         |        FROM hx WHERE n >= 3)),
-         |sel AS (
-         |  SELECT doc_id, spos, h FROM (
-         |    SELECT a.doc_id, b.pos AS spos, b.h,
-         |      ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.pos
-         |        ORDER BY b.h ASC, b.pos DESC) AS rn
-         |    FROM hh a JOIN hh b ON b.doc_id = a.doc_id
-         |      AND b.pos BETWEEN a.pos - 3 AND a.pos
-         |    WHERE a.pos >= 4) WHERE rn = 1),
-         |fp AS (SELECT DISTINCT doc_id, spos, h FROM sel),
+      s"""WITH $winnowCte,
          |ag AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
          |    min(h) AS fp_min, max(h) AS fp_max, bit_xor(h) AS fp_xor
@@ -815,6 +822,97 @@ object CorpusQueries {
         |ORDER BY a.source""",
       "Text: per-source total-variation drift vs corpus unigram distribution") { (s, d) =>
       TextOps.sourceDrift(Tables(s, d, "documents"))
+        .orderBy("source")
+    },
+
+    // Near-containment pairs: docs sharing >= 2 winnowed fingerprints
+    // (set semantics), with per-side containment in micro-units — the
+    // asymmetric signal symmetric Jaccard misses.
+    oracle(
+      "q98_winnow_containment",
+      s"""WITH $winnowCte,
+         |fps AS (SELECT DISTINCT doc_id, h FROM fp),
+         |nfp AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY 1),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+         |  FROM fps x JOIN fps y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 2)
+         |SELECT p.a, p.b, p.shared, na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+         |  (p.shared * 1000000) // na.n_fp AS cont_a_ppm,
+         |  (p.shared * 1000000) // nb.n_fp AS cont_b_ppm
+         |FROM pairs p
+         |JOIN nfp na ON na.doc_id = p.a
+         |JOIN nfp nb ON nb.doc_id = p.b
+         |ORDER BY p.a, p.b""",
+      "Dedup: winnow-fingerprint near-containment pairs (asymmetric overlap)") { (s, d) =>
+      DedupOps.winnowContainmentPairs(Tables(s, d, "documents"))
+        .orderBy("a", "b")
+    },
+
+    // Feature-hashed doc vectors (dim=16): signed occurrence sums per
+    // hashed dimension, stringified per the q35 array convention.
+    oracle(
+      "q99_hashed_doc_vectors",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |sj AS (
+         |  SELECT doc_id,
+         |    ${h60d("t")} % 16 AS j,
+         |    1 - 2 * (${h60d("'s_' || t")} % 2) AS sgn
+         |  FROM tok),
+         |ag AS (
+         |  SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS v,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM sj GROUP BY 1, 2),
+         |nt AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens FROM ag GROUP BY 1),
+         |grid AS (
+         |  SELECT d.doc_id, g.j FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) g),
+         |vec AS (
+         |  SELECT g.doc_id, g.j, coalesce(a.v, 0) AS v
+         |  FROM grid g LEFT JOIN ag a ON a.doc_id = g.doc_id AND a.j = g.j)
+         |SELECT n.doc_id, n.n_tokens,
+         |  (SELECT string_agg(v.v::VARCHAR, ',' ORDER BY v.j)
+         |   FROM vec v WHERE v.doc_id = n.doc_id) AS vec_str
+         |FROM nt n
+         |ORDER BY n.doc_id""",
+      "Text: feature-hashed doc vectors (ICML'09 hashing trick)") { (s, d) =>
+      TextOps.hashedDocVector(Tables(s, d, "documents"))
+        .orderBy("doc_id")
+    },
+
+    // The pretraining data-recipe table: token-share temperature
+    // weights, planned allocation of a 1M-token budget, repeat factor.
+    oracle(
+      "q100_data_recipe",
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
+        |d AS (
+        |  SELECT list_reduce(
+        |    [0.0::DOUBLE] || list(sqrt(CAST(c.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE))
+        |      ORDER BY c.source),
+        |    (a, x) -> a + x) AS denom
+        |  FROM c, t),
+        |w AS (
+        |  SELECT c.source, c.n_tokens,
+        |    sqrt(CAST(c.n_tokens AS DOUBLE) / CAST(t.total AS DOUBLE)) / d.denom AS weight
+        |  FROM c, t, d),
+        |p AS (
+        |  SELECT source, n_tokens, weight,
+        |    CAST(floor(CAST(1000000 AS DOUBLE) * weight) AS BIGINT) AS planned_tokens
+        |  FROM w)
+        |SELECT source, n_tokens, weight, planned_tokens,
+        |  (planned_tokens * 1000000) // n_tokens AS epochs_ppm
+        |FROM p
+        |ORDER BY source""",
+      "Mixing: pretraining data-recipe table (token budget 1M)") { (s, d) =>
+      SampleOps.dataRecipe(Tables(s, d, "documents"), budget = 1000000L)
         .orderBy("source")
     })
 }

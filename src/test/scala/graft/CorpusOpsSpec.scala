@@ -111,6 +111,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows("web")._2 < rows("spam")._2)
   }
 
+  test("hashedDocVector: identical docs map identically; component sums count signed tokens") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"),  // identical text → identical vector
+      (3L, "delta"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.hashedDocVector(d, dim = 8).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L)._1 === 4L && rows(3L)._1 === 1L)
+    val vec1 = rows(1L)._2.split(",").map(_.toLong)
+    assert(vec1.length === 8, "dense dim-length vector, absent dims zero-filled")
+    // hand-checked via python md5: alpha/beta/gamma ALL land in dim 3
+    // with signs +1/−1/−1 — so alpha·2 + beta + gamma cancels to the
+    // zero vector. That cancellation is the PROOF the sums are signed
+    // (an unsigned count would read 4 at dim 3).
+    assert(vec1.forall(_ === 0L), s"expected exact sign cancellation, got ${rows(1L)._2}")
+    val vec3 = rows(3L)._2.split(",").map(_.toLong)
+    assert(vec3(1) === 1L && vec3.map(math.abs).sum === 1L,
+      "delta lands in dim 1 with sign +1 (hand-checked)")
+  }
+
+  test("dataRecipe: allocations follow sqrt token shares; epochs flag over-sampling") {
+    val d = Seq(
+      (1L, (1 to 90).map(i => s"w$i").mkString(" "), "big"),
+      (2L, (1 to 10).map(i => s"v$i").mkString(" "), "small"))
+      .toDF("doc_id", "text", "source")
+    val rows = SampleOps.dataRecipe(d, budget = 1000L).orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("big", "small"))
+    val (bigN, bigW, bigP, bigE) = rows("big")
+    val (smallN, smallW, smallP, smallE) = rows("small")
+    assert(bigN === 90L && smallN === 10L)
+    // α=0.5: weights ∝ sqrt(0.9):sqrt(0.1) = 3:1
+    assert(math.abs(bigW / smallW - 3.0) < 1e-12)
+    assert(bigP === math.floor(1000.0 * bigW).toLong)
+    assert(bigP + smallP <= 1000L, "plans never overshoot the budget")
+    // small source must repeat (~25× its 10 tokens): epochs ≫ 1e6;
+    // big source undershoots its 90 tokens: epochs < 1e7
+    assert(smallE > 1000000L * 20L && bigE > 1000000L * 5L)
+    assert(smallE > bigE, "the minority source repeats more")
+  }
+
   test("knnGraph: identical vectors rank first both ways, k bounds each list") {
     val d = Seq(
       (1L, Array(1.0f, 0f, 0f, 0f)),

@@ -319,6 +319,40 @@ class DedupSimSpec extends SparkSpec {
       "shared 6-token run must contribute a common fingerprint")
   }
 
+  test("winnowContainmentPairs: a quoted doc scores ~1e6 on its own side, low on the host's") {
+    import graft.operators.DedupOps
+    val quote = (1 to 30).map(i => s"q${i}token").mkString(" ")
+    val host = (1 to 200).map(i => s"h${i}word").mkString(" ") + " " + quote +
+      " " + (201 to 400).map(i => s"h${i}word").mkString(" ")
+    val other = (1 to 100).map(i => s"z${i}item").mkString(" ")
+    val out = DedupOps.winnowContainmentPairs(docs(
+        (1L, quote), (2L, host), (3L, other)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet === Set((1L, 2L)), s"only the quote pair pairs, got $out")
+    val (shared, contA, contB) = out((1L, 2L))
+    assert(shared >= 2L)
+    // the quote's fingerprints nearly all reappear inside the host; the
+    // host's mostly don't appear in the quote — the asymmetry IS the signal
+    assert(contA > 700000L, s"quote-side containment low: $contA")
+    assert(contB < 300000L, s"host-side containment suspiciously high: $contB")
+    assert(contA > 3 * contB)
+  }
+
+  test("winnowContainmentPairs: the df-cap prune stops a boilerplate fingerprint from pairing everyone") {
+    import graft.operators.DedupOps
+    // every doc shares one long boilerplate run; pairwise, nothing else.
+    val bp = (1 to 20).map(i => s"bp${i}x").mkString(" ")
+    val d = docs((1 to 6).map(i =>
+      (i.toLong, s"$bp " + (1 to 40).map(j => s"u${i}_$j").mkString(" "))): _*)
+    val exact = DedupOps.winnowContainmentPairs(d).collect()
+    assert(exact.length === 6 * 5 / 2, "boilerplate pairs all C(6,2) docs")
+    // capping hashes present in >50% of docs removes the boilerplate
+    // fingerprints; no residual pair reaches minShared
+    val capped = DedupOps.winnowContainmentPairs(d, maxHashDocFrac = 0.5).collect()
+    assert(capped.isEmpty, s"df-capped run must drop the boilerplate pairs, got ${capped.length}")
+  }
+
   test("bandingPlanner: rates bounded, monotone in band count, exact on a pure-dup corpus") {
     // identical docs: every candidate pair has jaccard 1.0 → s-curve
     // midpoint s = 1 → p_detect = 1 for EVERY config, so

@@ -98,8 +98,11 @@ class ScaleSpec extends SparkSpec {
       "q93_cluster_quality" -> 10,   // post-checkpoint: final recentering (posexplode agg ×2 + centroid broadcast) + per-cluster census agg + ≤k-row nn pass (broadcast + agg) + stats⋈nn join + sort — member pass is ONE broadcast join, no corpus self-join
       "q94_hard_negatives" -> 3,     // q39's shape: bounded probe broadcast + per-probe WindowGroupLimit rank + sort; corpus side streams
       "q95_winnow_fingerprints" -> 1, // pure per-row native winnow loop + sort (the q37 shape)
-      "q96_bigram_surprise" -> 7,    // q80's shape + one key: bigram agg + unigram agg + (w1,w2) join + w1 join + per-doc agg + doc join-back + sort; both count tables partial-agg
-      "q97_source_drift" -> 7)       // post-checkpoint (st + vocab-share qf): 1-row Q agg/broadcast + term join + ss agg/broadcast + per-source agg + sort; |sources| rows out
+      "q96_bigram_surprise" -> 7,    // q80's shape + one key: bigram agg + unigram agg + bigram-string join + w1 join + per-doc agg + doc join-back + sort; both count tables partial-agg; bigrams are `||` strings (the q87 form — the struct-HOF form profiled ~10× slower)
+      "q97_source_drift" -> 7,       // post-checkpoint (st + vocab-share qf): 1-row Q agg/broadcast + term join + ss agg/broadcast + per-source agg + sort; |sources| rows out
+      "q98_winnow_containment" -> 7, // post-checkpoint fp set: n_fp agg + fingerprint-hash self-join + pair agg + two n_fp join-backs + sort; winnowing bounds fp rows to ~2/(w+1) of k-grams
+      "q99_hashed_doc_vectors" -> 3, // explode + (doc, dim) partial agg + per-doc pack agg + sort; dense fill is dim-bounded per row
+      "q100_data_recipe" -> 2)       // per-source token partial agg + 1-row packed-weights row + sort (the q79 shape over token counts)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
