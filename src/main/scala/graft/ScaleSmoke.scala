@@ -1,9 +1,12 @@
 package graft
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** 10× scale smoke for the dedup/ANN family (round-4 verdict item 8):
@@ -11,6 +14,18 @@ import org.apache.spark.sql.functions._
   * volume; this main proves the WALL-CLOCK scales ~linearly and catches
   * memory cliffs the pins can't see, with a committed record
   * (`BENCH_SCALE.json`).
+  *
+  * Measurement methodology (round 6): one FRESH JVM PER QUERY, driven by
+  * `tools/bench_scale.sh`. A single long-lived session running 42 plans
+  * × 2 scales × 4 reps thrashes the codegen cache / JIT state and
+  * produced intermittent ~10× CPU inflation on identical stages (q78:
+  * steady reps 12.6/43.3/5.9 s wall, 70/665/56 CPU-s, zero new codegen
+  * classes; q38 once read 8.9/67.5/39.9 s on an idle box) — the
+  * committed isolated single-query profiles were already the canonical
+  * stable numbers, so the scale record now uses the same isolation.
+  * Each rep also records task-seconds (executor run time summed over
+  * stages) and CPU-seconds: a noisy host moves only wall, a real
+  * regression moves task-seconds too, so the record adjudicates itself.
   *
   * The 10× slice is synthetic growth of the sf0.1 fixtures, built so the
   * workload's character scales LINEARLY instead of quadratically:
@@ -31,9 +46,23 @@ import org.apache.spark.sql.functions._
   * while the corpus scales — the 100 TB shape these operators are built
   * for (bounded probe × streaming corpus).
   *
-  * Usage: sbt 'runMain graft.ScaleSmoke'
+  * Usage:
+  *   tools/bench_scale.sh                      # full record, fresh JVM per query
+  *   sbt 'runMain graft.ScaleSmoke <query>…'   # measure named queries,
+  *                                             #   append fragments to parts file
+  *   sbt 'runMain graft.ScaleSmoke --assemble' # parts file → BENCH_SCALE.json
+  *   sbt 'runMain graft.ScaleSmoke'            # all queries in ONE JVM
+  *                                             #   (legacy; bimodality-prone)
   * (env: SPARK_GRAFT_SF_DIR base dir, SPARK_GRAFT_SCALE_DIR output dir,
-  * SPARK_GRAFT_SCALE_FACTOR replicas, default 10) */
+  * SPARK_GRAFT_SCALE_FACTOR replicas (default 10), SPARK_GRAFT_SCALE_REPS
+  * steady reps (default 3), SPARK_GRAFT_SCALE_PARTS fragment file) */
+/** `tools/bench_scale.sh` reads the target list from here so bash never
+  * carries its own copy (assemble validates completeness anyway). */
+object PrintScaleTargets {
+  def main(args: Array[String]): Unit =
+    ScaleSmoke.targets.foreach(println)
+}
+
 object ScaleSmoke {
 
   /** The dedup/ANN family named by the round-4 verdict item, plus q69 —
@@ -41,7 +70,8 @@ object ScaleSmoke {
     * partial-agg reshape this smoke independently evidences — plus
     * (round-5 verdict item 4) the round-5 families: clustering
     * (q73/q74 — SemDeDup's within-cluster self-join is exactly the shape
-    * a 10× run stresses) and corpus governance (q75–q78). */
+    * a 10× run stresses) and corpus governance (q75–q78), plus every
+    * round-6 corpus-scale query (q79–q100). */
   val targets: Seq[String] = Seq(
     "q34_dedup_exact", "q35_minhash_sig", "q36_minhash_lsh_pairs",
     "q37_simhash", "q38_jaccard_blocked", "q39_cosine_topk",
@@ -61,8 +91,13 @@ object ScaleSmoke {
 
   private val Stride = 1000000L
 
+  final case class Rep(wall: Double, taskSec: Double, cpuSec: Double)
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "/tmp/graft_scale_parts.jsonl")
+    if (args.contains("--assemble")) { assemble(parts); return }
+
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -73,16 +108,24 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      // A long-lived session running 78+ distinct plans thrashes the
-      // generated-class cache at its default size; evicted classes
-      // unload at the next full GC and class unloading deoptimizes
-      // compiled call sites — the suspected source of the intermittent
-      // ~10x CPU inflation on single reps (see BENCH_NOTES round 6).
-      // Static conf, so it must be set before the first session.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Per-stage executor run/CPU accumulation (same listener as Bench):
+    // task-seconds are contention-invariant up to scheduler noise, so a
+    // rep whose wall spikes WITHOUT a task spike was a noisy host, and
+    // one whose task spikes on identical stage structure is JVM state.
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        runMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+      }
+    })
 
     // a marker records WHAT the cached slice was built from — silently
     // reusing a slice generated at a different factor or from a
@@ -116,49 +159,96 @@ object ScaleSmoke {
     def queryFn(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
       if (name == "q74_semdedup_scaledk") scaledK else SparkEntry.queries(name)
 
-    def timed(name: String, dir: String): Double = {
+    def timed(name: String, dir: String): Rep = {
       System.gc()
+      runMs.set(0L); cpuMs.set(0L)
       val t0 = System.nanoTime()
       queryFn(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener-bus settle before counter snapshot
+      Rep(wall, runMs.get / 1000.0, cpuMs.get / 1000.0)
     }
 
-    // median of 3 steady reps per scale (after one warm run absorbing
-    // codegen/JIT): single-rep readings proved bimodal — an intermittent
-    // JIT/codegen churn can inflate one rep's CPU ~10× on identical
-    // stages (committed q78 profile: steady reps 12.6 / 43.3 / 5.9 s
-    // wall, 70 / 665 / 56 CPU-s, zero new codegen classes) — and a
-    // last-rep record can't tell that from a real cliff. Same
-    // median-of-N methodology as Bench.
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt.max(1)
-    val rows = targets.map { name =>
+    val named = args.filter(a => !a.startsWith("--"))
+    val run = if (named.nonEmpty) named.toSeq else targets
+    val unknown = run.filterNot(n =>
+      n == "q74_semdedup_scaledk" || SparkEntry.queries.contains(n))
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+
+    val fragments = run.map { name =>
       val bw = timed(name, base)
       val b = Seq.fill(reps)(timed(name, base))
       val xw = timed(name, scaled)
       val x = Seq.fill(reps)(timed(name, scaled))
-      val ratio = med(x) / med(b)
-      println(f"[scale] $name%-24s base $bw%.2f|${b.map(v => f"$v%.2f").mkString("/")} s   " +
-        f"x$factor $xw%.2f|${x.map(v => f"$v%.2f").mkString("/")} s   ratio ${ratio}%.1f")
-      name -> ((b, x, ratio))
+      val ratio = med(x.map(_.wall)) / med(b.map(_.wall))
+      val taskRatio = med(x.map(_.taskSec)) / med(b.map(_.taskSec))
+      println(f"[scale] $name%-24s base ${f2(bw.wall)}|${b.map(v => f2(v.wall)).mkString("/")} s   " +
+        f"x$factor ${f2(xw.wall)}|${x.map(v => f2(v.wall)).mkString("/")} s   " +
+        f"ratio ${f2(ratio)} (task ${f2(taskRatio)})")
+      def arr(rs: Seq[Rep], f: Rep => Double) = rs.map(r => f2(f(r))).mkString(",")
+      name -> (s""""$name":{"base":[${arr(b, _.wall)}],"x$factor":[${arr(x, _.wall)}],""" +
+        s""""base_task":[${arr(b, _.taskSec)}],"x${factor}_task":[${arr(x, _.taskSec)}],""" +
+        s""""base_cpu":[${arr(b, _.cpuSec)}],"x${factor}_cpu":[${arr(x, _.cpuSec)}],""" +
+        s""""base_med":${f2(med(b.map(_.wall)))},"x${factor}_med":${f2(med(x.map(_.wall)))},""" +
+        s""""ratio":${f2(ratio)},"task_ratio":${f2(taskRatio)}}""")
     }
 
-    val totalB = rows.map(r => med(r._2._1)).sum
-    val totalX = rows.map(r => med(r._2._2)).sum
-    val perQuery = rows.map { case (n, (b, x, r)) =>
-      f""""$n":{"base":[${b.map(v => f"$v%.2f").mkString(",")}],""" +
-        f""""x$factor":[${x.map(v => f"$v%.2f").mkString(",")}],""" +
-        f""""base_med":${med(b)}%.2f,"x${factor}_med":${med(x)}%.2f,"ratio":$r%.2f}"""
-    }.mkString(",")
-    val json =
-      f"""{"factor":$factor,"base":"$base","scaled":"$scaled",""" +
-        f""""total_base_sec":$totalB%.2f,"total_x${factor}_sec":$totalX%.2f,""" +
-        f""""total_ratio":${totalX / totalB}%.2f,"queries":{$perQuery}}"""
-    Files.write(Paths.get("BENCH_SCALE.json"),
-      json.getBytes(StandardCharsets.UTF_8))
-    println(json)
+    if (named.nonEmpty) {
+      // per-query isolation mode: append fragments for later --assemble
+      Files.write(Paths.get(parts),
+        (fragments.map(_._2).mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      println(s"[scale] appended ${fragments.size} fragment(s) to $parts")
+    } else {
+      writeRecord(factor, base, scaled, fragments.map(_._2))
+    }
     spark.stop()
+  }
+
+  /** parts file (one JSON fragment per line, `"name":{...}`) → BENCH_SCALE.json,
+    * in canonical `targets` order regardless of measurement order. */
+  private def assemble(parts: String): Unit = {
+    val lines = Files.readAllLines(Paths.get(parts)).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    // last fragment wins per query: a rerun of one query supersedes
+    val byName = lines.map { l =>
+      val name = l.drop(1).takeWhile(_ != '"')
+      name -> l
+    }.toMap
+    val ordered = targets.filter(byName.contains).map(byName)
+    val missing = targets.filterNot(byName.contains)
+    require(missing.isEmpty,
+      s"parts file $parts missing ${missing.size} queries: ${missing.mkString(",")}")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    writeRecord(factor, base, scaled, ordered)
+  }
+
+  private def writeRecord(factor: Int, base: String, scaled: String,
+      fragments: Seq[String]): Unit = {
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // totals recomputed from the per-query medians embedded in fragments
+    def medOf(frag: String, key: String): Double = {
+      val i = frag.indexOf(s""""$key":""")
+      require(i >= 0, s"fragment missing $key")
+      frag.drop(i + key.length + 3).takeWhile(c => c.isDigit || c == '.' || c == '-').toDouble
+    }
+    val totalB = fragments.map(medOf(_, "base_med")).sum
+    val totalX = fragments.map(medOf(_, s"x${factor}_med")).sum
+    val json =
+      s"""{"factor":$factor,"base":"$base","scaled":"$scaled",""" +
+        s""""methodology":"fresh JVM per query (tools/bench_scale.sh); reps are median-of-N steady after 1 warm; task/cpu arrays = executor task-seconds and CPU-seconds per rep",""" +
+        s""""total_base_sec":${f2(totalB)},"total_x${factor}_sec":${f2(totalX)},""" +
+        s""""total_ratio":${f2(totalX / totalB)},"queries":{${fragments.mkString(",")}}}"""
+    Files.write(Paths.get("BENCH_SCALE.json"), json.getBytes(StandardCharsets.UTF_8))
+    println(json.take(400) + " …")
   }
 
   /** Materialize the `factor`× documents/embeddings slice under `out`. */

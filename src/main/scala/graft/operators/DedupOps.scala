@@ -854,4 +854,72 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
       .select("a", "b", "jaccard")
   }
+
+  /** Exact duplicated-span census — the EXACTSUBSTR dedup of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed Spark-first. Every w-token window is hashed; a window
+    * whose hash occurs ≥ 2 times corpus-wide is a duplicate; every
+    * occurrence EXCEPT the canonical first (min (doc_id, pos)) marks its
+    * w positions removable; overlapping or adjacent marked windows merge
+    * into maximal spans. Per doc: flagged-window count, merged-span
+    * count, tokens covered by spans, longest span, covered fraction —
+    * the readout a span-removal pass would act on, keeping exactly one
+    * copy of every duplicated run corpus-wide.
+    *
+    * Shape at 100 TB: window emission is a narrow per-doc pass (native
+    * [[graft.functions.NgramShingles]], codegen'd, one output row per
+    * token position — the same O(corpus tokens) the suffix-array
+    * formulation pays); the occurrence census is ONE partial-aggregable
+    * groupBy (count + min-struct argmin), skew-safe against boilerplate
+    * windows repeated millions of times because partial aggregation
+    * collapses them map-side; the flag join is a hash equi-join on the
+    * window hash; span merging is a per-doc window (gaps-and-islands
+    * over equal-width intervals — running sum of breaks), bounded by
+    * document length. Nothing is quadratic; the only corpus-scale
+    * shuffles are the census groupBy and the flag join. A winnowed
+    * prefilter ([[winnowStats]]) can bound the candidate docs first when
+    * the dup rate is known to be low. */
+  def dupSpanStats(documents: DataFrame, w: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, s"w must be >= 2, got $w")
+    graft.functions.NgramShingles.register(documents.sparkSession)
+    val toks = TextOps.tokenized(documents)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk"))
+    val wins = toks
+      .select(col("doc_id"), posexplode(expr(s"ngram_shingles(tk, $w)")).as(Seq("p0", "win")))
+      .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"),
+        expr(h60x("win")).as("h"))
+    val census = wins.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("canon"))
+    val flagged = wins.join(census.filter(col("cnt") >= 2), Seq("h"))
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("pos") === col("canon.pos")))
+      .select("doc_id", "pos")
+    // gaps-and-islands: intervals all have width w, so the running max
+    // end is always lag(pos)+w and "new span" reduces to pos-lag(pos)>w
+    // (adjacent windows — gap exactly w — merge into one contiguous run)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = flagged
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byPos) > w, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(byPos))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("n_wins"),
+        (max(col("pos")) + w - min(col("pos"))).as("span_tokens"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      sum("n_wins").as("n_dup_windows"),
+      count(lit(1)).as("n_spans"),
+      sum("span_tokens").as("dup_tokens"),
+      max("span_tokens").as("max_span"))
+    toks.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
 }

@@ -703,4 +703,58 @@ object TextOps {
       .withColumn("simhash", expr(
         s"simhash_bits(transform(array_distinct(tk), t -> ${h60x("t")}), $nBits)"))
   }
+
+  /** Distributed BPE merge induction (Sennrich et al. 2016, the
+    * word-level symbol variant): `rounds` iterations of
+    * count-adjacent-pairs → argmax (count desc, pair asc) → merge every
+    * greedy-leftmost occurrence corpus-wide. Returns the learned merge
+    * table (round, lhs, rhs, cnt) — merged symbols join with `~`, so
+    * later rounds' lhs/rhs expose the merge hierarchy. Character-level
+    * BPE is this same loop after pre-splitting text to one codepoint per
+    * token; the induction is representation-agnostic.
+    *
+    * Spark shape: each round is ONE partial-aggregable pair count (the
+    * native codegen'd `ngram_shingles(tk, 2)` emits adjacent pairs with
+    * no shuffle) + a 1-row argmax + a narrow per-doc merge pass with the
+    * winning pair riding a 1-row broadcast (never a driver collect —
+    * the k-means centroid discipline). The merge itself is plain
+    * `replace` on a marker-wrapped form: each token is wrapped `·t·`, so
+    * pair occurrences never share characters and both engines' leftmost
+    * non-overlapping replace IS greedy BPE merging ("a a a" merges the
+    * first two). Per-round `localCheckpoint` keeps plan depth flat.
+    *
+    * Precondition (spec-asserted, not scanned at scale): corpus text
+    * must not contain the marker `·` (U+00B7) or joiner `~`. */
+  def bpeMerges(documents: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 12,
+      s"rounds must be in [1,12] (each round is a corpus pass), got $rounds")
+    graft.functions.NgramShingles.register(documents.sparkSession)
+    var text = documents.select(col("doc_id"), col("text"))
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val best = tokenized(text)
+        .select(explode(expr("ngram_shingles(tk, 2)")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        // tokens never contain spaces, so the 2-gram "lhs rhs" splits
+        // back unambiguously even after earlier `~` merges
+        .select(lit(r.toLong).as("round"),
+          expr("split(g, ' ')[0]").as("lhs"),
+          expr("split(g, ' ')[1]").as("rhs"), col("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .localCheckpoint()
+      merges = if (merges == null) best else merges.unionByName(best)
+      if (r < rounds) {
+        text = text
+          .crossJoin(broadcast(best.select("lhs", "rhs")))
+          .withColumn("text", expr(
+            "replace(replace(concat('·', replace(text, ' ', '· ·'), '·'), " +
+              "concat('·', lhs, '· ·', rhs, '·'), " +
+              "concat('·', lhs, '~', rhs, '·')), '·', '')"))
+          .select("doc_id", "text")
+          .localCheckpoint()
+      }
+    }
+    merges.orderBy("round")
+  }
 }

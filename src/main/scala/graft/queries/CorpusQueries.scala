@@ -914,5 +914,94 @@ object CorpusQueries {
       "Mixing: pretraining data-recipe table (token budget 1M)") { (s, d) =>
       SampleOps.dataRecipe(Tables(s, d, "documents"), budget = 1000000L)
         .orderBy("source")
+    },
+
+    // Exact duplicated-span census (Lee et al. 2022 EXACTSUBSTR): every
+    // 10-token window hashed; occurrences of a corpus-duplicated window
+    // other than its canonical first (min (doc_id, pos)) mark their
+    // positions; marked windows merge into maximal spans
+    // (gaps-and-islands). All-integer counts + one double division.
+    oracle(
+      "q101_dup_spans",
+      s"""WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM tkx),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    ${h60d("array_to_string(tk[pos:pos+9], ' ')")} AS h
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8)) AS pos
+         |        FROM base WHERE len(tk) >= 10)),
+         |occ AS (
+         |  SELECT doc_id, pos,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    COUNT(*) OVER (PARTITION BY h) AS cnt
+         |  FROM wins),
+         |flagged AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(CASE WHEN prev IS NOT NULL AND pos - prev > 10 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |        FROM flagged)),
+         |spans AS (
+         |  SELECT doc_id, island, COUNT(*) AS n_wins,
+         |    MAX(pos) + 10 - MIN(pos) AS span_tokens
+         |  FROM isl GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(SUM(n_wins) AS BIGINT) AS n_dup_windows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+         |    CAST(MAX(span_tokens) AS BIGINT) AS max_span
+         |  FROM spans GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(p.n_spans, 0) AS n_spans,
+         |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+         |  coalesce(p.max_span, 0) AS max_span,
+         |  CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_frac
+         |FROM base b LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY b.doc_id""",
+      "Dedup: exact duplicated-span census (EXACTSUBSTR, canonical-first)") { (s, d) =>
+      DedupOps.dupSpanStats(Tables(s, d, "documents"), w = 10)
+        .orderBy("doc_id")
+    },
+
+    // Distributed BPE merge induction: 4 rounds of count-adjacent-pairs
+    // → argmax (count desc, pair asc) → greedy-leftmost merge. The
+    // oracle replays the marker-wrap replace chain verbatim.
+    oracle(
+      "q102_bpe_merges",
+      bpeCte(4),
+      "Tokenizer training: distributed BPE merge induction (4 rounds)") { (s, d) =>
+      TextOps.bpeMerges(Tables(s, d, "documents"), rounds = 4)
+        .withColumnRenamed("round", "merge_round")
+        .orderBy("merge_round")
     })
+
+  /** DuckDB mirror of [[TextOps.bpeMerges]]: a `rounds`-deep CTE chain —
+    * pair count → 1-row argmax → marker-wrapped greedy replace — ending
+    * in the union of the per-round winners. */
+  private def bpeCte(rounds: Int): String = {
+    val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text FROM documents)")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+         |p$r AS (SELECT tk[i] AS lhs, tk[i+1] AS rhs, count(*) AS cnt
+         |        FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+         |              FROM (SELECT string_split(text, ' ') AS tk FROM t${r - 1}))
+         |        GROUP BY 1, 2),
+         |b$r AS (SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs,
+         |          CAST(cnt AS BIGINT) AS cnt
+         |        FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin)
+      if (r < rounds) sb.append(s""",
+         |t$r AS (SELECT doc_id,
+         |          replace(replace('·' || replace(t.text, ' ', '· ·') || '·',
+         |            '·' || b.lhs || '· ·' || b.rhs || '·',
+         |            '·' || b.lhs || '~' || b.rhs || '·'), '·', '') AS text
+         |        FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin)
+    }
+    sb.append("\n" +
+      (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ") +
+      " ORDER BY merge_round")
+    sb.toString
+  }
 }

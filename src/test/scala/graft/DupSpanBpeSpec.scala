@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.{DedupOps, TextOps}
+
+/** Hand-computed cases for the round-6 additions: exact duplicated-span
+  * census (q101, Lee et al. EXACTSUBSTR) and distributed BPE merge
+  * induction (q102). */
+class DupSpanBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dupSpanStats: canonical-first, within-doc repeats, span merging") {
+    // w=3. "a b c"/"b c d" occur in docs 1+2 (canonical doc1);
+    // doc 3 is "z"x7 (within-doc repeated window, canonical pos 1);
+    // doc 9 has "k k k" at pos 1,2,9,10 — canonical pos 1, flagged
+    // {2, 9, 10} merge into TWO islands (gap 9-2=7 > w).
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, "z z z z z z z"),
+      (9L, "k k k k z1 z2 z3 z4 k k k k")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpanStats(docs, w = 3).orderBy("doc_id").collect()
+
+    // doc_id, n_tokens, n_dup_windows, n_spans, dup_tokens, max_span
+    val ints = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(ints === Array(
+      (1L, 6L, 0L, 0L, 0L, 0L),   // canonical occurrences: never flagged
+      (2L, 6L, 2L, 1L, 4L, 4L),   // pos 1,2 merge: span tokens 1..4
+      (3L, 7L, 4L, 1L, 6L, 6L),   // pos 2..5 one island: tokens 2..7
+      (9L, 12L, 3L, 2L, 7L, 4L))) // islands {2} (3 tk) + {9,10} (4 tk)
+    val fracs = out.map(_.getDouble(6))
+    assert(fracs(0) === 0.0 && fracs(1) === 4.0 / 6 &&
+      fracs(2) === 6.0 / 7 && fracs(3) === 7.0 / 12)
+  }
+
+  test("dupSpanStats: docs shorter than w emit zero windows, never join") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c")).toDF("doc_id", "text")
+    // identical 2-token docs share NO 3-token window — all zeros
+    val out = DedupOps.dupSpanStats(docs, w = 3).orderBy("doc_id").collect()
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(4) == 0L))
+  }
+
+  test("bpeMerges: greedy-leftmost merges and merge hierarchy") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    val out = TextOps.bpeMerges(docs, rounds = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))) === Array(
+      (1L, "a", "b", 3L),         // "a b" x3 across both docs
+      (2L, "a~b", "c", 2L),       // after merge: a~b precedes c twice
+      (3L, "a~b", "a~b~c", 1L)))  // tie (both pairs x1) breaks by lhs asc
+  }
+
+  test("bpeMerges: self-pair merges greedy-leftmost (a a a -> a~a a)") {
+    val docs = Seq((1L, "x x x")).toDF("doc_id", "text")
+    val out = TextOps.bpeMerges(docs, rounds = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))) === Array(
+      (1L, "x", "x", 2L),     // both adjacent pairs counted pre-merge
+      (2L, "x~x", "x", 1L)))  // greedy leftmost: first two merged, not last
+  }
+}
