@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CdcBoundaries, DotProduct, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits, WinnowFingerprints}
+import graft.functions.{CdcBoundaries, CmsSketch, DotProduct, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -59,5 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(WinnowFingerprints.fnName),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, WinnowFingerprints.fnName),
       WinnowFingerprints.builder _))
+    e.injectFunction((
+      FunctionIdentifier(CmsSketch.fnName),
+      new ExpressionInfo(classOf[CmsSketch].getName, CmsSketch.fnName),
+      CmsSketch.builder _))
   }
 }

@@ -757,4 +757,38 @@ object TextOps {
     }
     merges.orderBy("round")
   }
+
+  /** Count-Min heavy-hitter census: the exact token top-`topK` joined
+    * against the [[graft.functions.CmsSketch]] point estimates, with
+    * the measured overcount — the calibration a pipeline reads before
+    * trusting the 8-KiB sketch as its frequency oracle (df-cap shingle
+    * pruning, stop-word discovery, heavy-hitter gates).
+    *
+    * Spark shape: the corpus-wide sketch is ONE partial-aggregable
+    * `cms_sketch` pass — per-partition buffers merge map-side and a
+    * single fixed-size array crosses the shuffle; the exact top-k
+    * plans as TakeOrderedAndProject (per-partition heaps, never a
+    * global sort); the 1-row sketch rides a broadcast nested-loop
+    * join bounded by construction (topK × 1). Estimates are plain
+    * `element_at`/`least` over the counter array — identical
+    * arithmetic to the oracle's GROUP-BY replay. At 100 TB the exact
+    * top-k side is the expensive half (it shuffles the vocabulary);
+    * the census exists to certify the sketch so later passes can skip
+    * exactly that shuffle. */
+  def cmsTokenCensus(documents: DataFrame, topK: Int = 20): DataFrame = {
+    import graft.functions.CmsSketch
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    CmsSketch.register(documents.sparkSession)
+    val tokens = tokenized(documents).select(explode(col("tk")).as("t"))
+    val sketch = tokens.agg(expr("cms_sketch(t)").as("cms"))
+    val top = tokens.groupBy("t")
+      .agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("t").asc)
+      .limit(topK)
+    top.crossJoin(broadcast(sketch))
+      .select(col("t"), col("exact_c"),
+        CmsSketch.estimateCol(col("cms"), col("t")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_c"))
+      .orderBy(col("exact_c").desc, col("t").asc)
+  }
 }

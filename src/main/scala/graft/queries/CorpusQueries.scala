@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions.col
 
 import graft.QueryDef, QueryDef.oracle
+import graft.functions.CmsSketch
 import graft.operators.{CurateOps, DedupOps, SampleOps, SimOps, TextOps}
 import graft.sources.Tables
 import TextOps.h60d
@@ -976,6 +977,35 @@ object CorpusQueries {
       TextOps.bpeMerges(Tables(s, d, "documents"), rounds = 4)
         .withColumnRenamed("round", "merge_round")
         .orderBy("merge_round")
+    },
+
+    // Count-Min heavy-hitter census: exact token top-20 vs the 8-KiB
+    // mergeable sketch's point estimates (min over 4 seeded-h60 rows of
+    // 256 counters). The oracle replays the counter table as a GROUP BY
+    // over the same seeded buckets and takes the same min — estimates
+    // hash-check exactly, not just row counts.
+    oracle(
+      "q103_cms_heavy_hitters",
+      s"""WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |w AS (SELECT unnest(tk) AS t FROM tkx),
+         |ds AS (SELECT unnest(range(0, ${CmsSketch.D})) AS d),
+         |cells AS (
+         |  SELECT ds.d, (${h60d("ds.d::VARCHAR || ':' || w.t")}) % ${CmsSketch.W} AS b,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM w CROSS JOIN ds GROUP BY 1, 2),
+         |top AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS exact_c FROM w GROUP BY 1
+         |  ORDER BY exact_c DESC, t LIMIT 20),
+         |est AS (
+         |  SELECT tp.t, tp.exact_c, CAST(min(ce.c) AS BIGINT) AS cms_est
+         |  FROM top tp CROSS JOIN ds
+         |  JOIN cells ce ON ce.d = ds.d
+         |    AND ce.b = (${h60d("ds.d::VARCHAR || ':' || tp.t")}) % ${CmsSketch.W}
+         |  GROUP BY 1, 2)
+         |SELECT t, exact_c, cms_est, cms_est - exact_c AS overcount
+         |FROM est ORDER BY exact_c DESC, t""",
+      "Sketch: Count-Min heavy-hitter census, oracle-replayed estimates") { (s, d) =>
+      TextOps.cmsTokenCensus(Tables(s, d, "documents"), topK = 20)
     })
 
   /** DuckDB mirror of [[TextOps.bpeMerges]]: a `rounds`-deep CTE chain —

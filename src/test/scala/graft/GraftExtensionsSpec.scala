@@ -86,5 +86,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |""".stripMargin).head
     assert(row3.getSeq[Long](0) === Seq.empty[Long])
     assert(row3.getSeq[Long](1) === Seq(2L, 3L))
+    // cms_sketch: counter table sums to D * n_values
+    val cms = spark.range(10)
+      .selectExpr("cms_sketch(CAST(id AS STRING)) AS cms").head.getSeq[Long](0)
+    assert(cms.length === graft.functions.CmsSketch.D * graft.functions.CmsSketch.W)
+    assert(cms.sum === graft.functions.CmsSketch.D * 10L)
   }
 }

@@ -37,7 +37,8 @@ class ScaleSpec extends SparkSpec {
       "q90_banding_planner", // |configs|-row planner-grid broadcast (5 rows by default)
       "q93_cluster_quality", // k x k inter-centroid pass: both sides <= k rows by construction
       "q94_hard_negatives", // bounded probe-set broadcast (q39's shape)
-      "q97_source_drift") // 1-row corpus-total and Q-constant broadcasts
+      "q97_source_drift", // 1-row corpus-total and Q-constant broadcasts
+      "q103_cms_heavy_hitters") // 1-row sketch broadcast (8 KiB at any corpus size)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -102,7 +103,8 @@ class ScaleSpec extends SparkSpec {
       "q97_source_drift" -> 7,       // post-checkpoint (st + vocab-share qf): 1-row Q agg/broadcast + term join + ss agg/broadcast + per-source agg + sort; |sources| rows out
       "q98_winnow_containment" -> 7, // post-checkpoint fp set: n_fp agg + fingerprint-hash self-join + pair agg + two n_fp join-backs + sort; winnowing bounds fp rows to ~2/(w+1) of k-grams
       "q99_hashed_doc_vectors" -> 3, // explode + (doc, dim) partial agg + per-doc pack agg + sort; dense fill is dim-bounded per row
-      "q100_data_recipe" -> 2)       // per-source token partial agg + 1-row packed-weights row + sort (the q79 shape over token counts)
+      "q100_data_recipe" -> 2,       // per-source token partial agg + 1-row packed-weights row + sort (the q79 shape over token counts)
+      "q103_cms_heavy_hitters" -> 3) // exact-top-k token agg (TakeOrderedAndProject, never a global sort) + 1-row partial-agg sketch + its broadcast
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
