@@ -758,6 +758,56 @@ object TextOps {
     merges.orderBy("round")
   }
 
+  /** Encoding-quality flags: the byte-level hygiene pass a crawl corpus
+    * runs BEFORE any tokenizer or LM sees the text — U+FFFD replacement
+    * characters (a decoder already gave up), C0 control characters
+    * (binary contamination), and the two classic UTF-8-read-as-Latin-1
+    * mojibake signatures ('Ã' lead bytes: any non-ASCII Latin-1
+    * codepoint double-decoded; 'â€' prefixes: mangled punctuation from
+    * the U+2018–U+201D range), plus non-ASCII / whitespace / digit
+    * ratios. `keep` is the conjunctive gate.
+    *
+    * All counts are `length`-difference or `regexp_count` over
+    * LITERAL-character classes — the pattern strings are byte-identical
+    * in the Spark plan and the DuckDB oracle (no escape-sequence
+    * dialect to disagree on), every ratio divides explicitly-cast
+    * DOUBLEs. Pure per-row narrow transforms: no shuffle, scales
+    * linearly with input splits. */
+  def encodingQuality(documents: DataFrame): DataFrame = {
+    val n = "CAST(length(text) AS BIGINT)"
+    val repl = s"$n - CAST(length(replace(text, '�', '')) AS BIGINT)"
+    val moji =
+      s"($n - CAST(length(replace(text, 'Ã', '')) AS BIGINT))" +
+        s" + ($n - CAST(length(replace(text, 'â€', '')) AS BIGINT)) / 2"
+    val ctrl = s"CAST(regexp_count(text, '[$ctrlClass]') AS BIGINT)"
+    val nonAscii = s"CAST(regexp_count(text, '[^$asciiClass]') AS BIGINT)"
+    val digits = s"CAST(regexp_count(text, '[0-9]') AS BIGINT)"
+    val spaces = s"$n - CAST(length(replace(text, ' ', '')) AS BIGINT)"
+    def ratio(c: String) =
+      s"CASE WHEN $n > 0 THEN CAST($c AS DOUBLE) / CAST($n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    documents.select(
+      col("doc_id"),
+      expr(n).as("n_chars_text"),
+      expr(repl).as("repl_chars"),
+      expr(ctrl).as("ctrl_chars"),
+      expr(s"CAST($moji AS BIGINT)").as("mojibake_hits"),
+      expr(nonAscii).as("non_ascii"),
+      expr(ratio(nonAscii)).as("non_ascii_ratio"),
+      expr(ratio(spaces)).as("ws_ratio"),
+      expr(ratio(digits)).as("digit_ratio"),
+      expr(s"$repl = 0 AND $ctrl = 0 AND CAST($moji AS BIGINT) = 0" +
+        s" AND ${ratio(nonAscii)} <= CAST(0.5 AS DOUBLE)").as("keep"))
+  }
+
+  /** C0 controls minus HT/LF/CR (legitimate whitespace): as literal
+    * characters, so the class is escape-dialect-free in both engines. */
+  private[graft] val ctrlClass: String =
+    "\u0001-\u0008\u000b\u000c\u000e-\u001f"
+
+  /** U+0001-U+007F, the complement of the non-ASCII count (NUL excluded
+    * so the literal class stays regex-safe in both engines). */
+  private[graft] val asciiClass: String = "\u0001-\u007f"
+
   /** Count-Min heavy-hitter census: the exact token top-`topK` joined
     * against the [[graft.functions.CmsSketch]] point estimates, with
     * the measured overcount — the calibration a pipeline reads before

@@ -1006,7 +1006,50 @@ object CorpusQueries {
          |FROM est ORDER BY exact_c DESC, t""",
       "Sketch: Count-Min heavy-hitter census, oracle-replayed estimates") { (s, d) =>
       TextOps.cmsTokenCensus(Tables(s, d, "documents"), topK = 20)
+    },
+
+    // Encoding hygiene: U+FFFD / C0-control / mojibake-signature counts
+    // + character-class ratios + conjunctive keep. The regex classes are
+    // LITERAL characters shared byte-for-byte with the Spark plan
+    // (TextOps.ctrlClass/asciiClass); DuckDB counts matches via
+    // len(regexp_extract_all(...)) — same RE2-compatible classes.
+    oracle(
+      "q104_encoding_quality",
+      encodingQualityOracle,
+      "Quality: encoding/mojibake hygiene flags (U+FFFD, C0, Ã/â€)") { (s, d) =>
+      TextOps.encodingQuality(Tables(s, d, "documents"))
+        .orderBy("doc_id")
     })
+
+  /** DuckDB mirror of [[TextOps.encodingQuality]] — identical literal
+    * classes and explicitly-cast DOUBLE ratios; only the match-count
+    * spelling differs (`len(regexp_extract_all(...))` for Spark's
+    * `regexp_count`). */
+  private def encodingQualityOracle: String = {
+    val n = "CAST(length(text) AS BIGINT)"
+    val repl = s"$n - CAST(length(replace(text, '�', '')) AS BIGINT)"
+    val moji =
+      s"($n - CAST(length(replace(text, 'Ã', '')) AS BIGINT))" +
+        s" + ($n - CAST(length(replace(text, 'â€', '')) AS BIGINT)) / 2"
+    val ctrl = s"CAST(len(regexp_extract_all(text, '[${TextOps.ctrlClass}]')) AS BIGINT)"
+    val nonAscii = s"CAST(len(regexp_extract_all(text, '[^${TextOps.asciiClass}]')) AS BIGINT)"
+    val digits = s"CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)"
+    val spaces = s"$n - CAST(length(replace(text, ' ', '')) AS BIGINT)"
+    def ratio(c: String) =
+      s"CASE WHEN $n > 0 THEN CAST($c AS DOUBLE) / CAST($n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    s"""SELECT doc_id,
+       |  $n AS n_chars_text,
+       |  $repl AS repl_chars,
+       |  $ctrl AS ctrl_chars,
+       |  CAST($moji AS BIGINT) AS mojibake_hits,
+       |  $nonAscii AS non_ascii,
+       |  ${ratio(nonAscii)} AS non_ascii_ratio,
+       |  ${ratio(spaces)} AS ws_ratio,
+       |  ${ratio(digits)} AS digit_ratio,
+       |  ($repl = 0 AND $ctrl = 0 AND CAST($moji AS BIGINT) = 0
+       |   AND ${ratio(nonAscii)} <= CAST(0.5 AS DOUBLE)) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB mirror of [[TextOps.bpeMerges]]: a `rounds`-deep CTE chain —
     * pair count → 1-row argmax → marker-wrapped greedy replace — ending

@@ -104,7 +104,8 @@ class ScaleSpec extends SparkSpec {
       "q98_winnow_containment" -> 7, // post-checkpoint fp set: n_fp agg + fingerprint-hash self-join + pair agg + two n_fp join-backs + sort; winnowing bounds fp rows to ~2/(w+1) of k-grams
       "q99_hashed_doc_vectors" -> 3, // explode + (doc, dim) partial agg + per-doc pack agg + sort; dense fill is dim-bounded per row
       "q100_data_recipe" -> 2,       // per-source token partial agg + 1-row packed-weights row + sort (the q79 shape over token counts)
-      "q103_cms_heavy_hitters" -> 3) // exact-top-k token agg (TakeOrderedAndProject, never a global sort) + 1-row partial-agg sketch + its broadcast
+      "q103_cms_heavy_hitters" -> 3, // exact-top-k token agg (TakeOrderedAndProject, never a global sort) + 1-row partial-agg sketch + its broadcast
+      "q104_encoding_quality" -> 1)  // pure per-row regex/length counts + sort (the q71 shape)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
