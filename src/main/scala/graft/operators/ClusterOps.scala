@@ -196,6 +196,49 @@ object ClusterOps {
         col("medoid_id"), col("spread"), col("nn_cluster"), col("nn_dist2"))
   }
 
+  /** Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): rank every vector by squared distance to its FINAL
+    * cluster centroid — `proto_rank` 1 is the most prototypical (easiest)
+    * member — and mark the closest `pruneFrac` of each cluster `pruned`.
+    * With abundant data, dropping the most prototypical examples beats
+    * random pruning (they carry the least marginal signal); with scarce
+    * data a caller inverts the flag and keeps them. Emitting the full
+    * ranking (not just the flag) lets one pass serve any downstream
+    * keep-fraction sweep.
+    *
+    * Determinism: distances are the same fixed-point micro-unit doubles
+    * as [[clusterQuality]] (bit-exact across engines), ties break by
+    * vec_id, and the prune threshold compares INTEGERS — `rank·10⁶ ≤
+    * round(pruneFrac·10⁶)·size` — so no engine ever rounds a boundary
+    * row differently.
+    *
+    * Shape at 100 TB: one broadcast centroid join (≤ k rows) + ONE
+    * exchange on the cluster key feeding both the rank window and the
+    * size count. Per-cluster work is bounded exactly as in
+    * [[semDedupKeepers]]: callers scale k with the corpus
+    * ([[kForCorpus]]), so no window partition outgrows an executor. */
+  def prototypePruning(embeddings: DataFrame, pruneFrac: Double = 0.25,
+      k: Int = 8, rounds: Int = 2, seedMode: String = "lowid"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pruneFrac >= 0.0 && pruneFrac <= 1.0,
+      s"pruneFrac must be in [0,1], got $pruneFrac")
+    val fracMicros = math.round(pruneFrac * 1000000.0)
+    val assign = finalAssignment(embeddings, k, rounds, seedMode)
+    val md = assign.join(broadcast(recentered(assign)), Seq("cluster"))
+      .withColumn("dist2",
+        col("m2") + col("c2") - lit(2.0) * expr(dotX("mvec", "cvec")))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    val all = Window.partitionBy("cluster")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    md.select(col("vec_id"), col("cluster"),
+        floor(col("dist2")).cast("long").as("dist2"),
+        row_number().over(w).cast("long").as("proto_rank"),
+        count(lit(1)).over(all).as("cluster_size"))
+      .withColumn("pruned",
+        col("proto_rank") * lit(1000000L) <= lit(fracMicros) * col("cluster_size"))
+  }
+
   /** SemDeDup: within each k-means cluster, a vector is PRUNED when some
     * lower-id cluster-mate sits above `minCosine` (first-occurrence-wins,
     * the [[DedupOps.exactDupGroups]] F7 semantic); cosine is exact, on

@@ -77,6 +77,29 @@ object ClusterQueries {
     * two-round k-means assignment (q73/q74's surface). */
   private val kmeansCtes: String = kmeansCtesFor("embeddings", 8, "")
 
+  /** Shared continuation of [[kmeansCtes]] ending in `md(vec_id,
+    * cluster, dist2)` — FINAL centroids (one recentering past the last
+    * assignment) and each member's squared distance to its own centroid
+    * (q93's census and q105's prototype ranking both read it). */
+  private val finalDistCtes: String =
+    s"""fex AS (
+       |  SELECT a.cluster,
+       |    unnest(range(1, len(v.mvec)+1)) AS dim,
+       |    unnest(list_transform(range(1, len(v.mvec)+1), i -> CAST(v.mvec[i] AS BIGINT))) AS mv
+       |  FROM a2 a JOIN mdt v USING (vec_id)),
+       |fu AS (
+       |  SELECT cluster, dim,
+       |    CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cv
+       |  FROM fex GROUP BY 1, 2),
+       |fc AS (
+       |  SELECT cluster, list(cv ORDER BY dim) AS cvec FROM fu GROUP BY 1),
+       |fcn AS (
+       |  SELECT cluster, cvec, ${dotD("cvec", "cvec")} AS c2 FROM fc),
+       |md AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    v.m2 + c.c2 - 2.0::DOUBLE * ${dotD("v.mvec", "c.cvec")} AS dist2
+       |  FROM a2 a JOIN mdt v USING (vec_id) JOIN fcn c USING (cluster))""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     oracle(
@@ -152,23 +175,7 @@ object ClusterQueries {
     oracle(
       "q93_cluster_quality",
       s"""WITH $kmeansCtes,
-         |fex AS (
-         |  SELECT a.cluster,
-         |    unnest(range(1, len(v.mvec)+1)) AS dim,
-         |    unnest(list_transform(range(1, len(v.mvec)+1), i -> CAST(v.mvec[i] AS BIGINT))) AS mv
-         |  FROM a2 a JOIN mdt v USING (vec_id)),
-         |fu AS (
-         |  SELECT cluster, dim,
-         |    CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cv
-         |  FROM fex GROUP BY 1, 2),
-         |fc AS (
-         |  SELECT cluster, list(cv ORDER BY dim) AS cvec FROM fu GROUP BY 1),
-         |fcn AS (
-         |  SELECT cluster, cvec, ${dotD("cvec", "cvec")} AS c2 FROM fc),
-         |md AS (
-         |  SELECT a.vec_id, a.cluster,
-         |    v.m2 + c.c2 - 2.0::DOUBLE * ${dotD("v.mvec", "c.cvec")} AS dist2
-         |  FROM a2 a JOIN mdt v USING (vec_id) JOIN fcn c USING (cluster)),
+         |$finalDistCtes,
          |st AS (
          |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size,
          |    CAST(sum(CAST(floor(dist2) AS BIGINT)) AS BIGINT) AS inertia,
@@ -194,5 +201,31 @@ object ClusterQueries {
       "Clustering: per-cluster quality census (inertia/medoid/spread/NN margin)") { (s, d) =>
       ClusterOps.clusterQuality(Tables(s, d, "embeddings"))
         .orderBy("cluster")
+    },
+
+    // Prototype-based data pruning (Sorscher et al. 2022): rank members
+    // by distance to their FINAL centroid; the closest 25% of each
+    // cluster (the most prototypical / least marginal-signal examples)
+    // flag `pruned`. Threshold compares integers (rank·10⁶ vs
+    // 250000·size) so boundary rows never round differently.
+    oracle(
+      "q105_prototype_pruning",
+      s"""WITH $kmeansCtes,
+         |$finalDistCtes,
+         |sz AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM a2 GROUP BY 1),
+         |rk AS (
+         |  SELECT vec_id, cluster, CAST(floor(dist2) AS BIGINT) AS dist2,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+         |      ORDER BY dist2, vec_id) AS BIGINT) AS proto_rank
+         |  FROM md)
+         |SELECT r.vec_id, r.cluster, r.dist2, r.proto_rank, s.cluster_size,
+         |  r.proto_rank * 1000000 <= 250000 * s.cluster_size AS pruned
+         |FROM rk r JOIN sz s USING (cluster)
+         |ORDER BY r.vec_id""",
+      "Curation: prototype-based data pruning ranking (easy-example drop)") { (s, d) =>
+      ClusterOps.prototypePruning(Tables(s, d, "embeddings"), pruneFrac = 0.25)
+        .orderBy("vec_id")
     })
 }

@@ -175,4 +175,32 @@ class ClusterOpsSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(3)))
     assert(out.forall(_.getLong(2) === 0L))
   }
+
+  test("prototypePruning: ranks by centroid distance, prunes the closest fraction") {
+    val out = ClusterOps.prototypePruning(blobs, pruneFrac = 0.25, k = 2)
+      .orderBy("vec_id").collect()
+    assert(out.length === 8)
+    // ranks within each cluster are a permutation of 1..size
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("proto_rank")).sorted.toSeq
+      assert(ranks === (1L to rows.length.toLong).toSeq)
+      assert(rows.map(_.getAs[Long]("cluster_size")).distinct.toSeq
+        === Seq(rows.length.toLong))
+      // rank order agrees with distance order (ties by vec_id)
+      val byRank = rows.sortBy(_.getAs[Long]("proto_rank"))
+        .map(r => (r.getAs[Long]("dist2"), r.getLong(0)))
+      assert(byRank.toSeq === byRank.sortBy(identity).toSeq)
+      // exactly floor(0.25 * size) members prune — the closest ones
+      val pruned = rows.filter(_.getAs[Boolean]("pruned"))
+      assert(pruned.length === rows.length / 4)
+      assert(pruned.map(_.getAs[Long]("proto_rank")).forall(_ <= rows.length / 4))
+    }
+  }
+
+  test("prototypePruning: fraction 0 prunes nothing, 1 prunes everything") {
+    val none = ClusterOps.prototypePruning(blobs, pruneFrac = 0.0, k = 2).collect()
+    assert(none.forall(!_.getAs[Boolean]("pruned")))
+    val all = ClusterOps.prototypePruning(blobs, pruneFrac = 1.0, k = 2).collect()
+    assert(all.forall(_.getAs[Boolean]("pruned")))
+  }
 }
