@@ -326,4 +326,61 @@ object SimOps {
       .withColumn("mse", col("_q.mse"))
       .drop("_q")
   }
+
+  /** The ±1 Johnson–Lindenstrauss sign matrix as PLAN-TIME literals:
+    * sign(i, j) = 1 − 2·(h60("p_i_j") mod 2) for input dim `i` (1-based)
+    * and output dim `j` (0-based) — derived once on the driver via
+    * [[graft.functions.Scalars.h60Jvm]] (the MinHash-coefficient
+    * discipline), so the Spark plan and the DuckDB oracle embed the
+    * SAME constants and no md5 runs per row at query time. */
+  def jlSigns(dim: Int, outDim: Int): IndexedSeq[IndexedSeq[Int]] =
+    (0 until outDim).map { j =>
+      (1 to dim).map { i =>
+        if (graft.functions.Scalars.h60Jvm(s"p_${i}_$j") % 2 == 0L) 1 else -1
+      }
+    }
+
+  /** Achlioptas/JL random sign projection to `outDim` dims, with the
+    * per-vector norm-preservation readout (E[‖Rx‖²] = outDim·‖x‖² for a
+    * ±1 matrix, so `norm_ratio` concentrates near 1) — the cheap
+    * dimensionality-reduction path that makes brute/IVF ANN over a
+    * 100-TB corpus affordable: 64-dim floats → `outDim` BIGINTs per
+    * vector, distances preserved within the JL bound.
+    *
+    * Determinism: inputs quantize to micro-unit BIGINTs (floor(x·10⁶ +
+    * ½) — the [[ClusterOps]] fixed-point discipline) and every
+    * projection coordinate is an exact ±1-weighted INTEGER sum (≤ 64
+    * terms of ≤ 2·10⁶ — no overflow anywhere near 2⁶³), so both
+    * engines emit identical integers; only `norm_ratio` divides
+    * explicitly-cast DOUBLEs at the end.
+    *
+    * Shape at 100 TB: pure per-row narrow transform — the 512-term
+    * linear combinations are constant-folded codegen, no shuffle, no
+    * per-row hashing. */
+  def randomProjection(embeddings: DataFrame, dim: Int = 64,
+      outDim: Int = 8): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got dim=$dim outDim=$outDim")
+    val signs = jlSigns(dim, outDim)
+    val mvec =
+      "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D))"
+    val projCols = (0 until outDim).map { j =>
+      val terms = (1 to dim)
+        .map(i => s"(${signs(j)(i - 1)}L * element_at(mvec, $i))")
+        .mkString(" + ")
+      expr(terms).as(s"p$j")
+    }
+    val orig2 = (1 to dim)
+      .map(i => s"(element_at(mvec, $i) * element_at(mvec, $i))")
+      .mkString(" + ")
+    val proj2 = (0 until outDim).map(j => s"(p$j * p$j)").mkString(" + ")
+    embeddings
+      .withColumn("mvec", expr(mvec))
+      .select(Seq(col("vec_id")) ++ projCols :+ expr(orig2).as("orig2"): _*)
+      .withColumn("proj2", expr(proj2))
+      .withColumn("norm_ratio", expr(
+        s"""CASE WHEN orig2 > 0
+           | THEN CAST(proj2 AS DOUBLE) / (CAST($outDim.0 AS DOUBLE) * CAST(orig2 AS DOUBLE))
+           | ELSE CAST(0.0 AS DOUBLE) END""".stripMargin.replace("\n", "")))
+  }
 }

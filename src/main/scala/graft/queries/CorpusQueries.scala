@@ -1019,7 +1019,45 @@ object CorpusQueries {
       "Quality: encoding/mojibake hygiene flags (U+FFFD, C0, Ã/â€)") { (s, d) =>
       TextOps.encodingQuality(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    // Johnson–Lindenstrauss sign projection 64 → 8 dims + the norm
+    // preservation readout. The ±1 matrix is h60-derived plan-time
+    // literals (the MinHash-coefficient discipline) — both engines
+    // embed the same 512 constants and every coordinate is an exact
+    // integer sum.
+    oracle(
+      "q106_jl_projection",
+      jlProjectionOracle(64, 8),
+      "ANN: JL random sign projection with norm-preservation readout") { (s, d) =>
+      SimOps.randomProjection(Tables(s, d, "embeddings"), dim = 64, outDim = 8)
+        .orderBy("vec_id")
     })
+
+  /** DuckDB mirror of [[SimOps.randomProjection]] — identical h60-derived
+    * sign literals, micro-unit BIGINT arithmetic, cast-DOUBLE ratio. */
+  private def jlProjectionOracle(dim: Int, outDim: Int): String = {
+    val signs = SimOps.jlSigns(dim, outDim)
+    val projs = (0 until outDim).map { j =>
+      (1 to dim).map(i => s"(${signs(j)(i - 1)} * mvec[$i])").mkString(" + ") +
+        s" AS p$j"
+    }
+    val orig2 = (1 to dim).map(i => s"(mvec[$i] * mvec[$i])").mkString(" + ")
+    val proj2 = (0 until outDim).map(j => s"(p$j * p$j)").mkString(" + ")
+    val ps = (0 until outDim).map(j => s"p$j").mkString(", ")
+    s"""WITH mv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS mvec
+       |  FROM embeddings),
+       |p AS (SELECT vec_id, ${projs.mkString(", ")}, $orig2 AS orig2 FROM mv),
+       |q AS (SELECT vec_id, $ps, orig2, $proj2 AS proj2 FROM p)
+       |SELECT vec_id, $ps, orig2, proj2,
+       |  CASE WHEN orig2 > 0
+       |   THEN CAST(proj2 AS DOUBLE) / (CAST($outDim.0 AS DOUBLE) * CAST(orig2 AS DOUBLE))
+       |   ELSE CAST(0.0 AS DOUBLE) END AS norm_ratio
+       |FROM q ORDER BY vec_id""".stripMargin
+  }
 
   /** DuckDB mirror of [[TextOps.encodingQuality]] — identical literal
     * classes and explicitly-cast DOUBLE ratios; only the match-count

@@ -503,4 +503,37 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((1L, 2L))) // cross-lang pair never compared
   }
+
+  test("randomProjection: exact integer coordinates matching a JVM reference") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -0.25f, 1.0f, 0.125f)),
+      (1L, Array(-1.0f, 0.75f, 0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimOps.randomProjection(vecs, dim = 4, outDim = 2)
+      .orderBy("vec_id").collect()
+    val signs = SimOps.jlSigns(4, 2)
+    Seq(Array(0.5, -0.25, 1.0, 0.125), Array(-1.0, 0.75, 0.0, 2.0))
+      .zip(out).foreach { case (emb, row) =>
+        val m = emb.map(x => math.floor(x * 1000000.0 + 0.5).toLong)
+        (0 until 2).foreach { j =>
+          val expect = m.indices.map(i => signs(j)(i) * m(i)).sum
+          assert(row.getAs[Long](s"p$j") === expect)
+        }
+        assert(row.getAs[Long]("orig2") === m.map(x => x * x).sum)
+      }
+  }
+
+  test("randomProjection: norm_ratio concentrates near 1 on a random-ish corpus") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val ratios = SimOps.randomProjection(vecs, dim = 64, outDim = 8)
+      .select("norm_ratio").collect().map(_.getDouble(0))
+    // E[ratio] = 1; var = 2/outDim per vector. The MEAN over 64 vectors
+    // must land close; individual vectors stay within a loose 3-sigma.
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.25, s"mean ratio $mean far from 1")
+    assert(ratios.forall(r => r > 0.05 && r < 4.0),
+      s"ratio outside loose JL bounds: ${ratios.min} .. ${ratios.max}")
+  }
 }

@@ -106,7 +106,8 @@ class ScaleSpec extends SparkSpec {
       "q100_data_recipe" -> 2,       // per-source token partial agg + 1-row packed-weights row + sort (the q79 shape over token counts)
       "q103_cms_heavy_hitters" -> 3, // exact-top-k token agg (TakeOrderedAndProject, never a global sort) + 1-row partial-agg sketch + its broadcast
       "q104_encoding_quality" -> 1,  // pure per-row regex/length counts + sort (the q71 shape)
-      "q105_prototype_pruning" -> 5) // post-checkpoint: recentering (cluster,dim + cluster aggs) + centroid broadcast + ONE cluster exchange feeding BOTH windows + sort
+      "q105_prototype_pruning" -> 5, // post-checkpoint: recentering (cluster,dim + cluster aggs) + centroid broadcast + ONE cluster exchange feeding BOTH windows + sort
+      "q106_jl_projection" -> 1)     // pure per-row constant-folded linear combinations + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
