@@ -357,6 +357,63 @@ object SimOps {
     * Shape at 100 TB: pure per-row narrow transform — the 512-term
     * linear combinations are constant-folded codegen, no shuffle, no
     * per-row hashing. */
+  /** Recall@k of brute-force top-k in the [[randomProjection]] space
+    * against exact top-k in the ORIGINAL space — the eval that certifies
+    * a projection config before a pipeline swaps 64-dim scans for
+    * `outDim`-dim ones (the JL twin of [[annRecallAtK]]'s LSH eval).
+    * Both rankings are L2 on micro-unit INTEGERS (exact, ties by
+    * neighbor id), so ranks — not just scores — replay identically in
+    * the oracle.
+    *
+    * Shape at 100 TB: both sides are the [[cosineTopK]] probe-broadcast
+    * discipline — a bounded probe set rides a broadcast against the
+    * streaming corpus, per-probe rank windows plan as WindowGroupLimit,
+    * and everything after the two top-k passes is probe-bounded. */
+  def jlRecallAtK(embeddings: DataFrame, nQueries: Int = 50, k: Int = 5,
+      dim: Int = 64, outDim: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nQueries >= 1 && k >= 1)
+    val mv = embeddings.withColumn("mvec", expr(
+      "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D))"))
+      .select("vec_id", "mvec")
+    val dist2 = (1 to dim)
+      .map(i => s"((element_at(q_mvec, $i) - element_at(mvec, $i)) * " +
+        s"(element_at(q_mvec, $i) - element_at(mvec, $i)))")
+      .mkString(" + ")
+    val w = Window.partitionBy("q_id").orderBy(col("d").asc, col("n_id").asc)
+    val truth = mv
+      .join(broadcast(mv.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("mvec").as("q_mvec"))),
+        col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), expr(dist2).as("d"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+      .localCheckpoint()
+    val proj = randomProjection(embeddings, dim, outDim)
+      .select(Seq(col("vec_id")) ++ (0 until outDim).map(j => col(s"p$j")): _*)
+    val pdist = (0 until outDim)
+      .map(j => s"((q_p$j - p$j) * (q_p$j - p$j))")
+      .mkString(" + ")
+    val cand = proj
+      .join(broadcast(proj.filter(col("vec_id") < nQueries)
+        .select(Seq(col("vec_id").as("q_id")) ++
+          (0 until outDim).map(j => col(s"p$j").as(s"q_p$j")): _*)),
+        col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), expr(pdist).as("d"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+    val hits = truth.join(cand, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", expr(
+        "CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)"))
+  }
+
   def randomProjection(embeddings: DataFrame, dim: Int = 64,
       outDim: Int = 8): DataFrame = {
     require(dim >= 1 && outDim >= 1 && outDim <= dim,

@@ -1032,26 +1032,92 @@ object CorpusQueries {
       "ANN: JL random sign projection with norm-preservation readout") { (s, d) =>
       SimOps.randomProjection(Tables(s, d, "embeddings"), dim = 64, outDim = 8)
         .orderBy("vec_id")
+    },
+
+    // Recall@5 of brute-force top-k in the 8-dim JL space vs exact
+    // top-k in the original 64-dim space — both rankings are integer L2
+    // on micro-units with id tie-breaks, so ranks replay exactly.
+    oracle(
+      "q107_jl_recall",
+      jlRecallOracle(64, 8, nQueries = 50, k = 5),
+      "ANN: JL-projected top-k recall vs exact full-dim L2") { (s, d) =>
+      SimOps.jlRecallAtK(Tables(s, d, "embeddings"), nQueries = 50, k = 5)
+        .orderBy("q_id")
     })
 
-  /** DuckDB mirror of [[SimOps.randomProjection]] — identical h60-derived
-    * sign literals, micro-unit BIGINT arithmetic, cast-DOUBLE ratio. */
-  private def jlProjectionOracle(dim: Int, outDim: Int): String = {
+  /** DuckDB mirror of [[SimOps.jlRecallAtK]]. */
+  private def jlRecallOracle(dim: Int, outDim: Int,
+      nQueries: Int, k: Int): String = {
+    val d64 = (1 to dim)
+      .map(i => s"((a.mvec[$i] - b.mvec[$i]) * (a.mvec[$i] - b.mvec[$i]))")
+      .mkString(" + ")
+    val dp = (0 until outDim)
+      .map(j => s"((a.p$j - b.p$j) * (a.p$j - b.p$j))")
+      .mkString(" + ")
+    s"""WITH $mvCte,
+       |${pjCte(dim, outDim)},
+       |t AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rn
+       |    FROM (
+       |      SELECT a.vec_id AS q_id, b.vec_id AS n_id, $d64 AS d
+       |      FROM mv a JOIN mv b
+       |        ON a.vec_id < $nQueries AND a.vec_id <> b.vec_id))
+       |  WHERE rn <= $k),
+       |c AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rn
+       |    FROM (
+       |      SELECT a.vec_id AS q_id, b.vec_id AS n_id, $dp AS d
+       |      FROM pj a JOIN pj b
+       |        ON a.vec_id < $nQueries AND a.vec_id <> b.vec_id))
+       |  WHERE rn <= $k),
+       |hits AS (
+       |  SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM t JOIN c ON t.q_id = c.q_id AND t.n_id = c.n_id
+       |  GROUP BY 1),
+       |tt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM t GROUP BY 1)
+       |SELECT tt.q_id, tt.n_truth, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(tt.n_truth AS DOUBLE) AS recall
+       |FROM tt LEFT JOIN hits h USING (q_id)
+       |ORDER BY tt.q_id""".stripMargin
+  }
+
+  /** DuckDB CTE: `mv(vec_id, mvec)` — embeddings quantized to micro-unit
+    * BIGINT lists (the fixed-point discipline shared with the kmeans
+    * oracles). */
+  private val mvCte: String =
+    """mv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS mvec
+      |  FROM embeddings)""".stripMargin
+
+  /** DuckDB CTE continuing [[mvCte]]: `pj(vec_id, p0..p{outDim-1})` —
+    * the JL sign projection with the same h60-derived literal matrix as
+    * [[SimOps.randomProjection]]. */
+  private def pjCte(dim: Int, outDim: Int): String = {
     val signs = SimOps.jlSigns(dim, outDim)
     val projs = (0 until outDim).map { j =>
       (1 to dim).map(i => s"(${signs(j)(i - 1)} * mvec[$i])").mkString(" + ") +
         s" AS p$j"
     }
+    s"pj AS (SELECT vec_id, ${projs.mkString(", ")} FROM mv)"
+  }
+
+  /** DuckDB mirror of [[SimOps.randomProjection]] — identical h60-derived
+    * sign literals, micro-unit BIGINT arithmetic, cast-DOUBLE ratio. */
+  private def jlProjectionOracle(dim: Int, outDim: Int): String = {
     val orig2 = (1 to dim).map(i => s"(mvec[$i] * mvec[$i])").mkString(" + ")
     val proj2 = (0 until outDim).map(j => s"(p$j * p$j)").mkString(" + ")
     val ps = (0 until outDim).map(j => s"p$j").mkString(", ")
-    s"""WITH mv AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x ->
-       |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS mvec
-       |  FROM embeddings),
-       |p AS (SELECT vec_id, ${projs.mkString(", ")}, $orig2 AS orig2 FROM mv),
-       |q AS (SELECT vec_id, $ps, orig2, $proj2 AS proj2 FROM p)
+    s"""WITH $mvCte,
+       |${pjCte(dim, outDim)},
+       |o AS (SELECT vec_id, $orig2 AS orig2 FROM mv),
+       |q AS (SELECT vec_id, $ps, orig2, $proj2 AS proj2
+       |      FROM pj JOIN o USING (vec_id))
        |SELECT vec_id, $ps, orig2, proj2,
        |  CASE WHEN orig2 > 0
        |   THEN CAST(proj2 AS DOUBLE) / (CAST($outDim.0 AS DOUBLE) * CAST(orig2 AS DOUBLE))

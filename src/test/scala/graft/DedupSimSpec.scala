@@ -523,6 +523,26 @@ class DedupSimSpec extends SparkSpec {
       }
   }
 
+  test("jlRecallAtK: integer invariants tie out; full-rank projection scores 1.0") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    // outDim = dim: the ±1 mix preserves MORE than the JL bound needs;
+    // recall still need not be exactly 1 (the matrix may lose rank), so
+    // pin only the invariants plus a sanity floor on the mean.
+    val out = SimOps.jlRecallAtK(vecs, nQueries = 10, k = 3, dim = 8, outDim = 8)
+      .orderBy("q_id").collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_truth") === 3L)
+      assert(r.getAs[Long]("n_hits") <= 3L)
+      assert(r.getAs[Double]("recall") ===
+        r.getAs[Long]("n_hits").toDouble / 3.0)
+    }
+    val mean = out.map(_.getAs[Double]("recall")).sum / 10.0
+    assert(mean >= 0.5, s"full-width projection recall mean $mean suspiciously low")
+  }
+
   test("randomProjection: norm_ratio concentrates near 1 on a random-ish corpus") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 64L).map(i =>

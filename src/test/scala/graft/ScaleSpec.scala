@@ -38,7 +38,8 @@ class ScaleSpec extends SparkSpec {
       "q93_cluster_quality", // k x k inter-centroid pass: both sides <= k rows by construction
       "q94_hard_negatives", // bounded probe-set broadcast (q39's shape)
       "q97_source_drift", // 1-row corpus-total and Q-constant broadcasts
-      "q103_cms_heavy_hitters") // 1-row sketch broadcast (8 KiB at any corpus size)
+      "q103_cms_heavy_hitters", // 1-row sketch broadcast (8 KiB at any corpus size)
+      "q107_jl_recall") // bounded probe-set broadcast, both rankings (q39's shape)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -107,7 +108,8 @@ class ScaleSpec extends SparkSpec {
       "q103_cms_heavy_hitters" -> 3, // exact-top-k token agg (TakeOrderedAndProject, never a global sort) + 1-row partial-agg sketch + its broadcast
       "q104_encoding_quality" -> 1,  // pure per-row regex/length counts + sort (the q71 shape)
       "q105_prototype_pruning" -> 5, // post-checkpoint: recentering (cluster,dim + cluster aggs) + centroid broadcast + ONE cluster exchange feeding BOTH windows + sort
-      "q106_jl_projection" -> 1)     // pure per-row constant-folded linear combinations + sort
+      "q106_jl_projection" -> 1,     // pure per-row constant-folded linear combinations + sort
+      "q107_jl_recall" -> 7)         // truth checkpointed (its window off-plan); cand = probe broadcast + WindowGroupLimit rank + semi/outer probe-bounded joins + aggs + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
