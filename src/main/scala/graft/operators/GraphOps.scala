@@ -126,4 +126,52 @@ object GraphOps {
       SimOps.knnGraph(embeddings, k, nBits)
         .select(col("q_id").as("src"), col("n_id").as("dst")),
       embeddings.select("vec_id"), iters)
+
+  /** Per-vertex triangle count + local clustering coefficient over the
+    * undirected KNN graph — the manifold-quality readout PageRank can't
+    * give: a vector whose neighbors are ALSO mutual neighbors sits in a
+    * dense region (canonical, near-dup-rich), one with a star-shaped
+    * neighborhood bridges regions (diverse, keep for coverage).
+    * Triangle census is the standard signal (Watts–Strogatz clustering
+    * coefficient; 2·T / d(d−1)).
+    *
+    * Algorithm: orient every undirected edge low-id → high-id, count a
+    * triangle once at its id-ordered wedge (x<y<z closed by edge (x,z))
+    * — the classic dedup-free distributed formulation (one wedge join +
+    * one closing semi-join, both equi-joins on vertex keys).
+    *
+    * Shape at 100 TB: |edges| ≤ N·k after the distinct; the wedge join
+    * fans out as Σ_y deg⁺(y)·deg⁻(y) — bounded in expectation by the
+    * KNN out-degree k, but a HUB vector (one appearing in many other
+    * top-k lists) makes a hot join key: that is AQE skew-split
+    * territory, same answer as the LSH bucket joins. Per-vertex counts
+    * are partial-agg explodes; everything integer, coefficient is one
+    * final cast-DOUBLE division. */
+  def knnTriangles(embeddings: DataFrame, k: Int = 3,
+      nBits: Int = 12): DataFrame = {
+    val edges = SimOps.knnGraph(embeddings, k, nBits)
+      .select(least(col("q_id"), col("n_id")).as("a"),
+        greatest(col("q_id"), col("n_id")).as("b"))
+      .distinct()
+      // feeds the wedge join (both sides), the closing semi-join, and
+      // the degree count — materialize once
+      .localCheckpoint()
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val wedges = edges.select(col("a").as("x"), col("b").as("y"))
+      .join(edges.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+    val tris = wedges
+      .join(edges.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"), "left_semi")
+    val perv = tris.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perv, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coef", expr(
+        """CASE WHEN degree >= 2
+          | THEN CAST(2 * n_triangles AS DOUBLE)
+          |      / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE))
+          | ELSE CAST(0.0 AS DOUBLE) END""".stripMargin.replace("\n", "")))
+  }
 }

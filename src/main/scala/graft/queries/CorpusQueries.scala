@@ -1043,6 +1043,56 @@ object CorpusQueries {
       "ANN: JL-projected top-k recall vs exact full-dim L2") { (s, d) =>
       SimOps.jlRecallAtK(Tables(s, d, "embeddings"), nQueries = 50, k = 5)
         .orderBy("q_id")
+    },
+
+    // Triangle census over the undirected KNN graph: id-ordered wedge
+    // join + closing semi-join (each triangle counted once at x<y<z),
+    // per-vertex counts, Watts–Strogatz local clustering coefficient.
+    oracle(
+      "q108_knn_triangles",
+      s"""WITH ${bucketCte(12)},
+         |pairs AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    list_reduce([0.0::DOUBLE] || list_transform(range(1, len(l.embedding)+1),
+         |      i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE), (acc, x) -> acc + x)
+         |      / (l.norm * r.norm) AS cosine
+         |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |bi AS (
+         |  SELECT a AS q_id, b AS n_id, cosine FROM pairs
+         |  UNION ALL
+         |  SELECT b AS q_id, a AS n_id, cosine FROM pairs),
+         |knn AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, n_id) AS rank
+         |    FROM bi)
+         |  WHERE rank <= 3),
+         |ed AS (
+         |  SELECT DISTINCT least(q_id, n_id) AS a, greatest(q_id, n_id) AS b
+         |  FROM knn),
+         |deg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT unnest([a, b]) AS v FROM ed) GROUP BY 1),
+         |tri AS (
+         |  SELECT w.x, w.y, w.z FROM (
+         |    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |    FROM ed e1 JOIN ed e2 ON e1.b = e2.a) w
+         |  WHERE EXISTS (SELECT 1 FROM ed e WHERE e.a = w.x AND e.b = w.z)),
+         |tv AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY 1)
+         |SELECT d.v AS vec_id, d.degree,
+         |  coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |   THEN CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+         |        / (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE))
+         |   ELSE CAST(0.0 AS DOUBLE) END AS clustering_coef
+         |FROM deg d LEFT JOIN tv t ON t.v = d.v
+         |ORDER BY vec_id""",
+      "Graph: KNN triangle census + local clustering coefficient") { (s, d) =>
+      graft.operators.GraphOps.knnTriangles(Tables(s, d, "embeddings"))
+        .orderBy("vec_id")
     })
 
   /** DuckDB mirror of [[SimOps.jlRecallAtK]]. */

@@ -62,4 +62,27 @@ class GraphOpsSpec extends SparkSpec {
     // inflow(1) = 2·(1000000 div 2) = 1000000 → r(1) = 150000 + 850000
     assert(out(1L) === 1000000L && out(2L) === 150000L)
   }
+
+  test("knnTriangles: a planted 4-clique scores coefficient 1.0, a planted pair 0") {
+    // ids 0–3: near-identical (mutual top-3 → K4); ids 4–5: the
+    // antipodal direction (own LSH bucket, a single edge, no triangles)
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.00f, 0f, 0f)),
+      (1L, Array(0.99f, 0.01f, 0f, 0f)),
+      (2L, Array(0.98f, 0.02f, 0f, 0f)),
+      (3L, Array(0.97f, 0.03f, 0f, 0f)),
+      (4L, Array(-1.00f, -0.01f, 0f, 0f)),
+      (5L, Array(-0.99f, -0.02f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = GraphOps.knnTriangles(vecs).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering_coef"))).toMap
+    (0L to 3L).foreach { v =>
+      assert(out(v) === ((3L, 3L, 1.0)), s"clique vertex $v: ${out(v)}")
+    }
+    (4L to 5L).foreach { v =>
+      assert(out(v) === ((1L, 0L, 0.0)), s"pair vertex $v: ${out(v)}")
+    }
+  }
 }

@@ -109,7 +109,8 @@ class ScaleSpec extends SparkSpec {
       "q104_encoding_quality" -> 1,  // pure per-row regex/length counts + sort (the q71 shape)
       "q105_prototype_pruning" -> 5, // post-checkpoint: recentering (cluster,dim + cluster aggs) + centroid broadcast + ONE cluster exchange feeding BOTH windows + sort
       "q106_jl_projection" -> 1,     // pure per-row constant-folded linear combinations + sort
-      "q107_jl_recall" -> 7)         // truth checkpointed (its window off-plan); cand = probe broadcast + WindowGroupLimit rank + semi/outer probe-bounded joins + aggs + sort
+      "q107_jl_recall" -> 7,         // truth checkpointed (its window off-plan); cand = probe broadcast + WindowGroupLimit rank + semi/outer probe-bounded joins + aggs + sort
+      "q108_knn_triangles" -> 7)     // edges checkpointed (KNN build off-plan): wedge equi-join + closing (x,z) semi-join + degree/triangle partial-agg explodes + join-back + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
