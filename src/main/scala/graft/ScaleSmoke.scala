@@ -71,7 +71,7 @@ object ScaleSmoke {
     * (round-5 verdict item 4) the round-5 families: clustering
     * (q73/q74 — SemDeDup's within-cluster self-join is exactly the shape
     * a 10× run stresses) and corpus governance (q75–q78), plus every
-    * round-6 corpus-scale query (q79–q100). */
+    * round-6 corpus-scale query (q79–q108). */
   val targets: Seq[String] = Seq(
     "q34_dedup_exact", "q35_minhash_sig", "q36_minhash_lsh_pairs",
     "q37_simhash", "q38_jaccard_blocked", "q39_cosine_topk",
@@ -87,7 +87,10 @@ object ScaleSmoke {
     "q89_knn_pagerank", "q90_banding_planner", "q91_cdc_segment_dedup",
     "q92_label_coherence", "q93_cluster_quality", "q94_hard_negatives",
     "q95_winnow_fingerprints", "q96_bigram_surprise", "q97_source_drift",
-    "q98_winnow_containment", "q99_hashed_doc_vectors", "q100_data_recipe")
+    "q98_winnow_containment", "q99_hashed_doc_vectors", "q100_data_recipe",
+    "q101_dup_spans", "q102_bpe_merges", "q103_cms_heavy_hitters",
+    "q104_encoding_quality", "q105_prototype_pruning", "q106_jl_projection",
+    "q107_jl_recall", "q108_knn_triangles")
 
   private val Stride = 1000000L
 
