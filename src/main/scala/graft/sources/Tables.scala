@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -19,31 +21,58 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * convert to a microsecond TimestampType column — the same truncation
-    * DuckDB's TIMESTAMP (µs) applies, so oracle comparisons stay aligned.
-    * The session timezone is pinned to UTC (build.sbt / Verify), making
-    * instant → wall-clock conversion the identity. */
+  /** `events.ts` has shipped in two physical vintages: parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects unless
+    * loaded as raw int64 via the legacy conf) and plain TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (which Spark loads as TIMESTAMP_NTZ).
+    * Rather than hard-code one vintage and break on the next data
+    * regeneration, switch on the dataType Spark actually loaded and
+    * normalize every vintage to a microsecond TimestampType column — the
+    * same precision DuckDB's TIMESTAMP (µs) uses, so oracle comparisons
+    * stay aligned. The session timezone is pinned to UTC (build.sbt /
+    * Verify), making the NTZ wall-clock → instant cast the identity. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other " +
+          "(expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+
+  /** Predicate `ts >= sinceMicros` phrased against the RAW column type so
+    * it pushes to the parquet scan (row-group min/max pruning) instead of
+    * sitting above the normalization cast, which Catalyst won't invert. */
+  private[graft] def tsAtLeast(tsType: DataType, sinceMicros: Long): Column =
+    tsType match {
+      case LongType         => col("ts") >= lit(sinceMicros * 1000L)
+      case TimestampNTZType =>
+        // UTC-pinned session: the NTZ wall-clock literal for this instant
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(sinceMicros, 1000000L),
+          (Math.floorMod(sinceMicros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        col("ts") >= lit(ldt)
+      case TimestampType    => col("ts") >= timestamp_micros(lit(sinceMicros))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other")
+    }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** Incremental events scan: rows at/after `sinceMicros` with the
-    * predicate applied to the RAW nanos column, BEFORE the
-    * timestamp_micros conversion. A filter above the conversion is not
-    * pushable (Catalyst won't invert the arithmetic), which at 100 TB
-    * means a full scan; filtering the raw column pushes to parquet and
-    * prunes row groups by min/max stats. The conversion is monotonic, so
-    * the two phrasings select identical rows. */
+    * predicate applied to the RAW ts column, BEFORE normalization. A
+    * filter above the conversion is not pushable, which at 100 TB means a
+    * full scan; filtering the raw column pushes to parquet and prunes row
+    * groups by min/max stats. The normalization is monotonic for every
+    * vintage, so the two phrasings select identical rows. */
   def eventsSince(spark: SparkSession, sfDir: String, sinceMicros: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= lit(sinceMicros * 1000L))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeTs(raw.filter(tsAtLeast(raw.schema("ts").dataType, sinceMicros)))
   }
 }

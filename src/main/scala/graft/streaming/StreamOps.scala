@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema with ts as raw parquet nanos (see Tables.events). */
+  /** events schema with ts as raw parquet nanos (the oldest vintage; see
+    * Tables.normalizeTs). Tests that fabricate event files use this. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -27,20 +28,27 @@ object StreamOps {
 
   /** File-source stream over an events parquet directory — the streaming
     * analog of the mtime-incremental scan (`bin/batch.sh:24-27`): the
-    * source tracks processed files exactly-once in the checkpoint. */
+    * source tracks processed files exactly-once in the checkpoint.
+    *
+    * `readStream` needs a declared schema, but `events.ts` has shipped in
+    * multiple physical vintages (int64 nanos, TIMESTAMP_NTZ µs — see
+    * Tables.normalizeTs). Probe the footer of the files present with one
+    * driver-side batch-schema read (metadata only, no data scan), declare
+    * that schema, and normalize exactly like the batch loader so stream
+    * and batch plans stay expression-identical. */
   def eventsStream(spark: SparkSession, dir: String,
       glob: String = "events*.parquet",
       maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val reader = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(probed)
       .option("pathGlobFilter", glob)
     val bounded = // > 0: cap files per micro-batch (multi-batch testing)
       if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
-    bounded.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeTs(bounded.parquet(dir))
   }
 
   /** Tumbling 1-hour counts with a 10-minute watermark (late data beyond
