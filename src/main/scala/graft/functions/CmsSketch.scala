@@ -49,36 +49,50 @@ import org.apache.spark.sql.types._
   */
 case class CmsSketch(
     child: Expression,
+    weight: Expression = org.apache.spark.sql.catalyst.expressions.Literal(1L),
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
   import CmsSketch.{D, W}
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires string input, got ${other.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, weight.dataType) match {
+      case (StringType, LongType | IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (StringType, other) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName weight must be integral, got ${other.catalogString}")
+      case (other, _) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.catalogString}")
+    }
 
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
 
   override def nullable: Boolean = false
   override def prettyName: String = CmsSketch.fnName
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child, weight)
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](D * W)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
+    val w = weight.eval(input)
+    if (v != null && w != null) {
       val s = v.toString
+      // count-weighted update: adding `w` for one (token, count) row is
+      // EXACTLY the sum of w unit updates (the buckets depend only on
+      // the token), so a sketch built from a grouped count table equals
+      // the sketch built from the raw token stream — the single-scan
+      // q103 path relies on this identity
+      val inc = w match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
       var d = 0
       while (d < D) {
         // identical bytes to Scalars.h60Seeded(lit(d), col): "d:token"
         val h = Scalars.h60Jvm(s"$d:$s")
-        buf(d * W + (h % W).toInt) += 1L
+        buf(d * W + (h % W).toInt) += inc
         d += 1
       }
     }
@@ -114,7 +128,7 @@ case class CmsSketch(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CmsSketch =
-    copy(child = newChildren.head)
+    copy(child = newChildren(0), weight = newChildren(1))
 }
 
 object CmsSketch {
@@ -154,8 +168,9 @@ object CmsSketch {
 
   private[graft] def builder(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(c) => CmsSketch(c)
+    case Seq(c, w) => CmsSketch(c, w)
     case other => throw new IllegalArgumentException(
-      s"$fnName expects exactly one string argument; got ${other.size}")
+      s"$fnName expects (string[, weight]); got ${other.size} args")
   }
 
   /** Register `cms_sketch` in this session's function registry. Idempotent. */

@@ -28,18 +28,29 @@ import org.apache.spark.sql.functions._
 object CurateOps {
 
   def curationReport(documents: DataFrame,
-      minJaccard: Double = 0.5): DataFrame = {
-    val lang = TextOps.langScored(documents)
+      minJaccard: Double = 0.5,
+      maxShingleDocFrac: Option[Double] = None): DataFrame = {
+    // ONE materialization of the corpus scan (round-6 verdict item 3:
+    // the five rule subtrees each re-executed the scan, and the closure
+    // re-executed it per round through its pair lineage). localCheckpoint
+    // truncates lineage to executor-local blocks — the same mechanism
+    // componentKeepers already uses per contraction round.
+    val docs = documents.localCheckpoint()
+    val lang = TextOps.langScored(docs)
       .select(col("doc_id"), col("lang_guess"))
-    val gopher = TextOps.gopherStats(documents)
+    val gopher = TextOps.gopherStats(docs)
       .select(col("doc_id"), col("keep").as("gopher_ok"))
-    val lw = TextOps.lengthWindowFilter(documents)
+    val lw = TextOps.lengthWindowFilter(docs)
       .select(col("doc_id"), lit(1).as("_lw"))
-    val pairs = DedupOps.minhashCandidatePairs(documents)
+    // maxShingleDocFrac bounds the LSH candidate-pair fan-out (hot
+    // boilerplate shingles poison the signatures into shared buckets —
+    // the superlinear pair growth the 10× smoke measured at 108× task-
+    // seconds); pick the cap off the q84 bucket-health readout
+    val pairs = DedupOps.minhashCandidatePairs(docs, maxShingleDocFrac)
       .filter(col("jaccard") >= minJaccard).select("a", "b")
     val labels = DedupOps.componentKeepers(pairs)
       .withColumnRenamed("id", "doc_id")
-    documents.select("doc_id")
+    docs.select("doc_id")
       .join(lang, Seq("doc_id"))
       .join(gopher, Seq("doc_id"))
       .join(lw, Seq("doc_id"), "left")

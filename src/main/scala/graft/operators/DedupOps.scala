@@ -29,6 +29,32 @@ object DedupOps {
   /** Exact duplicate groups by an arbitrary key expression: keeper =
     * min(doc_id), group size alongside (first-occurrence-wins, the F7
     * idempotence semantic from SURVEY §2.2). */
+  /** df-cap prune (the standard MinHash-practice hot-shingle cap, see
+    * [[blockedJaccardPairs]]'s scaladoc for the full contract): drop
+    * shingles appearing in more than `frac` of documents from every
+    * `sh` array. The hot set is bounded by construction (at most
+    * shinglesPerDoc / frac distinct values can exceed the cap), so it
+    * broadcasts as one array row and the prune is a per-row
+    * `array_except`; results downstream are the EXACT statistics of the
+    * capped shingle sets — identical to uncapped whenever no shingle
+    * exceeds the cap (spec-pinned). `df` per shingle is one partial-agg
+    * groupBy over the exploded rows (arrays are distinct per doc, so
+    * row count = doc frequency); the corpus count rides a 1-row
+    * broadcast (the q69 corpus-count discipline). */
+  private[graft] def dfCappedShingles(raw: DataFrame, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0,
+      s"maxShingleDocFrac must be in (0, 1], got $frac")
+    val nDocs = raw.agg(count(lit(1)).as("n_docs"))
+    val hot = raw.select(explode(col("sh")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df").cast("double") > col("n_docs") * frac)
+      .agg(sort_array(collect_list(col("g"))).as("hot"))
+    raw.crossJoin(broadcast(hot))
+      .withColumn("sh", expr("array_except(sh, hot)"))
+      .drop("hot")
+  }
+
   def exactDupGroups(documents: DataFrame, keyExpr: String): DataFrame =
     documents
       .withColumn("dedup_key", expr(keyExpr))
@@ -63,12 +89,19 @@ object DedupOps {
     * doc list) and [[lshBanded]] (which wants exactly this set: joining
     * sentinels in only to filter them out again cost a full doc-list
     * join per LSH query). */
-  private def minhashSignedPresent(documents: DataFrame, k: Int): DataFrame = {
+  private def minhashSignedPresent(documents: DataFrame, k: Int): DataFrame =
+    minhashSignedPresentFrom(
+      TextOps.shingled(documents).select(col("doc_id"), col("sh")), k)
+
+  /** [[minhashSignedPresent]] over a pre-computed `(doc_id, sh)` shingle
+    * table — the seam that lets a df-capped shingle source
+    * ([[dfCappedShingles]]) feed the whole MinHash/LSH chain. */
+  private def minhashSignedPresentFrom(shSets: DataFrame, k: Int): DataFrame = {
     val coefs = minhashCoefficients(k)
     val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
       min(expr(s"(${a}L * h + ${b}L) % 1000000007L")).as(s"m$j")
     }
-    TextOps.shingleRows(documents)
+    shSets.select(col("doc_id"), explode(col("sh")).as("g"))
       .withColumn("h", expr(s"${h60x("g")} % 1000000007L"))
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
@@ -92,7 +125,12 @@ object DedupOps {
     * bomb in the candidate self-join (O(m²) pairs with undefined 0/0
     * Jaccard). */
   def lshBanded(documents: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame =
-    minhashSignedPresent(documents, bands * rows)
+    lshBandedFrom(
+      TextOps.shingled(documents).select(col("doc_id"), col("sh")), bands, rows)
+
+  private def lshBandedFrom(shSets: DataFrame, bands: Int = 4,
+      rows: Int = 4): DataFrame =
+    minhashSignedPresentFrom(shSets, bands * rows)
       .select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}), b -> struct(
@@ -141,14 +179,22 @@ object DedupOps {
     * without re-joining the candidate spine. Jaccard = c / (na + nb − c)
     * is bit-identical to `|A∩B| / |A∪B|` because the shingle arrays are
     * already distinct. Only |B| needs a size join afterwards. */
-  def minhashCandidatePairs(documents: DataFrame): DataFrame = {
-    val banded = lshBanded(documents)
+  def minhashCandidatePairs(documents: DataFrame,
+      maxShingleDocFrac: Option[Double] = None): DataFrame = {
+    val raw = TextOps.shingled(documents).select(col("doc_id"), col("sh"))
+    val sh = maxShingleDocFrac match {
+      case None => raw
+      // checkpoint for the same reason as [[blockedJaccardPairs]]: the
+      // capped sets feed banding + both verify sides + sizes, and the
+      // cap chain must run once, not per consumer
+      case Some(frac) => dfCappedShingles(raw, frac).localCheckpoint()
+    }
+    val banded = lshBandedFrom(sh)
     val a = banded.select(col("doc_id").as("a"), col("band"), col("bucket"))
     val b = banded.select(col("doc_id").as("b"), col("band"), col("bucket"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sh = TextOps.shingled(documents).select(col("doc_id"), col("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"))
     val shr = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     // `merge` hints: every join side here is CORPUS-scale (exploded
@@ -515,18 +561,24 @@ object DedupOps {
         expr("array_join(slice(tk, CAST(sp.s AS INT), CAST(sp.e - sp.s + 1 AS INT)), ' ')")
           .as("seg_text"))
     val firstWins = Window.partitionBy("seg_text").orderBy("doc_id", "seg_idx")
-    val kept = segRows
+    // ONE pass over the segment rows (round-7: the kept/totals split
+    // evaluated the scan+tokenize+cdc+explode subtree twice — the q103
+    // double-scan family): rank every row, then fold total and
+    // kept-only aggregates into a single per-doc aggregation
+    // (collect_list drops the CASE's NULLs, so kept_text sees only
+    // winners). A doc whose every segment lost still aggregates here
+    // with n_kept_segments = 0 — identical to the old totals join.
+    val perDoc = segRows
       .withColumn("rk", row_number().over(firstWins))
-      .filter(col("rk") === 1)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept_segments"),
+      .agg(count(lit(1)).as("n_segments"),
+        count(when(col("rk") === 1, 1)).as("n_kept_segments"),
         expr("""array_join(transform(sort_array(collect_list(
-               |  struct(seg_idx, seg_text))), x -> x.seg_text), ' ')"""
+               |  CASE WHEN rk = 1 THEN struct(seg_idx, seg_text) END)),
+               |  x -> x.seg_text), ' ')"""
           .stripMargin).as("kept_text"))
-    val totals = segRows.groupBy("doc_id").agg(count(lit(1)).as("n_segments"))
     documents.select("doc_id")
-      .join(totals, Seq("doc_id"), "left")
-      .join(kept, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_segments"), lit(0L)).as("n_segments"),
         coalesce(col("n_kept_segments"), lit(0L)).as("n_kept_segments"),
@@ -812,21 +864,15 @@ object DedupOps {
       maxShingleDocFrac match {
         case None => raw
         case Some(frac) =>
-          require(frac > 0.0 && frac <= 1.0,
-            s"maxShingleDocFrac must be in (0, 1], got $frac")
-          // df per shingle is one partial-agg groupBy over the exploded
-          // rows (shingle arrays are distinct per doc, so row count =
-          // doc frequency); the corpus count rides a 1-row broadcast
-          // (the q69 corpus-count discipline)
-          val nDocs = raw.agg(count(lit(1)).as("n_docs"))
-          val hot = raw.select(explode(col("sh")).as("g"))
-            .groupBy("g").agg(count(lit(1)).as("df"))
-            .crossJoin(broadcast(nDocs))
-            .filter(col("df").cast("double") > col("n_docs") * frac)
-            .agg(sort_array(collect_list(col("g"))).as("hot"))
-          raw.crossJoin(broadcast(hot))
-            .withColumn("sh", expr("array_except(sh, hot)"))
-            .drop("hot")
+          // materialize the capped sets ONCE: the downstream chain
+          // consumes shSets in four subtrees (meta, sizes, two exploded
+          // join sides), and without truncation each would re-execute
+          // the whole df-cap aggregation chain — measured as 5× the
+          // designed exchange count when the cap first went live. The
+          // checkpoint also keeps the capped plan shape identical to
+          // the uncapped one below the cap (ScaleSpec pins hold).
+          dfCappedShingles(raw, frac)
+            .select("doc_id", "lang", "sh").localCheckpoint()
       }
     }
     // shingle set, its size, the geometric block, and the exploded

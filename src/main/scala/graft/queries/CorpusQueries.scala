@@ -331,8 +331,18 @@ object CorpusQueries {
            |  SELECT d.doc_id,
            |    (d.n_chars >= c.len_lo AND d.n_chars <= c.len_hi) AS length_ok
            |  FROM documents d JOIN cuts c USING (lang)),
-           |sh AS (${NorthStarQueries.SH}),
-           |sig AS (${NorthStarQueries.SIG()}),
+           |sh0 AS (${NorthStarQueries.SH}),
+           |ndsh AS (SELECT COUNT(*) AS n_docs FROM sh0),
+           |shx AS (SELECT doc_id, unnest(sh) AS g FROM sh0),
+           |hotg AS (SELECT g FROM shx GROUP BY g
+           |         HAVING CAST(COUNT(*) AS DOUBLE)
+           |           > (SELECT n_docs FROM ndsh) * CAST(0.05 AS DOUBLE)),
+           |hotl AS (SELECT coalesce(list(g), CAST([] AS VARCHAR[])) AS hot
+           |         FROM hotg),
+           |sh AS (SELECT s.doc_id,
+           |         list_filter(s.sh, g -> NOT list_contains(h.hot, g)) AS sh
+           |       FROM sh0 s CROSS JOIN hotl h),
+           |sig AS (${NorthStarQueries.SIG(16, "sh")}),
            |bands AS (
            |  SELECT doc_id, unnest(range(0, 4)) AS band,
            |    unnest(list_transform(range(0, 4), b ->
@@ -371,7 +381,8 @@ object CorpusQueries {
            |ORDER BY d.doc_id""".stripMargin
       },
       "Curation: end-to-end per-rule verdicts + conjunctive keep") { (s, d) =>
-      CurateOps.curationReport(Tables(s, d, "documents"))
+      CurateOps.curationReport(Tables(s, d, "documents"),
+        maxShingleDocFrac = Some(0.05))
         .orderBy("doc_id")
     },
 

@@ -51,7 +51,9 @@ object NorthStarQueries {
        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
        |  ELSE CAST([] AS VARCHAR[]) END AS sh
        |FROM ($TK)""".stripMargin
-  private[queries] def SIG(k: Int = 16) =
+  /** `from` overrides the shingle source (default: the uncapped [[SH]]
+    * derivation) — q83 points it at its df-capped `sh` CTE. */
+  private[queries] def SIG(k: Int = 16, from: String = s"($SH)") =
     s"""SELECT doc_id, sh, list_transform(range(0, $k), j ->
        |  coalesce(list_min(list_transform(hs, h ->
        |    ((${h60d("'a:' || j::VARCHAR")} % 1000000006 + 1) * h
@@ -59,7 +61,7 @@ object NorthStarQueries {
        |    % 1000000007)), -1)) AS sig
        |FROM (SELECT doc_id, sh,
        |        list_transform(sh, g -> ${h60d("g")} % 1000000007) AS hs
-       |      FROM ($SH))""".stripMargin
+       |      FROM $from)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -221,14 +223,28 @@ object NorthStarQueries {
         .orderBy("doc_id")
     },
 
+    // The registered entry runs the df-cap FOR REAL (round-6 verdict
+    // item 4): shingles in > 5% of docs are corpus boilerplate with no
+    // dedup signal but quadratic fan-out in the (g, lang, blk) key — the
+    // exact pair-growth that made the uncapped q38 6.37× wall / 69× task
+    // at the 10× smoke. The oracle mirrors the cap: df per shingle over
+    // the exploded rows, hot set = df > n_docs·0.05, Jaccard on the
+    // CAPPED sets (meta/nsh recomputed post-prune, identical to Spark's
+    // array_except path — arrays are distinct by construction).
     oracle(
       "q38_jaccard_blocked",
       s"""WITH sh AS ($SH),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM sh),
+         |shx AS (SELECT doc_id, lang, unnest(sh) AS g FROM sh),
+         |hot AS (SELECT g FROM shx GROUP BY g
+         |        HAVING CAST(COUNT(*) AS DOUBLE)
+         |          > (SELECT n_docs FROM nd) * CAST(0.05 AS DOUBLE)),
+         |shr0 AS (SELECT * FROM shx WHERE g NOT IN (SELECT g FROM hot)),
          |meta AS (SELECT doc_id, lang,
-         |           CAST(length(to_base(len(sh), 5)) AS BIGINT) AS blk,
-         |           CAST(len(sh) AS BIGINT) AS nsh FROM sh),
-         |shr AS (SELECT s.doc_id, m.lang, m.blk, unnest(s.sh) AS g
-         |        FROM sh s JOIN meta m ON s.doc_id = m.doc_id),
+         |           CAST(length(to_base(COUNT(*), 5)) AS BIGINT) AS blk,
+         |           CAST(COUNT(*) AS BIGINT) AS nsh FROM shr0 GROUP BY 1, 2),
+         |shr AS (SELECT s.doc_id, s.lang, m.blk, s.g
+         |        FROM shr0 s JOIN meta m ON s.doc_id = m.doc_id),
          |cnt AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
          |        FROM shr x
          |        JOIN (SELECT doc_id, lang, g, blk + off AS blk
@@ -242,8 +258,9 @@ object NorthStarQueries {
          |WHERE least(ma.nsh, mb.nsh) >= 0.2 * greatest(ma.nsh, mb.nsh)
          |  AND CAST(c AS DOUBLE) / (ma.nsh + mb.nsh - c) >= 0.2
          |ORDER BY a, b""",
-      "Dedup: blocked n-gram Jaccard (lang × adjacent size-bucket blocking)") { (s, d) =>
-      DedupOps.blockedJaccardPairs(Tables(s, d, "documents"))
+      "Dedup: blocked n-gram Jaccard (df-capped, lang × size-bucket blocking)") { (s, d) =>
+      DedupOps.blockedJaccardPairs(Tables(s, d, "documents"),
+        maxShingleDocFrac = Some(0.05))
         .orderBy("a", "b")
     },
 

@@ -63,6 +63,18 @@ class CmsSketchSpec extends SparkSpec {
     assert(sketch(withNulls).toSeq === sketch(justAs).toSeq)
   }
 
+  test("weighted update over grouped counts equals unit updates over the raw stream") {
+    CmsSketch.register(spark)
+    val raw = Seq("the", "cat", "the", "dog", "the", "cat").toDF("v")
+    val grouped = raw.groupBy("v")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    val unit = raw.selectExpr("cms_sketch(v) AS s").head.getSeq[Long](0)
+    val weighted = grouped.selectExpr("cms_sketch(v, c) AS s").head.getSeq[Long](0)
+    assert(weighted === unit,
+      "count-weighted sketch must be identical to the raw-stream sketch")
+  }
+
   test("cmsTokenCensus: estimates >= exact, top-k ordered, overcount consistent") {
     val docs = Seq(
       (1L, "the cat sat on the mat the cat"),

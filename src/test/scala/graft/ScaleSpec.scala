@@ -95,7 +95,7 @@ class ScaleSpec extends SparkSpec {
       "q88_pq_codes" -> 15,          // post-checkpoint: 2 subspace chains × (sizes agg + broadcast + code join) + vec_id code join + k^m cell agg/broadcast + sort (per-round centroid work runs inside the checkpoint jobs)
       "q89_knn_pagerank" -> 1,       // sort only: the KNN-graph build and every O(E) iteration run inside localCheckpoint jobs (q57 lineage discipline), so the final plan reads the checkpointed rank vector
       "q90_banding_planner" -> 13,   // q77's LSH-bounded histogram chain + |configs|-row broadcast + ≤11·|configs| planner agg + sort
-      "q91_cdc_segment_dedup" -> 6,  // q65's shape over content-defined spans: seg-text window + re-assembly agg + totals agg + two flag-back joins + sort (narrow per-row span derivation, no extra shuffle)
+      "q91_cdc_segment_dedup" -> 4,  // q65's shape over content-defined spans: seg-text window + fused per-doc agg (totals + kept in ONE pass, round-7) + flag-back join + sort (narrow per-row span derivation, no extra shuffle)
       "q92_label_coherence" -> 6,    // post-checkpoint (KNN graph + label table both localCheckpointed): edge⋈label vote agg + own-label join (2 sides) + struct-min argmax agg reusing q_id partitioning + lb join-back + sort
       "q93_cluster_quality" -> 10,   // post-checkpoint: final recentering (posexplode agg ×2 + centroid broadcast) + per-cluster census agg + ≤k-row nn pass (broadcast + agg) + stats⋈nn join + sort — member pass is ONE broadcast join, no corpus self-join
       "q94_hard_negatives" -> 3,     // q39's shape: bounded probe broadcast + per-probe WindowGroupLimit rank + sort; corpus side streams
@@ -105,7 +105,7 @@ class ScaleSpec extends SparkSpec {
       "q98_winnow_containment" -> 7, // post-checkpoint fp set: n_fp agg + fingerprint-hash self-join + pair agg + two n_fp join-backs + sort; winnowing bounds fp rows to ~2/(w+1) of k-grams
       "q99_hashed_doc_vectors" -> 3, // explode + (doc, dim) partial agg + per-doc pack agg + sort; dense fill is dim-bounded per row
       "q100_data_recipe" -> 2,       // per-source token partial agg + 1-row packed-weights row + sort (the q79 shape over token counts)
-      "q103_cms_heavy_hitters" -> 3, // exact-top-k token agg (TakeOrderedAndProject, never a global sort) + 1-row partial-agg sketch + its broadcast
+      "q103_cms_heavy_hitters" -> 4, // exact-top-k token agg (TakeOrderedAndProject, never a global sort) + 1-row count-weighted sketch over the SAME grouped counts (its ReusedExchange marker counts here but moves nothing) + single-partition sketch agg + its broadcast — ONE corpus scan (round-7)
       "q104_encoding_quality" -> 1,  // pure per-row regex/length counts + sort (the q71 shape)
       "q105_prototype_pruning" -> 5, // post-checkpoint: recentering (cluster,dim + cluster aggs) + centroid broadcast + ONE cluster exchange feeding BOTH windows + sort
       "q106_jl_projection" -> 1,     // pure per-row constant-folded linear combinations + sort

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DotProduct, Int8QuantStats, PolyFingerprint, SimHashBits}
-import graft.operators.TextOps
+import graft.functions.{DotProduct, Int8QuantStats, JlProject, L2SqLong, PolyFingerprint, SimHashBits}
+import graft.operators.{SimOps, TextOps}
 
 class VectorExprsSpec extends SparkSpec {
   import spark.implicits._
@@ -173,6 +173,88 @@ class VectorExprsSpec extends SparkSpec {
     val byId = codegen.map(r => r.getLong(0) -> r).toMap
     assert(byId(2L).getLong(1) === 7L)
     assert(byId(3L).isNullAt(1) && byId(4L).isNullAt(1))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.collect() === codegen)
+    }
+  }
+
+  test("l2_sq is identical to the unrolled element_at difference chain it replaced") {
+    L2SqLong.register(spark)
+    val mv = graft.sources.Tables(spark, sf("sf0.001"), "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D)) AS mvec")
+    val l = mv.filter(col("vec_id") < 30).select(col("vec_id").as("ia"), col("mvec").as("a"))
+    val r = mv.filter(col("vec_id") < 30).select(col("vec_id").as("ib"), col("mvec").as("b"))
+    val unrolled = (1 to 64)
+      .map(i => s"((element_at(a, $i) - element_at(b, $i)) * " +
+        s"(element_at(a, $i) - element_at(b, $i)))")
+      .mkString(" + ")
+    val both = l.crossJoin(r)
+      .selectExpr("ia", "ib", "l2_sq(a, b) AS fast", s"$unrolled AS slow")
+      .collect()
+    assert(both.length === 900)
+    both.foreach(row => assert(row.getLong(2) === row.getLong(3),
+      s"pair (${row.get(0)}, ${row.get(1)})"))
+  }
+
+  test("l2_sq null conventions and interpreted/codegen agreement") {
+    L2SqLong.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 6L, 3L))),
+      (2L, Some(Seq(1L, 2L)), Some(Seq(1L))), // length mismatch
+      (3L, None, Some(Seq(1L))))              // null array
+      .toDF("id", "a", "b")
+      .selectExpr("id", "l2_sq(a, b) AS d")
+    val codegen = df.collect()
+    val byId = codegen.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) === 9L + 16L + 0L)
+    assert(byId(2L).isNullAt(1) && byId(3L).isNullAt(1))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.collect() === codegen)
+    }
+  }
+
+  test("jl_project is identical to the unrolled jlSigns literal sums it replaced") {
+    JlProject.register(spark)
+    val (dim, outDim) = (64, 8)
+    val signs = SimOps.jlSigns(dim, outDim)
+    val mv = graft.sources.Tables(spark, sf("sf0.001"), "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D)) AS mvec")
+    val unrolledCols = (0 until outDim).map { j =>
+      val terms = (1 to dim)
+        .map(i => s"(${signs(j)(i - 1)}L * element_at(mvec, $i))")
+        .mkString(" + ")
+      s"($terms) AS s$j"
+    }
+    val both = mv
+      .selectExpr(Seq("vec_id", s"jl_project(mvec, $dim, $outDim) AS p") ++ unrolledCols: _*)
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { row =>
+      val p = row.getSeq[Long](1)
+      (0 until outDim).foreach(j =>
+        assert(p(j) === row.getLong(2 + j), s"vec ${row.get(0)} dim $j"))
+    }
+  }
+
+  test("jl_project null conventions and interpreted/codegen agreement") {
+    JlProject.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(3L, -2L, 5L, 7L))),
+      (2L, Some(Seq(1L, 2L))), // wrong length vs dim=4
+      (3L, None))
+      .toDF("id", "mvec")
+      .selectExpr("id", "jl_project(mvec, 4, 2) AS p")
+    val codegen = df.collect()
+    val byId = codegen.map(r => r.getLong(0) -> r).toMap
+    val signs = SimOps.jlSigns(4, 2)
+    val expect = (0 until 2).map(j =>
+      (1 to 4).map(i => signs(j)(i - 1).toLong * Seq(3L, -2L, 5L, 7L)(i - 1)).sum)
+    assert(byId(1L).getSeq[Long](1) === expect)
+    assert(byId(2L).isNullAt(1) && byId(3L).isNullAt(1))
     withSQLConf("spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
       assert(df.collect() === codegen)
