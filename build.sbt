@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // driver-vs-local[8] 3× gap). The machine has 128 GiB; a real 32-core
   // executor would get far more than 8g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 108-plan bench session emits thousands of generated classes; the
+  // JDK-17 default 240 MB reserved code cache can fill mid-session, at
+  // which point the JIT flushes/stops compiling and hot call sites run
+  // deoptimized — consistent with the intermittent ~10x single-rep CPU
+  // inflation documented in BENCH_NOTES (round 6: mechanism JVM-internal,
+  // single-query A/Bs too small to reproduce). Reserving 1g is virtual
+  // address space only; it costs nothing when unused.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVMOPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

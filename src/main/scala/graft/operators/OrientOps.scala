@@ -69,6 +69,36 @@ object OrientOps {
       text.trim.split("\\s+").count(w => w.nonEmpty && !dict(w.toLowerCase))
   }
 
+  /** Dictionary-backed spellchecker mirroring `aspell -l en list | wc -w`
+    * (`bin/orient_image.sh:69-74`): count tokens carrying letters that
+    * are not in the wordlist. The list ships as a JVM resource (a common
+    * English word list — public knowledge), loaded once per JVM and
+    * closed over by the scoring UDF exactly like the stub; aspell's
+    * behaviors mirrored here are case-insensitive lookup and skipping
+    * tokens with no letters (digits/punctuation emit nothing from
+    * `aspell list`). Swap the resource to change language — the `-l en`
+    * flag's analog. */
+  final class WordlistSpellAdapter(resource: String = "/graft/wordlist_en.txt")
+      extends SpellAdapter {
+    @transient private lazy val dict: Set[String] = {
+      val in = getClass.getResourceAsStream(resource)
+      require(in != null, s"wordlist resource not found: $resource")
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    def misspelled(text: String): Long =
+      text.trim.split("\\s+").iterator
+        .map(_.replaceAll("^[^\\p{L}]+|[^\\p{L}]+$", ""))
+        .filter(_.exists(_.isLetter))
+        .count(w => !dict(w.toLowerCase))
+  }
+
+  object WordlistSpellAdapter {
+    /** Shared default-resource instance (dictionary loads once per JVM). */
+    val en: WordlistSpellAdapter = new WordlistSpellAdapter()
+  }
+
   /** One winner row per page (`keyCols`): the input row at the chosen
     * rotation, with `rotation`, `ocr_text`, `wc`, `misspelled` attached.
     * Requires a binary `content` column. Ties break (misspelled, wc,

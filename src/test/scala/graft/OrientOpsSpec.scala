@@ -37,6 +37,32 @@ class OrientOpsSpec extends SparkSpec {
     }
   }
 
+  test("wordlist adapter: aspell-list semantics on the resource dictionary") {
+    val sp = OrientOps.WordlistSpellAdapter.en
+    assert(sp.misspelled("the quick brown fox jumps over the lazy dog") === 0L)
+    // case-insensitive, punctuation stripped at token edges
+    assert(sp.misspelled("The QUICK brown fox, jumps!") === 0L)
+    // digit-only tokens emit nothing from `aspell list`
+    assert(sp.misspelled("42 1901 --- the") === 0L)
+    // real misspellings count once per token
+    assert(sp.misspelled("teh qiuck brown fox") === 2L)
+    // OCR junk (the stub's sideways output) is all misspelled
+    assert(sp.misspelled("zx3q zx7q zx11q") === 3L)
+  }
+
+  test("vote with the wordlist adapter picks the same winners as the stub") {
+    val stub = OrientOps.orientationVote(pages, Seq("id", "page_name"))
+      .select("id", "page_name", "rotation").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val wl = OrientOps.orientationVote(pages, Seq("id", "page_name"),
+        spell = OrientOps.WordlistSpellAdapter.en)
+      .select("id", "page_name", "rotation", "misspelled").collect()
+    assert(wl.map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+      === stub)
+    // the winner under a REAL dictionary still has zero misspellings
+    wl.foreach(r => assert(r.getLong(3) === 0L))
+  }
+
   test("costly spellcheck runs only on the bottom-2 survivors (T1 before A5)") {
     // count spell invocations through a counting adapter: 4 rotations
     // per page fan out, but only 2 per page may reach the spell stage
