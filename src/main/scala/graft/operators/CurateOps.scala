@@ -29,7 +29,7 @@ object CurateOps {
 
   def curationReport(documents: DataFrame,
       minJaccard: Double = 0.5,
-      maxShingleDocFrac: Option[Double] = None): DataFrame = {
+      maxShingleDf: Option[Long] = None): DataFrame = {
     // ONE materialization of the corpus scan (round-6 verdict item 3:
     // the five rule subtrees each re-executed the scan, and the closure
     // re-executed it per round through its pair lineage). localCheckpoint
@@ -42,11 +42,11 @@ object CurateOps {
       .select(col("doc_id"), col("keep").as("gopher_ok"))
     val lw = TextOps.lengthWindowFilter(docs)
       .select(col("doc_id"), lit(1).as("_lw"))
-    // maxShingleDocFrac bounds the LSH candidate-pair fan-out (hot
+    // maxShingleDf bounds the LSH candidate-pair fan-out (hot
     // boilerplate shingles poison the signatures into shared buckets —
     // the superlinear pair growth the 10× smoke measured at 108× task-
     // seconds); pick the cap off the q84 bucket-health readout
-    val pairs = DedupOps.minhashCandidatePairs(docs, maxShingleDocFrac)
+    val pairs = DedupOps.minhashCandidatePairs(docs, maxShingleDf)
       .filter(col("jaccard") >= minJaccard).select("a", "b")
     val labels = DedupOps.componentKeepers(pairs)
       .withColumnRenamed("id", "doc_id")

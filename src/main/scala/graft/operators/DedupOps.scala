@@ -31,24 +31,27 @@ object DedupOps {
     * idempotence semantic from SURVEY §2.2). */
   /** df-cap prune (the standard MinHash-practice hot-shingle cap, see
     * [[blockedJaccardPairs]]'s scaladoc for the full contract): drop
-    * shingles appearing in more than `frac` of documents from every
-    * `sh` array. The hot set is bounded by construction (at most
-    * shinglesPerDoc / frac distinct values can exceed the cap), so it
-    * broadcasts as one array row and the prune is a per-row
-    * `array_except`; results downstream are the EXACT statistics of the
-    * capped shingle sets — identical to uncapped whenever no shingle
-    * exceeds the cap (spec-pinned). `df` per shingle is one partial-agg
-    * groupBy over the exploded rows (arrays are distinct per doc, so
-    * row count = doc frequency); the corpus count rides a 1-row
-    * broadcast (the q69 corpus-count discipline). */
-  private[graft] def dfCappedShingles(raw: DataFrame, frac: Double): DataFrame = {
-    require(frac > 0.0 && frac <= 1.0,
-      s"maxShingleDocFrac must be in (0, 1], got $frac")
-    val nDocs = raw.agg(count(lit(1)).as("n_docs"))
+    * shingles appearing in more than `maxDf` DOCUMENTS from every `sh`
+    * array. The bound is ABSOLUTE, not a corpus fraction, for two
+    * reasons: (1) it is the practical knob — a shingle's pair fan-out
+    * is df², so the cost of keeping it depends on its absolute count,
+    * not on how big the rest of the corpus happens to be; (2) a
+    * fractional bound silently WEAKENS as the corpus grows (round-7
+    * 10× smoke: threshold 250 → 2500 while per-replica df stayed flat,
+    * so the cap pruned nothing at exactly the scale it existed for and
+    * task-seconds grew 137×). Set `maxDf` above the largest real
+    * near-dup family; anything hotter is boilerplate with no dedup
+    * signal. Results downstream are the EXACT statistics of the capped
+    * shingle sets — identical to uncapped whenever no shingle exceeds
+    * the cap (spec-pinned). `df` per shingle is one partial-agg groupBy
+    * over the exploded rows (arrays are distinct per doc, so row count
+    * = doc frequency); the hot set is corpus-bounded (≤ corpus shingle
+    * mass / maxDf values can exceed it) and rides a 1-row broadcast. */
+  private[graft] def dfCappedShingles(raw: DataFrame, maxDf: Long): DataFrame = {
+    require(maxDf >= 1L, s"maxShingleDf must be >= 1, got $maxDf")
     val hot = raw.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df").cast("double") > col("n_docs") * frac)
+      .filter(col("df") > maxDf)
       .agg(sort_array(collect_list(col("g"))).as("hot"))
     raw.crossJoin(broadcast(hot))
       .withColumn("sh", expr("array_except(sh, hot)"))
@@ -180,14 +183,14 @@ object DedupOps {
     * is bit-identical to `|A∩B| / |A∪B|` because the shingle arrays are
     * already distinct. Only |B| needs a size join afterwards. */
   def minhashCandidatePairs(documents: DataFrame,
-      maxShingleDocFrac: Option[Double] = None): DataFrame = {
+      maxShingleDf: Option[Long] = None): DataFrame = {
     val raw = TextOps.shingled(documents).select(col("doc_id"), col("sh"))
-    val sh = maxShingleDocFrac match {
+    val sh = maxShingleDf match {
       case None => raw
       // checkpoint for the same reason as [[blockedJaccardPairs]]: the
       // capped sets feed banding + both verify sides + sizes, and the
       // cap chain must run once, not per consumer
-      case Some(frac) => dfCappedShingles(raw, frac).localCheckpoint()
+      case Some(maxDf) => dfCappedShingles(raw, maxDf).localCheckpoint()
     }
     val banded = lshBandedFrom(sh)
     val a = banded.select(col("doc_id").as("a"), col("band"), col("bucket"))
@@ -836,21 +839,18 @@ object DedupOps {
     * AQE's skew split isn't enough. Geometric blocks keep the per-row
     * probe fan-out at a constant 3 regardless of document size.
     *
-    * `maxShingleDocFrac` (round-5 verdict item 2) is the standard
-    * MinHash-practice df-cap: drop shingles appearing in more than that
-    * fraction of documents BEFORE blocking — a shingle shared by >X% of
-    * the corpus carries no dedup signal but fans out quadratically in
-    * its (g, lang, blk) key. The hot set is bounded by construction
-    * (at most shinglesPerDoc / frac distinct values exceed the cap), so
-    * it broadcasts as one array row and the prune is a per-row
-    * `array_except`; nsh / blk / Jaccard are then computed on the
-    * PRUNED sets, so the result is the exact Jaccard of the capped
-    * shingle sets — identical to the uncapped result whenever no
-    * shingle exceeds the cap (spec-pinned), approximate-by-contract
-    * otherwise. `None` (the default, and the oracle form) prunes
-    * nothing. */
+    * `maxShingleDf` (round-5 verdict item 2, made absolute in round 7)
+    * is the standard MinHash-practice df-cap: drop shingles appearing
+    * in more than that many documents BEFORE blocking — such a shingle
+    * carries no dedup signal but fans out as df² in its (g, lang, blk)
+    * key. See [[dfCappedShingles]] for the absolute-vs-fraction
+    * rationale and the prune mechanics; nsh / blk / Jaccard are then
+    * computed on the PRUNED sets, so the result is the exact Jaccard
+    * of the capped shingle sets — identical to the uncapped result
+    * whenever no shingle exceeds the cap (spec-pinned),
+    * approximate-by-contract otherwise. `None` prunes nothing. */
   def blockedJaccardPairs(documents: DataFrame, minJaccard: Double = 0.2,
-      maxShingleDocFrac: Option[Double] = None): DataFrame = {
+      maxShingleDf: Option[Long] = None): DataFrame = {
     // lower bound 1/36: the digit count runs through conv()/to_base(),
     // whose radix caps at 36 in BOTH engines (beyond it they return
     // NULL, which would silently empty the join — reviewed round 3).
@@ -861,9 +861,9 @@ object DedupOps {
     val base = math.ceil(1.0 / minJaccard).toLong.max(2L)
     val shSets = {
       val raw = TextOps.shingled(documents)
-      maxShingleDocFrac match {
+      maxShingleDf match {
         case None => raw
-        case Some(frac) =>
+        case Some(maxDf) =>
           // materialize the capped sets ONCE: the downstream chain
           // consumes shSets in four subtrees (meta, sizes, two exploded
           // join sides), and without truncation each would re-execute
@@ -871,7 +871,7 @@ object DedupOps {
           // designed exchange count when the cap first went live. The
           // checkpoint also keeps the capped plan shape identical to
           // the uncapped one below the cap (ScaleSpec pins hold).
-          dfCappedShingles(raw, frac)
+          dfCappedShingles(raw, maxDf)
             .select("doc_id", "lang", "sh").localCheckpoint()
       }
     }

@@ -332,11 +332,8 @@ object CorpusQueries {
            |    (d.n_chars >= c.len_lo AND d.n_chars <= c.len_hi) AS length_ok
            |  FROM documents d JOIN cuts c USING (lang)),
            |sh0 AS (${NorthStarQueries.SH}),
-           |ndsh AS (SELECT COUNT(*) AS n_docs FROM sh0),
            |shx AS (SELECT doc_id, unnest(sh) AS g FROM sh0),
-           |hotg AS (SELECT g FROM shx GROUP BY g
-           |         HAVING CAST(COUNT(*) AS DOUBLE)
-           |           > (SELECT n_docs FROM ndsh) * CAST(0.05 AS DOUBLE)),
+           |hotg AS (SELECT g FROM shx GROUP BY g HAVING COUNT(*) > 25),
            |hotl AS (SELECT coalesce(list(g), CAST([] AS VARCHAR[])) AS hot
            |         FROM hotg),
            |sh AS (SELECT s.doc_id,
@@ -382,7 +379,7 @@ object CorpusQueries {
       },
       "Curation: end-to-end per-rule verdicts + conjunctive keep") { (s, d) =>
       CurateOps.curationReport(Tables(s, d, "documents"),
-        maxShingleDocFrac = Some(0.05))
+        maxShingleDf = Some(25L))
         .orderBy("doc_id")
     },
 

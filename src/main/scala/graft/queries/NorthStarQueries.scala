@@ -224,21 +224,21 @@ object NorthStarQueries {
     },
 
     // The registered entry runs the df-cap FOR REAL (round-6 verdict
-    // item 4): shingles in > 5% of docs are corpus boilerplate with no
-    // dedup signal but quadratic fan-out in the (g, lang, blk) key — the
-    // exact pair-growth that made the uncapped q38 6.37× wall / 69× task
-    // at the 10× smoke. The oracle mirrors the cap: df per shingle over
-    // the exploded rows, hot set = df > n_docs·0.05, Jaccard on the
-    // CAPPED sets (meta/nsh recomputed post-prune, identical to Spark's
-    // array_except path — arrays are distinct by construction).
+    // item 4): a shingle in more than 25 documents is corpus
+    // boilerplate with no dedup signal but df² fan-out in the
+    // (g, lang, blk) key — the exact pair-growth that made the
+    // uncapped q38 6.37× wall / 69× task at the 10× smoke. The bound
+    // is ABSOLUTE (see dfCappedShingles: a fractional cap weakens as
+    // the corpus grows — pruning must depend on a shingle's own df,
+    // which is what drives its cost). The oracle mirrors the cap: df
+    // per shingle over the exploded rows, hot set = df > 25, Jaccard
+    // on the CAPPED sets (meta/nsh recomputed post-prune, identical to
+    // Spark's array_except path — arrays are distinct by construction).
     oracle(
       "q38_jaccard_blocked",
       s"""WITH sh AS ($SH),
-         |nd AS (SELECT COUNT(*) AS n_docs FROM sh),
          |shx AS (SELECT doc_id, lang, unnest(sh) AS g FROM sh),
-         |hot AS (SELECT g FROM shx GROUP BY g
-         |        HAVING CAST(COUNT(*) AS DOUBLE)
-         |          > (SELECT n_docs FROM nd) * CAST(0.05 AS DOUBLE)),
+         |hot AS (SELECT g FROM shx GROUP BY g HAVING COUNT(*) > 25),
          |shr0 AS (SELECT * FROM shx WHERE g NOT IN (SELECT g FROM hot)),
          |meta AS (SELECT doc_id, lang,
          |           CAST(length(to_base(COUNT(*), 5)) AS BIGINT) AS blk,
@@ -260,7 +260,7 @@ object NorthStarQueries {
          |ORDER BY a, b""",
       "Dedup: blocked n-gram Jaccard (df-capped, lang × size-bucket blocking)") { (s, d) =>
       DedupOps.blockedJaccardPairs(Tables(s, d, "documents"),
-        maxShingleDocFrac = Some(0.05))
+        maxShingleDf = Some(25L))
         .orderBy("a", "b")
     },
 

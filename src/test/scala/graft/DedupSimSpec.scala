@@ -166,26 +166,26 @@ class DedupSimSpec extends SparkSpec {
       s"missed=${(brute -- blocked).toSeq.sorted} spurious=${(blocked -- brute).toSeq.sorted}")
   }
 
-  test("df-cap prune: cap 1.0 is a no-op; a hot shingle stops pairing docs") {
+  test("df-cap prune: a loose cap is a no-op; a hot shingle stops pairing docs") {
     // docs 1/2 are near-dups on REAL content; docs 3/4 share ONLY the
-    // stop phrase (every doc carries it, so its shingles have df = 1.0)
+    // stop phrase (every doc carries it, so its shingles have df = 4)
     val stop = "click here to subscribe now"
     val d = docs(
       1L -> s"$base $stop",
       2L -> s"${base.replace("sigma", "sygma")} $stop",
       3L -> s"one two three four five six seven $stop",
       4L -> s"red orange yellow green blue indigo violet $stop")
-    def pairSet(cap: Option[Double]) =
-      DedupOps.blockedJaccardPairs(d, minJaccard = 0.1, maxShingleDocFrac = cap)
+    def pairSet(cap: Option[Long]) =
+      DedupOps.blockedJaccardPairs(d, minJaccard = 0.1, maxShingleDf = cap)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // cap 1.0: df > n_docs never fires — bit-identical to the exact form
+    // cap ≥ n_docs: df > 4 never fires — bit-identical to the exact form
     val exact = pairSet(None)
-    assert(pairSet(Some(1.0)) === exact)
-    // uncapped, the stop phrase alone pairs 3/4; capped at 50% the
+    assert(pairSet(Some(4L)) === exact)
+    // uncapped, the stop phrase alone pairs 3/4; capped at df > 2 the
     // ubiquitous shingles carry no signal and 3/4 drop out, while the
     // real near-dup 1/2 survives on its content shingles
     assert(exact.contains((3L, 4L)), s"stop-phrase pair expected uncapped: $exact")
-    val capped = pairSet(Some(0.5))
+    val capped = pairSet(Some(2L))
     assert(capped.contains((1L, 2L)), s"real near-dup must survive the cap: $capped")
     assert(!capped.contains((3L, 4L)), s"stop-phrase-only pair must be pruned: $capped")
   }

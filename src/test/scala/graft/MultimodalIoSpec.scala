@@ -101,6 +101,48 @@ class MultimodalIoSpec extends SparkSpec {
     reader.dispose()
   }
 
+  test("PDF assembler writes a structurally valid PDF with one page per image") {
+    val pages = Seq(
+      ("f1", 1L, imageBytes("png", 40, 30)),
+      ("f1", 2L, imageBytes("tiff", 60, 20)),
+      ("f1", 3L, imageBytes("png", 10, 50)))
+      .toDF("folder", "pos", "content")
+    val doc = MultimodalOps.assemblePages(pages,
+      MultimodalOps.PdfAssembler).collect().head
+    assert(doc.mimetype === "application/pdf")
+    assert(doc.n_pages === 3)
+    val s = new String(doc.content, "ISO-8859-1")
+    assert(s.startsWith("%PDF-1.4"), "PDF header")
+    assert(s.trim.endsWith("%%EOF"), "PDF trailer marker")
+    assert(s.contains("/Count 3"), "page tree count")
+    assert("/Subtype /Image".r.findAllIn(s).size === 3, "one XObject per page")
+    assert(s.contains("/MediaBox [0 0 40 30]") && s.contains("/MediaBox [0 0 60 20]")
+      && s.contains("/MediaBox [0 0 10 50]"), "pages sized to their images, pos order")
+    // the JPEG payloads are genuine: each stream starts with SOI ff d8
+    assert("/Filter /DCTDecode".r.findAllIn(s).size === 3)
+    // xref integrity: startxref points at the literal 'xref' table, and
+    // every recorded offset lands on its "<n> 0 obj" header
+    val startxref = s.split("startxref\n")(1).takeWhile(_.isDigit).toInt
+    assert(s.substring(startxref).startsWith("xref"), "startxref offset")
+    val offsets = s.substring(startxref).split("\n").drop(3).take(11)
+      .filter(_.endsWith("n ")).map(_.take(10).toInt)
+    offsets.zipWithIndex.foreach { case (off, i) =>
+      assert(s.substring(off).startsWith(s"${i + 1} 0 obj"),
+        s"xref offset for object ${i + 1}")
+    }
+  }
+
+  test("PDF assembler throws on an undecodable page instead of silently skipping") {
+    val pages = Seq(
+      ("f1", 1L, imageBytes("png", 10, 10)),
+      ("f1", 2L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("folder", "pos", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.assemblePages(pages, MultimodalOps.PdfAssembler).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("TIFF assembler throws on an undecodable page instead of silently skipping") {
     // silent skip would leave n_pages disagreeing with the container
     val pages = Seq(
