@@ -111,3 +111,59 @@ object PolyFingerprint {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(fnName), info, builder _)
 }
+
+/** `h60(s)`: the engine's universal 60-bit md5 hash as ONE native
+  * expression — bit-identical to the composed
+  * `CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)` chain
+  * (`Scalars.h60` / `TextOps.h60x`) and to the DuckDB oracle's
+  * `('0x' || substr(md5(s), 1, 15))::BIGINT`: the first 15 hex digits
+  * of a digest ARE its first 60 bits, so the value is
+  * `bigEndianLong(digest[0..8]) >>> 4` with no hex-string round-trip.
+  *
+  * Why it matters: the conv chain materializes three intermediate
+  * strings (32-char hex, 15-char substring, decimal string) and
+  * string-parses twice PER HASH, and the hash runs per shingle /
+  * token / window occurrence in the MinHash, fingerprint-census,
+  * doc-vector and target-affinity hot paths — the single most
+  * executed scalar in the engine. Shares [[PolyFingerprint.h60]]'s
+  * ThreadLocal digest (one static call per value, codegen-friendly,
+  * works identically inside interpreted HOF lambdas). */
+case class H60Hash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = H60Hash.fnName
+
+  override def nullSafeEval(input: Any): Any =
+    PolyFingerprint.h60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyFingerprint.h60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): H60Hash =
+    copy(child = newChild)
+}
+
+object H60Hash {
+  val fnName = "h60"
+
+  private val info = new ExpressionInfo(classOf[H60Hash].getName, fnName)
+
+  private[graft] def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => H60Hash(s)
+    case other => throw new IllegalArgumentException(
+      s"$fnName expects (string); got ${other.size} args")
+  }
+
+  /** Register `h60` in this session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fnName), info, builder _)
+}

@@ -100,6 +100,7 @@ object DedupOps {
     * table — the seam that lets a df-capped shingle source
     * ([[dfCappedShingles]]) feed the whole MinHash/LSH chain. */
   private def minhashSignedPresentFrom(shSets: DataFrame, k: Int): DataFrame = {
+    graft.functions.H60Hash.register(shSets.sparkSession)
     val coefs = minhashCoefficients(k)
     val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
       min(expr(s"(${a}L * h + ${b}L) % 1000000007L")).as(s"m$j")
@@ -928,6 +929,7 @@ object DedupOps {
   def dupSpanStats(documents: DataFrame, w: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, s"w must be >= 2, got $w")
+    graft.functions.H60Hash.register(documents.sparkSession)
     graft.functions.NgramShingles.register(documents.sparkSession)
     val toks = TextOps.tokenized(documents)
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk"))

@@ -36,6 +36,7 @@ object SimOps {
     * SimOps entry point relies on. */
   def register(df: DataFrame): DataFrame = {
     graft.functions.DotProduct.register(df.sparkSession)
+    graft.functions.H60Hash.register(df.sparkSession)
     df
   }
 

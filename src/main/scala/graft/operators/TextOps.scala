@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Spark SQL fragment: 60-bit md5 hash of expression `x` (Scalars.h60). */
-  def h60x(x: String): String =
-    s"CAST(CONV(SUBSTRING(MD5($x), 1, 15), 16, 10) AS BIGINT)"
+  /** Spark SQL fragment: 60-bit md5 hash of expression `x` — the native
+    * [[graft.functions.H60Hash]] expression (round 7; bit-identical to
+    * the former CONV(SUBSTRING(MD5..)) chain, which allocated three
+    * strings and parsed two per hash). Callers must
+    * `H60Hash.register(session)` before an action (operators using
+    * this fragment do). */
+  def h60x(x: String): String = s"h60($x)"
 
   /** DuckDB fragment equivalent to [[h60x]]. */
   def h60d(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
@@ -418,6 +422,7 @@ object TextOps {
     * join anywhere. */
   def hashedDocVector(documents: DataFrame, dim: Int = 16): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    graft.functions.H60Hash.register(documents.sparkSession)
     val sj = tokenized(documents)
       .select(col("doc_id"), explode(col("tk")).as("t"))
       .select(col("doc_id"),
@@ -458,6 +463,7 @@ object TextOps {
   def targetAffinity(corpus: DataFrame, target: DataFrame,
       numBuckets: Int = 4096): DataFrame = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    graft.functions.H60Hash.register(corpus.sparkSession)
     val featureBucket = // hashed unigram+bigram occurrences, one row each
       s"""transform(
          |  concat(tk, CASE WHEN size(tk) > 1
@@ -699,6 +705,7 @@ object TextOps {
     require(nBits >= 1 && nBits <= 60,
       s"nBits must be in [1,60] (h60 hashes have 60 meaningful bits), got $nBits")
     graft.functions.SimHashBits.register(documents.sparkSession)
+    graft.functions.H60Hash.register(documents.sparkSession)
     tokenized(documents)
       .withColumn("simhash", expr(
         s"simhash_bits(transform(array_distinct(tk), t -> ${h60x("t")}), $nBits)"))

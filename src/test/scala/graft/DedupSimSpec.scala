@@ -259,6 +259,7 @@ class DedupSimSpec extends SparkSpec {
 
   test("cdc_boundaries native expression is bit-identical to the interpreted HOF form") {
     graft.functions.CdcBoundaries.register(spark)
+    graft.functions.H60Hash.register(spark) // h60x now emits h60(...)
     val winHash = graft.operators.TextOps.h60x(
       "array_join(slice(tk, CAST(i - 4 + 1 AS INT), 4), ' ')")
     val d = docs(

@@ -13,6 +13,7 @@ class VectorExprsSpec extends SparkSpec {
     SimHashBits.register(spark)
     Int8QuantStats.register(spark)
     PolyFingerprint.register(spark)
+    graft.functions.H60Hash.register(spark)
   }
 
   /** The round-1 interpreted HOF formulation dot_product must replay
@@ -176,6 +177,42 @@ class VectorExprsSpec extends SparkSpec {
     withSQLConf("spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
       assert(df.collect() === codegen)
+    }
+  }
+
+  test("h60 native expression is bit-identical to the CONV(SUBSTRING(MD5)) chain") {
+    registerAll()
+    val convChain = (x: String) =>
+      s"CAST(CONV(SUBSTRING(MD5($x), 1, 15), 16, 10) AS BIGINT)"
+    // real corpus text AND every exploded token (covers multi-byte UTF-8,
+    // punctuation, numerics — everything the hot paths hash)
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+    val full = docs.selectExpr(
+      s"h60(text) AS fast", s"${convChain("text")} AS slow")
+      .filter("fast IS DISTINCT FROM slow").count()
+    assert(full === 0L, "whole-text hashes must agree")
+    val tokens = docs.selectExpr("explode(split(text, ' ')) AS t")
+      .selectExpr(s"h60(t) AS fast", s"${convChain("t")} AS slow")
+      .filter("fast IS DISTINCT FROM slow").count()
+    assert(tokens === 0L, "per-token hashes must agree")
+    // edge cases: empty string hashes like md5(''), NULL propagates,
+    // and the JVM constant derivation matches the expression
+    val edge = spark.sql(
+      s"SELECT h60(''), ${convChain("''")}, h60(CAST(NULL AS STRING)), h60('p_1_0')")
+      .head
+    assert(edge.getLong(0) === edge.getLong(1))
+    assert(edge.isNullAt(2))
+    assert(edge.getLong(3) === graft.functions.Scalars.h60Jvm("p_1_0"))
+  }
+
+  test("h60 interpreted eval and codegen agree") {
+    registerAll()
+    val df = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+      .selectExpr("doc_id", "h60(text) % 1000000007L AS h") // modded: raw 60-bit sums overflow
+    val codegen = df.agg(sum("h")).head.getLong(0)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.agg(sum("h")).head.getLong(0) === codegen)
     }
   }
 
