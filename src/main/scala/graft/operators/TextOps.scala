@@ -781,29 +781,29 @@ object TextOps {
     * DOUBLEs. Pure per-row narrow transforms: no shuffle, scales
     * linearly with input splits. */
   def encodingQuality(documents: DataFrame): DataFrame = {
-    val n = "CAST(length(text) AS BIGINT)"
-    val repl = s"$n - CAST(length(replace(text, '�', '')) AS BIGINT)"
-    val moji =
-      s"($n - CAST(length(replace(text, 'Ã', '')) AS BIGINT))" +
-        s" + ($n - CAST(length(replace(text, 'â€', '')) AS BIGINT)) / 2"
-    val ctrl = s"CAST(regexp_count(text, '[$ctrlClass]') AS BIGINT)"
-    val nonAscii = s"CAST(regexp_count(text, '[^$asciiClass]') AS BIGINT)"
-    val digits = s"CAST(regexp_count(text, '[0-9]') AS BIGINT)"
-    val spaces = s"$n - CAST(length(replace(text, ' ', '')) AS BIGINT)"
+    // all seven counters in ONE native code-point walk (round 7: the
+    // nine-pass form — four length(replace) diffs + three regexp_count
+    // runs — was q104's whole cost and the worst wall ratio in the 10×
+    // smoke); the ratio/keep arithmetic below is unchanged, so results
+    // stay bit-identical to the regex form the DuckDB oracle keeps
+    // (spec-pinned per counter, including astral chars)
+    graft.functions.EncodingStats.register(documents.sparkSession)
     def ratio(c: String) =
-      s"CASE WHEN $n > 0 THEN CAST($c AS DOUBLE) / CAST($n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
-    documents.select(
-      col("doc_id"),
-      expr(n).as("n_chars_text"),
-      expr(repl).as("repl_chars"),
-      expr(ctrl).as("ctrl_chars"),
-      expr(s"CAST($moji AS BIGINT)").as("mojibake_hits"),
-      expr(nonAscii).as("non_ascii"),
-      expr(ratio(nonAscii)).as("non_ascii_ratio"),
-      expr(ratio(spaces)).as("ws_ratio"),
-      expr(ratio(digits)).as("digit_ratio"),
-      expr(s"$repl = 0 AND $ctrl = 0 AND CAST($moji AS BIGINT) = 0" +
-        s" AND ${ratio(nonAscii)} <= CAST(0.5 AS DOUBLE)").as("keep"))
+      s"CASE WHEN es.n > 0 THEN CAST($c AS DOUBLE) / CAST(es.n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    documents
+      .withColumn("es", expr("encoding_stats(text)"))
+      .select(
+        col("doc_id"),
+        expr("es.n").as("n_chars_text"),
+        expr("es.repl").as("repl_chars"),
+        expr("es.ctrl").as("ctrl_chars"),
+        expr("es.moji").as("mojibake_hits"),
+        expr("es.non_ascii").as("non_ascii"),
+        expr(ratio("es.non_ascii")).as("non_ascii_ratio"),
+        expr(ratio("es.spaces")).as("ws_ratio"),
+        expr(ratio("es.digits")).as("digit_ratio"),
+        expr("es.repl = 0 AND es.ctrl = 0 AND es.moji = 0" +
+          s" AND ${ratio("es.non_ascii")} <= CAST(0.5 AS DOUBLE)").as("keep"))
   }
 
   /** C0 controls minus HT/LF/CR (legitimate whitespace): as literal
