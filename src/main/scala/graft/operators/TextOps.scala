@@ -139,6 +139,51 @@ object TextOps {
     scored.withColumn("lang_guess", expr(langGuessSql))
   }
 
+  /** Unicode character classes for the three CJK script censuses —
+    * BMP-only ranges, so Spark (codepoint `length`) and DuckDB
+    * (codepoint `length`) count identically. Han covers the unified
+    * ideographs + extension A; Kana covers Hiragana + Katakana
+    * (including prolonged-sound marks); Hangul covers the precomposed
+    * syllables block. */
+  private[graft] val hanClass = "[\u4e00-\u9fff\u3400-\u4dbf]"
+  private[graft] val kanaClass = "[\u3040-\u30ff]"
+  private[graft] val hangulClass = "[\uac00-\ud7af]"
+
+  /** [[langScored]] extended with a script census so CJK documents stop
+    * classifying `und` (SURVEY §8.10 known limit): counts of Han, Kana
+    * and Hangul codepoints per document, then a script ladder that the
+    * function-word vote backstops —
+    *
+    *   - Hangul ≥ minScriptChars → `ko` (Hangul is unique to Korean);
+    *   - else Kana ≥ minScriptChars → `ja` (Kana is unique to Japanese;
+    *     checked BEFORE Han because Japanese text mixes Kanji freely);
+    *   - else Han ≥ minScriptChars → `zh` (Han without any Kana);
+    *   - else the five-profile function-word argmax (Latin scripts),
+    *     `und` when no evidence at all.
+    *
+    * The threshold keeps a stray quoted ideograph inside a Latin
+    * document from flipping it. The script counts are per-row
+    * codegen'd regexp scans (`length(text) − length(regexp_replace)`),
+    * so like [[langScored]] the whole operator is a shuffle-free scan.
+    * Function-word scores are unaffected by the CJK branch of
+    * [[tokenized]]: per-codepoint CJK segments can never equal a Latin
+    * profile word, so `s_*` stay bit-identical to the plain-split
+    * oracle phrasing. */
+  def scriptLangId(documents: DataFrame, minScriptChars: Int = 4): DataFrame = {
+    require(minScriptChars >= 1, s"minScriptChars must be >= 1, got $minScriptChars")
+    def census(cls: String) = expr(
+      s"CAST(length(text) - length(regexp_replace(text, '$cls', '')) AS BIGINT)")
+    langScored(documents)
+      .withColumn("n_han", census(hanClass))
+      .withColumn("n_kana", census(kanaClass))
+      .withColumn("n_hangul", census(hangulClass))
+      .withColumn("lang_guess", expr(
+        s"""CASE WHEN n_hangul >= ${minScriptChars}L THEN 'ko'
+           |     WHEN n_kana >= ${minScriptChars}L THEN 'ja'
+           |     WHEN n_han >= ${minScriptChars}L THEN 'zh'
+           |     ELSE lang_guess END""".stripMargin))
+  }
+
   /** The pre-round-6 interpreted-HOF formulation of [[langScored]]'s
     * score columns, kept as the bit-identity oracle for the native
     * expression (`LangIdSpec` proves column-for-column equality). */
@@ -167,6 +212,38 @@ object TextOps {
       .withColumn("mean_len", expr("CAST(sum_len AS DOUBLE) / n_tokens"))
       .withColumn("quality", expr(
         "0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * least(mean_len / 8.0, 1.0)"))
+
+  /** Threshold-calibration sweep for the [[qualityScored]] filter — the
+    * q77 pair-calibration discipline applied to quality filtering: for
+    * each candidate cutoff τ ∈ {0.0, 0.1, …, (steps−1)/10}, how many
+    * documents and tokens survive `quality >= τ`, absolutely and in ppm
+    * of the corpus. A curator reads the cutoff off the volume it prunes
+    * BEFORE committing a filter — never from a guess.
+    *
+    * Shape at 100 TB: one corpus scan fans each document out ×`steps`
+    * (narrow), then a ≤`steps`-key partial agg; totals ride a 1-row
+    * broadcast. The τ column is `step/10.0` computed identically in
+    * both engines, and the ppm rates are integer `div`s — no
+    * cross-engine float drift anywhere. */
+  def qualityThresholdSweep(documents: DataFrame, steps: Int = 10): DataFrame = {
+    require(steps >= 1 && steps <= 11, s"steps must be in [1,11], got $steps")
+    val q = qualityScored(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val totals = q.agg(count(lit(1)).as("total_docs"),
+      sum(col("n_tokens")).as("total_tokens"))
+    q.select(col("n_tokens"), col("quality"),
+        explode(expr(s"sequence(0L, ${steps - 1}L)")).as("step"))
+      .withColumn("tau", expr("CAST(step AS DOUBLE) / 10.0"))
+      .groupBy("tau")
+      .agg(sum(when(col("quality") >= col("tau"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("quality") >= col("tau"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("tau"), col("kept_docs"), col("kept_tokens"),
+        expr("kept_docs * 1000000L div total_docs").as("docs_ppm"),
+        expr("kept_tokens * 1000000L div total_tokens").as("tokens_ppm"))
+      .orderBy("tau")
+  }
 
   /** Gopher-style repetition rules (Rae et al., "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", 2021, §A1.1):
@@ -420,15 +497,23 @@ object TextOps {
     * per doc pre-shuffle thanks to map-side combine) → per-doc pack;
     * the dense fill is a dim-bounded per-row transform. No corpus-scale
     * join anywhere. */
-  def hashedDocVector(documents: DataFrame, dim: Int = 16): DataFrame = {
+  /** The sparse stage of [[hashedDocVector]]: one row per (doc, present
+    * dimension) with the exact BIGINT signed sum `v` and occurrence
+    * count `c` — shared with [[seedCentroidTopK]], which consumes the
+    * sparse form directly instead of re-deriving it. */
+  private[graft] def hashedDims(documents: DataFrame, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     graft.functions.H60Hash.register(documents.sparkSession)
-    val sj = tokenized(documents)
+    tokenized(documents)
       .select(col("doc_id"), explode(col("tk")).as("t"))
       .select(col("doc_id"),
         expr(s"pmod(${h60x("t")}, ${dim}L)").as("j"),
         expr(s"1L - 2L * pmod(${h60x("'s_' || t")}, 2L)").as("sgn"))
-    sj.groupBy("doc_id", "j").agg(sum(col("sgn")).as("v"), count(lit(1)).as("c"))
+      .groupBy("doc_id", "j").agg(sum(col("sgn")).as("v"), count(lit(1)).as("c"))
+  }
+
+  def hashedDocVector(documents: DataFrame, dim: Int = 16): DataFrame = {
+    hashedDims(documents, dim)
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_tokens"),
         map_from_entries(sort_array(collect_list(struct(col("j"), col("v")))))
@@ -437,6 +522,45 @@ object TextOps {
         expr(s"""array_join(transform(sequence(0L, ${dim - 1}L),
                 |  j -> CAST(coalesce(element_at(m, j), 0L) AS STRING)), ',')"""
           .stripMargin).as("vec_str"))
+  }
+
+  /** Seed-set expansion over the hashed doc vectors: given a seed
+    * predicate (the handful of documents a curator already trusts —
+    * here the deterministic `doc_id % seedMod = 0` gate so both engines
+    * pick the identical set), sum the seeds' [[hashedDims]] vectors
+    * into ONE exact BIGINT centroid and rank every non-seed document by
+    * its dot product with it. This is the retrieval step of
+    * targeted-corpus curation ("find me more documents like these")
+    * with no embedding model required — the integer companion to the
+    * DSIR affinity of [[targetAffinity]], selecting by vector direction
+    * instead of hashed n-gram rates. All-integer end to end, so the
+    * oracle is bit-exact.
+    *
+    * Shape at 100 TB: the centroid is ≤ `dim` rows regardless of seed
+    * count (seeds aggregate distributively before the collect), rides
+    * one broadcast; each non-seed document folds its own sparse dims
+    * against it map-side (doc_id-keyed partial agg), and the final
+    * top-k is TakeOrderedAndProject — no global sort materializes. The
+    * rank window runs on the k collected survivors only. */
+  def seedCentroidTopK(documents: DataFrame, seedMod: Int = 17,
+      dim: Int = 16, k: Int = 20): DataFrame = {
+    require(seedMod >= 2, s"seedMod must be >= 2, got $seedMod")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dims = hashedDims(documents, dim)
+    val centroid = dims.filter(col("doc_id") % seedMod === 0)
+      .groupBy("j").agg(sum(col("v")).as("cj"))
+    val scored = dims.filter(col("doc_id") % seedMod =!= 0)
+      .join(broadcast(centroid), Seq("j"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("v") * coalesce(col("cj"), lit(0L))).as("affinity"))
+    val topK = scored
+      .orderBy(col("affinity").desc, col("doc_id"))
+      .limit(k)
+    topK.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("affinity").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "affinity")
+      .orderBy("rank")
   }
 
   /** DSIR-style hashed-feature target affinity — data selection toward
@@ -615,6 +739,70 @@ object TextOps {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** (doc_id, lines) view of a corpus: each document's token stream cut
+    * into consecutive `lineTokens`-token lines (the driver corpus ships
+    * newline-free, so the "line" structure is the fixed token window —
+    * callers with real newline-delimited text pass their own
+    * `split(text, '\n')` frame straight to [[stripBoilerplateLines]]).
+    * Per-row narrow transform, no shuffle. */
+  def linesOf(documents: DataFrame, lineTokens: Int = 8,
+      keep: Seq[String] = Nil): DataFrame = {
+    require(lineTokens >= 1, s"lineTokens must be >= 1, got $lineTokens")
+    tokenized(documents).select(col("doc_id") +: keep.map(col) :+ expr(
+      s"""CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<STRING>)
+         |ELSE transform(sequence(0, CAST(ceil(size(tk) / ${lineTokens}.0) AS INT) - 1),
+         |  i -> array_join(slice(tk, i * $lineTokens + 1, $lineTokens), ' ')) END"""
+        .stripMargin).as("lines"): _*)
+  }
+
+  /** CCNet-style boilerplate line removal (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * 2020 — the per-line dedup that strips navigation chrome, cookie
+    * banners and share footers BEFORE document-level dedup ever sees
+    * them): a line whose exact text occurs in at least `minDf` DISTINCT
+    * documents is boilerplate; every occurrence is dropped and each
+    * document is re-assembled from its surviving lines in original
+    * order.
+    *
+    * Input: `(doc_id, lines array<string>)` (e.g. [[linesOf]], or a
+    * real newline split). Output per document: `n_lines`, `n_kept`,
+    * `n_dropped`, `clean_text` (kept lines '\n'-joined; empty string
+    * when everything was boilerplate).
+    *
+    * Shape at 100 TB: posexplode → line-keyed partial-agg df census
+    * (map-side combine collapses each line to one row per partition
+    * before the shuffle) → left-anti join of the exploded lines against
+    * the `df >= minDf` set → per-doc re-assembly keyed on doc_id. The
+    * boilerplate set is DATA-DEPENDENT and can be huge on a crawl (every
+    * shared footer on the web), so the anti-join is deliberately NOT
+    * broadcast-hinted — AQE picks broadcast when the set is small and
+    * falls back to a shuffled join when it is not (the q36/q77/q78
+    * broadcast-trap lesson). Line equality joins on the line text
+    * itself; at petabyte scale swap the join key for `h60(line)` to
+    * thin the shuffle (the census is already per-line-distinct so the
+    * collision risk is the usual 60-bit budget). */
+  def stripBoilerplateLines(docLines: DataFrame, minDf: Int = 5): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val ex = docLines.select(col("doc_id"),
+      posexplode(col("lines")).as(Seq("pos", "line")))
+    val boiler = ex.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("line")
+    val kept = ex.join(boiler, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("""array_join(transform(
+                |  array_sort(collect_list(struct(pos, line))), s -> s.line), '\n')"""
+          .stripMargin).as("clean_text"))
+    docLines.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Greedy sequence packing: stream each language's documents in
     * doc_id order and assign every document the training bin it starts
     * in, given a token budget per bin — the exclusive running token sum
@@ -732,7 +920,15 @@ object TextOps {
     *
     * Precondition (spec-asserted, not scanned at scale): corpus text
     * must not contain the marker `·` (U+00B7) or joiner `~`. */
-  def bpeMerges(documents: DataFrame, rounds: Int = 4): DataFrame = {
+  def bpeMerges(documents: DataFrame, rounds: Int = 4): DataFrame =
+    bpeRounds(documents, rounds, applyLast = false)._1.orderBy("round")
+
+  /** The shared induction loop behind [[bpeMerges]] (merge table) and
+    * [[bpeEncode]] (encoded corpus): returns (merges, rewritten text).
+    * `applyLast` controls whether the final round's winning pair is
+    * applied to the text — induction alone can skip that corpus pass. */
+  private def bpeRounds(documents: DataFrame, rounds: Int,
+      applyLast: Boolean): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 12,
       s"rounds must be in [1,12] (each round is a corpus pass), got $rounds")
     graft.functions.NgramShingles.register(documents.sparkSession)
@@ -751,7 +947,7 @@ object TextOps {
         .limit(1)
         .localCheckpoint()
       merges = if (merges == null) best else merges.unionByName(best)
-      if (r < rounds) {
+      if (r < rounds || applyLast) {
         text = text
           .crossJoin(broadcast(best.select("lhs", "rhs")))
           .withColumn("text", expr(
@@ -762,7 +958,39 @@ object TextOps {
           .localCheckpoint()
       }
     }
-    merges.orderBy("round")
+    (merges, text)
+  }
+
+  /** BPE encode = [[bpeMerges]] induction plus the application pass the
+    * tokenizer-training job ships with: every document rewritten with
+    * ALL `rounds` learned merges (greedy-leftmost, the same
+    * marker-wrapped replace), plus the readout a corpus owner checks
+    * before committing a vocabulary — original whitespace token count,
+    * post-merge symbol count, how many symbols are merged (contain the
+    * `~` joiner), and the integer compression rate in ppm
+    * (`n_symbols·10⁶ div n_tokens`; 1e6 = nothing merged).
+    *
+    * Scale shape: identical to [[bpeMerges]] — per round ONE
+    * partial-agg pair count + a 1-row broadcast merge pass — plus one
+    * final narrow per-row census of the encoded text. The `rounds ≤ 12`
+    * bound is the corpus-pass budget, not a semantic limit. */
+  def bpeEncode(documents: DataFrame, rounds: Int = 4): DataFrame = {
+    val encoded = bpeRounds(documents, rounds, applyLast = true)._2
+    encoded
+      .withColumn("sp", split(col("text"), " "))
+      .select(col("doc_id"),
+        // each symbol "a~b~c" came from 3 original tokens (corpus text
+        // never contains the joiner — bpeMerges' spec-pinned precondition)
+        expr("aggregate(sp, 0L, (a, x) -> a + CAST(size(split(x, '~')) AS BIGINT))")
+          .as("n_tokens"),
+        expr("CAST(size(sp) AS BIGINT)").as("n_symbols"),
+        expr("CAST(size(filter(sp, x -> contains(x, '~'))) AS BIGINT)")
+          .as("n_merged"),
+        col("text").as("encoded_text"))
+      .withColumn("compression_ppm",
+        expr("n_symbols * 1000000L div n_tokens"))
+      .select("doc_id", "n_tokens", "n_symbols", "n_merged",
+        "compression_ppm", "encoded_text")
   }
 
   /** Encoding-quality flags: the byte-level hygiene pass a crawl corpus

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, when}
 
 import graft.QueryDef, QueryDef.oracle
 import graft.functions.CmsSketch
@@ -31,7 +31,7 @@ object CorpusQueries {
        |  FROM embeddings)""".stripMargin
 
   /** DuckDB mirror of the native `winnow_fingerprints(tk, 3, 4)` scan:
-    * CTEs ending in `fp(doc_id, spos, h)` — every k-gram hash, the
+    * CTEs ending in `fp(doc_id, spos, h)` \u2014 every k-gram hash, the
     * rightmost-min pick per w-window, distinct selected positions
     * (shared by q95's census and q98's containment pairs). */
   private def winnowCte: String =
@@ -121,7 +121,7 @@ object CorpusQueries {
          |ORDER BY tt.q_id""",
       "Similarity: LSH candidate recall@k vs exact brute-force top-k") { (s, d) =>
       // 4 bits (16 buckets): the coarse config whose recall is actually
-      // informative on the near-orthogonal synthetic corpus — at 12 bits
+      // informative on the near-orthogonal synthetic corpus \u2014 at 12 bits
       // no probe shares a bucket with any true neighbor and the eval
       // measures nothing but zero
       SimOps.annRecallAtK(Tables(s, d, "embeddings"), nBits = 4)
@@ -431,8 +431,8 @@ object CorpusQueries {
         .orderBy("lang")
     },
 
-    // Same probe/corpus split and EXACT same semantics as q62 — the
-    // oracle is q62's SQL — but the Spark plan is the bloom-prefilter
+    // Same probe/corpus split and EXACT same semantics as q62 \u2014 the
+    // oracle is q62's SQL \u2014 but the Spark plan is the bloom-prefilter
     // scale path: the only thing broadcast is the 2 K-long bitset row,
     // the raw probe-shingle set never broadcasts, and false positives
     // die in the exact verify join (which is what keeps this
@@ -544,7 +544,7 @@ object CorpusQueries {
 
     // MMDS s-curve planner over q77's measured decile histogram. The
     // powers are sequential multiplication folds and the per-config
-    // total folds deciles in bucket order — identical double op order
+    // total folds deciles in bucket order \u2014 identical double op order
     // in both engines, so even the rates hash-match.
     oracle(
       "q90_banding_planner",
@@ -604,7 +604,7 @@ object CorpusQueries {
     // Content-defined chunking: boundary after token i when the md5
     // hash of the trailing 4-token window divides 8. DuckDB's seg_idx
     // (unfiltered k with a WHERE) may skip the one empty span a
-    // boundary-at-n leaves, vs Spark's contiguous posexplode index —
+    // boundary-at-n leaves, vs Spark's contiguous posexplode index \u2014
     // seg_idx only ORDERS (tie-break + reassembly), never outputs, and
     // relative order is identical, so results hash-match.
     oracle(
@@ -652,9 +652,9 @@ object CorpusQueries {
     },
 
     // Neighborhood label audit: each embedding's KNN neighbors vote
-    // with their documents' lang labels (vec_id ≡ doc_id in the driver
+    // with their documents' lang labels (vec_id \u2261 doc_id in the driver
     // tables); a vector whose own label loses the vote is a
-    // mislabel/outlier lead. Majority ties break by label ascending —
+    // mislabel/outlier lead. Majority ties break by label ascending \u2014
     // bit-deterministic, and NULL (not false) when a vector has no
     // bucket neighbors.
     oracle(
@@ -713,7 +713,7 @@ object CorpusQueries {
     },
 
     // Hard-negative mining: for each probe, the m highest-cosine vectors
-    // with a DIFFERENT label — q39's bounded-probe-broadcast shape plus
+    // with a DIFFERENT label \u2014 q39's bounded-probe-broadcast shape plus
     // the label guard (which also subsumes q_id <> n_id).
     oracle(
       "q94_hard_negatives",
@@ -742,7 +742,7 @@ object CorpusQueries {
     },
 
     // Winnowed fingerprint census (k=3 token-grams, w=4 hash windows):
-    // the oracle replays the selection relationally — every k-gram hash,
+    // the oracle replays the selection relationally \u2014 every k-gram hash,
     // a w-window rightmost-min pick per window position, distinct
     // selected positions. bit_xor is the order-free set checksum.
     oracle(
@@ -835,7 +835,7 @@ object CorpusQueries {
     },
 
     // Near-containment pairs: docs sharing >= 2 winnowed fingerprints
-    // (set semantics), with per-side containment in micro-units — the
+    // (set semantics), with per-side containment in micro-units \u2014 the
     // asymmetric signal symmetric Jaccard misses.
     oracle(
       "q98_winnow_containment",
@@ -976,7 +976,7 @@ object CorpusQueries {
     },
 
     // Distributed BPE merge induction: 4 rounds of count-adjacent-pairs
-    // → argmax (count desc, pair asc) → greedy-leftmost merge. The
+    // \u2192 argmax (count desc, pair asc) \u2192 greedy-leftmost merge. The
     // oracle replays the marker-wrap replace chain verbatim.
     oracle(
       "q102_bpe_merges",
@@ -990,7 +990,7 @@ object CorpusQueries {
     // Count-Min heavy-hitter census: exact token top-20 vs the 8-KiB
     // mergeable sketch's point estimates (min over 4 seeded-h60 rows of
     // 256 counters). The oracle replays the counter table as a GROUP BY
-    // over the same seeded buckets and takes the same min — estimates
+    // over the same seeded buckets and takes the same min \u2014 estimates
     // hash-check exactly, not just row counts.
     oracle(
       "q103_cms_heavy_hitters",
@@ -1020,18 +1020,18 @@ object CorpusQueries {
     // + character-class ratios + conjunctive keep. The regex classes are
     // LITERAL characters shared byte-for-byte with the Spark plan
     // (TextOps.ctrlClass/asciiClass); DuckDB counts matches via
-    // len(regexp_extract_all(...)) — same RE2-compatible classes.
+    // len(regexp_extract_all(...)) \u2014 same RE2-compatible classes.
     oracle(
       "q104_encoding_quality",
       encodingQualityOracle,
-      "Quality: encoding/mojibake hygiene flags (U+FFFD, C0, Ã/â€)") { (s, d) =>
+      "Quality: encoding/mojibake hygiene flags (U+FFFD, C0, \u00c3/\u00e2\u20ac)") { (s, d) =>
       TextOps.encodingQuality(Tables(s, d, "documents"))
         .orderBy("doc_id")
     },
 
-    // Johnson–Lindenstrauss sign projection 64 → 8 dims + the norm
-    // preservation readout. The ±1 matrix is h60-derived plan-time
-    // literals (the MinHash-coefficient discipline) — both engines
+    // Johnson\u2013Lindenstrauss sign projection 64 \u2192 8 dims + the norm
+    // preservation readout. The \u00b11 matrix is h60-derived plan-time
+    // literals (the MinHash-coefficient discipline) \u2014 both engines
     // embed the same 512 constants and every coordinate is an exact
     // integer sum.
     oracle(
@@ -1043,7 +1043,7 @@ object CorpusQueries {
     },
 
     // Recall@5 of brute-force top-k in the 8-dim JL space vs exact
-    // top-k in the original 64-dim space — both rankings are integer L2
+    // top-k in the original 64-dim space \u2014 both rankings are integer L2
     // on micro-units with id tie-breaks, so ranks replay exactly.
     oracle(
       "q107_jl_recall",
@@ -1055,7 +1055,7 @@ object CorpusQueries {
 
     // Triangle census over the undirected KNN graph: id-ordered wedge
     // join + closing semi-join (each triangle counted once at x<y<z),
-    // per-vertex counts, Watts–Strogatz local clustering coefficient.
+    // per-vertex counts, Watts\u2013Strogatz local clustering coefficient.
     oracle(
       "q108_knn_triangles",
       s"""WITH ${bucketCte(12)},
@@ -1101,7 +1101,198 @@ object CorpusQueries {
       "Graph: KNN triangle census + local clustering coefficient") { (s, d) =>
       graft.operators.GraphOps.knnTriangles(Tables(s, d, "embeddings"))
         .orderBy("vec_id")
+    },
+
+    // Script-census lang-ID: closes SURVEY \u00a78.10's "lang-ID answers und
+    // on CJK" limit. The corpus is augmented with deterministic
+    // zh/ja/ko snippets (doc_id % 11 \u2208 {1,2,3} \u2014 the q31/q71 planted-
+    // signal discipline) so the script ladder has real positives; the
+    // remaining docs exercise the function-word fallback including its
+    // own planted multilingual signal absence (mostly 'en'/'und').
+    oracle(
+      "q109_cjk_langid",
+      {
+        val scoreCols = TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        def census(cls: String) =
+          s"CAST(length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS BIGINT)"
+        val augCase = cjkSnippets.map { case (m, _, snip) =>
+          s"WHEN doc_id % 11 = $m THEN ' $snip'"
+        }.mkString(" ")
+        s"""SELECT doc_id, n_han, n_kana, n_hangul,
+           |  CASE WHEN n_hangul >= 4 THEN 'ko'
+           |       WHEN n_kana >= 4 THEN 'ja'
+           |       WHEN n_han >= 4 THEN 'zh'
+           |       ELSE ${TextOps.langGuessSql} END AS lang_guess
+           |FROM (SELECT doc_id,
+           |  $scoreCols,
+           |  ${census(TextOps.hanClass)} AS n_han,
+           |  ${census(TextOps.kanaClass)} AS n_kana,
+           |  ${census(TextOps.hangulClass)} AS n_hangul
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk
+           |        FROM (SELECT doc_id,
+           |                concat(coalesce(text, ''), CASE $augCase ELSE '' END) AS text
+           |              FROM documents)))
+           |ORDER BY doc_id""".stripMargin
+      },
+      "Text: script-census CJK lang-ID (Hangul\u2192ko, Kana\u2192ja, Han\u2192zh, function-word fallback)") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          cjkSnippets.foldLeft(when(lit(false), lit(""))) {
+            case (w, (m, _, snip)) => w.when(col("doc_id") % 11 === m, lit(s" $snip"))
+          }.otherwise(lit(""))).as("text"))
+      TextOps.scriptLangId(aug)
+        .select("doc_id", "n_han", "n_kana", "n_hangul", "lang_guess")
+        .orderBy("doc_id")
+    },
+
+    // CCNet-style boilerplate line removal. The newline-free corpus gets
+    // its line structure from linesOf (8-token windows) plus planted
+    // boilerplate lines: a per-source share-footer (df = docs-per-source)
+    // and an every-other-doc promo line \u2014 both cross the df >= 5 bar and
+    // are stripped; organic word-salad windows stay unique and survive.
+    oracle(
+      "q110_boilerplate_lines",
+      """WITH tkx AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |dl AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |     ELSE list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+        |       i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) END)
+        |    || ['share this page from ' || source]
+        |    || (CASE WHEN doc_id % 2 = 0
+        |        THEN ['subscribe to our newsletter today']
+        |        ELSE CAST([] AS VARCHAR[]) END) AS lines
+        |  FROM tkx),
+        |ex AS (
+        |  SELECT doc_id, unnest(range(0, len(lines))) AS pos,
+        |    unnest(lines) AS line
+        |  FROM dl),
+        |bp AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1)
+        |  WHERE df >= 5),
+        |kept AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(e.line, chr(10) ORDER BY e.pos) AS clean_text
+        |  FROM ex e
+        |  WHERE NOT EXISTS (SELECT 1 FROM bp WHERE bp.line = e.line)
+        |  GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines FROM dl)
+        |SELECT b.doc_id, b.n_lines,
+        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  b.n_lines - coalesce(k.n_kept, 0)::BIGINT AS n_dropped,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |ORDER BY b.doc_id""",
+      "Text: CCNet line-level boilerplate strip (df-census + anti-join)") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val dl = TextOps.linesOf(docs, lineTokens = 8, keep = Seq("source"))
+        .select(col("doc_id"), expr(
+          """concat(lines,
+            |  array(concat('share this page from ', source)),
+            |  CASE WHEN doc_id % 2 = 0
+            |    THEN array('subscribe to our newsletter today')
+            |    ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin).as("lines"))
+      TextOps.stripBoilerplateLines(dl, minDf = 5).orderBy("doc_id")
+    },
+
+    // Seed-set expansion ("more documents like these"): exact BIGINT
+    // centroid of the seeds' hashed doc vectors, dot-product affinity
+    // rank over the rest of the corpus, top-20.
+    oracle(
+      "q111_seed_expansion",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |sj AS (
+         |  SELECT doc_id,
+         |    ${h60d("t")} % 16 AS j,
+         |    1 - 2 * (${h60d("'s_' || t")} % 2) AS sgn
+         |  FROM tok),
+         |ag AS (
+         |  SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS v
+         |  FROM sj GROUP BY 1, 2),
+         |cen AS (
+         |  SELECT j, CAST(sum(v) AS BIGINT) AS cj
+         |  FROM ag WHERE doc_id % 17 = 0 GROUP BY 1),
+         |sc AS (
+         |  SELECT a.doc_id,
+         |    CAST(sum(a.v * coalesce(c.cj, 0)) AS BIGINT) AS affinity
+         |  FROM ag a LEFT JOIN cen c ON a.j = c.j
+         |  WHERE a.doc_id % 17 <> 0 GROUP BY 1),
+         |top AS (
+         |  SELECT doc_id, affinity,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY affinity DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT rank, doc_id, affinity FROM top WHERE rank <= 20 ORDER BY rank""",
+      "Similarity: seed-centroid retrieval over exact hashed doc vectors") { (s, d) =>
+      TextOps.seedCentroidTopK(Tables(s, d, "documents"),
+        seedMod = 17, dim = 16, k = 20)
+    },
+
+    // BPE encode: the application pass of q102's induced merges — every
+    // document rewritten with all 4 learned merges plus the
+    // vocabulary-commit readout (symbol counts, compression ppm). The
+    // oracle replays the identical marker-wrap replace chain and
+    // reconstructs n_tokens from the '~' joiners.
+    oracle(
+      "q112_bpe_encode",
+      bpeCte(4, applyAll = true),
+      "Tokenizer: BPE encode (induce 4 merges + apply, compression readout)") { (s, d) =>
+      TextOps.bpeEncode(Tables(s, d, "documents"), rounds = 4)
+        .orderBy("doc_id")
+    },
+
+    // Quality-threshold calibration: survivors at each candidate cutoff
+    // — the q77 read-the-threshold-off-the-volume discipline applied to
+    // the q32 quality score.
+    oracle(
+      "q113_quality_threshold_sweep",
+      s"""WITH q AS (
+         |  SELECT doc_id, n_tokens,
+         |    0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         |      + 0.2 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0)
+         |      AS quality
+         |  FROM (SELECT doc_id,
+         |          CAST(len(tk) AS BIGINT) AS n_tokens,
+         |          CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |          CAST(len(list_filter(tk,
+         |            t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop,
+         |          list_reduce([0::BIGINT] || list_transform(tk,
+         |            t -> CAST(len(t) AS BIGINT)), (acc, x) -> acc + x) AS sum_len
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS total_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM q),
+         |sw AS (
+         |  SELECT CAST(s.step AS DOUBLE) / 10.0 AS tau,
+         |    CAST(sum(CASE WHEN q.quality >= CAST(s.step AS DOUBLE) / 10.0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |    CAST(sum(CASE WHEN q.quality >= CAST(s.step AS DOUBLE) / 10.0
+         |      THEN q.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |  FROM q CROSS JOIN (SELECT unnest(range(0, 10)) AS step) s
+         |  GROUP BY 1)
+         |SELECT sw.tau, sw.kept_docs, sw.kept_tokens,
+         |  (sw.kept_docs * 1000000) // tot.total_docs AS docs_ppm,
+         |  (sw.kept_tokens * 1000000) // tot.total_tokens AS tokens_ppm
+         |FROM sw CROSS JOIN tot
+         |ORDER BY sw.tau""",
+      "Quality: threshold-calibration sweep (survivors per cutoff, ppm)") { (s, d) =>
+      TextOps.qualityThresholdSweep(Tables(s, d, "documents"), steps = 10)
     })
+
+  /** Deterministic CJK snippets planted by q109 (mod-11 gate, lang,
+    * text): Chinese runs space-free Han (exercising the per-codepoint
+    * tokenizer branch), Japanese mixes Kana and Kanji, Korean is
+    * space-separated Hangul. */
+  private[queries] val cjkSnippets: Seq[(Int, String, String)] = Seq(
+    (1, "zh", "\u6570\u636e\u5904\u7406\u5f15\u64ce\u5728\u5927\u89c4\u6a21\u96c6\u7fa4\u4e0a\u8fd0\u884c\u5206\u5e03\u5f0f\u67e5\u8be2\u8ba1\u5212"),
+    (2, "ja", "\u30c7\u30fc\u30bf\u51e6\u7406\u30a8\u30f3\u30b8\u30f3\u306f\u5927\u898f\u6a21\u30af\u30e9\u30b9\u30bf\u3067\u52d5\u4f5c\u3057\u307e\u3059"),
+    (3, "ko", "\ub370\uc774\ud130 \ucc98\ub9ac \uc5d4\uc9c4 \uc740 \ub300\uaddc\ubaa8 \ud074\ub7ec\uc2a4\ud130 \uc5d0\uc11c \uc2e4\ud589 \ub429\ub2c8\ub2e4"))
 
   /** DuckDB mirror of [[SimOps.jlRecallAtK]]. */
   private def jlRecallOracle(dim: Int, outDim: Int,
@@ -1143,7 +1334,7 @@ object CorpusQueries {
        |ORDER BY tt.q_id""".stripMargin
   }
 
-  /** DuckDB CTE: `mv(vec_id, mvec)` — embeddings quantized to micro-unit
+  /** DuckDB CTE: `mv(vec_id, mvec)` \u2014 embeddings quantized to micro-unit
     * BIGINT lists (the fixed-point discipline shared with the kmeans
     * oracles). */
   private val mvCte: String =
@@ -1153,7 +1344,7 @@ object CorpusQueries {
       |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS mvec
       |  FROM embeddings)""".stripMargin
 
-  /** DuckDB CTE continuing [[mvCte]]: `pj(vec_id, p0..p{outDim-1})` —
+  /** DuckDB CTE continuing [[mvCte]]: `pj(vec_id, p0..p{outDim-1})` \u2014
     * the JL sign projection with the same h60-derived literal matrix as
     * [[SimOps.randomProjection]]. */
   private def pjCte(dim: Int, outDim: Int): String = {
@@ -1165,7 +1356,7 @@ object CorpusQueries {
     s"pj AS (SELECT vec_id, ${projs.mkString(", ")} FROM mv)"
   }
 
-  /** DuckDB mirror of [[SimOps.randomProjection]] — identical h60-derived
+  /** DuckDB mirror of [[SimOps.randomProjection]] \u2014 identical h60-derived
     * sign literals, micro-unit BIGINT arithmetic, cast-DOUBLE ratio. */
   private def jlProjectionOracle(dim: Int, outDim: Int): String = {
     val orig2 = (1 to dim).map(i => s"(mvec[$i] * mvec[$i])").mkString(" + ")
@@ -1183,16 +1374,16 @@ object CorpusQueries {
        |FROM q ORDER BY vec_id""".stripMargin
   }
 
-  /** DuckDB mirror of [[TextOps.encodingQuality]] — identical literal
+  /** DuckDB mirror of [[TextOps.encodingQuality]] \u2014 identical literal
     * classes and explicitly-cast DOUBLE ratios; only the match-count
     * spelling differs (`len(regexp_extract_all(...))` for Spark's
     * `regexp_count`). */
   private def encodingQualityOracle: String = {
     val n = "CAST(length(text) AS BIGINT)"
-    val repl = s"$n - CAST(length(replace(text, '�', '')) AS BIGINT)"
+    val repl = s"$n - CAST(length(replace(text, '\ufffd', '')) AS BIGINT)"
     val moji =
-      s"($n - CAST(length(replace(text, 'Ã', '')) AS BIGINT))" +
-        s" + ($n - CAST(length(replace(text, 'â€', '')) AS BIGINT)) / 2"
+      s"($n - CAST(length(replace(text, '\u00c3', '')) AS BIGINT))" +
+        s" + ($n - CAST(length(replace(text, '\u00e2\u20ac', '')) AS BIGINT)) / 2"
     val ctrl = s"CAST(len(regexp_extract_all(text, '[${TextOps.ctrlClass}]')) AS BIGINT)"
     val nonAscii = s"CAST(len(regexp_extract_all(text, '[^${TextOps.asciiClass}]')) AS BIGINT)"
     val digits = s"CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)"
@@ -1213,10 +1404,10 @@ object CorpusQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB mirror of [[TextOps.bpeMerges]]: a `rounds`-deep CTE chain —
-    * pair count → 1-row argmax → marker-wrapped greedy replace — ending
+  /** DuckDB mirror of [[TextOps.bpeMerges]]: a `rounds`-deep CTE chain \u2014
+    * pair count \u2192 1-row argmax \u2192 marker-wrapped greedy replace \u2014 ending
     * in the union of the per-round winners. */
-  private def bpeCte(rounds: Int): String = {
+  private def bpeCte(rounds: Int, applyAll: Boolean = false): String = {
     val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text FROM documents)")
     for (r <- 1 to rounds) {
       sb.append(s""",
@@ -1227,16 +1418,32 @@ object CorpusQueries {
          |b$r AS (SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs,
          |          CAST(cnt AS BIGINT) AS cnt
          |        FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin)
-      if (r < rounds) sb.append(s""",
+      if (r < rounds || applyAll) sb.append(s""",
          |t$r AS (SELECT doc_id,
-         |          replace(replace('·' || replace(t.text, ' ', '· ·') || '·',
-         |            '·' || b.lhs || '· ·' || b.rhs || '·',
-         |            '·' || b.lhs || '~' || b.rhs || '·'), '·', '') AS text
+         |          replace(replace('\u00b7' || replace(t.text, ' ', '\u00b7 \u00b7') || '\u00b7',
+         |            '\u00b7' || b.lhs || '\u00b7 \u00b7' || b.rhs || '\u00b7',
+         |            '\u00b7' || b.lhs || '~' || b.rhs || '\u00b7'), '\u00b7', '') AS text
          |        FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin)
     }
-    sb.append("\n" +
-      (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ") +
-      " ORDER BY merge_round")
+    if (applyAll)
+      sb.append(s"""
+         |SELECT t.doc_id,
+         |  list_reduce([0::BIGINT] || list_transform(string_split(t.text, ' '),
+         |    x -> CAST(len(string_split(x, '~')) AS BIGINT)), (a, x) -> a + x)
+         |    AS n_tokens,
+         |  CAST(len(string_split(t.text, ' ')) AS BIGINT) AS n_symbols,
+         |  CAST(len(list_filter(string_split(t.text, ' '),
+         |    x -> contains(x, '~'))) AS BIGINT) AS n_merged,
+         |  (CAST(len(string_split(t.text, ' ')) AS BIGINT) * 1000000)
+         |    // list_reduce([0::BIGINT] || list_transform(string_split(t.text, ' '),
+         |         x -> CAST(len(string_split(x, '~')) AS BIGINT)), (a, x) -> a + x)
+         |    AS compression_ppm,
+         |  t.text AS encoded_text
+         |FROM t$rounds t ORDER BY t.doc_id""".stripMargin)
+    else
+      sb.append("\n" +
+        (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ") +
+        " ORDER BY merge_round")
     sb.toString
   }
 }

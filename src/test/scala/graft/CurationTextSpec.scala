@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Behavioural pins for the round-7 text-curation additions: script-census
+  * CJK lang-ID ([[TextOps.scriptLangId]]), CCNet-style boilerplate line
+  * removal ([[TextOps.stripBoilerplateLines]] / [[TextOps.linesOf]]), and
+  * seed-centroid retrieval ([[TextOps.seedCentroidTopK]]). Cross-engine
+  * bit-equality is q109/q110/q111's oracle job; this spec pins the
+  * semantics on constructed fixtures. */
+class CurationTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- q109
+
+  test("scriptLangId: Hangul\u2192ko, Kana\u2192ja, Han\u2192zh, Latin falls back to function words") {
+    val docs = Seq(
+      (1L, "\ub370\uc774\ud130 \ucc98\ub9ac \uc5d4\uc9c4 \uc2e4\ud589"), // Korean
+      (2L, "\u30c7\u30fc\u30bf\u51e6\u7406\u30a8\u30f3\u30b8\u30f3\u3067\u3059"), // Japanese (Kana + Kanji)
+      (3L, "\u6570\u636e\u5904\u7406\u5f15\u64ce\u8fd0\u884c\u8ba1\u5212"), // Chinese (Han only)
+      (4L, "the cat sat on the mat and the dog"), // English function words
+      (5L, "zzz qqq xxx www") // no evidence at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.scriptLangId(docs).orderBy("doc_id")
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(out(1L) == "ko")
+    assert(out(2L) == "ja")
+    assert(out(3L) == "zh")
+    assert(out(4L) == "en")
+    assert(out(5L) == "und")
+  }
+
+  test("scriptLangId: Japanese with Kanji majority still answers ja (Kana checked before Han)") {
+    // 6 Kanji + 4 Kana: a Han-first ladder would misclassify zh
+    val docs = Seq((1L, "\u5927\u898f\u6a21\u96c6\u7fa4\u8a08\u3067\u3059\u304b\u3089"))
+      .toDF("doc_id", "text")
+    val r = TextOps.scriptLangId(docs).select("n_han", "n_kana", "lang_guess")
+      .as[(Long, Long, String)].head()
+    assert(r._1 == 6L && r._2 == 4L, s"census read $r")
+    assert(r._3 == "ja")
+  }
+
+  test("scriptLangId: a stray quoted ideograph does not flip a Latin document") {
+    val docs = Seq(
+      (1L, "the word \u6c34 means water in the text of the book")
+    ).toDF("doc_id", "text")
+    val r = TextOps.scriptLangId(docs).select("n_han", "lang_guess")
+      .as[(Long, String)].head()
+    assert(r._1 == 1L)
+    assert(r._2 == "en", "below minScriptChars the function-word vote decides")
+  }
+
+  // ---------------------------------------------------------------- q110
+
+  test("linesOf: fixed token windows, short tail kept, empty text yields zero lines") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens at width 3 \u2192 [a b c][d e f][g]
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.linesOf(docs, lineTokens = 3).orderBy("doc_id")
+      .select("lines").as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "d e f", "g"))
+    // "" splits to [""] (one empty token) under the split contract, so one
+    // line of the empty string \u2014 NOT a crash and NOT [0, -1] from a
+    // descending sequence()
+    assert(out(1) == Seq(""))
+  }
+
+  test("stripBoilerplateLines: df >= minDf lines drop everywhere, order survives, all-boilerplate doc empties") {
+    val mk = (id: Long, lines: Seq[String]) => (id, lines)
+    val docLines = Seq(
+      mk(1L, Seq("unique one", "COOKIE BANNER", "unique two")),
+      mk(2L, Seq("COOKIE BANNER", "only here")),
+      mk(3L, Seq("another original", "COOKIE BANNER")),
+      mk(4L, Seq("COOKIE BANNER")), // nothing survives
+      // duplicate line WITHIN one doc: df counts distinct docs, so a
+      // twice-repeated line in a single doc is NOT boilerplate
+      mk(5L, Seq("twice here", "twice here"))
+    ).toDF("doc_id", "lines")
+    val out = TextOps.stripBoilerplateLines(docLines, minDf = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 3L, 2L, 1L, "unique one\nunique two")),
+      "kept lines must keep their original relative order")
+    assert(out(1) == ((2L, 2L, 1L, 1L, "only here")))
+    assert(out(2) == ((3L, 2L, 1L, 1L, "another original")))
+    assert(out(3) == ((4L, 1L, 0L, 1L, "")), "all-boilerplate doc must still appear")
+    assert(out(4) == ((5L, 2L, 2L, 0L, "twice here\ntwice here")),
+      "within-doc repetition is not cross-doc boilerplate")
+  }
+
+  test("stripBoilerplateLines: the boilerplate join is not pinned broadcast") {
+    val docLines = Seq((1L, Seq("x y", "z"))).toDF("doc_id", "lines")
+    val plan = TextOps.stripBoilerplateLines(docLines, minDf = 2)
+      .queryExecution.optimizedPlan.toString
+    // the df>=minDf set is data-dependent (arbitrarily large on a crawl):
+    // a ResolvedHint would pin a 100 TB broadcast; AQE must keep the choice
+    assert(!plan.contains("ResolvedHint"), s"unexpected broadcast hint in:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- q111
+
+  test("seedCentroidTopK: ranks seed-like documents first, excludes seeds, exact ranks") {
+    // seeds (doc_id % 3 == 0) talk about apples; doc 1 is apple-like,
+    // doc 2 is unrelated vocabulary
+    val docs = Seq(
+      (0L, "apple orchard apple harvest apple"),
+      (3L, "apple pie apple cider"),
+      (1L, "apple apple orchard harvest"),
+      (2L, "quantum flux capacitor array"),
+      (4L, "apple orchard")
+    ).toDF("doc_id", "text")
+    val out = TextOps.seedCentroidTopK(docs, seedMod = 3, dim = 8, k = 10)
+      .select("rank", "doc_id", "affinity").as[(Long, Long, Long)].collect()
+    assert(!out.map(_._2).exists(id => id % 3 == 0), "seeds must not be ranked")
+    assert(out.map(_._1).toSeq == (1L to out.length.toLong).toSeq)
+    assert(out.head._2 == 1L, s"most seed-like doc first, got ${out.toSeq}")
+    val affs = out.map(_._3)
+    assert(affs.zip(affs.tail).forall { case (a, b) => a >= b }, "descending affinity")
+    assert(out.find(_._2 == 2L).get._3 < out.find(_._2 == 1L).get._3)
+  }
+
+  test("seedCentroidTopK: centroid equals the exact sum of seed vectors (identity check)") {
+    // one seed, one probe with IDENTICAL text: the probe's affinity is the
+    // seed vector's exact self dot product \u2014 reproducible from
+    // hashedDocVector's published vec_str
+    val docs = Seq(
+      (0L, "alpha beta gamma delta alpha"),
+      (1L, "alpha beta gamma delta alpha")
+    ).toDF("doc_id", "text")
+    val vec = TextOps.hashedDocVector(docs.filter(col("doc_id") === 0L), dim = 8)
+      .select("vec_str").as[String].head().split(",").map(_.toLong)
+    val expected = vec.map(v => v * v).sum
+    val aff = TextOps.seedCentroidTopK(docs, seedMod = 17, dim = 8, k = 5)
+      .filter(col("doc_id") === 1L).select("affinity").as[Long].head()
+    assert(aff == expected, s"affinity $aff != exact self-dot $expected")
+  }
+}

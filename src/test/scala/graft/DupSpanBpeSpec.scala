@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, size, split}
 
 import graft.operators.{DedupOps, TextOps}
 
@@ -60,5 +61,58 @@ class DupSpanBpeSpec extends SparkSpec {
       r.getLong(3))) === Array(
       (1L, "x", "x", 2L),     // both adjacent pairs counted pre-merge
       (2L, "x~x", "x", 1L)))  // greedy leftmost: first two merged, not last
+  }
+
+  test("bpeEncode: applies every learned merge incl. the last round, exact readout") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    // round 1: (a,b) count 4 -> merge; round 2: (a~b,a~b) count 2 -> merge
+    val out = TextOps.bpeEncode(docs, rounds = 2).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_symbols", "n_merged",
+        "compression_ppm", "encoded_text")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 6L, 2L, 2L, 333333L, "a~b~a~b a~b")),
+      s"doc1 read ${out(0)}")
+    assert(out(1) == ((2L, 3L, 2L, 1L, 666666L, "a~b c")),
+      s"doc2 read ${out(1)}")
+  }
+
+  test("bpeEncode: n_tokens reconstruction matches the original token count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u v w u v w u v"),
+      (2L, "solo")
+    ).toDF("doc_id", "text")
+    val orig = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n0"))
+    val enc = TextOps.bpeEncode(docs, rounds = 3)
+    val joined = enc.join(orig, "doc_id")
+      .select("doc_id", "n_tokens", "n0").as[(Long, Long, Long)].collect()
+    assert(joined.forall { case (_, nt, n0) => nt == n0 },
+      s"reconstructed counts drifted: ${joined.toSeq}")
+  }
+
+  test("qualityThresholdSweep: exact survivors at every cutoff, monotone, ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x"),                 // quality 0.45
+      (2L, "alpha beta gamma delta")   // quality 0.91875
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityThresholdSweep(docs, steps = 10)
+      .select("tau", "kept_docs", "kept_tokens", "docs_ppm", "tokens_ppm")
+      .as[(Double, Long, Long, Long, Long)].collect()
+    assert(out.length == 10)
+    assert(out.map(_._1).toSeq == (0 until 10).map(_ / 10.0))
+    out.foreach { case (tau, kd, kt, dp, tp) =>
+      if (tau <= 0.4) assert((kd, kt, dp, tp) == ((2L, 8L, 1000000L, 1000000L)),
+        s"tau=$tau read ${(kd, kt, dp, tp)}")
+      else assert((kd, kt, dp, tp) == ((1L, 4L, 500000L, 500000L)),
+        s"tau=$tau read ${(kd, kt, dp, tp)}")
+    }
+    val kds = out.map(_._2)
+    assert(kds.zip(kds.tail).forall { case (a, b) => a >= b }, "monotone in tau")
   }
 }

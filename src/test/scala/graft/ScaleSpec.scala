@@ -39,7 +39,8 @@ class ScaleSpec extends SparkSpec {
       "q94_hard_negatives", // bounded probe-set broadcast (q39's shape)
       "q97_source_drift", // 1-row corpus-total and Q-constant broadcasts
       "q103_cms_heavy_hitters", // 1-row sketch broadcast (8 KiB at any corpus size)
-      "q107_jl_recall") // bounded probe-set broadcast, both rankings (q39's shape)
+      "q107_jl_recall", // bounded probe-set broadcast, both rankings (q39's shape)
+      "q113_quality_threshold_sweep") // 1-row corpus-totals broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
