@@ -17,12 +17,18 @@ object Scratch {
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "q92_label_coherence").split(",")
+    val time = sys.env.contains("SPARK_GRAFT_TIME")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       val n = plan.linesIterator.count(_.contains("Exchange"))
       println(s"[plan] $name exchanges=$n")
-      println(plan)
+      if (time) (1 to 4).foreach { i =>
+        val t0 = System.nanoTime
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[time] $name rep$i ${(System.nanoTime - t0) / 1e9}%.2f s")
+      }
+      else println(plan)
     }
   }
 }

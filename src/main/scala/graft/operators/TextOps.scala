@@ -783,24 +783,31 @@ object TextOps {
     * collision risk is the usual 60-bit budget). */
   def stripBoilerplateLines(docLines: DataFrame, minDf: Int = 5): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    // posexplode_OUTER so a zero-line document survives to the output
+    // (its null row counts as no line); ONE exploded derivation feeds
+    // both the census and the rebuild — the first cut re-derived the
+    // lines expression in three branches (base count, kept side, census)
+    // and CollapseProject re-inlined it twice more into a pre-join
+    // filter: 5 evaluations of the tokenize+chunk subtree per scan.
     val ex = docLines.select(col("doc_id"),
-      posexplode(col("lines")).as(Seq("pos", "line")))
+      posexplode_outer(col("lines")).as(Seq("pos", "line")))
     val boiler = ex.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
-      .select("line")
-    val kept = ex.join(boiler, Seq("line"), "left_anti")
+      .select(col("line"), lit(true).as("is_bp"))
+    ex.join(boiler, Seq("line"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(col("pos")).as("n_lines"),
+        sum(when(col("is_bp").isNull && col("pos").isNotNull, 1L)
+          .otherwise(0L)).as("n_kept"),
+        // collect_list skips nulls: boilerplate and the outer-explode
+        // null row drop out, survivors sort by original position
         expr("""array_join(transform(
-                |  array_sort(collect_list(struct(pos, line))), s -> s.line), '\n')"""
+                |  array_sort(collect_list(CASE WHEN is_bp IS NULL AND pos IS NOT NULL
+                |    THEN struct(pos, line) END)), s -> s.line), '\n')"""
           .stripMargin).as("clean_text"))
-    docLines.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"), col("clean_text"))
   }
 
   /** Greedy sequence packing: stream each language's documents in
