@@ -71,7 +71,8 @@ object ScaleSmoke {
     * (round-5 verdict item 4) the round-5 families: clustering
     * (q73/q74 — SemDeDup's within-cluster self-join is exactly the shape
     * a 10× run stresses) and corpus governance (q75–q78), plus every
-    * round-6 corpus-scale query (q79–q108). */
+    * round-6 corpus-scale query (q79–q108) and the round-7 curation
+    * additions (q109–q113). */
   val targets: Seq[String] = Seq(
     "q34_dedup_exact", "q35_minhash_sig", "q36_minhash_lsh_pairs",
     "q37_simhash", "q38_jaccard_blocked", "q39_cosine_topk",
@@ -90,7 +91,9 @@ object ScaleSmoke {
     "q98_winnow_containment", "q99_hashed_doc_vectors", "q100_data_recipe",
     "q101_dup_spans", "q102_bpe_merges", "q103_cms_heavy_hitters",
     "q104_encoding_quality", "q105_prototype_pruning", "q106_jl_projection",
-    "q107_jl_recall", "q108_knn_triangles")
+    "q107_jl_recall", "q108_knn_triangles", "q109_cjk_langid",
+    "q110_boilerplate_lines", "q111_seed_expansion", "q112_bpe_encode",
+    "q113_quality_threshold_sweep")
 
   private val Stride = 1000000L
 

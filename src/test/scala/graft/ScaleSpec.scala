@@ -111,7 +111,12 @@ class ScaleSpec extends SparkSpec {
       "q105_prototype_pruning" -> 5, // post-checkpoint: recentering (cluster,dim + cluster aggs) + centroid broadcast + ONE cluster exchange feeding BOTH windows + sort
       "q106_jl_projection" -> 1,     // pure per-row constant-folded linear combinations + sort
       "q107_jl_recall" -> 7,         // truth checkpointed (its window off-plan); cand = probe broadcast + WindowGroupLimit rank + semi/outer probe-bounded joins + aggs + sort
-      "q108_knn_triangles" -> 7)     // edges checkpointed (KNN build off-plan): wedge equi-join + closing (x,z) semi-join + degree/triangle partial-agg explodes + join-back + sort
+      "q108_knn_triangles" -> 7,     // edges checkpointed (KNN build off-plan): wedge equi-join + closing (x,z) semi-join + degree/triangle partial-agg explodes + join-back + sort
+      "q109_cjk_langid" -> 1,        // pure per-row script censuses + native lang_scores + sort (the q31 shape)
+      "q110_boilerplate_lines" -> 5, // ONE posexplode feeds line-df census (distinct 2-level: (line,doc) + line) + verdict join + per-doc rebuild agg + sort
+      "q111_seed_expansion" -> 5,    // (doc,j) dims aggs (seed branch prunes on the pushed doc_id gate) + ≤dim centroid agg/broadcast + per-doc affinity agg; top-k is TakeOrderedAndProject, never a global sort
+      "q112_bpe_encode" -> 1,        // sort only: all 4 merge rounds run inside localCheckpoint jobs (q89 lineage discipline); the final census is per-row
+      "q113_quality_threshold_sweep" -> 4) // ×steps narrow fan-out + ≤steps-key agg + 1-row totals agg/broadcast + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
