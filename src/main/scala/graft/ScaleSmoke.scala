@@ -72,7 +72,7 @@ object ScaleSmoke {
     * (q73/q74 — SemDeDup's within-cluster self-join is exactly the shape
     * a 10× run stresses) and corpus governance (q75–q78), plus every
     * round-6 corpus-scale query (q79–q108) and the round-7 curation
-    * additions (q109–q113). */
+    * additions (q109–q113) and refinement family (q114–q119). */
   val targets: Seq[String] = Seq(
     "q34_dedup_exact", "q35_minhash_sig", "q36_minhash_lsh_pairs",
     "q37_simhash", "q38_jaccard_blocked", "q39_cosine_topk",
@@ -93,7 +93,10 @@ object ScaleSmoke {
     "q104_encoding_quality", "q105_prototype_pruning", "q106_jl_projection",
     "q107_jl_recall", "q108_knn_triangles", "q109_cjk_langid",
     "q110_boilerplate_lines", "q111_seed_expansion", "q112_bpe_encode",
-    "q113_quality_threshold_sweep")
+    "q113_quality_threshold_sweep", "q114_quality_keeper",
+    "q115_within_doc_dedup", "q116_source_leakage", "q117_tfidf_keywords",
+    "q118_dedup_yield", "q119_ivf_nprobe_recall", "q120_incremental_dedup",
+    "q121_corpus_diff", "q122_dedup_funnel")
 
   private val Stride = 1000000L
 

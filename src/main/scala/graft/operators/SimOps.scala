@@ -443,4 +443,72 @@ object SimOps {
            | THEN CAST(proj2 AS DOUBLE) / (CAST($outDim.0 AS DOUBLE) * CAST(orig2 AS DOUBLE))
            | ELSE CAST(0.0 AS DOUBLE) END""".stripMargin.replace("\n", "")))
   }
+
+  /** IVF recall-vs-nprobe sweep — the tuning curve every IVF deployment
+    * reads before fixing `nprobe` (searching more cells buys recall at
+    * linear candidate cost; the sweep measures exactly that trade on the
+    * real corpus, the same read-the-knob-off-the-data discipline as the
+    * q77 pair calibration and the q90 banding planner).
+    *
+    * For each probe vector, centroids rank by exact cosine
+    * ([[ivfAssign]]'s tie rule: cosine desc, centroid id asc); a truth
+    * neighbor counts as reachable at `nprobe = p` iff its HOME cell is
+    * among the probe's top-`p` centroids. One row per swept `p`:
+    * `(nprobe, n_truth, n_hits, recall_ppm)` — all integers (ppm via
+    * integer div), so the oracle replays bit-exactly.
+    *
+    * Shape at 100 TB: the centroid table (k rows) broadcasts into a
+    * map-side argmax for home cells; the probe set is bounded and its
+    * ranked-cells table (nQueries × maxProbe rows) broadcasts into the
+    * truth join; truth itself is [[cosineTopK]]'s bounded
+    * probe-broadcast scan. The ONE corpus-scale pass is the home-cell
+    * assignment already computed for the index — nothing here joins
+    * corpus × corpus, and the sweep adds zero passes over the data
+    * beyond what building the index costs. */
+  def ivfNprobeRecall(embeddings: DataFrame, k: Int = 16, nQueries: Int = 50,
+      topK: Int = 5, sweep: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sweep.nonEmpty && sweep.forall(p => p >= 1 && p <= k),
+      s"sweep probes must be in [1,$k], got $sweep")
+    val maxProbe = sweep.max
+    val e = withNorm(embeddings)
+    val c = e.filter(col("vec_id") < k).select(col("vec_id").as("cent_id"),
+      col("embedding").as("cent_emb"), col("norm").as("cent_norm"))
+    val byCos = Window.partitionBy("vec_id")
+      .orderBy(col("cell_cos").desc, col("cent_id").asc)
+    val ranked = e.crossJoin(broadcast(c))
+      .withColumn("cell_cos",
+        expr(s"${dotX("embedding", "cent_emb")} / (norm * cent_norm)"))
+      .withColumn("cell_rank", row_number().over(byCos).cast("long"))
+    // corpus side: every vector's single home cell (rank-1 centroid)
+    val home = ranked.filter(col("cell_rank") === 1L)
+      .select(col("vec_id").as("n_id"), col("cent_id").as("home_cell"))
+    // probe side: bounded — nQueries × maxProbe rows, broadcastable
+    val probeCells = ranked
+      .filter(col("vec_id") < nQueries && col("cell_rank") <= maxProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"),
+        col("cell_rank"))
+    val truth = cosineTopK(embeddings, nQueries, topK)
+      .select("q_id", "n_id")
+    // first_rank = smallest nprobe at which the truth neighbor's home
+    // cell enters the probe's searched set (null = unreachable ≤ maxProbe)
+    val reach = truth
+      .join(home, Seq("n_id"), "left")
+      .join(broadcast(probeCells),
+        col("home_cell") === col("cell") &&
+          truth("q_id") === probeCells("q_id"), "left")
+      .select(truth("q_id"), col("n_id"), col("cell_rank").as("first_rank"))
+      .groupBy("q_id", "n_id")
+      .agg(min(col("first_rank")).as("first_rank"))
+    reach
+      .select(col("first_rank"),
+        explode(lit(sweep.toArray.map(_.toLong))).as("nprobe"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("first_rank").isNotNull &&
+          col("first_rank") <= col("nprobe"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("nprobe"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000000L div n_truth").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
 }

@@ -26,10 +26,15 @@ object ClusterQueries {
     * — a k-cluster, two-round fixed-point k-means over `src` (a table
     * name or parenthesized subquery yielding (vec_id, embedding)).
     * Prefix `p` namespaces the CTEs so several chains — q88's
-    * per-subspace codebooks — can share one WITH clause. The seed
-    * filter `vec_id < k` matches [[ClusterOps.kmeansAssign]]'s
-    * lowest-k-ids seeding on the driver tables' dense ids. */
-  private def kmeansCtesFor(src: String, k: Int, p: String): String =
+    * per-subspace codebooks — can share one WITH clause. The default
+    * seed filter `vec_id < k` matches [[ClusterOps.kmeansAssign]]'s
+    * lowest-k-ids seeding on the driver tables' DENSE ids; callers
+    * clustering a SUBSET (q122's funnel tier 3) pass a rank-based
+    * `seedWhere` instead — lowest-k-of-input is the operator's actual
+    * contract (`orderBy(vec_id).limit(k)`). */
+  private[queries] def kmeansCtesFor(src: String, k: Int, p: String,
+      seedWhere: String = ""): String = {
+    val seed = if (seedWhere.nonEmpty) seedWhere else s"vec_id < $k"
     s"""${p}m2t AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE + 0.5::DOUBLE)) AS mvec
@@ -38,7 +43,7 @@ object ClusterQueries {
        |  SELECT vec_id, mvec, ${dotD("mvec", "mvec")} AS m2 FROM ${p}m2t),
        |${p}c0 AS (
        |  SELECT vec_id AS cluster, mvec AS cvec, m2 AS c2
-       |  FROM ${p}mdt WHERE vec_id < $k),
+       |  FROM ${p}mdt WHERE $seed),
        |${p}s1 AS (
        |  SELECT v.vec_id, c.cluster,
        |    v.m2 + c.c2 - 2.0::DOUBLE * ${dotD("v.mvec", "c.cvec")} AS dist
@@ -72,6 +77,7 @@ object ClusterQueries {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
        |    FROM ${p}s2)
        |  WHERE rn = 1)""".stripMargin
+  }
 
   /** Shared oracle CTE chain ending in `a2(vec_id, cluster)` — the k=8,
     * two-round k-means assignment (q73/q74's surface). */

@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef, QueryDef.oracle
+import graft.functions.Scalars.h60Sql
+import graft.operators.{RefineOps, SimOps, TextOps}
+import graft.sources.Tables
+
+/** Corpus-refinement query family (q114+): keeper policies, intra-doc
+  * repetition stripping, cross-source leakage, per-source keyword
+  * profiles, dedup ROI, and the IVF nprobe tuning curve
+  * ([[graft.operators.RefineOps]], [[graft.operators.SimOps]]).
+  *
+  * Oracle discipline: every double is either a single exact
+  * division/multiply chain replayed verbatim (quality, tf-idf, cosine)
+  * or avoided entirely via integer ppm — same rules as the rest of the
+  * registry.
+  */
+object RefineQueries {
+
+  /** DuckDB fragment: sequential double dot of two list columns (mirror
+    * of [[graft.operators.SimOps.dotX]] — the q56/q76 form). */
+  private def dotD(a: String, b: String): String =
+    s"list_reduce([0.0::DOUBLE] || list_transform(range(1, len($a)+1), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+
+  /** DuckDB fragment: per-doc quality score — verbatim the q113-proven
+    * formula over `(doc_id, string_split tokens)`. Yields
+    * `q(doc_id, quality)`. */
+  private val qualityCte: String =
+    """SELECT doc_id,
+      |    0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+      |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+      |      + 0.2 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0)
+      |      AS quality
+      |  FROM (SELECT doc_id,
+      |          CAST(len(tk) AS BIGINT) AS n_tokens,
+      |          CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+      |          CAST(len(list_filter(tk,
+      |            t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop,
+      |          list_reduce([0::BIGINT] || list_transform(tk,
+      |            t -> CAST(len(t) AS BIGINT)), (acc, x) -> acc + x) AS sum_len
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))""".stripMargin
+
+  /** DuckDB fragment: `(doc_id[, keep], lines)` — the fixed-width
+    * token-window lines construction (mirror of [[TextOps.linesOf]], the
+    * q110-proven form), parameterized by line width. */
+  private def linesCte(lt: Int, keep: String = ""): String =
+    s"""SELECT doc_id,$keep
+       |    (CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+       |     ELSE list_transform(range(0, CAST(ceil(len(tk) / $lt.0) AS BIGINT)),
+       |       i -> array_to_string(tk[i*$lt+1 : i*$lt+$lt], ' ')) END) AS lines
+       |  FROM (SELECT doc_id,$keep string_split(text, ' ') AS tk FROM documents)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Quality-aware keeper: q34's manufactured-collision clusters, but
+    // the argmax-quality copy wins instead of the first-seen one.
+    oracle(
+      "q114_quality_keeper",
+      s"""WITH q AS ($qualityCte),
+         |k AS (
+         |  SELECT doc_id, md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS dedup_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT k.doc_id, k.dedup_key, q.quality,
+         |    ROW_NUMBER() OVER (PARTITION BY k.dedup_key
+         |      ORDER BY q.quality DESC, k.doc_id) AS rk
+         |  FROM k JOIN q USING (doc_id)),
+         |w AS (SELECT dedup_key, doc_id AS keeper_doc_id FROM r WHERE rk = 1)
+         |SELECT r.doc_id, r.dedup_key, r.quality, w.keeper_doc_id,
+         |  r.rk = 1 AS kept
+         |FROM r JOIN w USING (dedup_key)
+         |ORDER BY r.doc_id""",
+      "Refine: quality-argmax dedup keeper (keep the cleanest copy)") { (s, d) =>
+      RefineOps.qualityKeeperDedup(Tables(s, d, "documents"),
+          "md5(array_join(slice(split(text, ' '), 1, 3), ' '))")
+        .orderBy("doc_id")
+    },
+
+    // Intra-document repeated-line strip: zero-shuffle per-row HOF in
+    // Spark; the oracle phrases the same first-occurrence semantics as
+    // a window.
+    oracle(
+      "q115_within_doc_dedup",
+      s"""WITH dl AS (${linesCte(2)}),
+         |ex AS (
+         |  SELECT doc_id, unnest(range(0, len(lines))) AS pos,
+         |    unnest(lines) AS line
+         |  FROM dl),
+         |r AS (
+         |  SELECT doc_id, pos, line,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rk
+         |  FROM ex),
+         |kept AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |  FROM r WHERE rk = 1 GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(d.lines) AS BIGINT) AS n_lines,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  CAST(len(d.lines) AS BIGINT) - coalesce(k.n_kept, 0)::BIGINT AS n_dropped,
+         |  coalesce(k.clean_text, '') AS clean_text
+         |FROM dl d LEFT JOIN kept k USING (doc_id)
+         |ORDER BY d.doc_id""",
+      "Refine: within-document repeated-line removal (zero-shuffle HOF)") { (s, d) =>
+      RefineOps.dedupLinesWithinDoc(
+          TextOps.linesOf(Tables(s, d, "documents"), lineTokens = 2))
+        .orderBy("doc_id")
+    },
+
+    // Cross-source duplication leakage: exact shared-segment census per
+    // source pair (q78's question, answered exactly).
+    oracle(
+      "q116_source_leakage",
+      s"""WITH dl AS (${linesCte(8, " source,")}),
+         |pres AS (
+         |  SELECT DISTINCT source, seg
+         |  FROM (SELECT source, unnest(lines) AS seg FROM dl)),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_segs
+         |       FROM pres GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS shared_segs
+         |  FROM pres a JOIN pres b ON a.seg = b.seg AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.source_a, p.source_b, p.shared_segs,
+         |  pa.n_segs AS n_segs_a, pb.n_segs AS n_segs_b,
+         |  (p.shared_segs * 1000000) // least(pa.n_segs, pb.n_segs)
+         |    AS containment_ppm
+         |FROM pairs p
+         |JOIN ps pa ON pa.source = p.source_a
+         |JOIN ps pb ON pb.source = p.source_b
+         |ORDER BY p.source_a, p.source_b""",
+      "Refine: cross-source shared-segment leakage matrix") { (s, d) =>
+      RefineOps.sourceLeakageMatrix(Tables(s, d, "documents"), segTokens = 8)
+        .orderBy("source_a", "source_b")
+    },
+
+    // Per-source TF-IDF keywords with the rational (log-free,
+    // cross-engine-exact) IDF.
+    oracle(
+      "q117_tfidf_keywords",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM (SELECT DISTINCT term, doc_id FROM toks) GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.source, tf.term, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE) * (CAST(nd.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+         |      AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+         |r AS (
+         |  SELECT source, term, tf, df, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY score DESC, term) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT source, "rank", term, tf, df, score
+         |FROM r WHERE "rank" <= 3
+         |ORDER BY source, "rank"""",
+      "Refine: per-source TF-IDF keywords (rational IDF, exact ranks)") { (s, d) =>
+      RefineOps.tfidfKeywords(Tables(s, d, "documents"), topK = 3)
+        .orderBy("source", "rank")
+    },
+
+    // Dedup ROI curve: what a keep-one-per-cluster pass would delete,
+    // bucketed by cluster size.
+    oracle(
+      "q118_dedup_yield",
+      """WITH keyed AS (
+        |  SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS dedup_key,
+        |    doc_id, n_chars
+        |  FROM documents),
+        |cl AS (
+        |  SELECT dedup_key, CAST(count(*) AS BIGINT) AS cluster_size,
+        |    CAST(sum(n_chars) AS BIGINT) AS cluster_chars,
+        |    CAST(sum(n_chars) - arg_min(n_chars, doc_id) AS BIGINT) AS removable_chars
+        |  FROM keyed GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents)
+        |SELECT cl.cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(cl.cluster_chars) AS BIGINT) AS bucket_chars,
+        |  CAST(sum(cl.removable_chars) AS BIGINT) AS removable_chars,
+        |  (CAST(sum(cl.removable_chars) AS BIGINT) * 1000000) // tot.total_chars
+        |    AS removable_ppm
+        |FROM cl CROSS JOIN tot
+        |GROUP BY cl.cluster_size, tot.total_chars
+        |ORDER BY cl.cluster_size""",
+      "Refine: dedup ROI curve (removable mass per cluster-size bucket)") { (s, d) =>
+      RefineOps.dedupYieldCurve(Tables(s, d, "documents"),
+        "md5(array_join(slice(split(text, ' '), 1, 3), ' '))")
+    },
+
+    // IVF nprobe tuning curve: recall@5 at nprobe ∈ {1,2,4} against the
+    // exact brute-force top-k (q56's index + q76's recall discipline).
+    oracle(
+      "q119_ivf_nprobe_recall",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotD("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+         |      FROM e WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT v.vec_id, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${dotD("v.embedding", "c.cent_emb")} / (v.norm * c.cent_norm) DESC,
+         |      c.cent_id) AS cell_rank
+         |  FROM e v CROSS JOIN c),
+         |home AS (SELECT vec_id AS n_id, cent_id AS home_cell
+         |         FROM scored WHERE cell_rank = 1),
+         |pc AS (SELECT vec_id AS q_id, cent_id AS cell,
+         |         CAST(cell_rank AS BIGINT) AS cell_rank
+         |       FROM scored WHERE vec_id < 50 AND cell_rank <= 4),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, cnd.vec_id AS n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotD("q.embedding", "cnd.embedding")} / (q.norm * cnd.norm) DESC,
+         |        cnd.vec_id) AS rnk
+         |    FROM e q JOIN e cnd ON q.vec_id < 50 AND q.vec_id <> cnd.vec_id)
+         |  WHERE rnk <= 5),
+         |reach AS (
+         |  SELECT t.q_id, t.n_id, min(pc.cell_rank) AS first_rank
+         |  FROM truth t
+         |  LEFT JOIN home h ON h.n_id = t.n_id
+         |  LEFT JOIN pc ON pc.cell = h.home_cell AND pc.q_id = t.q_id
+         |  GROUP BY 1, 2),
+         |sw AS (SELECT first_rank, unnest([1, 2, 4]::BIGINT[]) AS nprobe
+         |       FROM reach)
+         |SELECT nprobe, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN first_rank IS NOT NULL AND first_rank <= nprobe
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  (CAST(sum(CASE WHEN first_rank IS NOT NULL AND first_rank <= nprobe
+         |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS recall_ppm
+         |FROM sw GROUP BY 1 ORDER BY 1""",
+      "Similarity: IVF recall-vs-nprobe tuning curve (integer ppm)") { (s, d) =>
+      SimOps.ivfNprobeRecall(Tables(s, d, "embeddings"))
+    },
+
+    // Ingest-time near-dup gate: the 20 % batch (doc_id % 5 = 0) checked
+    // against the 80 % index — candidate/verify work scales with the
+    // batch, never index×index.
+    oracle(
+      "q120_incremental_dedup",
+      s"""WITH sh AS (${NorthStarQueries.SH}),
+         |sig AS (${NorthStarQueries.SIG()}),
+         |bands AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      ${TextOps.h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+         |  FROM sig WHERE sig[1] <> -1),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+         |  FROM bands n JOIN bands i ON n.band = i.band AND n.bucket = i.bucket
+         |  WHERE n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0),
+         |pj AS (
+         |  SELECT new_id, idx_id,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = new_id
+         |  JOIN sh sb ON sb.doc_id = idx_id),
+         |best AS (
+         |  SELECT new_id, idx_id, jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY new_id
+         |      ORDER BY jaccard DESC, idx_id) AS rk
+         |  FROM pj WHERE jaccard >= 0.5)
+         |SELECT d.doc_id, b.idx_id IS NOT NULL AS is_dup,
+         |  coalesce(b.idx_id, -1) AS matched_doc_id,
+         |  coalesce(b.jaccard, 0.0::DOUBLE) AS best_jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.new_id = d.doc_id
+         |ORDER BY d.doc_id""",
+      "Refine: incremental batch-vs-index near-dup gate (LSH, verified)") { (s, d) =>
+      RefineOps.incrementalDedup(Tables(s, d, "documents"), "doc_id % 5 = 0")
+        .orderBy("doc_id")
+    },
+
+    // Snapshot diff: v2 derived deterministically from v1 (10 % removed,
+    // every 7th surviving doc revised, every 13th cloned as a new id).
+    oracle(
+      "q121_corpus_diff",
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' new'
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |a AS (SELECT doc_id, ${h60Sql("text")} AS h1 FROM documents),
+         |b AS (SELECT doc_id, ${h60Sql("text")} AS h2 FROM v2)
+         |SELECT doc_id, status FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN h1 IS NULL THEN 'added'
+         |         WHEN h2 IS NULL THEN 'removed'
+         |         WHEN h1 <> h2 THEN 'modified' END AS status
+         |  FROM a FULL JOIN b USING (doc_id))
+         |WHERE status IS NOT NULL
+         |ORDER BY doc_id""",
+      "Refine: corpus snapshot diff (added / removed / modified)") { (s, d) =>
+      val v1 = Tables(s, d, "documents")
+      val v2 = v1.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      RefineOps.corpusDiff(v1, v2).orderBy("doc_id")
+    },
+
+    // The tiered funnel: exact → verified LSH → SemDeDup, each tier over
+    // the previous tier's survivors; tier 3 clusters ONLY the surviving
+    // embedded docs, so its oracle seeds k-means by rank, not id value.
+    oracle(
+      "q122_dedup_funnel",
+      s"""WITH t1 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |    FROM documents) WHERE rk = 1),
+         |sh AS (SELECT * FROM (${NorthStarQueries.SH})
+         |       WHERE doc_id IN (SELECT doc_id FROM t1)),
+         |sig AS (${NorthStarQueries.SIG(from = "sh")}),
+         |bands AS (
+         |  SELECT doc_id, unnest(range(0, 4)) AS band,
+         |    unnest(list_transform(range(0, 4), b ->
+         |      ${TextOps.h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+         |  FROM sig WHERE sig[1] <> -1),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id < y.doc_id),
+         |removed2 AS (
+         |  SELECT DISTINCT b AS doc_id FROM (
+         |    SELECT a, b,
+         |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |    FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+         |  WHERE jaccard >= 0.5),
+         |t2 AS (SELECT doc_id FROM t1
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM removed2)),
+         |${ClusterQueries.kmeansCtesFor(
+              "(SELECT e.vec_id, e.embedding FROM embeddings e " +
+                "WHERE e.vec_id IN (SELECT doc_id FROM t2))", 8, "f",
+              seedWhere = "vec_id IN (SELECT vec_id FROM fmdt ORDER BY vec_id LIMIT 8)")},
+         |nrm AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    sqrt(${dotD("e.embedding", "e.embedding")}) AS norm
+         |  FROM embeddings e WHERE e.vec_id IN (SELECT doc_id FROM t2)),
+         |removed3 AS (
+         |  SELECT DISTINCT cb.vec_id AS doc_id
+         |  FROM fa2 ca JOIN fa2 cb
+         |    ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+         |  JOIN nrm x ON x.vec_id = ca.vec_id
+         |  JOIN nrm y ON y.vec_id = cb.vec_id
+         |  WHERE ${dotD("x.embedding", "y.embedding")} / (x.norm * y.norm) >= 0.3),
+         |t3 AS (SELECT doc_id FROM t2
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM removed3)),
+         |rows_ AS (
+         |  SELECT '0_all' AS tier, CAST(count(*) AS BIGINT) AS docs_out,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars_out FROM documents
+         |  UNION ALL
+         |  SELECT '1_exact', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM t1)
+         |  UNION ALL
+         |  SELECT '2_minhash', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM t2)
+         |  UNION ALL
+         |  SELECT '3_semantic', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM t3)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents)
+         |SELECT tier, docs_in, docs_out,
+         |  docs_in - docs_out AS removed_docs, chars_out,
+         |  ((docs_in - docs_out) * 1000000) // total_docs AS removed_ppm
+         |FROM (
+         |  SELECT tier, docs_out, chars_out,
+         |    coalesce(lag(docs_out) OVER (ORDER BY tier), docs_out) AS docs_in
+         |  FROM rows_) CROSS JOIN tot
+         |ORDER BY tier""",
+      "Refine: tiered dedup funnel (exact → LSH-verified → SemDeDup)") { (s, d) =>
+      // tier-1 key = md5 of the FULL text (true exact dedup — the
+      // production tier-1 semantic; q34's manufactured prefix key would
+      // swallow the planted near-dup clusters and starve tier 2, since
+      // the planted pairs are prefix-identical by construction)
+      RefineOps.dedupFunnel(Tables(s, d, "documents"),
+        Tables(s, d, "embeddings"), "md5(text)")
+    })
+}

@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RefineOps, SimOps, TextOps}
+
+/** Behavioural pins for the corpus-refinement family
+  * ([[graft.operators.RefineOps]], [[graft.operators.SimOps.ivfNprobeRecall]]):
+  * keeper policy, intra-doc dedup order, leakage censuses, TF-IDF ranks,
+  * ROI accounting, and nprobe-recall monotonicity. Cross-engine
+  * bit-equality is the q114–q119 oracles' job; this spec pins semantics
+  * on constructed fixtures plus the zero-shuffle plan property that is
+  * q115's whole scale argument. */
+class RefineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keyExpr = "md5(array_join(slice(split(text, ' '), 1, 3), ' '))"
+
+  test("qualityKeeperDedup: the cleanest copy wins, not the first") {
+    val docs = Seq(
+      // cluster A (same 3-token prefix): doc 1 is degenerate repetition
+      // (low TTR), doc 2 is varied — the LATER, higher-quality doc must
+      // win, which is exactly where first-occurrence-wins differs.
+      (1L, "shared key prefix spam spam spam spam spam spam spam"),
+      (2L, "shared key prefix alpha bravo charlie delta echo foxtrot golf"),
+      // singleton cluster: its own keeper
+      (3L, "lone document here with some more varied tokens")
+    ).toDF("doc_id", "text")
+    val out = RefineOps.qualityKeeperDedup(docs, keyExpr)
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(3) === 2L, "cluster keeper must be the varied doc")
+    assert(!byId(1L).getBoolean(4))
+    assert(byId(2L).getLong(3) === 2L)
+    assert(byId(2L).getBoolean(4))
+    assert(byId(3L).getLong(3) === 3L)
+    assert(byId(3L).getBoolean(4))
+    // keeper has the max quality in its cluster
+    assert(byId(2L).getDouble(2) > byId(1L).getDouble(2))
+  }
+
+  test("dedupLinesWithinDoc: first occurrence survives in order; plan is shuffle-free") {
+    val lines = Seq(
+      (1L, Seq("a b", "c d", "a b", "e f", "c d")),
+      (2L, Seq("x y")),
+      (3L, Seq.empty[String])
+    ).toDF("doc_id", "lines")
+    val df = RefineOps.dedupLinesWithinDoc(lines)
+    val out = df.orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 5L && out(0).getLong(2) === 3L &&
+      out(0).getLong(3) === 2L)
+    assert(out(0).getString(4) === "a b\nc d\ne f",
+      "survivors keep original order")
+    assert(out(1).getString(4) === "x y" && out(1).getLong(3) === 0L)
+    assert(out(2).getLong(1) === 0L && out(2).getString(4) === "")
+    // the scale argument: intra-doc dedup is per-row — NO exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "within-doc dedup must not shuffle — it is a per-row computation")
+  }
+
+  test("sourceLeakageMatrix: shared segments counted once, containment exact") {
+    // 8-token docs → each doc is exactly one segment; s1 and s2 share
+    // one segment text (via duplicate docs), s3 is disjoint.
+    val seg1 = "one two three four five six seven eight"
+    val seg2 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, seg1, "s1"), (2L, seg2, "s1"),   // s1: 2 distinct segs
+      (3L, seg1, "s2"),                     // s2: 1 distinct seg
+      (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = RefineOps.sourceLeakageMatrix(docs, segTokens = 8).collect()
+    assert(out.length === 1, "only the overlapping pair appears")
+    val r = out.head
+    assert(r.getAs[String]("source_a") === "s1" &&
+      r.getAs[String]("source_b") === "s2")
+    assert(r.getAs[Long]("shared_segs") === 1L)
+    assert(r.getAs[Long]("n_segs_a") === 2L && r.getAs[Long]("n_segs_b") === 1L)
+    // containment = 1/min(2,1) = 1 → 1_000_000 ppm
+    assert(r.getAs[Long]("containment_ppm") === 1000000L)
+  }
+
+  test("tfidfKeywords: a source-exclusive term outranks a ubiquitous one") {
+    val docs = Seq(
+      (1L, "the the the quantum quantum flux", "phys"),
+      (2L, "the the sonnet sonnet meter", "lit"),
+      (3L, "the the sonnet ballad rhyme", "lit")
+    ).toDF("doc_id", "text", "source")
+    val out = RefineOps.tfidfKeywords(docs, topK = 1).orderBy("source").collect()
+    // lit: 'sonnet' tf=3 · idf 3/2 = 4.5 beats 'the' tf=4 · idf 1 = 4;
+    // phys: 'quantum' tf=2 · idf 3 = 6 beats 'the' tf=3 · idf 1 = 3
+    assert(out(0).getAs[String]("source") === "lit" &&
+      out(0).getAs[String]("term") === "sonnet")
+    assert(out(1).getAs[String]("source") === "phys" &&
+      out(1).getAs[String]("term") === "quantum")
+    assert(out(1).getAs[Double]("score") === 6.0)
+  }
+
+  test("dedupYieldCurve: removable mass excludes exactly one keeper per cluster") {
+    val docs = Seq(
+      // one size-2 cluster (chars 100 + 60; keeper = doc 1 → 60 removable)
+      (1L, "dup key here tail one", 100L),
+      (2L, "dup key here tail two", 60L),
+      // one singleton (nothing removable)
+      (3L, "solo text entirely different", 40L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = RefineOps.dedupYieldCurve(docs, keyExpr)
+      .orderBy("cluster_size").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("cluster_size") === 1L &&
+      out(0).getAs[Long]("n_clusters") === 1L &&
+      out(0).getAs[Long]("removable_chars") === 0L)
+    assert(out(1).getAs[Long]("cluster_size") === 2L &&
+      out(1).getAs[Long]("bucket_chars") === 160L &&
+      out(1).getAs[Long]("removable_chars") === 60L)
+    // ppm of the 200-char corpus: 60 * 1e6 div 200 = 300000
+    assert(out(1).getAs[Long]("removable_ppm") === 300000L)
+  }
+
+  test("ivfNprobeRecall: recall is monotone in nprobe and complete at k cells") {
+    val emb = Tables.embeddings(spark)
+    val out = SimOps.ivfNprobeRecall(emb, k = 4, nQueries = 10, topK = 3,
+      sweep = Seq(1, 2, 4)).collect()
+    assert(out.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 4L))
+    val truths = out.map(_.getAs[Long]("n_truth")).distinct
+    assert(truths.length === 1, "n_truth is the same denominator per row")
+    val recalls = out.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      "searching more cells can only add candidates")
+    // probing ALL cells makes every home cell reachable → recall 1
+    assert(recalls.last === 1000000L,
+      "nprobe = k must recover the exact top-k")
+  }
+
+  private object Tables {
+    def embeddings(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+  }
+
+  test("incrementalDedup: batch docs match the index side only") {
+    val base = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      // index side (ids not ≡ 0 mod 5)
+      (1L, base),                                        // index original
+      (2L, "completely different index content words entirely unrelated here"),
+      // batch side (ids ≡ 0 mod 5)
+      (5L, base.replace("ten", "eleven")),               // near-dup of doc 1
+      (10L, base.replace("ten", "eleven")),              // near-dup of doc 5 AND doc 1
+      (15L, "unique batch document with fresh never seen tokens")
+    ).toDF("doc_id", "text")
+    val out = RefineOps.incrementalDedup(docs, "doc_id % 5 = 0",
+      minJaccard = 0.5).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(5L, 10L, 15L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(5L).getBoolean(1) && byId(5L).getLong(2) === 1L,
+      "batch doc must match its index near-dup")
+    // doc 10 is IDENTICAL to batch doc 5 — but batch-batch matches are
+    // out of contract; it must resolve against the INDEX side only
+    assert(byId(10L).getBoolean(1) && byId(10L).getLong(2) === 1L,
+      "batch-batch pairing must not occur; index match expected")
+    assert(!byId(15L).getBoolean(1) && byId(15L).getLong(2) === -1L &&
+      byId(15L).getDouble(3) === 0.0)
+  }
+
+  test("corpusDiff: added / removed / modified classified; unchanged silent") {
+    val v1 = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = RefineOps.corpusDiff(v1, v2).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.toSeq === Seq(2L -> "modified", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("dedupFunnel: each tier removes its own class of duplicate") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (0L, base, 100L),
+      (1L, base, 100L),                         // exact copy → tier 1
+      (2L, base.replace("juliet", "kilo"), 90L), // near-dup → tier 2
+      (3L, "entirely different words nothing shared with the others at all", 80L),
+      (4L, "another fully distinct document with its own vocabulary set", 70L)
+    ).toDF("doc_id", "text", "n_chars")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.9f, 0.05f))                  // cosine ≈ 0.998 to doc 0 → tier 3
+    ).toDF("vec_id", "embedding")
+    val out = RefineOps.dedupFunnel(docs, emb, "md5(text)",
+      minJaccard = 0.5, minCosine = 0.9, k = 2).collect()
+    val byTier = out.map(r => r.getString(0) -> r).toMap
+    assert(byTier("0_all").getLong(2) === 5L)
+    assert(byTier("1_exact").getLong(3) === 1L, "exact copy removed in tier 1")
+    assert(byTier("2_minhash").getLong(3) === 1L, "near-dup removed in tier 2")
+    assert(byTier("3_semantic").getLong(3) === 1L, "semantic dup removed in tier 3")
+    assert(byTier("3_semantic").getLong(2) === 2L &&
+      byTier("3_semantic").getLong(4) === 180L, "docs 0 and 3 survive")
+    // ppm of the 5-doc corpus: each tier removed 1 doc = 200000 ppm
+    assert(byTier("2_minhash").getLong(5) === 200000L)
+  }
+}

@@ -40,7 +40,11 @@ class ScaleSpec extends SparkSpec {
       "q97_source_drift", // 1-row corpus-total and Q-constant broadcasts
       "q103_cms_heavy_hitters", // 1-row sketch broadcast (8 KiB at any corpus size)
       "q107_jl_recall", // bounded probe-set broadcast, both rankings (q39's shape)
-      "q113_quality_threshold_sweep") // 1-row corpus-totals broadcast
+      "q113_quality_threshold_sweep", // 1-row corpus-totals broadcast
+      "q117_tfidf_keywords", // 1-row corpus-doc-count broadcast
+      "q118_dedup_yield", // 1-row corpus-totals broadcast (the q113 shape)
+      "q119_ivf_nprobe_recall", // k-row centroid + bounded probe-set broadcasts (q56/q76 shapes)
+      "q122_dedup_funnel") // 1-row kmeans centroid + 1-row totals broadcasts (q73/q74 shapes)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -116,7 +120,16 @@ class ScaleSpec extends SparkSpec {
       "q110_boilerplate_lines" -> 5, // ONE posexplode feeds line-df census (distinct 2-level: (line,doc) + line) + verdict join + per-doc rebuild agg + sort
       "q111_seed_expansion" -> 5,    // (doc,j) dims aggs (seed branch prunes on the pushed doc_id gate) + ≤dim centroid agg/broadcast + per-doc affinity agg; top-k is TakeOrderedAndProject, never a global sort
       "q112_bpe_encode" -> 1,        // sort only: all 4 merge rounds run inside localCheckpoint jobs (q89 lineage discipline); the final census is per-row
-      "q113_quality_threshold_sweep" -> 4) // ×steps narrow fan-out + ≤steps-key agg + 1-row totals agg/broadcast + sort
+      "q113_quality_threshold_sweep" -> 4, // ×steps narrow fan-out + ≤steps-key agg + 1-row totals agg/broadcast + sort
+      "q114_quality_keeper" -> 4,    // ONE dedup_key exchange feeds rank window + keeper join-back + its agg-side + sort
+      "q115_within_doc_dedup" -> 1,  // pure per-row first-occurrence HOF + sort — the whole scale argument
+      "q116_source_leakage" -> 7,    // post-checkpoint presence table: 2 seg-keyed join sides + pair agg + per-source agg + 2 broadcasts + sort
+      "q117_tfidf_keywords" -> 7,    // post-checkpoint (doc,term) counts: tf agg + df agg + term join + 1-row count broadcast + per-source WindowGroupLimit + sort (the q69/q80 shape)
+      "q118_dedup_yield" -> 5,       // cluster-key agg + size-bucket agg + 1-row totals agg/broadcast + sort
+      "q119_ivf_nprobe_recall" -> 10, // centroid broadcast + home/probe cell windows + truth (q39 shape) + reach joins + sweep agg + sort; probe-side branches pruned by vec_id pushdown
+      "q120_incremental_dedup" -> 13, // post-checkpoint banding + batch⋈index bucket join + distinct + merge-hinted verify chain + best-match window + batch join-back + sort; ONE corpus scan in-plan
+      "q121_corpus_diff" -> 3,       // two (doc_id, h60) sides into ONE full-outer join + sort; per-row status
+      "q122_dedup_funnel" -> 15)     // post-checkpoint tiers (t1/t2/sh/kmeans rounds off-plan): semdedup pair join + removed aggs + 4 bounded tier-row aggs + 4-row lag window + totals broadcast
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
