@@ -96,7 +96,7 @@ object ScaleSmoke {
     "q113_quality_threshold_sweep", "q114_quality_keeper",
     "q115_within_doc_dedup", "q116_source_leakage", "q117_tfidf_keywords",
     "q118_dedup_yield", "q119_ivf_nprobe_recall", "q120_incremental_dedup",
-    "q121_corpus_diff", "q122_dedup_funnel")
+    "q121_corpus_diff", "q122_dedup_funnel", "q124_leakage_safe_split")
 
   private val Stride = 1000000L
 

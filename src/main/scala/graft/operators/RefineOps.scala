@@ -319,6 +319,33 @@ object RefineOps {
       .select("doc_id", "status")
   }
 
+  /** Leakage-safe train/val/test split: the split is decided per
+    * DUPLICATE CLUSTER, not per document — every member of a cluster
+    * hashes to the same split, so near-identical text can never sit on
+    * both sides of a train/eval boundary (the contamination a naive
+    * per-doc split bakes in, and the reason eval decontamination (q62)
+    * exists at all — this op prevents upstream what q62 detects
+    * downstream). Cluster identity = the first-occurrence keeper of
+    * `keyExpr`; split = `h60(keeper) mod 10` → 0–7 train / 8 val /
+    * 9 test (deterministic, engine-exact, and STABLE under corpus
+    * growth: a cluster's split never changes when unrelated documents
+    * arrive, unlike percentile- or rank-based splitters).
+    *
+    * Shape at 100 TB: ONE exchange on the cluster key (the keeper agg),
+    * re-used by the assignment join-back; the hash gate is per-row. */
+  def leakageSafeSplit(documents: DataFrame, keyExpr: String): DataFrame = {
+    val keyed = documents.select(col("doc_id"), expr(keyExpr).as("dedup_key"))
+    val keepers = keyed.groupBy("dedup_key")
+      .agg(min(col("doc_id")).as("keeper_doc_id"))
+    keyed.join(keepers, Seq("dedup_key"))
+      .withColumn("bucket",
+        graft.functions.Scalars.h60(col("keeper_doc_id").cast("string")) % 10)
+      .select(col("doc_id"), col("keeper_doc_id"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Dedup yield curve: for each duplicate-cluster SIZE, how many
     * clusters exist and how many characters a keep-one-per-cluster pass
     * would delete — the return-on-investment readout a curator reads

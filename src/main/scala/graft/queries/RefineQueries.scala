@@ -389,5 +389,29 @@ object RefineQueries {
       // the planted pairs are prefix-identical by construction)
       RefineOps.dedupFunnel(Tables(s, d, "documents"),
         Tables(s, d, "embeddings"), "md5(text)")
+    },
+
+    // Cluster-level train/val/test assignment — duplicates can never
+    // straddle a split boundary.
+    oracle(
+      "q124_leakage_safe_split",
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS dedup_key
+         |  FROM documents),
+         |k AS (SELECT dedup_key, min(doc_id) AS keeper_doc_id
+         |      FROM keyed GROUP BY 1)
+         |SELECT doc_id, keeper_doc_id,
+         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT keyed.doc_id, k.keeper_doc_id,
+         |    ${h60Sql("k.keeper_doc_id::VARCHAR")} % 10 AS b
+         |  FROM keyed JOIN k USING (dedup_key))
+         |ORDER BY doc_id""",
+      "Refine: leakage-safe split (cluster-hash, dups never straddle)") { (s, d) =>
+      RefineOps.leakageSafeSplit(Tables(s, d, "documents"),
+          "md5(array_join(slice(split(text, ' '), 1, 3), ' '))")
+        .orderBy("doc_id")
     })
 }

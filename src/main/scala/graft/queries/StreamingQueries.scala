@@ -110,5 +110,26 @@ object StreamingQueries {
       "SURVEY §2.8: stream-stream interval join (batch ground truth)") { (s, d) =>
       graft.streaming.StreamOps.purchaseErrorJoin(Tables(s, d, "events"))
         .orderBy("user_id", "e_id", "p_id")
+    },
+
+    // Stream-static enrichment: the event stream joined to the static
+    // user→nation dimension, rolled up per (hour, nation). As a real
+    // stream (StreamOps.nationEnrichedWindows) the dimension broadcasts
+    // into every micro-batch and the only state is the watermarked
+    // window agg — the spec proves the AvailableNow run equals this
+    // batch expression.
+    oracle(
+      "q123_stream_static_enrich",
+      s"""SELECT ${fmtTsSql("date_trunc('hour', e.ts)")} AS window_start,
+         |  n.n_name, COUNT(*) AS n, ${decSumSql("e.value")} AS total_value
+         |FROM events e
+         |JOIN customer c ON e.user_id = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""",
+      "SURVEY §2.8: stream-static dimension enrichment + windowed rollup") { (s, d) =>
+      graft.streaming.StreamOps.nationEnrichedWindows(
+          Tables(s, d, "events"),
+          Tables(s, d, "customer"), Tables(s, d, "nation"))
+        .orderBy("window_start", "n_name")
     })
 }

@@ -181,6 +181,35 @@ object StreamOps {
       .toDF()
   }
 
+  /** Stream-static enrichment + windowed rollup: the arriving event
+    * stream joins a STATIC dimension (user → nation via customer), then
+    * aggregates per (tumbling hour, nation) — the canonical "enrich the
+    * stream against reference data" shape (the reference's analog is the
+    * per-row SQLite lookups its publish loop makes against the static
+    * work-queue DB, `lib/med.rb` / `bin/pulfarize.rb`). The static side
+    * is bounded dimension data and broadcasts into every micro-batch; no
+    * stream-side state is held for the join itself (unlike
+    * [[purchaseErrorJoin]]'s two-sided buffering), so the only state is
+    * the windowed aggregation bounded by the watermark. Exactly the
+    * expressions of the q123 batch form — the spec asserts
+    * stream ≡ batch. */
+  def nationEnrichedWindows(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val dim = customer
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), Seq("c_nationkey"))
+      .select("user_id", "n_name")
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Scalars.decSum(col("value")).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("n_name"), col("n"), col("total_value"))
+  }
+
   /** Run any of the above to completion over the files currently present
     * (Trigger.AvailableNow) into an in-memory table; returns the result.
     * This is the scheduled-batch execution mode the reference's cron

@@ -138,6 +138,26 @@ class RefineOpsSpec extends SparkSpec {
       s.read.parquet(sf("sf0.001") + "/embeddings.parquet")
   }
 
+  test("leakageSafeSplit: cluster members never straddle a split") {
+    val docs = Seq(
+      (1L, "shared key prefix one"), (2L, "shared key prefix two"),
+      (3L, "another cluster here alpha"), (4L, "another cluster here beta"),
+      (5L, "lone wolf document text")
+    ).toDF("doc_id", "text")
+    val out = RefineOps.leakageSafeSplit(docs, keyExpr).collect()
+    assert(out.length === 5)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // cluster members share keeper AND split
+    assert(byId(1L).getLong(1) === 1L && byId(2L).getLong(1) === 1L)
+    assert(byId(1L).getString(2) === byId(2L).getString(2))
+    assert(byId(3L).getString(2) === byId(4L).getString(2))
+    assert(out.forall(r => Set("train", "val", "test")(r.getString(2))))
+    // determinism: same input → identical assignment
+    val again = RefineOps.leakageSafeSplit(docs, keyExpr).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getString(2)).toMap === again)
+  }
+
   test("incrementalDedup: batch docs match the index side only") {
     val base = "one two three four five six seven eight nine ten"
     val docs = Seq(

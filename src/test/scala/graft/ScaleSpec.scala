@@ -129,7 +129,9 @@ class ScaleSpec extends SparkSpec {
       "q119_ivf_nprobe_recall" -> 10, // centroid broadcast + home/probe cell windows + truth (q39 shape) + reach joins + sweep agg + sort; probe-side branches pruned by vec_id pushdown
       "q120_incremental_dedup" -> 13, // post-checkpoint banding + batch⋈index bucket join + distinct + merge-hinted verify chain + best-match window + batch join-back + sort; ONE corpus scan in-plan
       "q121_corpus_diff" -> 3,       // two (doc_id, h60) sides into ONE full-outer join + sort; per-row status
-      "q122_dedup_funnel" -> 15)     // post-checkpoint tiers (t1/t2/sh/kmeans rounds off-plan): semdedup pair join + removed aggs + 4 bounded tier-row aggs + 4-row lag window + totals broadcast
+      "q122_dedup_funnel" -> 15,     // post-checkpoint tiers (t1/t2/sh/kmeans rounds off-plan): semdedup pair join + removed aggs + 4 bounded tier-row aggs + 4-row lag window + totals broadcast
+      "q123_stream_static_enrich" -> 4, // dim build (customer⋈nation broadcasts) + (window, nation) agg + sort; stream form holds only watermarked window state
+      "q124_leakage_safe_split" -> 3)   // ONE cluster-key exchange (keeper agg, reused by the join-back) + per-row hash gate + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString

@@ -45,6 +45,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static enrichment: AvailableNow stream equals batch") {
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val streamed = StreamOps.nationEnrichedWindows(
+      StreamOps.eventsStream(spark, dir), customer, nation)
+    val got = StreamOps.runAvailableNowComplete(spark, streamed,
+        "t_enrich", tmpDir("ckpt"))
+      .orderBy("window_start", "n_name")
+      .collect().map(_.toSeq).toSeq
+    val expected = StreamOps.nationEnrichedWindows(
+        Tables(spark, dir, "events"), customer, nation)
+      .orderBy("window_start", "n_name")
+      .collect().map(_.toSeq).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("custom-state quota admit: multi-batch stream equals batch window") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.expressions.Window
