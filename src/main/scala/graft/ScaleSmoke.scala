@@ -96,7 +96,8 @@ object ScaleSmoke {
     "q113_quality_threshold_sweep", "q114_quality_keeper",
     "q115_within_doc_dedup", "q116_source_leakage", "q117_tfidf_keywords",
     "q118_dedup_yield", "q119_ivf_nprobe_recall", "q120_incremental_dedup",
-    "q121_corpus_diff", "q122_dedup_funnel", "q124_leakage_safe_split")
+    "q121_corpus_diff", "q122_dedup_funnel", "q124_leakage_safe_split",
+    "q125_ivfpq_adc", "q126_source_affinity", "q127_training_shards")
 
   private val Stride = 1000000L
 

@@ -382,4 +382,80 @@ object RefineOps {
         expr("removable_chars * 1000000L div total_chars").as("removable_ppm"))
       .orderBy("cluster_size")
   }
+
+  /** Per-source embedding affinity: each source's centroid in embedding
+    * space (dimension-wise mean over its documents' vectors) and the
+    * pairwise cosine between source centroids — the embedding-space
+    * sibling of q97's token-distribution drift. Two sources whose
+    * centroids are near-parallel cover the same semantic territory
+    * (candidates for down-weighting in the q100 recipe); a source whose
+    * centroid is far from every other is unique signal.
+    *
+    * Determinism: coordinates are micro-quantized once ([[ClusterOps]]'s
+    * fixed-point contract), centroid means are exact BIGINT sums divided
+    * in DOUBLE, and the output cosine is floored to integer ppm — every
+    * bit replayable by the oracle.
+    *
+    * Shape at 100 TB: one narrow join (docs' (id, source) against
+    * vectors), one posexplode + `groupBy(source, dim)` partial agg
+    * (map-side combine collapses each partition to ≤ sources·dim rows
+    * before the exchange — the [[ClusterOps]] recentering discipline),
+    * then an all-pairs join over the ≤ |sources| centroid rows — bounded
+    * by construction, never corpus-scale. */
+  def sourceEmbeddingAffinity(documents: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val v = SimOps.register(embeddings).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS DOUBLE))")
+        .as("mvec"))
+    val cent = documents
+      .select(col("doc_id").as("vec_id"), col("source"))
+      .join(v, Seq("vec_id"))
+      .select(col("source"), posexplode(col("mvec")).as(Seq("dim", "mv")))
+      .groupBy("source", "dim")
+      .agg(sum(col("mv").cast("long")).as("sv"), count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(expr("transform(sort_array(collect_list(named_struct(" +
+        "'dim', dim, 'v', CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))), p -> p.v)")
+        .as("cvec"),
+        max(col("n")).as("n_docs"))
+      .withColumn("c2", expr(s"${SimOps.dotX("cvec", "cvec")}"))
+    val a = cent.select(col("source").as("source_a"), col("cvec").as("va"),
+      col("c2").as("c2a"), col("n_docs").as("n_docs_a"))
+    val b = cent.select(col("source").as("source_b"), col("cvec").as("vb"),
+      col("c2").as("c2b"), col("n_docs").as("n_docs_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_docs_a"), col("n_docs_b"),
+        expr(s"CAST(floor(${SimOps.dotX("va", "vb")} / (sqrt(c2a) * sqrt(c2b)) " +
+          "* 1000000.0D) AS BIGINT)").as("cosine_ppm"))
+  }
+
+  /** Deterministic training-shard layout: the write-side global shuffle
+    * that turns a curated corpus into the N equal-ish shards a training
+    * job streams. Shard = content-free hash of the doc id (stable under
+    * re-runs and corpus appends — an existing doc never moves shards);
+    * position within the shard orders by the same hash (a deterministic
+    * pseudo-random permutation, so each shard is an unbiased sample and
+    * reading shards sequentially IS the shuffled epoch — the
+    * shuffle-once-at-write-time discipline every large trainer uses
+    * instead of shuffling at read time).
+    *
+    * Output: one row per doc — `doc_id, shard, pos` (pos is 0-based
+    * within shard).
+    *
+    * Shape at 100 TB: the hash is per-row; ONE exchange on `shard`
+    * (choose nShards so a shard fits an executor) and a within-shard
+    * sort — exactly the `repartition(shard).sortWithinPartitions` plan
+    * a parquet writer wants, expressed as a window so the layout is a
+    * checkable result instead of a side effect. */
+  def trainingShards(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1)
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+    documents
+      .select(col("doc_id"),
+        graft.functions.Scalars.h60(concat(lit("shard:"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select("doc_id", "shard", "pos")
+  }
 }

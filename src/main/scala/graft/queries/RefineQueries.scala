@@ -413,5 +413,140 @@ object RefineQueries {
       RefineOps.leakageSafeSplit(Tables(s, d, "documents"),
           "md5(array_join(slice(split(text, ' '), 1, 3), ' '))")
         .orderBy("doc_id")
+    },
+
+    // IVF-PQ with ADC scoring: q56's coarse cells route the probe, q88's
+    // per-subspace codebooks compress the corpus to m code ids, and each
+    // candidate is scored by summed query-to-codeword LUT distances.
+    // Codebook centroids = means of the FINAL k-means members (the q93
+    // statistic); the ranking key is the BIGINT-floored micro-unit²
+    // distance, so tie-breaks are integer-exact across engines.
+    oracle(
+      "q125_ivfpq_adc",
+      s"""WITH ${ClusterQueries.kmeansCtesFor(
+             "(SELECT vec_id, embedding[1:len(embedding)//2] AS embedding FROM embeddings)",
+             4, "x")},
+         |${ClusterQueries.kmeansCtesFor(
+             "(SELECT vec_id, embedding[len(embedding)//2+1:len(embedding)] AS embedding FROM embeddings)",
+             4, "y")},
+         |${finalCbCtes("x")},
+         |${finalCbCtes("y")},
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotD("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+         |      FROM e WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT v.vec_id, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${dotD("v.embedding", "c.cent_emb")} / (v.norm * c.cent_norm) DESC,
+         |      c.cent_id) AS rn
+         |  FROM e v CROSS JOIN c),
+         |cell AS (SELECT vec_id, cent_id AS cell FROM scored WHERE rn = 1),
+         |coded AS (
+         |  SELECT x.vec_id, x.cluster AS code_0, y.cluster AS code_1
+         |  FROM xa2 x JOIN ya2 y USING (vec_id)),
+         |lx AS (
+         |  SELECT q.vec_id AS q_id, cb.cluster AS code_0,
+         |    q.m2 + cb.c2 - 2.0::DOUBLE * ${dotD("q.mvec", "cb.cvec")} AS pd0
+         |  FROM xmdt q CROSS JOIN xfcn cb WHERE q.vec_id < 25),
+         |ly AS (
+         |  SELECT q.vec_id AS q_id, cb.cluster AS code_1,
+         |    q.m2 + cb.c2 - 2.0::DOUBLE * ${dotD("q.mvec", "cb.cvec")} AS pd1
+         |  FROM ymdt q CROSS JOIN yfcn cb WHERE q.vec_id < 25),
+         |cand AS (
+         |  SELECT qc.vec_id AS q_id, n.vec_id AS n_id, cd.code_0, cd.code_1
+         |  FROM cell qc
+         |  JOIN cell n ON qc.cell = n.cell
+         |    AND qc.vec_id < 25 AND qc.vec_id <> n.vec_id
+         |  JOIN coded cd ON cd.vec_id = n.vec_id),
+         |sc AS (
+         |  SELECT cand.q_id, cand.n_id,
+         |    CAST(floor(lx.pd0 + ly.pd1) AS BIGINT) AS adc_dist2
+         |  FROM cand
+         |  JOIN lx ON lx.q_id = cand.q_id AND lx.code_0 = cand.code_0
+         |  JOIN ly ON ly.q_id = cand.q_id AND ly.code_1 = cand.code_1),
+         |r AS (
+         |  SELECT q_id, n_id, adc_dist2,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc_dist2, n_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT q_id, n_id, "rank", adc_dist2 FROM r WHERE "rank" <= 3
+         |ORDER BY q_id, "rank"""",
+      "Similarity: IVF-PQ ADC search (coarse cells + codebook LUT scoring)") { (s, d) =>
+      SimOps.ivfPqAdc(Tables(s, d, "embeddings"))
+        .orderBy("q_id", "rank")
+    },
+
+    // Per-source embedding-space affinity: micro-unit centroid per
+    // source, pairwise cosine in integer ppm — the embedding sibling of
+    // q97's token-distribution drift.
+    oracle(
+      "q126_source_affinity",
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE + 0.5::DOUBLE)) AS mvec
+         |  FROM embeddings),
+         |j AS (SELECT d.source, v.mvec
+         |      FROM documents d JOIN v ON v.vec_id = d.doc_id),
+         |ex AS (
+         |  SELECT source, unnest(range(1, len(mvec)+1)) AS dim,
+         |    unnest(list_transform(range(1, len(mvec)+1), i -> CAST(mvec[i] AS BIGINT))) AS mv
+         |  FROM j),
+         |u AS (
+         |  SELECT source, dim,
+         |    CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cv,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ex GROUP BY 1, 2),
+         |ce AS (SELECT source, list(cv ORDER BY dim) AS cvec,
+         |         max(n) AS n_docs
+         |       FROM u GROUP BY 1),
+         |cn AS (SELECT source, cvec, n_docs, ${dotD("cvec", "cvec")} AS c2
+         |       FROM ce)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+         |  CAST(floor(${dotD("a.cvec", "b.cvec")} / (sqrt(a.c2) * sqrt(b.c2))
+         |    * 1000000.0::DOUBLE) AS BIGINT) AS cosine_ppm
+         |FROM cn a JOIN cn b ON a.source < b.source
+         |ORDER BY source_a, source_b""",
+      "Refine: per-source embedding-centroid affinity matrix (ppm cosine)") { (s, d) =>
+      RefineOps.sourceEmbeddingAffinity(Tables(s, d, "documents"),
+          Tables(s, d, "embeddings"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // Write-side training-shard layout: hash-sharded, hash-ordered — the
+    // shuffle-once-at-write-time epoch permutation.
+    oracle(
+      "q127_training_shards",
+      s"""SELECT doc_id, h % 8 AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |    AS BIGINT) - 1 AS pos
+         |FROM (SELECT doc_id, ${h60Sql("'shard:' || doc_id::VARCHAR")} AS h
+         |      FROM documents)
+         |ORDER BY doc_id""",
+      "Refine: deterministic training-shard layout (hash shard + position)") { (s, d) =>
+      RefineOps.trainingShards(Tables(s, d, "documents"))
+        .orderBy("doc_id")
     })
+
+  /** DuckDB fragment: final codebook centroids for prefix `p` — the mean
+    * of each cluster's FINAL members as exact BIGINT micro-unit sums
+    * divided in DOUBLE (the q93 final-centroid form), ending in
+    * `${p}fcn(cluster, cvec, c2)`. */
+  private def finalCbCtes(p: String): String =
+    s"""${p}fex AS (
+       |  SELECT a.cluster,
+       |    unnest(range(1, len(v.mvec)+1)) AS dim,
+       |    unnest(list_transform(range(1, len(v.mvec)+1), i -> CAST(v.mvec[i] AS BIGINT))) AS mv
+       |  FROM ${p}a2 a JOIN ${p}mdt v USING (vec_id)),
+       |${p}fu AS (
+       |  SELECT cluster, dim,
+       |    CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cv
+       |  FROM ${p}fex GROUP BY 1, 2),
+       |${p}fc AS (
+       |  SELECT cluster, list(cv ORDER BY dim) AS cvec FROM ${p}fu GROUP BY 1),
+       |${p}fcn AS (
+       |  SELECT cluster, cvec, ${dotD("cvec", "cvec")} AS c2 FROM ${p}fc)""".stripMargin
 }

@@ -219,4 +219,69 @@ class RefineOpsSpec extends SparkSpec {
     // ppm of the 5-doc corpus: each tier removed 1 doc = 200000 ppm
     assert(byTier("2_minhash").getLong(5) === 200000L)
   }
+
+  test("ivfPqAdc: exact when vectors sit on their codewords; ranks dense") {
+    // Two exact point masses per subspace: codebook centroids collapse
+    // onto the data, so ADC equals the true squared micro-unit distance.
+    // A = (1,1) at ids 0/2/4, B = (9,9) at ids 1/3/5; one coarse cell.
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(9.0f, 9.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(9.0f, 9.0f)),
+      (4L, Array(1.0f, 1.0f)), (5L, Array(9.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimOps.ivfPqAdc(emb, kCells = 1, m = 2, kCodes = 2,
+      rounds = 2, nQueries = 1, topK = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    // same-codeword neighbors score 0 and outrank the far mass
+    assert(out(0).getAs[Long]("n_id") === 2L &&
+      out(0).getAs[Long]("adc_dist2") === 0L)
+    assert(out(1).getAs[Long]("n_id") === 4L &&
+      out(1).getAs[Long]("adc_dist2") === 0L)
+    // (9e6 − 1e6)² per dimension × 2 dims = 1.28e14 micro-units²
+    assert(out(2).getAs[Long]("n_id") === 1L &&
+      out(2).getAs[Long]("adc_dist2") === 128000000000000L)
+  }
+
+  test("sourceEmbeddingAffinity: parallel sources 1e6 ppm, orthogonal 0") {
+    val docs = Seq(
+      (0L, "s1"), (1L, "s1"), (2L, "s2"), (3L, "s3")
+    ).toDF("doc_id", "source")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = RefineOps.sourceEmbeddingAffinity(docs, emb)
+      .orderBy("source_a", "source_b").collect()
+    assert(out.length === 3)
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("cosine_ppm")).toMap
+    assert(m(("s1", "s2")) === 0L, "orthogonal centroids")
+    assert(m(("s1", "s3")) === 1000000L, "identical centroids")
+    assert(m(("s2", "s3")) === 0L)
+    val r12 = out.find(r => r.getString(0) == "s1" && r.getString(1) == "s2").get
+    assert(r12.getAs[Long]("n_docs_a") === 2L &&
+      r12.getAs[Long]("n_docs_b") === 1L)
+  }
+
+  test("trainingShards: hash-stable shards, dense positions, append-stable") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = RefineOps.trainingShards(docs, nShards = 4).collect()
+    assert(out.length === 40)
+    // shard is the content-free h60 of the id — recomputable
+    out.foreach { r =>
+      val expect = graft.functions.Scalars.h60Jvm(s"shard:${r.getLong(0)}") % 4
+      assert(r.getAs[Long]("shard") === expect)
+    }
+    // positions are dense 0..n-1 within each shard
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ===
+        (0L until rows.length.toLong).toSeq)
+    }
+    // append stability: adding docs never moves an existing doc's shard
+    val more = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val again = RefineOps.trainingShards(more, nShards = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+    out.foreach(r => assert(again(r.getLong(0)) === r.getAs[Long]("shard")))
+  }
 }

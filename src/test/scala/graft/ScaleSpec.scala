@@ -44,7 +44,8 @@ class ScaleSpec extends SparkSpec {
       "q117_tfidf_keywords", // 1-row corpus-doc-count broadcast
       "q118_dedup_yield", // 1-row corpus-totals broadcast (the q113 shape)
       "q119_ivf_nprobe_recall", // k-row centroid + bounded probe-set broadcasts (q56/q76 shapes)
-      "q122_dedup_funnel") // 1-row kmeans centroid + 1-row totals broadcasts (q73/q74 shapes)
+      "q122_dedup_funnel", // 1-row kmeans centroid + 1-row totals broadcasts (q73/q74 shapes)
+      "q126_source_affinity") // ≤|sources|-row centroid table vs itself — bounded by construction
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -131,7 +132,10 @@ class ScaleSpec extends SparkSpec {
       "q121_corpus_diff" -> 3,       // two (doc_id, h60) sides into ONE full-outer join + sort; per-row status
       "q122_dedup_funnel" -> 15,     // post-checkpoint tiers (t1/t2/sh/kmeans rounds off-plan): semdedup pair join + removed aggs + 4 bounded tier-row aggs + 4-row lag window + totals broadcast
       "q123_stream_static_enrich" -> 4, // dim build (customer⋈nation broadcasts) + (window, nation) agg + sort; stream form holds only watermarked window state
-      "q124_leakage_safe_split" -> 3)   // ONE cluster-key exchange (keeper agg, reused by the join-back) + per-row hash gate + sort
+      "q124_leakage_safe_split" -> 3,   // ONE cluster-key exchange (keeper agg, reused by the join-back) + per-row hash gate + sort
+      "q125_ivfpq_adc" -> 5,         // post-checkpoint serve plan (index + LUTs built off-plan): qcell broadcast + 2 LUT broadcasts + rank window + sort; the corpus side streams ONCE as (cell, codes)
+      "q126_source_affinity" -> 8,   // docs⋈vectors narrow join + (source,dim) partial agg + per-source pack + ≤|sources|² centroid pass + sort
+      "q127_training_shards" -> 2)   // ONE shard exchange (window) + total-order sort — the write-side repartition+sortWithinPartitions shape
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
