@@ -97,7 +97,8 @@ object ScaleSmoke {
     "q115_within_doc_dedup", "q116_source_leakage", "q117_tfidf_keywords",
     "q118_dedup_yield", "q119_ivf_nprobe_recall", "q120_incremental_dedup",
     "q121_corpus_diff", "q122_dedup_funnel", "q124_leakage_safe_split",
-    "q125_ivfpq_adc", "q126_source_affinity", "q127_training_shards")
+    "q125_ivfpq_adc", "q126_source_affinity", "q127_training_shards",
+    "q128_bottomk_sample", "q129_embedding_health")
 
   private val Stride = 1000000L
 

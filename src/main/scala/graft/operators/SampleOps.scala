@@ -149,4 +149,36 @@ object SampleOps {
           .as("planned_tokens"))
       .withColumn("epochs_ppm", expr("(planned_tokens * 1000000L) div n_tokens"))
   }
+
+  /** Fixed-SIZE uniform sample via bottom-k hashing: rank every row by a
+    * seeded content-free hash of its key and keep the k smallest — the
+    * distributed, deterministic replacement for reservoir sampling
+    * (Cohen & Kaplan, "Summarizing data using bottom-k sketches", PODC
+    * 2007). [[stratifiedSample]] fixes a RATE; eval-set construction and
+    * debugging fix a COUNT, which a rate can't promise. The hash order
+    * also makes the sample NESTED: the bottom-1000 is a superset of the
+    * bottom-100 under the same seed, so growing an eval set never
+    * invalidates a smaller published one, and two corpora's bottom-k
+    * sets support unbiased Jaccard estimation between them.
+    *
+    * Output: the k sampled rows as `(doc_id, sample_rank)`, rank 1-based
+    * in hash order (ties by doc_id — exact across engines).
+    *
+    * Shape at 100 TB: the ranked limit plans as TakeOrderedAndProject —
+    * a per-partition k-heap plus ONE k-row merge on the driver; the
+    * corpus is never globally sorted and never shuffled. The final
+    * rank window runs on k rows in a single partition. */
+  def bottomKSample(df: DataFrame, keyCol: String, k: Int,
+      seed: String = "rsv"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("h").asc, col(keyCol).asc)
+    df.select(col(keyCol),
+        graft.functions.Scalars.h60Seeded(lit(seed), col(keyCol).cast("string"))
+          .as("h"))
+      .orderBy(col("h").asc, col(keyCol).asc)
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("sample_rank"))
+  }
 }

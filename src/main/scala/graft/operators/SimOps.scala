@@ -606,4 +606,56 @@ object SimOps {
       .filter(col("rank") <= topK)
       .select("q_id", "n_id", "rank", "adc_dist2")
   }
+
+  /** Embedding-health census — the anisotropy/collapse diagnostics an
+    * embedding-driven pipeline (SemDeDup, ANN, DSIR) checks before
+    * trusting its vector space: corpus centroid norm (a healthy,
+    * roughly-isotropic space has a centroid near the origin; a large
+    * norm is the "anisotropic cone" pathology of Ethayarajh, "How
+    * Contextual are Contextualized Word Representations?", EMNLP 2019),
+    * mean vector norm, mean cosine-to-centroid (near 1 ⇒ vectors
+    * collapse into a narrow cone and cosine similarity stops
+    * discriminating), and the fraction of vectors pointing away from
+    * the centroid.
+    *
+    * One summary row, all integers: `n_vecs, centroid_norm_micro,
+    * avg_norm_micro, avg_cos_centroid_ppm, neg_cos_ppm`. Per-row
+    * cosines are floored to BIGINT ppm BEFORE averaging, so the
+    * corpus-wide mean is an exact integer sum — order-independent
+    * under any partitioning, where a double mean would drift.
+    * Degenerate zero vectors contribute NULL cosines (excluded from
+    * the cosine averages, still counted in `n_vecs`).
+    *
+    * Shape at 100 TB: one posexplode + per-dim partial agg builds the
+    * centroid (≤ dim keys), which broadcasts back as a 1-row packed
+    * array into a map-side per-row cosine; ONE final single-row agg.
+    * Two narrow corpus passes, no joins wider than a row. */
+  def embeddingHealth(embeddings: DataFrame): DataFrame = {
+    val vd = register(embeddings).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS DOUBLE))")
+        .as("mvec"))
+      .withColumn("m2", expr(dotX("mvec", "mvec")))
+    val cent = vd
+      .select(posexplode(col("mvec")).as(Seq("dim", "mv")))
+      .groupBy("dim")
+      .agg(sum(col("mv").cast("long")).as("sv"), count(lit(1)).as("n"))
+      .agg(expr("transform(sort_array(collect_list(named_struct(" +
+        "'dim', dim, 'v', CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))), p -> p.v)")
+        .as("cvec"))
+      .withColumn("c2", expr(dotX("cvec", "cvec")))
+    vd.crossJoin(broadcast(cent))
+      .select(
+        expr("CAST(floor(sqrt(m2)) AS BIGINT)").as("norm_micro"),
+        expr(s"""CASE WHEN m2 > 0.0D THEN
+                 |  CAST(floor(${dotX("mvec", "cvec")} / (sqrt(m2) * sqrt(c2))
+                 |    * 1000000.0D) AS BIGINT) END""".stripMargin).as("cos_ppm"),
+        col("c2"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        expr("CAST(floor(sqrt(first(c2))) AS BIGINT)").as("centroid_norm_micro"),
+        expr("sum(norm_micro) div count(1)").as("avg_norm_micro"),
+        expr("sum(cos_ppm) div count(cos_ppm)").as("avg_cos_centroid_ppm"),
+        expr("(1000000L * sum(CASE WHEN cos_ppm < 0L THEN 1L ELSE 0L END)) div count(cos_ppm)")
+          .as("neg_cos_ppm"))
+  }
 }

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef, QueryDef.oracle
+import graft.functions.Scalars
 import graft.functions.Scalars.h60Sql
-import graft.operators.{RefineOps, SimOps, TextOps}
+import graft.operators.{RefineOps, SampleOps, SimOps, TextOps}
 import graft.sources.Tables
 
 /** Corpus-refinement query family (q114+): keeper policies, intra-doc
@@ -529,6 +530,56 @@ object RefineQueries {
       "Refine: deterministic training-shard layout (hash shard + position)") { (s, d) =>
       RefineOps.trainingShards(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    // Fixed-size uniform sample via bottom-k hashing: per-partition
+    // k-heaps + one k-row merge (TakeOrderedAndProject) — never a
+    // global sort; nested under the seed (bottom-100 ⊂ bottom-1000).
+    oracle(
+      "q128_bottomk_sample",
+      s"""SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+         |FROM (SELECT doc_id, ${Scalars.h60SeededSql("'rsv'", "doc_id::VARCHAR")} AS h
+         |      FROM documents ORDER BY h, doc_id LIMIT 100)
+         |ORDER BY doc_id""",
+      "Sampling: fixed-size bottom-k hash sample (nested, sort-free)") { (s, d) =>
+      SampleOps.bottomKSample(Tables(s, d, "documents"), "doc_id", 100)
+        .orderBy("doc_id")
+    },
+
+    // Embedding-space health census: centroid norm / mean cosine-to-
+    // centroid anisotropy diagnostics, all integer micro-units and ppm.
+    oracle(
+      "q129_embedding_health",
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE + 0.5::DOUBLE)) AS mvec
+         |  FROM embeddings),
+         |vd AS (SELECT vec_id, mvec, ${dotD("mvec", "mvec")} AS m2 FROM v),
+         |ex AS (
+         |  SELECT unnest(range(1, len(mvec)+1)) AS dim,
+         |    unnest(list_transform(range(1, len(mvec)+1), i -> CAST(mvec[i] AS BIGINT))) AS mv
+         |  FROM vd),
+         |u AS (SELECT dim, CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cv
+         |      FROM ex GROUP BY 1),
+         |ce AS (SELECT list(cv ORDER BY dim) AS cvec FROM u),
+         |cn AS (SELECT cvec, ${dotD("cvec", "cvec")} AS c2 FROM ce),
+         |per AS (
+         |  SELECT CAST(floor(sqrt(vd.m2)) AS BIGINT) AS norm_micro,
+         |    CASE WHEN vd.m2 > 0.0::DOUBLE THEN
+         |      CAST(floor(${dotD("vd.mvec", "cn.cvec")} / (sqrt(vd.m2) * sqrt(cn.c2))
+         |        * 1000000.0::DOUBLE) AS BIGINT) END AS cos_ppm,
+         |    cn.c2 AS c2
+         |  FROM vd CROSS JOIN cn)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(floor(sqrt(first(c2))) AS BIGINT) AS centroid_norm_micro,
+         |  CAST(sum(norm_micro) AS BIGINT) // count(*) AS avg_norm_micro,
+         |  CAST(sum(cos_ppm) AS BIGINT) // count(cos_ppm) AS avg_cos_centroid_ppm,
+         |  (1000000 * CAST(sum(CASE WHEN cos_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT))
+         |    // count(cos_ppm) AS neg_cos_ppm
+         |FROM per""",
+      "Similarity: embedding anisotropy/collapse health census") { (s, d) =>
+      SimOps.embeddingHealth(Tables(s, d, "embeddings"))
     })
 
   /** DuckDB fragment: final codebook centroids for prefix `p` — the mean

@@ -317,4 +317,50 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("bottomKSample: nested under the seed, dense ranks, sort-free plan") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val df = SampleOps.bottomKSample(docs, "doc_id", 20)
+    val s20 = df.collect()
+    assert(s20.length === 20)
+    assert(s20.map(_.getAs[Long]("sample_rank")).sorted.toSeq ===
+      (1L to 20L).toSeq, "ranks are dense 1..k")
+    // nestedness: the bottom-5 is exactly the rank<=5 prefix of bottom-20
+    val s5 = SampleOps.bottomKSample(docs, "doc_id", 5).collect()
+      .map(_.getLong(0)).toSet
+    assert(s5 === s20.filter(_.getAs[Long]("sample_rank") <= 5L)
+      .map(_.getLong(0)).toSet)
+    // partition-layout invariance: same sample from a reshuffled input
+    val again = SampleOps.bottomKSample(docs.repartition(7), "doc_id", 20)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("sample_rank")).toMap
+    assert(s20.map(r => r.getLong(0) -> r.getAs[Long]("sample_rank")).toMap
+      === again)
+    // the scale claim: a per-partition heap + k-row merge, never a
+    // global Sort+Exchange over the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bottom-k must plan TakeOrderedAndProject, not a global sort")
+  }
+
+  test("embeddingHealth: orthogonal pair diagnostics exact; zero vector excluded") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f))        // degenerate: NULL cosine, still counted
+    ).toDF("vec_id", "embedding")
+    val r = SimOps.embeddingHealth(emb).collect().head
+    assert(r.getAs[Long]("n_vecs") === 3L)
+    // centroid = (1e6+0+0, 0+1e6+0)/3; norm = sqrt(2)/3 * 1e6
+    val cv = 1000000.0 / 3.0
+    val c2 = cv * cv + cv * cv
+    assert(r.getAs[Long]("centroid_norm_micro") ===
+      math.floor(math.sqrt(c2)).toLong)
+    // avg norm: (1e6 + 1e6 + 0) / 3 — integer division
+    assert(r.getAs[Long]("avg_norm_micro") === 2000000L / 3L)
+    // both live vectors share the same cosine to the diagonal centroid
+    val cos = (1000000.0 * cv) / (1000000.0 * math.sqrt(c2))
+    assert(r.getAs[Long]("avg_cos_centroid_ppm") ===
+      math.floor(cos * 1000000.0).toLong)
+    assert(r.getAs[Long]("neg_cos_ppm") === 0L)
+  }
 }

@@ -45,7 +45,8 @@ class ScaleSpec extends SparkSpec {
       "q118_dedup_yield", // 1-row corpus-totals broadcast (the q113 shape)
       "q119_ivf_nprobe_recall", // k-row centroid + bounded probe-set broadcasts (q56/q76 shapes)
       "q122_dedup_funnel", // 1-row kmeans centroid + 1-row totals broadcasts (q73/q74 shapes)
-      "q126_source_affinity") // ≤|sources|-row centroid table vs itself — bounded by construction
+      "q126_source_affinity", // ≤|sources|-row centroid table vs itself — bounded by construction
+      "q129_embedding_health") // 1-row packed-centroid broadcast (the q73/q80 shape)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -135,7 +136,9 @@ class ScaleSpec extends SparkSpec {
       "q124_leakage_safe_split" -> 3,   // ONE cluster-key exchange (keeper agg, reused by the join-back) + per-row hash gate + sort
       "q125_ivfpq_adc" -> 5,         // post-checkpoint serve plan (index + LUTs built off-plan): qcell broadcast + 2 LUT broadcasts + rank window + sort; the corpus side streams ONCE as (cell, codes)
       "q126_source_affinity" -> 8,   // docs⋈vectors narrow join + (source,dim) partial agg + per-source pack + ≤|sources|² centroid pass + sort
-      "q127_training_shards" -> 2)   // ONE shard exchange (window) + total-order sort — the write-side repartition+sortWithinPartitions shape
+      "q127_training_shards" -> 2,   // ONE shard exchange (window) + total-order sort — the write-side repartition+sortWithinPartitions shape
+      "q128_bottomk_sample" -> 0,    // TakeOrderedAndProject (per-partition k-heap + k-row merge) + k-row single-partition rank window — the corpus never shuffles
+      "q129_embedding_health" -> 4)  // per-dim partial agg + 1-row centroid pack/broadcast + single-row final agg; two narrow corpus passes
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
