@@ -131,5 +131,32 @@ object StreamingQueries {
           Tables(s, d, "events"),
           Tables(s, d, "customer"), Tables(s, d, "nation"))
         .orderBy("window_start", "n_name")
+    },
+
+    // Batch execution of the custom-state streaming bottom-k sampler
+    // (mapGroupsWithState; unified model — state empty, one batch =
+    // whole input). The StreamingSpec proves the multi-batch stream
+    // emits the identical final snapshots.
+    oracle(
+      "q130_stream_bottomk",
+      s"""SELECT event_type, n_seen, CAST(rk AS BIGINT) AS sample_rank, event_id
+         |FROM (
+         |  SELECT event_type, event_id,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY h, event_id) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_seen
+         |  FROM (SELECT event_type, event_id,
+         |          ${graft.functions.Scalars.h60SeededSql("'rsv'", "event_id::VARCHAR")} AS h
+         |        FROM events))
+         |WHERE rk <= 4
+         |ORDER BY event_type, sample_rank""",
+      "SURVEY §2.8: continuous bottom-k sample (custom state, batch form)") { (s, d) =>
+      import org.apache.spark.sql.functions.{col, posexplode}
+      graft.streaming.StreamOps.bottomKSampleStream(Tables(s, d, "events"), 4)
+        .select(col("event_type"), col("n_seen"),
+          posexplode(col("sample_ids")).as(Seq("i", "event_id")))
+        .select(col("event_type"), col("n_seen"),
+          (col("i") + 1).cast("long").as("sample_rank"), col("event_id"))
+        .orderBy("event_type", "sample_rank")
     })
 }

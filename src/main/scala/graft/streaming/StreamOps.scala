@@ -181,6 +181,64 @@ object StreamOps {
       .toDF()
   }
 
+  /** Snapshot row for [[bottomKSampleStream]]: the key's current sample
+    * plus how many rows it has seen — `n_seen` is strictly increasing,
+    * so the LAST snapshot per key is the one with the max `n_seen`. */
+  final case class SampleSnapshot(
+      event_type: String, n_seen: Long, sample_ids: Seq[Long])
+
+  /** Continuous bottom-k uniform sample per key — the streaming form of
+    * [[graft.operators.SampleOps.bottomKSample]]: maintain, across the
+    * stream's whole lifetime, the k rows whose seeded content-free hash
+    * ranks smallest. Bottom-k state is MERGEABLE (the bottom-k of a
+    * union is the bottom-k of the two bottom-k's), so the maintained
+    * sample is byte-identical to the batch query over the same rows no
+    * matter how the stream is chopped into micro-batches — the property
+    * the spec pins by comparing a 3-batch run, a 1-batch run, and the
+    * batch execution. Each key emits one [[SampleSnapshot]] per
+    * micro-batch it appears in (Update mode); the latest snapshot IS
+    * the current sample — a continuously-fresh eval set / debugging
+    * panel over an unbounded ingest.
+    *
+    * Scale shape: one exchange on the group key; state per key is a
+    * bounded k-list of (hash, id) pairs — O(k) memory however many
+    * rows flow through; per-batch work is the same bounded max-heap as
+    * the batch operator. No timeout: the sample must survive the
+    * stream's lifetime (same reasoning as [[quotaAdmit]]). Works
+    * identically on a batch DataFrame (state empty, one batch = whole
+    * input). */
+  def bottomKSampleStream(events: DataFrame, k: Int,
+      seed: String = "rsv"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ord = Ordering.Tuple2[Long, Long]
+    events
+      .select(col("event_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[Seq[(Long, Long)], SampleSnapshot](
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val (seen0, kept0) = state.getOption
+          .map(s => (s.head._1, s.tail)).getOrElse((0L, Seq.empty))
+        // bounded max-heap over (hash, id): O(n log k) per batch, O(k) state
+        val heap = scala.collection.mutable.PriorityQueue(kept0: _*)(ord)
+        var seen = seen0
+        rows.foreach { case (id, _) =>
+          seen += 1L
+          val c = (graft.functions.Scalars.h60Jvm(s"$seed:$id"), id)
+          if (heap.size < k) heap.enqueue(c)
+          else if (ord.lt(c, heap.head)) { heap.dequeue(); heap.enqueue(c) }
+        }
+        val kept = heap.dequeueAll.reverse // ascending (hash, id)
+        // state row 0 carries the seen-counter; samples follow
+        state.update((seen, 0L) +: kept)
+        SampleSnapshot(key, seen, kept.map(_._2))
+      }
+      .toDF()
+  }
+
   /** Stream-static enrichment + windowed rollup: the arriving event
     * stream joins a STATIC dimension (user → nation via customer), then
     * aggregates per (tumbling hour, nation) — the canonical "enrich the
@@ -232,6 +290,22 @@ object StreamOps {
       queryName: String, checkpointDir: String): DataFrame = {
     val q = streamed.writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Update-mode variant for mapGroupsWithState streams
+    * ([[bottomKSampleStream]]): the memory sink accumulates every
+    * per-batch snapshot; the caller reduces to the latest per key. */
+  def runAvailableNowUpdate(spark: SparkSession, streamed: DataFrame,
+      queryName: String, checkpointDir: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)

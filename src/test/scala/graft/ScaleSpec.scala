@@ -138,7 +138,8 @@ class ScaleSpec extends SparkSpec {
       "q126_source_affinity" -> 8,   // docs⋈vectors narrow join + (source,dim) partial agg + per-source pack + ≤|sources|² centroid pass + sort
       "q127_training_shards" -> 2,   // ONE shard exchange (window) + total-order sort — the write-side repartition+sortWithinPartitions shape
       "q128_bottomk_sample" -> 0,    // TakeOrderedAndProject (per-partition k-heap + k-row merge) + k-row single-partition rank window — the corpus never shuffles
-      "q129_embedding_health" -> 4)  // per-dim partial agg + 1-row centroid pack/broadcast + single-row final agg; two narrow corpus passes
+      "q129_embedding_health" -> 4,  // per-dim partial agg + 1-row centroid pack/broadcast + single-row final agg; two narrow corpus passes
+      "q130_stream_bottomk" -> 2)    // ONE group-key exchange into the stateful op + total-order sort; state O(k) per key
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString

@@ -111,6 +111,57 @@ class StreamingSpec extends SparkSpec {
     assert(batch === expected)
   }
 
+  test("streaming bottom-k sample: final snapshots identical under any batch slicing") {
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions._
+    val srcDir = tmpDir("bk_src")
+    (0 until 3).foreach { f =>
+      val rows = (0 until 20).map { i =>
+        Row(f * 100L + i, (f * 10000L + i * 10L) * 1000000000L,
+          (i % 4).toLong, s"type${i % 3}", 1.0, "{}")
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), StreamOps.eventsRawSchema)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/stage$f")
+      val part = new java.io.File(s"$srcDir/stage$f").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"events$f%d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + f * 60000L)
+    }
+    val k = 4
+    // latest snapshot per key = the one with the max (strictly
+    // increasing) n_seen the memory sink accumulated
+    def latest(df: DataFrame): Map[String, (Long, Seq[Long])] =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (t, rs) =>
+          val m = rs.maxBy(_._2); t -> (m._2, m._3)
+        }
+    val multi = latest(StreamOps.runAvailableNowUpdate(spark,
+      StreamOps.bottomKSampleStream(
+        StreamOps.eventsStream(spark, srcDir, maxFilesPerTrigger = 1), k),
+      "t_bk_multi", tmpDir("ckpt_bk1")))
+    val single = latest(StreamOps.runAvailableNowUpdate(spark,
+      StreamOps.bottomKSampleStream(StreamOps.eventsStream(spark, srcDir), k),
+      "t_bk_single", tmpDir("ckpt_bk2")))
+    val all = spark.read.parquet(s"$srcDir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = latest(StreamOps.bottomKSampleStream(all, k))
+    // driver-side reference: per key, the k (hash, id)-smallest ids
+    val ref = all.select("event_id", "event_type").collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .map { case (t, rs) =>
+        val ids = rs.map(_._2)
+        t -> (ids.length.toLong,
+          ids.map(id => (graft.functions.Scalars.h60Jvm(s"rsv:$id"), id))
+            .sorted.take(k).map(_._2).toSeq)
+      }
+    assert(multi === ref, "3-micro-batch stream")
+    assert(single === ref, "single-batch stream")
+    assert(batch === ref, "batch execution")
+  }
+
   test("session windows produce plausible per-user sessions") {
     val streamed = StreamOps.sessionCounts(StreamOps.eventsStream(spark, dir))
     val got = StreamOps.runAvailableNowComplete(spark, streamed,
