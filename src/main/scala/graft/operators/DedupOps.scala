@@ -902,6 +902,74 @@ object DedupOps {
       .select("a", "b", "jaccard")
   }
 
+  /** Exact set-similarity self-join via PREFIX FILTERING — the third
+    * candidate-generation paradigm next to LSH banding
+    * ([[minhashCandidatePairs]], probabilistic) and geometric size
+    * blocking ([[blockedJaccardPairs]], exact): PPJoin's filter family
+    * (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08), exact by
+    * construction, over the SAME 3-gram shingle sets as q36/q38
+    * (word-order-aware — unigram token sets of same-vocabulary corpora
+    * are near-identical and would pair everything). Order every
+    * document's DISTINCT shingles by global rarity (df asc, shingle
+    * asc — one total order corpus-wide); if J(a,b) ≥ t, the pigeonhole
+    * forces their first `|x| − ceil(t·|x|) + 1` shingles in that order
+    * (the "prefix") to share at least one — so the candidate join keys
+    * ONLY on prefix shingles, plus the length filter t·max ≤ min, then
+    * an exact intersection count verifies.
+    *
+    * The threshold is integer ppm and the accept gate is all-integer
+    * (`inter·1e6 ≥ t·(na+nb−inter)`) — no doubles anywhere, so
+    * cross-engine equality is by construction.
+    *
+    * Shape at 100 TB: the ONE (doc, token) derivation is
+    * localCheckpointed (df census, prefix ranking, and both verify
+    * sides all read it — the q116 discipline). The candidate join's
+    * anti-skew property is INHERENT: prefixes are each document's
+    * RAREST tokens, so the equi-join never keys on stopwords — the
+    * df-skew that forces [[blockedJaccardPairs]]'s `maxShingleDf` cap
+    * cannot arise here (a token shared by d docs costs d² pairs ONLY
+    * if it is rare enough to sit in prefixes, i.e. d is small). Verify
+    * joins are merge-hinted off broadcast (corpus-scale sides, the
+    * q36 rule); the pair agg partial-aggregates. */
+  def ppjoinPairs(documents: DataFrame, tPpm: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tPpm >= 1L && tPpm <= 1000000L,
+      s"tPpm must be in [1, 1000000], got $tPpm")
+    val tk = TextOps.shingleRows(documents)
+      .select(col("doc_id"), col("g").as("tok"))
+      .localCheckpoint()
+    val dfc = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df").asc, col("tok").asc)
+    val perDoc = Window.partitionBy("doc_id")
+    val ranked = tk.join(dfc, Seq("tok"))
+      .withColumn("rk", row_number().over(byRarity).cast("long"))
+      .withColumn("n", count(lit(1)).over(perDoc))
+    val prefix = ranked
+      .filter(col("rk") <=
+        col("n") - expr(s"($tPpm * n + 999999L) div 1000000L") + 1L)
+      .select(col("doc_id"), col("tok"), col("n"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"),
+        col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("tok"),
+        col("n").as("nb")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        expr(s"$tPpm * greatest(na, nb) <= 1000000L * least(na, nb)"))
+      .select("doc_a", "doc_b", "na", "nb").distinct()
+    val inter = cand
+      .join(tk.select(col("doc_id").as("doc_a"), col("tok")).hint("merge"),
+        Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("tok")).hint("merge"),
+        Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter(expr(s"inter * 1000000L >= $tPpm * (na + nb - inter)"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("union_size"),
+        expr("inter * 1000000L div (na + nb - inter)").as("jaccard_ppm"))
+  }
+
   /** Exact duplicated-span census — the EXACTSUBSTR dedup of Lee et al.
     * 2022 ("Deduplicating Training Data Makes Language Models Better"),
     * re-expressed Spark-first. Every w-token window is hashed; a window

@@ -580,6 +580,46 @@ object RefineQueries {
          |FROM per""",
       "Similarity: embedding anisotropy/collapse health census") { (s, d) =>
       SimOps.embeddingHealth(Tables(s, d, "embeddings"))
+    },
+
+    // PPJoin prefix filtering: the exact set-similarity self-join whose
+    // candidate keys are each doc's RAREST tokens (inherent anti-skew),
+    // all-integer Jaccard gate — the third pair-generation paradigm
+    // next to q36's LSH banding and q38's size blocking.
+    oracle(
+      "q131_ppjoin_pairs",
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(sh) AS tok FROM (${NorthStarQueries.SH})),
+         |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
+         |ranked AS (
+         |  SELECT t.doc_id, t.tok,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+         |      ORDER BY d.df, t.tok) AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY t.doc_id) AS BIGINT) AS n
+         |  FROM tk t JOIN dfc d USING (tok)),
+         |pf AS (
+         |  SELECT doc_id, tok, n FROM ranked
+         |  WHERE rk <= n - ((500000 * n + 999999) // 1000000) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.n AS na, b.n AS nb
+         |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  WHERE 500000 * greatest(a.n, b.n) <= 1000000 * least(a.n, b.n)),
+         |iv AS (
+         |  SELECT c.doc_a, c.doc_b, c.na, c.nb,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand c
+         |  JOIN tk x ON x.doc_id = c.doc_a
+         |  JOIN tk y ON y.doc_id = c.doc_b AND y.tok = x.tok
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, inter, na + nb - inter AS union_size,
+         |  (inter * 1000000) // (na + nb - inter) AS jaccard_ppm
+         |FROM iv
+         |WHERE inter * 1000000 >= 500000 * (na + nb - inter)
+         |ORDER BY doc_a, doc_b""",
+      "Dedup: PPJoin prefix-filtered exact set-similarity self-join") { (s, d) =>
+      graft.operators.DedupOps.ppjoinPairs(Tables(s, d, "documents"))
+        .orderBy("doc_a", "doc_b")
     })
 
   /** DuckDB fragment: final codebook centroids for prefix `p` — the mean

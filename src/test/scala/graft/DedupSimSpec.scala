@@ -557,4 +557,39 @@ class DedupSimSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.05 && r < 4.0),
       s"ratio outside loose JL bounds: ${ratios.min} .. ${ratios.max}")
   }
+
+  test("ppjoinPairs: exactly the brute-force pairs >= t (prefix-filter completeness)") {
+    // deterministic pseudo-random corpus: hash-drawn token sequences so
+    // some shingle-set pairs land above t=0.5 and most below
+    val vocab = ('a' to 'j').map(_.toString)
+    val fixture = (0L until 14L).map { i =>
+      // 8 tokens drawn from a 10-token vocab; 5 base sequences, so the
+      // corpus contains exact-dup pairs (J = 1) and unrelated ones
+      val toks = (0 until 8).map(p =>
+        vocab((graft.functions.Scalars.h60Jvm(s"pp:${i % 5}:$p") % 10L).toInt))
+      (i, toks.mkString(" "))
+    } ++ Seq(
+      (100L, "aa bb cc dd ee"), (101L, "aa bb cc dd ff"), // shingle J = 2/4 ≥ 0.5
+      (102L, "zz yy xx ww vv uu"))                        // disjoint
+    val df = docs(fixture: _*)
+    val got = DedupOps.ppjoinPairs(df, tPpm = 500000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("jaccard_ppm"))
+      .toMap
+    // driver-side brute force over ALL pairs of 3-gram shingle sets
+    val sets = fixture.map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      union = (sa | sb).size.toLong
+      if inter * 1000000L >= 500000L * union
+    } yield (a, b) -> inter * 1000000L / union).toMap
+    assert(got === expected,
+      "prefix filtering must be lossless: exactly the brute-force pairs")
+    assert(got.contains((100L, 101L)), "planted J=0.5 pair found")
+    assert(expected.nonEmpty)
+  }
 }

@@ -139,7 +139,8 @@ class ScaleSpec extends SparkSpec {
       "q127_training_shards" -> 2,   // ONE shard exchange (window) + total-order sort — the write-side repartition+sortWithinPartitions shape
       "q128_bottomk_sample" -> 0,    // TakeOrderedAndProject (per-partition k-heap + k-row merge) + k-row single-partition rank window — the corpus never shuffles
       "q129_embedding_health" -> 4,  // per-dim partial agg + 1-row centroid pack/broadcast + single-row final agg; two narrow corpus passes
-      "q130_stream_bottomk" -> 2)    // ONE group-key exchange into the stateful op + total-order sort; state O(k) per key
+      "q130_stream_bottomk" -> 2,    // ONE group-key exchange into the stateful op + total-order sort; state O(k) per key
+      "q131_ppjoin_pairs" -> 12)     // post-checkpoint shingle rows: df agg + doc-key rank/count window + prefix self-join + candidate distinct + merge-hinted two-side verify + pair agg + sort; candidate keys are each doc's RAREST shingles (inherent anti-skew)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
