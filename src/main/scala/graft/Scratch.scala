@@ -18,6 +18,9 @@ object Scratch {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "q92_label_coherence").split(",")
     val time = sys.env.contains("SPARK_GRAFT_TIME")
+    if (sys.env.contains("SPARK_GRAFT_PPJOIN_STAGES")) {
+      ppjoinStages(spark, sfDir); return
+    }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
@@ -30,5 +33,51 @@ object Scratch {
       }
       else println(plan)
     }
+  }
+
+  /** Per-subtree timing for the q131 PPJoin chain on `sfDir`. */
+  private def ppjoinStages(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val tPpm = sys.env.getOrElse("SPARK_GRAFT_PPJOIN_TPPM", "500000").toLong
+    val documents = graft.sources.Tables(spark, sfDir, "documents")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime
+      val r = f
+      println(f"[pp] $label%-12s ${(System.nanoTime - t0) / 1e9}%.2f s")
+      r
+    }
+    val tk = graft.operators.TextOps.shingleRows(documents)
+      .select(col("doc_id"), col("g").as("tok"))
+    t("tk")(tk.write.format("noop").mode("overwrite").save())
+    val dfc = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    t("dfc")(dfc.write.format("noop").mode("overwrite").save())
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+    val perDoc = Window.partitionBy("doc_id")
+    val ranked = tk.join(dfc, Seq("tok"))
+      .withColumn("rk", row_number().over(byRarity).cast("long"))
+      .withColumn("n", count(lit(1)).over(perDoc))
+    t("ranked")(ranked.write.format("noop").mode("overwrite").save())
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - expr(s"($tPpm * n + 999999L) div 1000000L") + 1L)
+      .select(col("doc_id"), col("tok"), col("n"), col("rk"))
+    val oMin = s"(($tPpm * (na + nb) + ${1000000L + tPpm - 1L}L) div ${1000000L + tPpm}L)"
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("tok"),
+        col("n").as("na"), col("rk").as("ra"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("tok"),
+        col("n").as("nb"), col("rk").as("rb")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        expr(s"$tPpm * greatest(na, nb) <= 1000000L * least(na, nb)"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(max(expr("least(na - ra, nb - rb)")).as("ub"))
+      .filter(expr(s"ub + 1L >= $oMin"))
+      .select("doc_a", "doc_b", "na", "nb")
+    t("cand")(println("[pp] cand rows = " + cand.count()))
+    val inter = cand
+      .join(tk.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    t("inter")(inter.write.format("noop").mode("overwrite").save())
   }
 }

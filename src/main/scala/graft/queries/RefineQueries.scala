@@ -582,29 +582,36 @@ object RefineQueries {
       SimOps.embeddingHealth(Tables(s, d, "embeddings"))
     },
 
-    // PPJoin prefix filtering: the exact set-similarity self-join whose
-    // candidate keys are each doc's RAREST tokens (inherent anti-skew),
+    // PPJoin prefix + positional filtering: the exact set-similarity
+    // self-join whose candidate keys are each doc's RAREST shingles,
     // all-integer Jaccard gate — the third pair-generation paradigm
-    // next to q36's LSH banding and q38's size blocking.
+    // next to q36's LSH banding and q38's size blocking. Registered at
+    // t = 0.7 (the planted near-dup families sit at J ≈ 0.9 per q77's
+    // histogram): prefix length and candidate volume shrink
+    // quadratically with t, and exact answers at loose thresholds are
+    // q38's (blocked) or q36's (probabilistic) territory.
     oracle(
       "q131_ppjoin_pairs",
       s"""WITH tk AS (
-         |  SELECT doc_id, unnest(sh) AS tok FROM (${NorthStarQueries.SH})),
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS tok
+         |  FROM (${NorthStarQueries.SH})),
          |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
          |ranked AS (
-         |  SELECT t.doc_id, t.tok,
+         |  SELECT t.doc_id, t.tok, t.n,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
-         |      ORDER BY d.df, t.tok) AS BIGINT) AS rk,
-         |    CAST(COUNT(*) OVER (PARTITION BY t.doc_id) AS BIGINT) AS n
+         |      ORDER BY d.df, t.tok) AS BIGINT) AS rk
          |  FROM tk t JOIN dfc d USING (tok)),
          |pf AS (
-         |  SELECT doc_id, tok, n FROM ranked
-         |  WHERE rk <= n - ((500000 * n + 999999) // 1000000) + 1),
+         |  SELECT doc_id, tok, n, rk FROM ranked
+         |  WHERE rk <= n - ((700000 * n + 999999) // 1000000) + 1),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.n AS na, b.n AS nb
          |  FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id
-         |  WHERE 500000 * greatest(a.n, b.n) <= 1000000 * least(a.n, b.n)),
+         |  WHERE 700000 * greatest(a.n, b.n) <= 1000000 * least(a.n, b.n)
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING max(least(a.n - a.rk, b.n - b.rk)) + 1 >=
+         |    (700000 * (a.n + b.n) + 1699999) // 1700000),
          |iv AS (
          |  SELECT c.doc_a, c.doc_b, c.na, c.nb,
          |    CAST(count(*) AS BIGINT) AS inter
@@ -615,10 +622,11 @@ object RefineQueries {
          |SELECT doc_a, doc_b, inter, na + nb - inter AS union_size,
          |  (inter * 1000000) // (na + nb - inter) AS jaccard_ppm
          |FROM iv
-         |WHERE inter * 1000000 >= 500000 * (na + nb - inter)
+         |WHERE inter * 1000000 >= 700000 * (na + nb - inter)
          |ORDER BY doc_a, doc_b""",
-      "Dedup: PPJoin prefix-filtered exact set-similarity self-join") { (s, d) =>
-      graft.operators.DedupOps.ppjoinPairs(Tables(s, d, "documents"))
+      "Dedup: PPJoin prefix+positional filtered exact similarity join") { (s, d) =>
+      graft.operators.DedupOps.ppjoinPairs(Tables(s, d, "documents"),
+          tPpm = 700000L)
         .orderBy("doc_a", "doc_b")
     })
 

@@ -140,7 +140,7 @@ class ScaleSpec extends SparkSpec {
       "q128_bottomk_sample" -> 0,    // TakeOrderedAndProject (per-partition k-heap + k-row merge) + k-row single-partition rank window — the corpus never shuffles
       "q129_embedding_health" -> 4,  // per-dim partial agg + 1-row centroid pack/broadcast + single-row final agg; two narrow corpus passes
       "q130_stream_bottomk" -> 2,    // ONE group-key exchange into the stateful op + total-order sort; state O(k) per key
-      "q131_ppjoin_pairs" -> 12)     // post-checkpoint shingle rows: df agg + doc-key rank/count window + prefix self-join + candidate distinct + merge-hinted two-side verify + pair agg + sort; candidate keys are each doc's RAREST shingles (inherent anti-skew)
+      "q131_ppjoin_pairs" -> 10)     // df agg + doc-key rank window (n from the shingle array, no COUNT window) + prefix self-join + positional-filter pair agg + un-hinted two-side verify + intersection agg + sort; candidate keys are each doc's RAREST shingles (inherent anti-skew)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
