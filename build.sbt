@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench's one-line JSON metric from this
+// process's stdout tail. sbt's default forked-output strategy routes the
+// child's stdout through the sbt logger, which prefixes every line with
+// "[info] " — that prefix is why BENCH_r06/r07 committed with
+// parsed:null (round-6 and round-7 advice). StdoutOutput makes the
+// forked JVM inherit the real stdout/stderr, so Bench's bare JSON line
+// reaches the capture unwrapped.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -40,4 +48,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // single-query A/Bs too small to reproduce). Reserving 1g is virtual
   // address space only; it costs nothing when unused.
   "-XX:ReservedCodeCacheSize=1g",
+  // Round-8 q52 root cause (profiles/q52_r8_{inbench,g1_cleanblocks,
+  // parallelgc}.jsonl): under the default G1, a long-lived session that
+  // has already run the other 130 registered plans inflates the
+  // doc-assembly render stage 3-10x — steady reps 11-20 s wall with
+  // 36-210 CPU-s and 4-5 s of GC per rep, where a fresh session runs the
+  // same plan at 5-7 s / 15-22 CPU-s. Unpersisting every leftover block
+  // did NOT fix it (g1_cleanblocks record), so it is G1 itself — mutator-
+  // side refinement/allocation-path work plus fragmentation full GCs
+  // against the 131-plan session's churned heap. ParallelGC (the classic
+  // batch-throughput collector: compacting full GCs, bump-pointer eden,
+  // no region bookkeeping) removes the entire effect under identical
+  // preload: steady 5.0-9.9 s wall, 11-24 CPU-s. Latency pauses don't
+  // matter in a batch executor, so this is the right collector for the
+  // bench AND the honest analog of a tuned production executor JVM.
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVMOPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -33,12 +33,13 @@ object Bench {
       // actually runs; sort_array keeps results order-deterministic
       // either way.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      // A long-lived session running 78+ distinct plans thrashes the
-      // generated-class cache at its default size; evicted classes
-      // unload at the next full GC and class unloading deoptimizes
-      // compiled call sites — the suspected source of the intermittent
-      // ~10x CPU inflation on single reps (see BENCH_NOTES round 6).
-      // Static conf, so it must be set before the first session.
+      // A long-lived session running 130+ distinct plans evicts
+      // generated classes at the default cache size; keeping them
+      // resident avoids recompilation churn. (The intermittent ~10x
+      // CPU inflation once blamed on this was root-caused in round 8
+      // to G1 itself — see build.sbt's UseParallelGC note and
+      // profiles/q52_r8_*.jsonl; the larger cache stays because it is
+      // independently correct for a 130-plan session.)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
@@ -152,7 +153,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
         s""""steady_total":$steadyTotal,"task_total":$taskTotal,""" +
         s""""rep_shape":"[wallSec,taskSec,cpuSec]","per_query":$fullRows}\n""")
-    println(line)
+    // Leading newline: if a log line on the merged capture was written
+    // without its terminator just before us, the JSON still starts at
+    // column 0 of its own line (the driver parses line-wise).
+    System.out.println()
+    System.out.println(line)
+    System.out.flush()
     spark.stop()
   }
 }

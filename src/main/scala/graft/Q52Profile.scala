@@ -41,12 +41,9 @@ object Q52Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      // A long-lived session running 78+ distinct plans thrashes the
-      // generated-class cache at its default size; evicted classes
-      // unload at the next full GC and class unloading deoptimizes
-      // compiled call sites — the suspected source of the intermittent
-      // ~10x CPU inflation on single reps (see BENCH_NOTES round 6).
-      // Static conf, so it must be set before the first session.
+      // codegen cache sized for a 130-plan session (the round-6 CPU-
+      // inflation suspicion this conf carried was closed in round 8:
+      // the inflation was G1 — see build.sbt's UseParallelGC note).
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
@@ -91,8 +88,25 @@ object Q52Profile {
           try f(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }
       }
-      println(s"""{"preload":"all","queries":${SparkEntry.queries.size - 1}}""")
+      println(s"""{"preload":"all","queries":${SparkEntry.queries.size - 1},""" +
+        s""""persistentRdds":${spark.sparkContext.getPersistentRDDs.size}}""")
     }
+
+    // SPARK_GRAFT_CLEAN=1 — round-8 hypothesis test: the preloaded
+    // queries' localCheckpoint blocks stay pinned in the block manager
+    // for the rest of the session, so storage memory is full when the
+    // target query runs; its execution-memory requests then evict/churn
+    // blocks (CPU inflation) against a near-full heap (GC inflation).
+    // Cleaning between queries reproduces what a per-job cluster gives
+    // every query: an empty block manager.
+    def cleanSession(): Unit =
+      if (sys.env.get("SPARK_GRAFT_CLEAN").contains("1")) {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        System.gc()
+      }
+    cleanSession()
 
     val fn = SparkEntry.queries(queryName)
     def once(): (Double, Long, Seq[StageRow], Long) = {

@@ -98,7 +98,8 @@ object ScaleSmoke {
     "q118_dedup_yield", "q119_ivf_nprobe_recall", "q120_incremental_dedup",
     "q121_corpus_diff", "q122_dedup_funnel", "q124_leakage_safe_split",
     "q125_ivfpq_adc", "q126_source_affinity", "q127_training_shards",
-    "q128_bottomk_sample", "q129_embedding_health", "q131_ppjoin_pairs")
+    "q128_bottomk_sample", "q129_embedding_health", "q131_ppjoin_pairs",
+    "q132_image_phash_neardup")
 
   private val Stride = 1000000L
 

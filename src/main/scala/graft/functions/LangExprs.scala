@@ -9,15 +9,15 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `lang_scores(tk)`: all five function-word profile scores in ONE token
+/** `lang_scores(tk)`: every function-word profile score in ONE token
   * loop — returns `array<bigint>` of the per-language hit counts in
-  * [[LangScores.profiles]] order (en, es, de, fr, it).
+  * [[LangScores.profiles]] order (en, es, de, fr, it, pt, nl, sv).
   *
   * Round-5 verdict item 3: the previous formulation ran five separate
   * interpreted `size(filter(tk, t -> array_contains(array(...20...), t)))`
   * HOF passes per document — per-element interpreted lambdas, the exact
   * pattern measured and fixed natively twice before (SimHash ~12→1.5 s,
-  * fingerprint 1.44→0.50 s). Here each token does five hash-set lookups
+  * fingerprint 1.44→0.50 s). Here each token does one hash-set lookup per profile
   * inside a single fused loop; no interpreted dispatch, no per-row array
   * literals.
   *
@@ -46,7 +46,7 @@ case class LangScores(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      // one static call per row; the 5-way set-membership loop lives there
+      // one static call per row; the per-profile set-membership loop lives there
       s"${ev.value} = graft.functions.LangScores.score($c);")
 
   override protected def withNewChildInternal(newChild: Expression): LangScores =
@@ -59,8 +59,9 @@ object LangScores {
   /** Function-word profiles for the stopword-vote language classifier —
     * the top ~20 most frequent function words per language (public
     * knowledge: any frequency list of English/Spanish/German/French/
-    * Italian yields these). Overlapping forms (es/fr `de`, es/fr/it
-    * `la`/`un`, en/it `in`, fr/it `le`) are REAL cross-language ambiguity;
+    * Italian/Portuguese/Dutch/Swedish yields these). Overlapping forms
+    * (es/fr `de`, es/fr/it `la`/`un`, en/it `in`, fr/it `le`,
+    * es/pt `de`/`que`/`se`/`por`) are REAL cross-language ambiguity;
     * the per-profile counts accumulate them all and the argmax ladder
     * ([[graft.operators.TextOps.langGuessSql]]) resolves by total
     * evidence, tie-broken in profile order. A document matching NO
@@ -80,7 +81,22 @@ object LangScores {
       "se", "ce"),
     "it" -> Seq("di", "il", "la", "che", "per", "una", "sono", "con",
       "non", "le", "si", "dei", "come", "lo", "della", "più", "nel",
-      "anche", "gli", "ha"))
+      "anche", "gli", "ha"),
+    // round-8: same-script (Latin) distinctions the round-7 verdict asked
+    // for (§8.10). pt shares 6 forms with es (de/que/se/por/para/no) and
+    // nl shares 2 with en (in/is) — real ambiguity the argmax resolves by
+    // total evidence, same as the es/fr overlaps above. New profiles
+    // append at the END so the earlier languages' tie-break order is
+    // untouched.
+    "pt" -> Seq("de", "a", "o", "que", "e", "do", "da", "em", "um",
+      "para", "é", "com", "não", "uma", "os", "no", "se", "na", "por",
+      "mais"),
+    "nl" -> Seq("de", "van", "het", "een", "en", "in", "is", "dat",
+      "op", "te", "met", "voor", "niet", "zijn", "aan", "er", "om",
+      "ook", "als", "dan"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "är", "av", "för",
+      "på", "med", "den", "till", "inte", "om", "ett", "han", "var",
+      "jag", "sig", "så"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode
@@ -91,8 +107,8 @@ object LangScores {
       s
   }.toArray
 
-  /** Java-callable whole-row scorer: one loop over the tokens, five set
-    * probes each. NULL tokens are skipped (HOF-form parity). */
+  /** Java-callable whole-row scorer: one loop over the tokens, one set
+    * probe per profile each. NULL tokens are skipped (HOF-form parity). */
   def score(tk: ArrayData): ArrayData = {
     val k = sets.length
     val counts = new Array[Long](k)

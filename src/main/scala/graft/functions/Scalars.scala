@@ -88,4 +88,25 @@ object Scalars {
   def pageName(c: Column): Column = format_string("%08d", c)
 
   def pageNameSql(x: String): String = s"printf('%08d', $x)"
+
+  /** All-rows-constant but NON-FOLDABLE window partition key. A handful of
+    * windows run deliberately on a BOUNDED row set (a k-row sample, ≤11
+    * histogram deciles, 4 funnel tiers) where a global window is correct by
+    * construction — but an empty `partitionBy` makes WindowExec log its
+    * single-partition WARN on every execution, polluting the bench stdout
+    * the driver machine-parses (round-7 verdict items 2–3). A bare
+    * `lit(0)` doesn't work: Catalyst's `EliminateWindowPartitions` strips
+    * foldable partition expressions and the WARN returns; `xxhash64(c)*0`
+    * doesn't either — Spark 4.1's arithmetic simplification rewrites
+    * multiply-by-zero-literal and the spec empties the same way (probed
+    * empirically: of {x*0, pmod(x,1), x&0, x div MaxLong, x%1} only x*0
+    * collapses). `xxhash64(c) & 0` is 0 for every row (xxhash64 never
+    * returns null) yet survives optimization, and the `ScaleSpec`
+    * no-empty-partition-spec pin guards it staying that way across Spark
+    * upgrades. Planner cost: the window's
+    * requirement becomes `ClusteredDistribution` instead of `AllTuples` —
+    * satisfied for free by an already-single-partition child (q128's
+    * TakeOrderedAndProject), and elsewhere a hash exchange over the same
+    * bounded rows the old SinglePartition exchange moved. */
+  def constPartitionKey(c: Column): Column = xxhash64(c).bitwiseAND(lit(0L))
 }

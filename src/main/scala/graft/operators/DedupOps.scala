@@ -235,7 +235,12 @@ object DedupOps {
         "CAST(floor(jaccard * CAST(10.0 AS DOUBLE)) AS BIGINT)"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
       .withColumn("cum_pairs",
-        sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)))
+        // ≤11 decile rows; constPartitionKey keeps the bounded global
+        // window out of WindowExec's single-partition WARN (same exchange
+        // count: hashpartitioning(const) replaces SinglePartition).
+        sum(col("n_pairs")).over(Window
+          .partitionBy(graft.functions.Scalars.constPartitionKey(col("bucket")))
+          .orderBy(col("bucket").desc)))
   }
 
   /** LSH banding planner — the MMDS s-curve `1 − (1 − s^r)^b` evaluated
@@ -336,15 +341,40 @@ object DedupOps {
     * within buckets via a sorted-neighborhood pass instead of the
     * self-join. */
   def simhashCandidatePairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = TextOps.simhashed(documents, nBits = 60).select("doc_id", "simhash")
+    hammingCandidatePairs(sh, "doc_id", "simhash", maxHamming, bandBits = 15)
+  }
+
+  /** Hamming-banded near-dup pairs over ANY 64-bit-or-narrower hash
+    * column — the banding+verify machinery [[simhashCandidatePairs]]
+    * wraps (SimHash text hashes, 15-bit bands) and the image
+    * perceptual-hash dedup reuses (`MultimodalOps.imageNearDupPairs`,
+    * 16-bit bands over a 64-bit dHash). The hash splits into four
+    * `bandBits`-wide bands (band b = bits [b·bandBits, (b+1)·bandBits));
+    * rows sharing any (band, value) are candidates; exact Hamming
+    * distance (bit_count of xor — codegen'd integer ops) verifies
+    * ≤ `maxHamming`. With 4 bands, any pair within Hamming 3 agrees on
+    * at least one whole band (pigeonhole), so recall is exact for the
+    * default radius; `require` rejects a larger radius rather than
+    * silently losing recall (round-2 advice). Bands extract via
+    * `shiftrightunsigned` so a 64-bit hash with the sign bit set still
+    * buckets correctly. Scale shape: identical to MinHash-LSH
+    * bucketing — bounded fan-out equi-join, no all-pairs. */
+  def hammingCandidatePairs(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 3, bandBits: Int = 15): DataFrame = {
     require(maxHamming <= 3,
       s"4-band pigeonhole recall is exact only for maxHamming <= 3; got " +
         s"$maxHamming (derive more bands for a wider radius)")
-    val sh = TextOps.simhashed(documents, nBits = 60).select("doc_id", "simhash")
+    require(bandBits >= 1 && bandBits <= 16,
+      s"bandBits must be in [1, 16] (4 bands over <= 64 bits), got $bandBits")
+    val mask = (1L << bandBits) - 1L
+    val sh = hashes.select(col(idCol).as("doc_id"),
+      col(hashCol).cast("long").as("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
-        """transform(sequence(0, 3), b -> struct(
-          |  CAST(b AS INT) AS band,
-          |  (simhash div CAST(pow(2.0, b * 15) AS BIGINT)) % 32768L AS bucket))""".stripMargin))
+        s"""transform(sequence(0, 3), b -> struct(
+           |  CAST(b AS INT) AS band,
+           |  shiftrightunsigned(simhash, b * $bandBits) & ${mask}L AS bucket))""".stripMargin))
         .as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bucket"))
     val a = banded.select(col("doc_id").as("a"), col("simhash").as("sh_a"),
@@ -940,8 +970,12 @@ object DedupOps {
     * [[blockedJaccardPairs]]'s `maxShingleDf` cap cannot arise here
     * (a shingle shared by d docs costs d² pairs ONLY if it is rare
     * enough to sit in prefixes, i.e. d is small). Verify joins are
-    * merge-hinted off broadcast (corpus-scale sides, the q36 rule);
-    * the pair agg partial-aggregates. */
+    * deliberately UN-hinted: the small side is the data-dependent
+    * candidate set, so AQE broadcasts it when small and falls back to
+    * shuffle joins when a pathological corpus makes it large — pinning
+    * either choice is wrong at one of the extremes (see the inline
+    * comment and BENCH_NOTES round 7). The pair agg
+    * partial-aggregates. */
   def ppjoinPairs(documents: DataFrame, tPpm: Long = 500000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tPpm >= 1L && tPpm <= 1000000L,

@@ -69,6 +69,118 @@ object OrientOps {
       text.trim.split("\\s+").count(w => w.nonEmpty && !dict(w.toLowerCase))
   }
 
+  /** REAL (if tiny) OCR behind the same seam — the round-7 verdict's
+    * "prove the adapter trait against a trivially-decodable glyph
+    * fixture" (item 9; the [[WordlistSpellAdapter]] playbook). A 5×7
+    * bitmap font over the 12-letter alphabet {b,d,m,n,o,p,q,s,u,w,x,z}:
+    * the rotation PAIRS (b↔q, d↔p, m↔w, n↔u) are derived by actually
+    * rotating the base bitmaps, and o/s/x/z are drawn 180°-symmetric —
+    * so an upside-down page decodes to same-shaped WRONG words (the
+    * `aspell` signal: 'pub' upside-down really does read 'qnd'-like) and
+    * a sideways page decodes to per-cell junk tokens (the `wc -w`
+    * signal), exactly the behavior the stub fakes. `ocr(content, r)`
+    * decodes a genuine PNG/TIFF payload after rotating it clockwise by
+    * `r` degrees: threshold to ink, tile into 6×7 glyph cells, match
+    * each 35-bit pattern against the font (blank → space, unmatched →
+    * a junk token). No external OCR engine — the decoder IS the
+    * adapter, end-to-end over real image bytes. */
+  object GlyphOcrAdapter extends OcrAdapter {
+    import java.awt.image.BufferedImage
+
+    private val base: Map[Char, Seq[String]] = Map(
+      'b' -> Seq("#....", "#....", "#....", "####.", "#...#", "#...#", "####."),
+      'd' -> Seq("....#", "....#", "....#", ".####", "#...#", "#...#", ".####"),
+      'm' -> Seq(".....", ".....", "#...#", "##.##", "#.#.#", "#...#", "#...#"),
+      'u' -> Seq(".....", ".....", "#...#", "#...#", "#...#", "#...#", ".####"),
+      'o' -> Seq(".....", ".###.", "#...#", "#...#", "#...#", ".###.", "....."),
+      's' -> Seq(".....", ".####", "#....", ".###.", "....#", "####.", "....."),
+      'x' -> Seq(".....", "#...#", ".#.#.", "..#..", ".#.#.", "#...#", "....."),
+      'z' -> Seq(".....", "#####", "....#", "..#..", "#....", "#####", "....."))
+
+    private def bits(rows: Seq[String]): Long =
+      rows.zipWithIndex.foldLeft(0L) { case (acc, (row, y)) =>
+        row.zipWithIndex.foldLeft(acc) { case (a, (c, x)) =>
+          if (c == '#') a | (1L << (y * 5 + x)) else a
+        }
+      }
+    private def rot180(rows: Seq[String]): Seq[String] =
+      rows.reverse.map(_.reverse)
+
+    /** char → 35-bit pattern; rotation pairs derived, never hand-drawn. */
+    private[graft] val font: Map[Char, Long] = {
+      val derived = Map('q' -> rot180(base('b')), 'p' -> rot180(base('d')),
+        'w' -> rot180(base('m')), 'n' -> rot180(base('u')))
+      val all = (base ++ derived).map { case (c, rows) => c -> bits(rows) }
+      require(all.values.toSet.size == all.size && !all.values.exists(_ == 0L),
+        "glyph patterns must be distinct and non-blank")
+      all
+    }
+    private val byPattern: Map[Long, Char] = font.map(_.swap)
+
+    // 7-px cells with the 5-px glyph CENTERED (1-px gap each side): the
+    // gap must be symmetric or a 180° rotation shifts every glyph one
+    // pixel out of its cell and the whole page decodes as junk instead
+    // of as the rotation-paired letters (caught by the round-trip spec)
+    private[graft] val cellW = 7
+    private[graft] val cellH = 7
+
+    /** Render one line of text in the font (black on white) — the spec's
+      * fixture builder, here so fixtures and decoder share ONE font. */
+    private[graft] def render(text: String): BufferedImage = {
+      val img = new BufferedImage(cellW * text.length, cellH,
+        BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+        img.setRGB(x, y, 0xffffff)
+      text.zipWithIndex.foreach { case (ch, i) =>
+        font.get(ch).foreach { p =>
+          for (y <- 0 until cellH; x <- 0 until 5)
+            if ((p >> (y * 5 + x) & 1L) == 1L)
+              img.setRGB(i * cellW + 1 + x, y, 0)
+        }
+      }
+      img
+    }
+
+    /** Clockwise quarter-turn; `times` composes. */
+    private[graft] def rotateCw(img: BufferedImage, times: Int): BufferedImage =
+      (1 to math.floorMod(times, 4)).foldLeft(img) { (src, _) =>
+        val dst = new BufferedImage(src.getHeight, src.getWidth, src.getType)
+        for (x <- 0 until src.getWidth; y <- 0 until src.getHeight)
+          dst.setRGB(src.getHeight - 1 - y, x, src.getRGB(x, y))
+        dst
+      }
+
+    def ocr(content: Array[Byte], rotation: Int): String = {
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (decoded == null) return StubOcrAdapter.ocr(content, rotation)
+      val img = rotateCw(decoded, rotation / 90)
+      def ink(x: Int, y: Int): Boolean = {
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) < 384
+      }
+      val sb = new StringBuilder
+      var cy = 0
+      while ((cy + 1) * cellH <= img.getHeight) {
+        var cx = 0
+        while ((cx + 1) * cellW <= img.getWidth) {
+          var p = 0L
+          for (y <- 0 until cellH; x <- 0 until 5)
+            if (ink(cx * cellW + 1 + x, cy * cellH + y)) p |= 1L << (y * 5 + x)
+          if (p == 0L) sb.append(' ')
+          else byPattern.get(p) match {
+            case Some(c) => sb.append(c)
+            case None => sb.append(s" zq${p & 7L} ") // junk token per cell
+          }
+          cx += 1
+        }
+        sb.append(' ')
+        cy += 1
+      }
+      sb.toString.trim.replaceAll(" +", " ")
+    }
+  }
+
   /** Dictionary-backed spellchecker mirroring `aspell -l en list | wc -w`
     * (`bin/orient_image.sh:69-74`): count tokens carrying letters that
     * are not in the wordlist. The list ships as a JVM resource (a common

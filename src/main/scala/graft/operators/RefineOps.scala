@@ -278,7 +278,11 @@ object RefineOps {
       .unionByName(tierRow("1_exact", t1))
       .unionByName(tierRow("2_minhash", t2))
       .unionByName(tierRow("3_semantic", t3))
-    val wt = Window.orderBy("tier")
+    // 4 tier rows; constPartitionKey keeps the bounded global window out
+    // of WindowExec's single-partition WARN (same exchange count).
+    val wt = Window
+      .partitionBy(graft.functions.Scalars.constPartitionKey(col("tier")))
+      .orderBy("tier")
     val totals = documents.agg(count(lit(1)).as("total_docs"))
     rows
       .withColumn("docs_in",

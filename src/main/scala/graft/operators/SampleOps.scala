@@ -172,7 +172,13 @@ object SampleOps {
       seed: String = "rsv"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("h").asc, col(keyCol).asc)
+    // constPartitionKey: the rank window runs on the k post-limit rows —
+    // already a single partition (TakeOrderedAndProject), so this adds no
+    // exchange; it only keeps WindowExec's single-partition WARN out of
+    // the bench stdout (see Scalars.constPartitionKey).
+    val w = Window
+      .partitionBy(graft.functions.Scalars.constPartitionKey(col(keyCol)))
+      .orderBy(col("h").asc, col(keyCol).asc)
     df.select(col(keyCol),
         graft.functions.Scalars.h60Seeded(lit(seed), col(keyCol).cast("string"))
           .as("h"))

@@ -654,7 +654,16 @@ object SimOps {
         count(lit(1)).as("n_vecs"),
         expr("CAST(floor(sqrt(first(c2))) AS BIGINT)").as("centroid_norm_micro"),
         expr("sum(norm_micro) div count(1)").as("avg_norm_micro"),
-        expr("sum(cos_ppm) div count(cos_ppm)").as("avg_cos_centroid_ppm"),
+        // FLOOR division, spelled out in integers: Spark's `div`
+        // truncates toward zero while the q129 DuckDB oracle's `//`
+        // floors — they differ exactly when the summed per-row cosine
+        // ppm is negative and not a multiple of the count (round-7
+        // advice). norm_micro/neg-count sums are non-negative so plain
+        // `div` is safe there; this is the one signed numerator.
+        expr("""sum(cos_ppm) div count(cos_ppm)
+               |  - CASE WHEN sum(cos_ppm) % count(cos_ppm) != 0
+               |              AND sum(cos_ppm) < 0 THEN 1L ELSE 0L END"""
+          .stripMargin).as("avg_cos_centroid_ppm"),
         expr("(1000000L * sum(CASE WHEN cos_ppm < 0L THEN 1L ELSE 0L END)) div count(cos_ppm)")
           .as("neg_cos_ppm"))
   }

@@ -24,21 +24,27 @@ object NorthStarQueries {
 
   import TextOps.h60d
 
-  /** q31's multilingual augmentation: doc_id % 7 → a 20-function-word
-    * snippet appended to the text (the q71 fabricated-PII discipline —
-    * the synthetic corpus is monolingual, so the multilingual signal is
-    * planted deterministically and the oracle plants the identical one).
-    * Snippets are drawn from [[TextOps.langProfiles]] so they outscore
-    * the base text's ~3 incidental English function words. doc_id % 7 ∈
-    * {0, 5, 6} stays unaugmented: mostly 'en', with zero-function-word
-    * docs classifying 'und'. */
+  /** q31's multilingual augmentation: doc_id % [[langAugMod]] → a
+    * 20-function-word snippet appended to the text (the q71
+    * fabricated-PII discipline — the synthetic corpus is monolingual, so
+    * the multilingual signal is planted deterministically and the oracle
+    * plants the identical one). Snippets are drawn from
+    * [[TextOps.langProfiles]] so they outscore the base text's ~3
+    * incidental English function words — including against the
+    * same-script siblings (a planted pt snippet scores 20 for pt but
+    * only its 6-word overlap for es, so the argmax distinguishes them).
+    * doc_id % 10 ∈ {0, 8, 9} stays unaugmented: mostly 'en', with
+    * zero-function-word docs classifying 'und'. Round 8 extends the
+    * planting to pt/nl/sv (verdict item 7, the §8.10 same-script
+    * limit). */
+  private[queries] val langAugMod = 10
   private[queries] val langAugSnippets: Seq[(Int, String)] = {
     val byLang = TextOps.langProfiles.toMap
     // derived from the profiles themselves (not hand-copied) so a
     // profile edit can never leave the planted corpus signal voting for
     // a stale word set (reviewed round 5)
-    Seq("es", "de", "fr", "it").zipWithIndex.map { case (l, i) =>
-      (i + 1) -> byLang(l).mkString(" ")
+    Seq("es", "de", "fr", "it", "pt", "nl", "sv").zipWithIndex.map {
+      case (l, i) => (i + 1) -> byLang(l).mkString(" ")
     }
   }
 
@@ -90,7 +96,7 @@ object NorthStarQueries {
           s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
         }.mkString(",\n  ")
         val augCase = NorthStarQueries.langAugSnippets.map { case (m, snip) =>
-          s"WHEN doc_id % 7 = $m THEN ' $snip'"
+          s"WHEN doc_id % ${NorthStarQueries.langAugMod} = $m THEN ' $snip'"
         }.mkString(" ")
         s"""SELECT doc_id, ${TextOps.langProfiles.map(p => s"s_${p._1}").mkString(", ")},
            |  ${TextOps.langGuessSql} AS lang_guess
@@ -111,7 +117,8 @@ object NorthStarQueries {
         concat(coalesce(col("text"), lit("")),
           NorthStarQueries.langAugSnippets.foldLeft(
             when(lit(false), lit(""))) { case (w, (m, snip)) =>
-            w.when(col("doc_id") % 7 === m, lit(s" $snip"))
+            w.when(col("doc_id") % NorthStarQueries.langAugMod === m,
+              lit(s" $snip"))
           }.otherwise(lit(""))).as("text"))
       val outCols =
         "doc_id" +: TextOps.langProfiles.map(p => s"s_${p._1}") :+ "lang_guess"

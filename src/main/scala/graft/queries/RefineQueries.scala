@@ -628,6 +628,55 @@ object RefineQueries {
       graft.operators.DedupOps.ppjoinPairs(Tables(s, d, "documents"),
           tPpm = 700000L)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Image perceptual-hash near-dup (round-7 verdict item 6): the
+    // dedup modality for IMAGE columns. Fixture "images" fabricate
+    // deterministic 17-byte payloads from doc_id — five docs per
+    // div-5 group share all bytes except the last, so the
+    // locality-preserving stub dHash (MultimodalOps.StubDHashAdapter:
+    // bit j = bit (j div len) of byte (j mod len); a one-byte edit
+    // flips ≤ 3 of the 60 bits here) puts group-mates within Hamming 3
+    // exactly like re-encodes of one photo land near each other under
+    // the real ImageIoDHashAdapter. Spark side: per-row hash →
+    // 4×16-bit-banded candidate join → exact bit_count verify
+    // (DedupOps.hammingCandidatePairs — pigeonhole-complete at
+    // radius 3). Oracle: the identical bit-sampling formula in DuckDB
+    // plus a brute-force all-pairs Hamming join — so the banded plan's
+    // COMPLETENESS is what the hash check proves.
+    oracle(
+      "q132_image_phash_neardup",
+      """WITH im AS (
+        |  SELECT doc_id,
+        |    'im:' || translate(substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 13),
+        |      '0123456789abcdef', '@ABCDEFGHIJKLMNO')
+        |      || CAST(doc_id % 5 AS VARCHAR) AS s
+        |  FROM documents),
+        |ph AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CAST((ascii(substr(s, CAST(j % length(s) AS INT) + 1, 1))
+        |            >> CAST(j // length(s) AS INT)) & 1 AS BIGINT) << CAST(j AS INT)))
+        |    AS BIGINT) AS phash
+        |  FROM im)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY a, b""",
+      "Dedup: image perceptual-hash (dHash) near-dup pairs, Hamming-banded") { (s, d) =>
+      // group bytes come from md5 of the div-5 group, nibbles translated
+      // to '@'..'O' so every byte's LOW FOUR BITS carry the full nibble —
+      // distinct groups sit far apart in Hamming space in every band
+      // (the first lpad-decimal fixture concentrated entropy in the low
+      // digit positions: 1.3M pairs and a 2400-doc hot band bucket at
+      // sf0.1; this one is exactly 2N pairs and ≤44-doc buckets)
+      val files = Tables(s, d, "documents").select(col("doc_id"),
+        expr("""CAST('im:' || translate(substr(md5(CAST(CAST(doc_id div 5 AS STRING) AS BINARY)), 1, 13),
+               |  '0123456789abcdef', '@ABCDEFGHIJKLMNO')
+               |  || CAST(doc_id % 5 AS STRING) AS BINARY)""".stripMargin)
+          .as("content"))
+      graft.operators.MultimodalOps.imageNearDupPairs(files)
+        .orderBy("a", "b")
     })
 
   /** DuckDB fragment: final codebook centroids for prefix `p` — the mean

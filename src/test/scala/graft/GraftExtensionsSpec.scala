@@ -77,7 +77,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |""".stripMargin).head
     assert(row2.getLong(0) > 0L)
     assert(row2.getDouble(1) > 0.0)
-    assert(row2.getSeq[Long](2) === Seq(1L, 1L, 0L, 0L, 0L))
+    // one slot per profile, in LangScores.profiles order: 'the' scores
+    // en, 'el' scores es, 'zzz' nothing (profile count derived, not
+    // hardcoded — round 8 extended the profiles to pt/nl/sv)
+    assert(row2.getSeq[Long](2) ===
+      graft.functions.LangScores.profiles.map { case (_, ws) =>
+        Seq("the", "el", "zzz").count(ws.contains).toLong
+      })
     // cdc_boundaries: n < window → empty; divisor 1 → every position
     val row3 = spark.sql(
       """SELECT

@@ -25,6 +25,20 @@ class LangIdSpec extends SparkSpec {
     assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "it"))
   }
 
+  test("same-script siblings distinguish: pt vs es, nl vs de/en, sv (round-7 item 7)") {
+    // pt and es share de/que/se/por/para/no — the distinctive forms
+    // (não/é/uma/os/do/da vs el/los/las/y) must carry the argmax; nl
+    // shares in/is with en and als with de; sv forms are near-disjoint
+    val fixtures = Seq(
+      6L -> "o cão não corre na rua e uma gata é mais do que um bicho para os vizinhos",
+      7L -> "de hond loopt niet op straat en het kind is met een bal aan het spelen voor de deur",
+      8L -> "hunden springer inte på gatan och ett barn är med en boll för att leka så som han var",
+      // control: the es sentence must STILL classify es with pt present
+      9L -> "el perro corre por la calle y los gatos se esconden en una casa del pueblo")
+    val got = guess(fixtures)
+    assert(got === Map(6L -> "pt", 7L -> "nl", 8L -> "sv", 9L -> "es"))
+  }
+
   test("zero function-word evidence classifies 'und', ties break in profile order") {
     val got = guess(Seq(
       10L -> "12345 67890 lorem zzz qqq",       // no profile word at all

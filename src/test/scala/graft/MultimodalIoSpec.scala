@@ -165,4 +165,115 @@ class MultimodalIoSpec extends SparkSpec {
     val decoded = ImageIO.read(new java.io.ByteArrayInputStream(out.content))
     assert((decoded.getWidth, decoded.getHeight) === ((300, 188)))
   }
+
+  // ---- perceptual-hash image near-dup (round-7 verdict item 6) ----
+
+  /** Smooth horizontal gradient with an optional locally-perturbed grid
+    * cell — after the 9×8 downsample the perturbation flips only the
+    * gradient signs adjacent to that cell, which is exactly the
+    * near-identical-image shape dHash is built for. */
+  private def gradientPng(w: Int, h: Int, perturbCell: Option[(Int, Int)]): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = (x * 255) / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    perturbCell.foreach { case (cx, cy) =>
+      val (x0, x1) = (cx * w / 9, (cx + 1) * w / 9)
+      val (y0, y1) = (cy * h / 8, (cy + 1) * h / 8)
+      for (x <- x0 until x1; y <- y0 until y1) img.setRGB(x, y, 0xffffff)
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  test("real dHash: a small local edit stays within Hamming 3; a different image does not") {
+    import MultimodalOps.ImageIoDHashAdapter
+    val base = ImageIoDHashAdapter.dhash("a", gradientPng(90, 80, None))
+    val tweak = ImageIoDHashAdapter.dhash("b", gradientPng(90, 80, Some((4, 3))))
+    // checkerboard: gradient signs alternate — far from any smooth gradient
+    val other = {
+      val img = new BufferedImage(90, 80, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 90; y <- 0 until 80)
+        img.setRGB(x, y, if (((x / 10) + (y / 10)) % 2 == 0) 0xffffff else 0)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      ImageIoDHashAdapter.dhash("c", bos.toByteArray)
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(base, tweak) <= 3,
+      s"local edit moved the hash ${hamming(base, tweak)} bits")
+    assert(hamming(base, other) > 10,
+      s"unrelated image landed ${hamming(base, other)} bits away")
+  }
+
+  test("real dHash survives a lossless re-encode unchanged") {
+    import MultimodalOps.ImageIoDHashAdapter
+    val png = gradientPng(90, 80, None)
+    val reenc = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos) // decode + re-encode round trip
+      bos.toByteArray
+    }
+    assert(ImageIoDHashAdapter.dhash("a", png) ===
+      ImageIoDHashAdapter.dhash("b", reenc))
+  }
+
+  test("imageNearDupPairs with the real adapter pairs the edited copy, not the stranger") {
+    val files = Seq(
+      (1L, gradientPng(90, 80, None)),
+      (2L, gradientPng(90, 80, Some((4, 3)))),
+      (3L, {
+        val img = new BufferedImage(90, 80, BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 90; y <- 0 until 80)
+          img.setRGB(x, y, if (((x / 10) + (y / 10)) % 2 == 0) 0xffffff else 0)
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })).toDF("doc_id", "content")
+    val pairs = MultimodalOps
+      .imageNearDupPairs(files, MultimodalOps.ImageIoDHashAdapter)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("stub dHash matches an independent bit-by-bit evaluation and is locality-preserving") {
+    import MultimodalOps.StubDHashAdapter
+    val s = "im:ABCDEFGHIJKLM0"
+    val bytes = s.getBytes("US-ASCII")
+    // independent formulation: BigInt accumulation over explicit bits
+    val expected = (0 until 60).foldLeft(BigInt(0)) { (acc, j) =>
+      val bit = (bytes(j % bytes.length) >> (j / bytes.length)) & 1
+      acc | (BigInt(bit) << j)
+    }
+    assert(BigInt(StubDHashAdapter.dhash("p", bytes)) === expected)
+    // one changed byte flips only the bits that sample it
+    val tweaked = s.updated(s.length - 1, '3').getBytes("US-ASCII")
+    val d = java.lang.Long.bitCount(
+      StubDHashAdapter.dhash("p", bytes) ^ StubDHashAdapter.dhash("p", tweaked))
+    assert(d >= 1 && d <= 4, s"one-byte edit moved $d bits")
+  }
+
+  test("banded near-dup join is complete: equals brute-force Hamming<=3 over stub hashes") {
+    import MultimodalOps.StubDHashAdapter
+    def content(id: Long): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(id / 5).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val tr = md.map(c => "@ABCDEFGHIJKLMNO"(Integer.parseInt(c.toString, 16)))
+      s"im:$tr${id % 5}".getBytes("US-ASCII")
+    }
+    val ids = (0L until 100L).toSeq
+    val hashes = ids.map(i => i -> StubDHashAdapter.dhash("", content(i))).toMap
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val files = ids.map(i => (i, content(i))).toDF("doc_id", "content")
+    val banded = MultimodalOps.imageNearDupPairs(files)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute)
+  }
 }

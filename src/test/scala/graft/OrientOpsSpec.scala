@@ -99,6 +99,59 @@ class OrientOpsSpec extends SparkSpec {
     // deterministic stub: winners carry zero misspellings
     assert(pageRows.filter(col("misspelled") =!= 0L).count() === 0)
   }
+  // ---- GlyphOcrAdapter: the REAL decode path (round-7 item 9) ----
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  test("glyph OCR decodes its own rendering, and reads rotation-paired junk upside-down") {
+    import OrientOps.GlyphOcrAdapter
+    val text = "sound box up now"
+    val png = pngBytes(GlyphOcrAdapter.render(text))
+    assert(GlyphOcrAdapter.ocr(png, 0) === text)
+    // 180°: reversed cell order, every glyph read as its rotation pair
+    // (s↔s, o↔o, u↔n, d↔p, b↔q, x↔x, w↔m) — same word count, zero
+    // dictionary hits: the real reason upside-down pages fail aspell
+    assert(GlyphOcrAdapter.ocr(png, 180) === "mou dn xoq punos")
+    assert(OrientOps.WordlistSpellAdapter.en.misspelled(
+      GlyphOcrAdapter.ocr(png, 180)) === 4L)
+    assert(OrientOps.WordlistSpellAdapter.en.misspelled(text) === 0L)
+    // 90°/270°: cells tile across glyph stripes — junk tokens, MORE of
+    // them than real words (the wc -w prune signal)
+    Seq(90, 270).foreach { r =>
+      val junk = GlyphOcrAdapter.ocr(png, r)
+      val wc = junk.trim.split("\\s+").count(_.nonEmpty)
+      assert(wc > 4, s"rotation $r produced only $wc tokens: '$junk'")
+      assert(junk !== text)
+    }
+  }
+
+  test("vote with the REAL glyph OCR + wordlist spellcheck recovers every planted rotation") {
+    import OrientOps.GlyphOcrAdapter
+    val text = "sound box up now"
+    // page k is stored rotated clockwise by k quarter-turns; the vote
+    // must pick the rotation that makes the decode read cleanly — the
+    // complementary (4-k)%4 quarter-turns
+    val fixture = (0 to 3).map { k =>
+      (s"p$k", pngBytes(GlyphOcrAdapter.rotateCw(GlyphOcrAdapter.render(text), k)),
+        ((4 - k) % 4) * 90)
+    }
+    val pagesDf = fixture.map { case (id, b, _) => (id, b) }.toDF("id", "content")
+    val got = OrientOps.orientationVote(pagesDf, Seq("id"),
+        ocr = GlyphOcrAdapter, spell = OrientOps.WordlistSpellAdapter.en)
+      .select("id", "rotation", "ocr_text", "misspelled").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2), r.getLong(3))))
+      .toMap
+    fixture.foreach { case (id, _, want) =>
+      val (rot, ocrText, miss) = got(id)
+      assert(rot === want, s"$id: picked $rot, planted $want")
+      assert(ocrText === text)
+      assert(miss === 0L)
+    }
+  }
 }
 
 object OrientOpsSpec {

@@ -88,7 +88,7 @@ class ScaleSpec extends SparkSpec {
       "q74_semdedup" -> 5,           // post-checkpoint: cluster self-join (2) + dup-count agg + keep-flag join-back + sort
       "q75_gopher_rules" -> 7,       // word + bigram two-level partial aggs (2 each) + two doc_id join-backs + sort
       "q76_ann_recall" -> 12,        // truth checkpointed (brute-force window off-plan); candidate side = q41's bucket-join shape + one exploded direction pass; probe-set semi-join now DERIVED from truth (distinct agg + its broadcast, r5 advice) + hit/truth aggs, join-back, sort
-      "q77_pair_calibration" -> 11,  // q36's candidate chain + ≤11-key histogram agg + single-partition cum window + sort
+      "q77_pair_calibration" -> 12,  // q36's candidate chain + ≤11-key histogram agg + const-keyed cum window (round 8: hash(const) replaced the SinglePartition exchange, whose output had also satisfied the final sort — the trailing range exchange over the same ≤11 rows is now explicit, hence +1) + sort
       "q78_source_overlap" -> 15,    // q36's candidate chain + two doc→source joins + |sources|²-key agg + sort
       "q79_source_temperature" -> 2, // per-source partial-agg count + 1-row pack; everything after is |sources|-row; sort
       "q80_unigram_rarity" -> 8,     // tf agg + df agg + tf⋈df join + per-doc agg + 1-row corpus-count broadcast + sort (the q69 shape)
@@ -140,7 +140,8 @@ class ScaleSpec extends SparkSpec {
       "q128_bottomk_sample" -> 0,    // TakeOrderedAndProject (per-partition k-heap + k-row merge) + k-row single-partition rank window — the corpus never shuffles
       "q129_embedding_health" -> 4,  // per-dim partial agg + 1-row centroid pack/broadcast + single-row final agg; two narrow corpus passes
       "q130_stream_bottomk" -> 2,    // ONE group-key exchange into the stateful op + total-order sort; state O(k) per key
-      "q131_ppjoin_pairs" -> 10)     // df agg + doc-key rank window (n from the shingle array, no COUNT window) + prefix self-join + positional-filter pair agg + un-hinted two-side verify + intersection agg + sort; candidate keys are each doc's RAREST shingles (inherent anti-skew)
+      "q131_ppjoin_pairs" -> 10,     // df agg + doc-key rank window (n from the shingle array, no COUNT window) + prefix self-join + positional-filter pair agg + un-hinted two-side verify + intersection agg + sort; candidate keys are each doc's RAREST shingles (inherent anti-skew)
+      "q132_image_phash_neardup" -> 3) // per-row dHash (narrow mapPartitions) + 4×16-bit band self-join (1 exchange each side) + pair distinct + sort — the q37/q59 SimHash shape over an image hash; never all-pairs
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
@@ -170,6 +171,29 @@ class ScaleSpec extends SparkSpec {
     assert(termPartitioned.isEmpty,
       "q69 plans a Window partitioned by the raw term column — " +
         "stop-term rows would form a single un-splittable partition at scale")
+  }
+
+  test("no query plans a Window with an EMPTY partition spec (round-7 item 3)") {
+    // Three windows deliberately run GLOBALLY on row sets bounded by
+    // construction — q128's rank over the k post-limit sample rows,
+    // q77/q90's cumulative sum over ≤ 11 decile buckets, q122's lag over
+    // 4 funnel tier rows (each bound is itself oracle-checked via the
+    // query's row count). Correct — but an EMPTY partitionBy makes
+    // WindowExec log its single-partition WARN on every execution,
+    // polluting the bench stdout the driver machine-parses. Those sites
+    // now partition by Scalars.constPartitionKey (non-foldable, so
+    // EliminateWindowPartitions — which runs before this optimizedPlan
+    // snapshot — cannot strip it); this pin keeps every future window
+    // either genuinely partitioned or explicitly const-keyed.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val lp = fn(spark, sf("sf0.001")).queryExecution.optimizedPlan
+      val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$name plans a Window with an empty partition spec — " +
+          "WindowExec's single-partition WARN would pollute bench stdout " +
+          "(use Scalars.constPartitionKey for bounded global windows)")
+    }
   }
 
   test("doc-assembly queries shuffle raw columns once — ONE exchange total") {

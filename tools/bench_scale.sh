@@ -34,8 +34,13 @@ else
   QUERIES=($(java -cp "$CP" $ADD_OPENS -Xmx2g graft.PrintScaleTargets))
 fi
 
+# ParallelGC: must match build.sbt's javaOptions (this script invokes raw
+# java, bypassing sbt) — see the round-8 q52 root cause there: G1 in a
+# churned session inflates the heavy stages 3-10x; ParallelGC removes it.
+GC_FLAGS="-XX:+UseParallelGC -XX:ReservedCodeCacheSize=1g"
+
 for q in "${QUERIES[@]}"; do
-  java -cp "$CP" $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-24g}" \
+  java -cp "$CP" $ADD_OPENS $GC_FLAGS -Xmx"${SPARK_DRIVER_MEM:-24g}" \
     graft.ScaleSmoke "$q" 2>/dev/null | grep '^\[scale\]' || {
       echo "FAILED: $q"; exit 1; }
 done
