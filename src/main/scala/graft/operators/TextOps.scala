@@ -322,7 +322,7 @@ object TextOps {
     // would silently DROP every NULL-stratum doc (NULL keys never match)
     // rather than trim it — NULL strata form their own window instead
     // (reviewed round 3)
-    val key = coalesce(col(strataCol).cast("string"), lit(" "))
+    val key = coalesce(col(strataCol).cast("string"), lit("\u0000"))
     def cut(p: Double): org.apache.spark.sql.Column =
       if (approx) expr(s"CAST(approx_percentile(n_chars, ${p}D, $accuracy) AS DOUBLE)")
       else expr(s"percentile(n_chars, ${p}D)")
