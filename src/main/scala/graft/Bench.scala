@@ -115,6 +115,20 @@ object Bench {
     // and the full-fidelity record (full names, every rep, CPU seconds,
     // spread) goes to BENCH_FULL.json alongside it.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
+    // Environment stamp (round-8 verdict: builder and driver records from
+    // the SAME commit disagreed 2–4× on q52 and nothing in either record
+    // said which collector/heap each JVM actually ran — the sbt-level
+    // `-XX:+UseParallelGC` pin does not necessarily reach a forked/driver
+    // invocation). Collector names + heap + explicit -X flags make the
+    // next divergence diagnosable from the records alone.
+    import scala.jdk.CollectionConverters._
+    val gcNames = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getName).mkString("+")
+    val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
+    val jvmFlags = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a => a.startsWith("-X")).mkString(" ")
+    val envStamp =
+      s""""gc":"$gcNames","heap_mb":$heapMb,"jvm_flags":"${jvmFlags.replace("\"", "")}""""
     // Locale.ROOT: the f-interpolator formats through the DEFAULT locale,
     // which renders "12,34" on comma-decimal locales — invalid JSON
     def d2(v: Double): String =
@@ -132,12 +146,12 @@ object Bench {
     // BENCH_LINE.json and every rep with spread+cpu to BENCH_FULL.json.
     val line =
       s"""{"metric":"total","value":${d2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,""" +
-        s""""steady_total":${d2(steadyTotal)},"task_total":${d2(taskTotal)},""" +
+        s""""steady_total":${d2(steadyTotal)},"task_total":${d2(taskTotal)},$envStamp,""" +
         s""""keys":"qNN=<qNN>_*; queries=median-of-$reps steady wall; first-run+task in BENCH_LINE.json, reps+spread+cpu in BENCH_FULL.json",""" +
         s""""queries":${jmap(_.steadyWallMed)}}"""
     val fullLine =
       s"""{"metric":"total","value":${d2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,""" +
-        s""""steady_total":${d2(steadyTotal)},"task_total":${d2(taskTotal)},""" +
+        s""""steady_total":${d2(steadyTotal)},"task_total":${d2(taskTotal)},$envStamp,""" +
         s""""first":${jmap(_.first.wall)},"steady":${jmap(_.steadyWallMed)},"task":${jmap(_.steadyTaskMed)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LINE.json"), fullLine + "\n")
@@ -151,7 +165,7 @@ object Bench {
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
-        s""""steady_total":$steadyTotal,"task_total":$taskTotal,""" +
+        s""""steady_total":$steadyTotal,"task_total":$taskTotal,$envStamp,""" +
         s""""rep_shape":"[wallSec,taskSec,cpuSec]","per_query":$fullRows}\n""")
     // Leading newline: if a log line on the merged capture was written
     // without its terminator just before us, the JSON still starts at

@@ -111,6 +111,7 @@ object MetsOps {
     * The wire still carries ~150 B/row of fields instead of ~700 B/row
     * of rendered XML, once. */
   def renderMets(reps: DataFrame): DataFrame = {
+    graft.functions.SortedMultiConcat.register(reps.sparkSession)
     val parted = reps.repartitionByRange(col("objid"))
     // per-row codegen'd rendering AFTER the exchange; the grouped levels
     // below only sort, extract, and join pre-built strings. abs_name is
@@ -124,19 +125,19 @@ object MetsOps {
       .withColumn("file_xml", expr(fileXml))
       .withColumn("tech_xml", expr(techXml))
     // level 1: one row per group key (whole group key == objid itself,
-    // part group key == objid/page), reps sorted by cannonical
-    // field EXTRACTION from the collected array goes through
-    // GetArrayStructFields (`col.getField` on array<struct> — native,
-    // codegen'd) rather than a `transform` lambda: higher-order
-    // functions evaluate interpreted per element (the measured-15× trap),
-    // and these extractions run once per rep/fragment on the hot path.
+    // part group key == objid/page), reps joined in cannonical order.
+    // sorted_multi_concat replaces the round-4 collect_list → sort_array
+    // → getField → array_join chain: ONE incremental aggregate buffers
+    // only the input strings and writes each joined column once into an
+    // exactly-sized buffer (round-8 verdict item 1 — the old chain's
+    // per-group garbage made this stage's cost track collector state,
+    // the three-round q52 bimodality).
     val groups = rendered
       .groupBy("objid", "docid", "created", "title", "wholepart", "abs_name", "abs_esc")
-      .agg(sort_array(collect_list(
-        struct(col("cannonical"), col("file_xml"), col("tech_xml")))).as("reps"))
-      .withColumn("files_xml", array_join(col("reps").getField("file_xml"), ""))
-      .withColumn("techs_xml", array_join(col("reps").getField("tech_xml"), ""))
-      .drop("reps")
+      .agg(expr("sorted_multi_concat(cannonical, file_xml, tech_xml)").as("joined"))
+      .withColumn("files_xml", col("joined").getField("c0"))
+      .withColumn("techs_xml", col("joined").getField("c1"))
+      .drop("joined")
     // member ORDER label = 1-based position among the folder's parts in
     // abs_name order. Computing it as a window BEFORE level 2 (instead of
     // transform's (g, i) index after) lets every member fragment render
@@ -160,24 +161,26 @@ object MetsOps {
           |    '" TYPE="FolderMember"><mets:fptr FILEID="fg', abs_esc,
           |    '"/></mets:div>')
           |ELSE '' END""".stripMargin))
-    // level 2: one row per folder, fragments sorted by abs_name — whole
-    // (abs_name == objid) sorts before every part (objid + '/...'), so
-    // concatenating each fragment column in array order reproduces the
-    // whole-before-part document order directly.
+    // level 2: one row per folder, fragments joined in abs_name order —
+    // whole (abs_name == objid) sorts before every part (objid + '/...'),
+    // so the key-ordered concat reproduces the whole-before-part document
+    // order directly. Same incremental aggregate as level 1: all four
+    // fragment columns ride one buffer, sorted once.
     frags
       .groupBy("objid", "docid", "created", "title")
-      .agg(sort_array(collect_list(struct(col("abs_name"), col("techs_xml"),
-        col("whole_files"), col("grp_xml"), col("div_xml")))).as("groups"))
+      .agg(expr(
+        "sorted_multi_concat(abs_name, techs_xml, whole_files, grp_xml, div_xml)")
+        .as("joined"))
       .withColumn("objid_esc", expr(xmlEsc("objid")))
       .withColumn("amd_tech", concat(
         lit("<mets:amdSec ID=\"tech\">"),
-        array_join(col("groups").getField("techs_xml"), ""),
+        col("joined").getField("c0"),
         lit("</mets:amdSec>")))
       .withColumn("file_sec", concat(
         lit("<mets:fileSec><mets:fileGrp ID=\"fg"), col("objid_esc"), lit("\">"),
-        array_join(col("groups").getField("whole_files"), ""),
+        col("joined").getField("c1"),
         lit("</mets:fileGrp>"),
-        array_join(col("groups").getField("grp_xml"), ""),
+        col("joined").getField("c2"),
         lit("</mets:fileSec>")))
       .withColumn("struct_map", concat(
         lit("<mets:structMap><mets:div LABEL=\""),
@@ -185,7 +188,7 @@ object MetsOps {
           .otherwise(expr(xmlEsc("title"))),
         lit("\" TYPE=\"Folder\" ADMID=\"w\"><mets:fptr FILEID=\"fg"),
         col("objid_esc"), lit("\"/>"),
-        array_join(col("groups").getField("div_xml"), ""),
+        col("joined").getField("c3"),
         lit("</mets:div></mets:structMap>")))
       .withColumn("mets_xml", expr(
         s"""concat('<mets:mets xmlns:mets="http://www.loc.gov/METS/"',
