@@ -11,7 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** `lang_scores(tk)`: every function-word profile score in ONE token
   * loop — returns `array<bigint>` of the per-language hit counts in
-  * [[LangScores.profiles]] order (en, es, de, fr, it, pt, nl, sv).
+  * [[LangScores.profiles]] order (en, es, de, fr, it, pt, nl, sv, da,
+  * nb).
   *
   * Round-5 verdict item 3: the previous formulation ran five separate
   * interpreted `size(filter(tk, t -> array_contains(array(...20...), t)))`
@@ -96,7 +97,23 @@ object LangScores {
       "ook", "als", "dan"),
     "sv" -> Seq("och", "att", "det", "som", "en", "är", "av", "för",
       "på", "med", "den", "till", "inte", "om", "ett", "han", "var",
-      "jag", "sig", "så"))
+      "jag", "sig", "så"),
+    // round-9 (§8.10 residual): Danish and Norwegian Bokmål — THE
+    // function-word-inseparable pair. 18 of these 20 forms are shared
+    // verbatim (og/i/at/det/er/en/den/til/som/på/de/med/han/for/ikke/
+    // der/var/jeg); only af↔av and sig↔seg differ, so a document that
+    // happens not to use those two words votes a dead tie and the
+    // ladder's profile-order tie-break would call everything 'da'.
+    // [[graft.operators.TextOps.langScoredNordic]] adds the char-n-gram
+    // orthography fallback that separates them. Appended at the END so
+    // the eight existing profiles' tie-break order is untouched (the
+    // round-8 append discipline).
+    "da" -> Seq("og", "i", "at", "det", "er", "en", "den", "til", "af",
+      "som", "på", "de", "med", "han", "for", "ikke", "der", "var",
+      "jeg", "sig"),
+    "nb" -> Seq("og", "i", "at", "det", "er", "en", "den", "til", "av",
+      "som", "på", "de", "med", "han", "for", "ikke", "der", "var",
+      "jeg", "seg"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode

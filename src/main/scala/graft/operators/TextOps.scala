@@ -139,6 +139,66 @@ object TextOps {
     scored.withColumn("lang_guess", expr(langGuessSql))
   }
 
+  /** Discriminative character-n-gram patterns for the da/nb orthography
+    * tie-break (round-8 verdict item 6, the §8.10 residual): Danish and
+    * Norwegian Bokmål share 18 of their top-20 function words, so the
+    * stopword vote dead-ties whenever a document happens not to contain
+    * af/av/sig/seg — but the ORTHOGRAPHY diverges systematically across
+    * the whole vocabulary (public knowledge, any da/nb orthography
+    * comparison): da spells `-tion` where nb spells `-sjon`
+    * (station/stasjon), da `ej`/`øj` where nb `ei`/`øy`
+    * (vej/vei, arbejde/arbeide, løj/løy), da `-nnem-` where nb `-nnom-`
+    * (gennem/gjennom), da `af`/`sig` where nb `av`/`seg`. Patterns carry
+    * their own word-boundary spaces where the signal is a whole word. */
+  val daNbOrtho: Seq[(String, Seq[String])] = Seq(
+    "da" -> Seq(" af ", "ej", "øj", "tion", "nnem", " sig "),
+    "nb" -> Seq(" av ", "ei", "øy", "sjon", "nnom", " seg "))
+
+  /** Occurrence-count sum of `pats` inside the SQL string expression
+    * `src`, phrased so Spark and DuckDB execute it identically:
+    * per-pattern `(length − length(replace)) / patternLength`, each an
+    * exact integer (the char-diff is always a multiple of the pattern
+    * length), summed as BIGINT. No regex, no UDF — codegen'd replace
+    * chains, scan-only. */
+  private[graft] def orthoCountSql(src: String, pats: Seq[String]): String =
+    pats.map { p =>
+      s"CAST((length($src) - length(replace($src, '$p', ''))) / ${p.length} AS BIGINT)"
+    }.mkString(" + ")
+
+  /** The margin-gated fallback ladder over [[langScoredNordic]]'s
+    * columns — engaged ONLY when the function-word argmax landed on the
+    * da/nb pair with a vote margin at or below `margin` AND the
+    * orthography census found any evidence; everything else keeps the
+    * vote's answer, so the eight earlier profiles' behavior is
+    * bit-untouched. Trigram ties resolve to da — the same profile-order
+    * tie-break the vote ladder uses. Same text in Spark and DuckDB. */
+  private[graft] def nordicFallbackSql(margin: Int): String =
+    // no bigint literal suffixes: this exact text also runs in DuckDB
+    // (the q31/q133 shared-text discipline)
+    s"""CASE WHEN lang_guess IN ('da', 'nb') AND abs(s_da - s_nb) <= $margin
+       | AND t_da + t_nb > 0
+       |THEN CASE WHEN t_da >= t_nb THEN 'da' ELSE 'nb' END
+       |ELSE lang_guess END""".stripMargin
+
+  /** [[langScored]] + the da/nb orthographic tie-break: adds `t_da` /
+    * `t_nb` (discriminative char-n-gram occurrence counts over the
+    * lower-cased text, [[daNbOrtho]]) and rewrites `lang_guess` through
+    * [[nordicFallbackSql]]. A document the function-word vote cannot
+    * separate (identical shared-stopword evidence) classifies by how its
+    * CONTENT words are spelled. Scale shape: unchanged from
+    * [[langScored]] — per-row codegen'd replace chains, shuffle-free
+    * scan. */
+  def langScoredNordic(documents: DataFrame, margin: Int = 2): DataFrame = {
+    require(margin >= 0, s"margin must be >= 0, got $margin")
+    // single leading/trailing space so word-boundary patterns match at
+    // the ends of the text too (same trick both engines replay)
+    val low = "concat(' ', lower(coalesce(text, '')), ' ')"
+    langScored(documents)
+      .withColumn("t_da", expr(orthoCountSql(low, daNbOrtho.head._2)))
+      .withColumn("t_nb", expr(orthoCountSql(low, daNbOrtho(1)._2)))
+      .withColumn("lang_guess", expr(nordicFallbackSql(margin)))
+  }
+
   /** Unicode character classes for the three CJK script censuses —
     * BMP-only ranges, so Spark (codepoint `length`) and DuckDB
     * (codepoint `length`) count identically. Han covers the unified

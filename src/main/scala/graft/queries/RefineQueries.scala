@@ -677,7 +677,70 @@ object RefineQueries {
           .as("content"))
       graft.operators.MultimodalOps.imageNearDupPairs(files)
         .orderBy("a", "b")
+    },
+
+    // da/nb orthography tie-break (round-8 verdict item 6, the §8.10
+    // function-word-inseparable residual). The planted pair is built so
+    // the stopword vote CANNOT separate it: both snippets use only the
+    // 18 function words da and nb share verbatim (og/i/er/til/ikke/jeg —
+    // none of which any earlier profile claims), so s_da == s_nb on
+    // every planted doc and the vote ladder alone would call all of
+    // them 'da'. The content words differ ONLY in orthography
+    // (vejen/veien, stationen/stasjonen, arbejdet/arbeidet,
+    // gennem/gjennom, højre/høyre, løj/løy) — exactly what
+    // TextOps.daNbOrtho counts. Unplanted docs stay on the plain vote
+    // (mostly en/und), proving the margin gate leaves the eight earlier
+    // profiles untouched.
+    oracle(
+      "q133_nordic_langid",
+      {
+        val scoreCols = graft.operators.TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val lowSrc = "(' ' || lower(coalesce(text, '')) || ' ')"
+        val tDa = graft.operators.TextOps.orthoCountSql(lowSrc,
+          graft.operators.TextOps.daNbOrtho.head._2)
+        val tNb = graft.operators.TextOps.orthoCountSql(lowSrc,
+          graft.operators.TextOps.daNbOrtho(1)._2)
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % 9 = 1 THEN ' $nordicDaSnippet $nordicDaSnippet'
+           |         WHEN doc_id % 9 = 2 THEN ' $nordicNbSnippet $nordicNbSnippet'
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $scoreCols,
+           |  $tDa AS t_da,
+           |  $tNb AS t_nb
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
+           |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
+           |      FROM sc)
+           |SELECT doc_id, s_da, s_nb, t_da, t_nb,
+           |  ${graft.operators.TextOps.nordicFallbackSql(2)} AS lang_guess
+           |FROM g ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: da/nb lang-ID via char-n-gram orthography tie-break") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 1,
+            lit(s" $nordicDaSnippet $nordicDaSnippet"))
+          .when(col("doc_id") % 9 === 2,
+            lit(s" $nordicNbSnippet $nordicNbSnippet"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.langScoredNordic(aug)
+        .select("doc_id", "s_da", "s_nb", "t_da", "t_nb", "lang_guess")
+        .orderBy("doc_id")
     })
+
+  /** The function-word-inseparable planted pair for q133: identical
+    * shared-stopword skeletons, orthography-divergent content words.
+    * lazy: referenced from `defs`' eager oracle-SQL construction, which
+    * runs before this point of the object initializer. */
+  private[queries] lazy val nordicDaSnippet =
+    "jeg er ikke i vejen til stationen og arbejdet gennem højre er ikke løj og jeg"
+  private[queries] lazy val nordicNbSnippet =
+    "jeg er ikke i veien til stasjonen og arbeidet gjennom høyre er ikke løy og jeg"
 
   /** DuckDB fragment: final codebook centroids for prefix `p` — the mean
     * of each cluster's FINAL members as exact BIGINT micro-unit sums

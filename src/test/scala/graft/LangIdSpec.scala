@@ -73,6 +73,47 @@ class LangIdSpec extends SparkSpec {
     assert(nRow === hRow)
   }
 
+  test("da/nb: function-word vote alone cannot separate the planted pair (round-8 item 6)") {
+    // both sentences use ONLY shared da/nb function words (og, i, er,
+    // til, ikke, jeg — claimed by no earlier profile), so the vote dead-
+    // ties and the ladder's profile-order tie-break calls BOTH 'da' —
+    // the documented §8.10 failure this round's fallback exists to fix
+    val da = 50L -> "jeg er ikke i vejen til stationen og arbejdet gennem højre er ikke løj og jeg"
+    val nb = 51L -> "jeg er ikke i veien til stasjonen og arbeidet gjennom høyre er ikke løy og jeg"
+    val voteOnly = guess(Seq(da, nb))
+    assert(voteOnly === Map(50L -> "da", 51L -> "da"))
+    val scores = TextOps.langScored(Seq(da, nb).toDF("doc_id", "text"))
+      .select("doc_id", "s_da", "s_nb").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scores(50L)._1 === scores(50L)._2) // dead tie on the da doc
+    assert(scores(51L)._1 === scores(51L)._2) // and on the nb doc
+  }
+
+  test("da/nb: char-n-gram orthography fallback separates what the vote cannot") {
+    val fixtures = Seq(
+      50L -> "jeg er ikke i vejen til stationen og arbejdet gennem højre er ikke løj og jeg",
+      51L -> "jeg er ikke i veien til stasjonen og arbeidet gjennom høyre er ikke løy og jeg",
+      // controls: the fallback must not touch non-da/nb guesses
+      52L -> "the cat sat on the mat and it was pleased with the result of this",
+      53L -> "hunden springer inte på gatan och ett barn är med en boll för att leka så som han var",
+      // zero orthography evidence → vote answer (profile-order da) stands
+      54L -> "jeg er ikke og jeg er og")
+    val got = TextOps.langScoredNordic(fixtures.toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(50L -> "da", 51L -> "nb", 52L -> "en", 53L -> "sv", 54L -> "da"))
+  }
+
+  test("da/nb: orthography counts are word-boundary-aware occurrence counts") {
+    val row = TextOps.langScoredNordic(Seq(
+      60L -> "af sig vej højre station gennem").toDF("doc_id", "text"))
+      .select("t_da", "t_nb").head
+    // ' af '(1) + ej(1: vej) + øj(1: højre) + tion(1: station) +
+    // nnem(1: gennem) + ' sig '(1) = 6; nb patterns find nothing
+    assert(row.getLong(0) === 6L)
+    assert(row.getLong(1) === 0L)
+  }
+
   test("overlapping function words accumulate for every language that claims them") {
     // 'de' is both Spanish and French; 'la' Spanish/French/Italian — a
     // text of only shared forms must score them for all claimants
