@@ -239,6 +239,118 @@ class MultimodalIoSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  // ---- round-8 verdict item 5: the real-adapter path END-TO-END over
+  // binaryFile transport, not just unit calls — the JdkHttpFetcher/S5
+  // real-transport discipline applied to the image modality. Planted
+  // groups are ramp images (steep horizontal gradient, the shape dHash
+  // is built for); each ships with >= 3 genuine re-encode variants
+  // (JPEG quality 0.5, bilinear 2x resize, BMP format change), all
+  // produced by the JDK's own codecs from the ORIGINAL bytes. ----
+
+  /** Horizontal ramp (up or down) as PNG bytes. */
+  private def rampPng(w: Int, h: Int, up: Boolean): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = if (up) (x * 255) / (w - 1) else 255 - (x * 255) / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  /** Decode `src` and re-encode: JPEG at an explicit quality. */
+  private def jpegQuality(src: Array[Byte], quality: Float): Array[Byte] = {
+    val img0 = ImageIO.read(new java.io.ByteArrayInputStream(src))
+    // JPEG writer rejects images with alpha; repaint into RGB
+    val img = new BufferedImage(img0.getWidth, img0.getHeight, BufferedImage.TYPE_INT_RGB)
+    val g0 = img.createGraphics(); try g0.drawImage(img0, 0, 0, null) finally g0.dispose()
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Decode `src`, bilinear-scale by `factor`, re-encode as PNG. */
+  private def resized(src: Array[Byte], factor: Int): Array[Byte] = {
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(src))
+    val (w, h) = (img.getWidth * factor, img.getHeight * factor)
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(dst, "png", bos))
+    bos.toByteArray
+  }
+
+  /** Decode `src`, re-encode in `format` (bmp = the format variant). */
+  private def reformatted(src: Array[Byte], format: String): Array[Byte] = {
+    val img0 = ImageIO.read(new java.io.ByteArrayInputStream(src))
+    val img = new BufferedImage(img0.getWidth, img0.getHeight, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics(); try g.drawImage(img0, 0, 0, null) finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, bos), s"JDK lacks a $format writer")
+    bos.toByteArray
+  }
+
+  test("e2e: binaryFile dir of genuine re-encodes through the real adapter (round-8 item 5)") {
+    val dir = tmpDir("img_e2e")
+    val rampUp = rampPng(90, 80, up = true)
+    val rampDown = rampPng(90, 80, up = false)
+    // ids: group A originals+variants 10-13, group B 20-23, stranger 30
+    val files: Seq[(Long, String, Array[Byte])] = Seq(
+      (10L, "10.png", rampUp),
+      (11L, "11.jpg", jpegQuality(rampUp, 0.5f)),
+      (12L, "12.png", resized(rampUp, 2)),
+      (13L, "13.bmp", reformatted(rampUp, "bmp")),
+      (20L, "20.png", rampDown),
+      (21L, "21.jpg", jpegQuality(rampDown, 0.5f)),
+      (22L, "22.png", resized(rampDown, 2)),
+      (23L, "23.bmp", reformatted(rampDown, "bmp")),
+      (30L, "30.png", {
+        val img = new BufferedImage(90, 80, BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 90; y <- 0 until 80)
+          img.setRGB(x, y, if (((x / 10) + (y / 10)) % 2 == 0) 0xffffff else 0)
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }))
+    files.foreach { case (_, name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    // the real transport: spark's binaryFile source, not a local Seq
+    val scanned = spark.read.format("binaryFile").load(dir)
+      .selectExpr("CAST(regexp_extract(path, '([0-9]+)\\\\.[a-z]+$', 1) AS LONG) AS doc_id",
+        "content")
+    assert(scanned.count() === 9L)
+    val pairs = MultimodalOps
+      .imageNearDupPairs(scanned, MultimodalOps.ImageIoDHashAdapter)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val groupA = Set(10L, 11L, 12L, 13L)
+    val groupB = Set(20L, 21L, 22L, 23L)
+    // every variant must pair with its group's original...
+    for (v <- Seq(11L, 12L, 13L)) assert(pairs.contains((10L, v)),
+      s"variant $v did not surface against its original: $pairs")
+    for (v <- Seq(21L, 22L, 23L)) assert(pairs.contains((20L, v)),
+      s"variant $v did not surface against its original: $pairs")
+    // ...no pair may cross groups or touch the stranger
+    pairs.foreach { case (a, b) =>
+      assert((groupA(a) && groupA(b)) || (groupB(a) && groupB(b)),
+        s"cross-group or stranger pair ($a, $b)")
+    }
+  }
+
   test("stub dHash matches an independent bit-by-bit evaluation and is locality-preserving") {
     import MultimodalOps.StubDHashAdapter
     val s = "im:ABCDEFGHIJKLM0"
