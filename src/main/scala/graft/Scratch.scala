@@ -47,16 +47,17 @@ object Scratch {
       println(f"[pp] $label%-12s ${(System.nanoTime - t0) / 1e9}%.2f s")
       r
     }
-    val tk = graft.operators.TextOps.shingleRows(documents)
-      .select(col("doc_id"), col("g").as("tok"))
+    graft.functions.H60Hash.register(spark)
+    val tk = graft.operators.TextOps.shingled(documents)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("n"), expr(s"h60(g)").as("tok"))
     t("tk")(tk.write.format("noop").mode("overwrite").save())
     val dfc = tk.groupBy("tok").agg(count(lit(1)).as("df"))
     t("dfc")(dfc.write.format("noop").mode("overwrite").save())
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
-    val perDoc = Window.partitionBy("doc_id")
     val ranked = tk.join(dfc, Seq("tok"))
       .withColumn("rk", row_number().over(byRarity).cast("long"))
-      .withColumn("n", count(lit(1)).over(perDoc))
     t("ranked")(ranked.write.format("noop").mode("overwrite").save())
     val prefix = ranked
       .filter(col("rk") <= col("n") - expr(s"($tPpm * n + 999999L) div 1000000L") + 1L)
@@ -73,11 +74,14 @@ object Scratch {
       .filter(expr(s"ub + 1L >= $oMin"))
       .select("doc_a", "doc_b", "na", "nb")
     t("cand")(println("[pp] cand rows = " + cand.count()))
+    graft.functions.H60Array.register(spark)
+    val docArr = graft.operators.TextOps.shingled(documents)
+      .select(col("doc_id"), expr("h60_array(sh)").as("hs"))
     val inter = cand
-      .join(tk.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(tk.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
+      .join(docArr.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"))
     t("inter")(inter.write.format("noop").mode("overwrite").save())
   }
 }

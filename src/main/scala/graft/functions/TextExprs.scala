@@ -151,6 +151,69 @@ case class H60Hash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `h60_array(array<string>)` → `array<bigint>`: [[H60Hash]] mapped
+  * over an array in ONE per-row native loop (round 9, for q131's
+  * per-doc hashed shingle arrays). The obvious spelling
+  * `transform(sh, g -> h60(g))` evaluates the lambda through
+  * Catalyst's interpreted HOF evaluator per ELEMENT — the trap
+  * measured at ~15× on SimHash (round-4 item 3) — and a corpus-scale
+  * verify pass hashes tens of millions of shingles. Element semantics
+  * match the transform form exactly: NULL element → NULL element,
+  * NULL array → NULL. */
+case class H60Array(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = H60Array.fnName
+
+  override def nullSafeEval(input: Any): Any =
+    H60Array.hashAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.H60Array.hashAll($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): H60Array =
+    copy(child = newChild)
+}
+
+object H60Array {
+  val fnName = "h60_array"
+
+  /** Java-callable whole-array hasher (one thread-local digest). */
+  def hashAll(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else java.lang.Long.valueOf(PolyFingerprint.h60(arr.getUTF8String(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private val info = new ExpressionInfo(classOf[H60Array].getName, fnName)
+
+  private[graft] def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => H60Array(s)
+    case other => throw new IllegalArgumentException(
+      s"$fnName expects (array<string>); got ${other.size} args")
+  }
+
+  /** Register `h60_array` in this session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fnName), info, builder _)
+}
+
 object H60Hash {
   val fnName = "h60"
 

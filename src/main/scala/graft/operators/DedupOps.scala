@@ -957,13 +957,18 @@ object DedupOps {
     * (`inter·1e6 ≥ t·(na+nb−inter)`) — no doubles anywhere, so
     * cross-engine equality is by construction.
     *
-    * Shape at 100 TB: the (doc, shingle) derivation feeds four
-    * subtrees (df census, prefix ranking, both verify sides) and is
-    * deliberately RECOMPUTED per subtree, not checkpointed — it is
-    * narrow per-row map work, and materializing ~corpus-scale string
-    * rows four times per run measured 11× at the 10× smoke from cache
-    * pressure alone (checkpointing pays when the subtree contains
-    * exchanges — q116's presence table — not for a map stage). The
+    * Shape at 100 TB: ONE tokenize+shingle+hash pass builds the
+    * per-doc HASHED shingle arrays (`h60_array`, 60-bit longs) behind
+    * a localCheckpoint; the df census, prefix ranking, and both verify
+    * sides all derive from that table (round 9 — the q112/q117/q120
+    * "post-checkpoint" lineage discipline). Earlier rounds deliberately
+    * recomputed the derivation per subtree because the materialized
+    * artifact was corpus-scale STRING rows (measured 11× at the 10×
+    * smoke from cache pressure); hashing changed the calculus — the
+    * checkpoint is now ~8 bytes per distinct shingle occurrence
+    * (≈ 2–4% of corpus text bytes), the same order a MinHash signature
+    * store pays, and it removes four redundant corpus scans plus their
+    * tens of millions of md5 calls per run. The
     * candidate join's anti-skew property is INHERENT: prefixes are
     * each document's RAREST shingles, so the equi-join never keys on
     * stopword grams — the df-skew that forces
@@ -980,11 +985,28 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     require(tPpm >= 1L && tPpm <= 1000000L,
       s"tPpm must be in [1, 1000000], got $tPpm")
+    graft.functions.H60Array.register(documents.sparkSession)
+    // ONE pass: per-doc hashed shingle arrays (round 9). Shingles hash
+    // to 60-bit longs at derivation (the q35/q36 discipline) — with raw
+    // ~25-byte 3-gram strings every downstream subtree shuffled,
+    // hash-joined, and aggregated string rows, and the heavy stages
+    // spent ~half their task-seconds in GC at the 10× smoke (121–159
+    // GC-s per stage, zero spill). Hashed, everything past this line
+    // moves 8-byte longs. The oracle applies the identical md5-h60
+    // derivation, so equality is by construction, not collision-luck:
+    // a 60-bit collision merges the same two shingles in BOTH engines
+    // (P ≈ 4e-7 at a 10⁶-shingle vocabulary — and it would shift
+    // Jaccard by at most one member). localCheckpoint: the df census,
+    // rarity ranking, AND both verify sides read this table — see the
+    // scaladoc's post-checkpoint note.
+    val docArr = TextOps.shingled(documents)
+      .select(col("doc_id"), expr("h60_array(sh)").as("hs"))
+      .localCheckpoint()
     // n = size of the DISTINCT shingle set, read off the array before
     // the explode — no corpus-wide COUNT window needed
-    val tk = TextOps.shingled(documents)
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-        explode(col("sh")).as("tok"))
+    val tk = docArr
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("tok"))
     val dfc = tk.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df").asc, col("tok").asc)
@@ -1011,13 +1033,38 @@ object DedupOps {
     // side is the data-dependent candidate set — AQE broadcasts it when
     // it is small (the q62 probe shape, corpus never shuffles) and
     // falls back to shuffle joins when a pathological corpus makes it
-    // large; pinning either choice is wrong at one of the extremes
-    val inter = cand
-      .join(tk.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(tk.select(col("doc_id").as("doc_b"), col("tok")),
-        Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
+    // large; pinning either choice is wrong at one of the extremes.
+    // Round-9 reshape: the intersection is computed per candidate PAIR
+    // against each doc's hashed shingle ARRAY (one ~n-element long
+    // array per doc), not by re-joining the exploded (doc, shingle)
+    // map. The old row-form verify expanded every candidate to
+    // |prefix-doc| rows and sort-merge-joined them back against the
+    // full exploded map on (doc, shingle) — at the 10× smoke that meant
+    // shuffling and sorting corpus×shingle rows (30M) twice, 7× the
+    // base verify cost on perfectly linear candidates (33k → 333k
+    // pairs). The array form moves |corpus| array rows + |cand| pairs;
+    // per-pair cost is the same O(na + nb) set intersection, minus the
+    // shuffle machinery. Arrays are already distinct (array_distinct
+    // upstream), so size(array_intersect) is the exact overlap; the
+    // oracle replays len(list_intersect) over the identically-hashed
+    // lists.
+    // the candidate side carries ONLY the bare pair into the verify
+    // joins — na/nb re-derive from the arrays afterwards (same distinct
+    // set, so size(hs) == n). At the 10× smoke the four-column pair set
+    // (333k × ~40 B ≈ 13 MB) sat exactly at AQE's broadcast boundary
+    // and the join strategy flapped rep-to-rep (3.8 s broadcast reps vs
+    // 13.7 s sort-merge reps); the two-column form stays decisively
+    // inside the broadcast regime until candidates genuinely outgrow
+    // it — at which point sort-merge IS the right plan.
+    val inter = cand.select("doc_a", "doc_b")
+      .join(docArr.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+        Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"))
     inter
       .filter(expr(s"inter * 1000000L >= $tPpm * (na + nb - inter)"))
       .select(col("doc_a"), col("doc_b"), col("inter"),

@@ -593,8 +593,9 @@ object RefineQueries {
     oracle(
       "q131_ppjoin_pairs",
       s"""WITH tk AS (
-         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS tok
-         |  FROM (${NorthStarQueries.SH})),
+         |  SELECT doc_id, n, ('0x' || substr(md5(tok0), 1, 15))::BIGINT AS tok
+         |  FROM (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS tok0
+         |        FROM (${NorthStarQueries.SH}))),
          |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
          |ranked AS (
          |  SELECT t.doc_id, t.tok, t.n,
@@ -612,13 +613,17 @@ object RefineQueries {
          |  GROUP BY 1, 2, 3, 4
          |  HAVING max(least(a.n - a.rk, b.n - b.rk)) + 1 >=
          |    (700000 * (a.n + b.n) + 1699999) // 1700000),
+         |ds AS (
+         |  SELECT doc_id,
+         |    list_transform(sh, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+         |  FROM (${NorthStarQueries.SH})),
          |iv AS (
-         |  SELECT c.doc_a, c.doc_b, c.na, c.nb,
-         |    CAST(count(*) AS BIGINT) AS inter
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(x.hs) AS BIGINT) AS na, CAST(len(y.hs) AS BIGINT) AS nb,
+         |    CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS inter
          |  FROM cand c
-         |  JOIN tk x ON x.doc_id = c.doc_a
-         |  JOIN tk y ON y.doc_id = c.doc_b AND y.tok = x.tok
-         |  GROUP BY 1, 2, 3, 4)
+         |  JOIN ds x ON x.doc_id = c.doc_a
+         |  JOIN ds y ON y.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, inter, na + nb - inter AS union_size,
          |  (inter * 1000000) // (na + nb - inter) AS jaccard_ppm
          |FROM iv

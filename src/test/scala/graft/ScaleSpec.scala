@@ -140,7 +140,7 @@ class ScaleSpec extends SparkSpec {
       "q128_bottomk_sample" -> 0,    // TakeOrderedAndProject (per-partition k-heap + k-row merge) + k-row single-partition rank window — the corpus never shuffles
       "q129_embedding_health" -> 4,  // per-dim partial agg + 1-row centroid pack/broadcast + single-row final agg; two narrow corpus passes
       "q130_stream_bottomk" -> 2,    // ONE group-key exchange into the stateful op + total-order sort; state O(k) per key
-      "q131_ppjoin_pairs" -> 10,     // df agg + doc-key rank window (n from the shingle array, no COUNT window) + prefix self-join + positional-filter pair agg + un-hinted two-side verify + intersection agg + sort; candidate keys are each doc's RAREST shingles (inherent anti-skew)
+      "q131_ppjoin_pairs" -> 10,     // post-checkpoint hashed-array table (round 9): df agg + doc-key rank window (n from the array, no COUNT window) + prefix self-join + positional-filter pair agg + un-hinted two-side array verify (per-pair array_intersect, no exploded re-join) + sort; candidate keys are each doc's RAREST shingles (inherent anti-skew)
       "q132_image_phash_neardup" -> 3) // per-row dHash (narrow mapPartitions) + 4×16-bit band self-join (1 exchange each side) + pair distinct + sort — the q37/q59 SimHash shape over an image hash; never all-pairs
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))

@@ -25,7 +25,10 @@ done
 
 PARTS="${SPARK_GRAFT_SCALE_PARTS:-/tmp/graft_scale_parts.jsonl}"
 export SPARK_GRAFT_SCALE_PARTS="$PARTS"
-: > "$PARTS"
+# truncate only for a FULL sweep: a named-query rerun appends a
+# superseding fragment (assemble is last-wins per query) — truncating
+# there silently discarded the other 70 queries' fragments (round 9)
+if [ $# -eq 0 ]; then : > "$PARTS"; fi
 
 if [ $# -gt 0 ]; then
   QUERIES=("$@")
