@@ -915,8 +915,18 @@ object DedupOps {
         size(col("sh")).cast("long").as("nsh"))
       .withColumn("blk", length(conv(col("nsh"), 10, base.toInt)).cast("long"))
     val sizes = withMeta.select(col("doc_id"), col("nsh"))
+    // shingles hash to 60-bit longs at the explode (round 9, the q131
+    // lesson): the (g, lang, blk) candidate join and its pair-count agg
+    // previously moved ~25-byte shingle STRINGS on both sides — the
+    // allocation/GC profile that inflated the pair-join family at the
+    // 10×/30× smokes. The df-cap above stays on raw strings (both
+    // engines cap before hashing, so equality is by construction); only
+    // the join keys shrink. h60 collisions merge the same two shingles
+    // in both engines (P ≈ 4e-7 at 10⁶ shingles).
+    graft.functions.H60Hash.register(documents.sparkSession)
     val shr = withMeta
-      .select(col("doc_id"), col("lang"), col("blk"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("lang"), col("blk"), explode(col("sh")).as("g0"))
+      .select(col("doc_id"), col("lang"), col("blk"), expr("h60(g0)").as("g"))
     val x = shr.select(col("doc_id").as("a"), col("g"), col("lang"), col("blk"))
     val y = shr.select(col("doc_id").as("b"), col("g"), col("lang"),
       explode(expr("array(blk - 1L, blk, blk + 1L)")).as("blk"))

@@ -250,7 +250,8 @@ object NorthStarQueries {
          |meta AS (SELECT doc_id, lang,
          |           CAST(length(to_base(COUNT(*), 5)) AS BIGINT) AS blk,
          |           CAST(COUNT(*) AS BIGINT) AS nsh FROM shr0 GROUP BY 1, 2),
-         |shr AS (SELECT s.doc_id, s.lang, m.blk, s.g
+         |shr AS (SELECT s.doc_id, s.lang, m.blk,
+         |          ('0x' || substr(md5(s.g), 1, 15))::BIGINT AS g
          |        FROM shr0 s JOIN meta m ON s.doc_id = m.doc_id),
          |cnt AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
          |        FROM shr x
