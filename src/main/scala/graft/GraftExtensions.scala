@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CdcBoundaries, CmsSketch, DotProduct, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits, WinnowFingerprints}
+import graft.functions.{CdcBoundaries, CmsSketch, DotProduct, H60Array, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits, SortedMultiConcat, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -63,5 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CmsSketch.fnName),
       new ExpressionInfo(classOf[CmsSketch].getName, CmsSketch.fnName),
       CmsSketch.builder _))
+    e.injectFunction((
+      FunctionIdentifier(H60Array.fnName),
+      new ExpressionInfo(classOf[H60Array].getName, H60Array.fnName),
+      H60Array.builder _))
+    e.injectFunction((
+      FunctionIdentifier(SortedMultiConcat.fnName),
+      new ExpressionInfo(classOf[SortedMultiConcat].getName, SortedMultiConcat.fnName),
+      SortedMultiConcat.builder _))
   }
 }

@@ -97,5 +97,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("cms_sketch(CAST(id AS STRING)) AS cms").head.getSeq[Long](0)
     assert(cms.length === graft.functions.CmsSketch.D * graft.functions.CmsSketch.W)
     assert(cms.sum === graft.functions.CmsSketch.D * 10L)
+    // round-9 expressions: h60_array element-maps h60; sorted_multi_concat
+    // joins values in key order with the aggregate, not a chain
+    val row4 = spark.sql("SELECT h60_array(array('a', 'b')) AS ha").head
+    assert(row4.getSeq[Long](0) ===
+      Seq("a", "b").map(s => graft.functions.PolyFingerprint.h60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))))
+    val smc = spark.createDataFrame(Seq((1, "b", "Y"), (1, "a", "X")))
+      .toDF("g", "k", "v")
+      .selectExpr("g", "k", "v")
+      .groupBy("g").agg(org.apache.spark.sql.functions.expr(
+        "sorted_multi_concat(k, v).c0").as("s")).head
+    assert(smc.getString(1) === "XY")
   }
 }
