@@ -99,7 +99,7 @@ object ScaleSmoke {
     "q121_corpus_diff", "q122_dedup_funnel", "q124_leakage_safe_split",
     "q125_ivfpq_adc", "q126_source_affinity", "q127_training_shards",
     "q128_bottomk_sample", "q129_embedding_health", "q131_ppjoin_pairs",
-    "q132_image_phash_neardup", "q133_nordic_langid")
+    "q132_image_phash_neardup", "q133_nordic_langid", "q134_ptgl_langid")
 
   private val Stride = 1000000L
 

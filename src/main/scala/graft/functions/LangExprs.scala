@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `lang_scores(tk)`: every function-word profile score in ONE token
   * loop — returns `array<bigint>` of the per-language hit counts in
   * [[LangScores.profiles]] order (en, es, de, fr, it, pt, nl, sv, da,
-  * nb).
+  * nb, gl).
   *
   * Round-5 verdict item 3: the previous formulation ran five separate
   * interpreted `size(filter(tk, t -> array_contains(array(...20...), t)))`
@@ -113,7 +113,18 @@ object LangScores {
       "jeg", "sig"),
     "nb" -> Seq("og", "i", "at", "det", "er", "en", "den", "til", "av",
       "som", "på", "de", "med", "han", "for", "ikke", "der", "var",
-      "jeg", "seg"))
+      "jeg", "seg"),
+    // round-9 second inseparable pair: Galician vs Portuguese — 13 of
+    // these forms are shared with pt verbatim (o/a/de/que/e/do/da/os/
+    // se/para/por/no/na); the divergent forms (un/unha/non/máis/ao vs
+    // um/uma/não/mais) often don't appear in short documents, so the
+    // vote ties and profile order would call everything 'pt'. The
+    // orthography census (ç/lh/nh/ão vs ñ/llo/ón/án) separates them —
+    // [[graft.operators.TextOps.langScoredOrtho]]. Appended last, same
+    // discipline.
+    "gl" -> Seq("o", "a", "de", "que", "e", "do", "da", "un", "os",
+      "non", "se", "como", "con", "para", "por", "no", "na", "ao",
+      "unha", "máis"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode

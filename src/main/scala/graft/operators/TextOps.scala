@@ -154,6 +154,24 @@ object TextOps {
     "da" -> Seq(" af ", "ej", "øj", "tion", "nnem", " sig "),
     "nb" -> Seq(" av ", "ei", "øy", "sjon", "nnom", " seg "))
 
+  /** Second inseparable pair (round 9): Galician vs Portuguese share 13
+    * of their top-20 function words verbatim, but the orthographies
+    * diverge systematically (public knowledge, pt/gl orthography
+    * comparison): pt keeps `ç` (Galician has none at all), `lh`/`nh`
+    * digraphs where gl writes `ll`/`ñ` (filho/fillo, vinho/viño), and
+    * `-ão` where gl writes `-ón`/`-án` (coração/corazón, verão/verán).
+    * The gl `llo` spelling (not bare `ll`) keeps English base text
+    * ("small", "all") out of the census. */
+  val ptGlOrtho: Seq[(String, Seq[String])] = Seq(
+    "pt" -> Seq("ç", "lh", "nh", "ão"),
+    "gl" -> Seq("ñ", "llo", "ón", "án"))
+
+  /** The margin-gated orthography pairs [[langScoredOrtho]] applies, in
+    * application order. Each entry: (langA, patternsA, langB, patternsB)
+    * with A the earlier profile (the tie-break winner the fallback
+    * corrects). */
+  val orthoPairs: Seq[(Seq[(String, Seq[String])])] = Seq(daNbOrtho, ptGlOrtho)
+
   /** Occurrence-count sum of `pats` inside the SQL string expression
     * `src`, phrased so Spark and DuckDB execute it identically:
     * per-pattern `(length − length(replace)) / patternLength`, each an
@@ -172,13 +190,16 @@ object TextOps {
     * vote's answer, so the eight earlier profiles' behavior is
     * bit-untouched. Trigram ties resolve to da — the same profile-order
     * tie-break the vote ladder uses. Same text in Spark and DuckDB. */
-  private[graft] def nordicFallbackSql(margin: Int): String =
+  private[graft] def pairFallbackSql(a: String, b: String, margin: Int): String =
     // no bigint literal suffixes: this exact text also runs in DuckDB
     // (the q31/q133 shared-text discipline)
-    s"""CASE WHEN lang_guess IN ('da', 'nb') AND abs(s_da - s_nb) <= $margin
-       | AND t_da + t_nb > 0
-       |THEN CASE WHEN t_da >= t_nb THEN 'da' ELSE 'nb' END
+    s"""CASE WHEN lang_guess IN ('$a', '$b') AND abs(s_$a - s_$b) <= $margin
+       | AND t_$a + t_$b > 0
+       |THEN CASE WHEN t_$a >= t_$b THEN '$a' ELSE '$b' END
        |ELSE lang_guess END""".stripMargin
+
+  private[graft] def nordicFallbackSql(margin: Int): String =
+    pairFallbackSql("da", "nb", margin)
 
   /** [[langScored]] + the da/nb orthographic tie-break: adds `t_da` /
     * `t_nb` (discriminative char-n-gram occurrence counts over the
@@ -197,6 +218,26 @@ object TextOps {
       .withColumn("t_da", expr(orthoCountSql(low, daNbOrtho.head._2)))
       .withColumn("t_nb", expr(orthoCountSql(low, daNbOrtho(1)._2)))
       .withColumn("lang_guess", expr(nordicFallbackSql(margin)))
+  }
+
+  /** [[langScored]] + EVERY registered orthography pair
+    * ([[orthoPairs]]: da/nb and pt/gl): one `t_<lang>` census column per
+    * pair member, then the margin-gated [[pairFallbackSql]] rewrites
+    * applied in sequence — the pairs are disjoint on guesses, so the
+    * rewrites compose without interaction and every non-pair language's
+    * behavior stays bit-untouched. The fully-general form of
+    * [[langScoredNordic]]; same shuffle-free scan shape. */
+  def langScoredOrtho(documents: DataFrame, margin: Int = 2): DataFrame = {
+    require(margin >= 0, s"margin must be >= 0, got $margin")
+    val low = "concat(' ', lower(coalesce(text, '')), ' ')"
+    val withCensus = orthoPairs.flatten.foldLeft(langScored(documents)) {
+      case (df, (lang, pats)) =>
+        df.withColumn(s"t_$lang", expr(orthoCountSql(low, pats)))
+    }
+    orthoPairs.foldLeft(withCensus) { case (df, pair) =>
+      df.withColumn("lang_guess",
+        expr(pairFallbackSql(pair.head._1, pair(1)._1, margin)))
+    }
   }
 
   /** Unicode character classes for the three CJK script censuses —

@@ -736,6 +736,57 @@ object RefineQueries {
       graft.operators.TextOps.langScoredNordic(aug)
         .select("doc_id", "s_da", "s_nb", "t_da", "t_nb", "lang_guess")
         .orderBy("doc_id")
+    },
+
+    // pt/gl — the second function-word-inseparable pair, through the
+    // GENERALIZED orthography machinery (langScoredOrtho applies every
+    // registered pair; this query also proves the da/nb rule composes
+    // with pt/gl without touching non-pair guesses). Snippets use only
+    // the 13 function words pt and gl share verbatim (o/do/e/da/que/se/
+    // para/no — none claimed by an earlier profile strongly enough to
+    // win), so s_pt == s_gl dead-ties; content words differ only in
+    // orthography (coração/corazón, filho/fillo, vinho/viño,
+    // praça/praza, trabalho/traballo, verão/verán).
+    oracle(
+      "q134_ptgl_langid",
+      {
+        val scoreCols = graft.operators.TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val lowSrc = "(' ' || lower(coalesce(text, '')) || ' ')"
+        val censuses = graft.operators.TextOps.orthoPairs.flatten.map {
+          case (lang, pats) =>
+            s"${graft.operators.TextOps.orthoCountSql(lowSrc, pats)} AS t_$lang"
+        }.mkString(",\n  ")
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % 9 = 3 THEN ' $ptSnippet $ptSnippet'
+           |         WHEN doc_id % 9 = 4 THEN ' $glSnippet $glSnippet'
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $scoreCols,
+           |  $censuses
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
+           |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
+           |      FROM sc),
+           |g2 AS (SELECT * REPLACE (
+           |  ${graft.operators.TextOps.pairFallbackSql("da", "nb", 2)} AS lang_guess)
+           |  FROM g)
+           |SELECT doc_id, s_pt, s_gl, t_pt, t_gl,
+           |  ${graft.operators.TextOps.pairFallbackSql("pt", "gl", 2)} AS lang_guess
+           |FROM g2 ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: pt/gl lang-ID via the generalized orthography tie-break") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 3, lit(s" $ptSnippet $ptSnippet"))
+          .when(col("doc_id") % 9 === 4, lit(s" $glSnippet $glSnippet"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.langScoredOrtho(aug)
+        .select("doc_id", "s_pt", "s_gl", "t_pt", "t_gl", "lang_guess")
+        .orderBy("doc_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical
@@ -746,6 +797,12 @@ object RefineQueries {
     "jeg er ikke i vejen til stationen og arbejdet gennem højre er ikke løj og jeg"
   private[queries] lazy val nordicNbSnippet =
     "jeg er ikke i veien til stasjonen og arbeidet gjennom høyre er ikke løy og jeg"
+
+  /** The pt/gl inseparable pair for q134, same construction. */
+  private[queries] lazy val ptSnippet =
+    "o coração do filho e o vinho da praça que se move para o trabalho no verão"
+  private[queries] lazy val glSnippet =
+    "o corazón do fillo e o viño da praza que se move para o traballo no verán"
 
   /** DuckDB fragment: final codebook centroids for prefix `p` — the mean
     * of each cluster's FINAL members as exact BIGINT micro-unit sums

@@ -114,6 +114,34 @@ class LangIdSpec extends SparkSpec {
     assert(row.getLong(1) === 0L)
   }
 
+  test("pt/gl: vote dead-ties, generalized orthography fallback separates (round 9)") {
+    val pt = 70L -> "o coração do filho e o vinho da praça que se move para o trabalho no verão"
+    val gl = 71L -> "o corazón do fillo e o viño da praza que se move para o traballo no verán"
+    // the vote alone calls both 'pt' (earlier profile wins the tie)
+    val voteOnly = guess(Seq(pt, gl))
+    assert(voteOnly === Map(70L -> "pt", 71L -> "pt"))
+    val fixtures = Seq(pt, gl,
+      // composition: the da/nb rule must still fire through langScoredOrtho
+      72L -> "jeg er ikke i veien til stasjonen og arbeidet gjennom høyre er ikke løy og jeg",
+      // controls: es and en stay untouched by both pair rules
+      73L -> "el perro corre por la calle y los gatos se esconden en una casa del pueblo",
+      74L -> "the cat sat on the mat and it was pleased with the result of this")
+    val got = TextOps.langScoredOrtho(fixtures.toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(70L -> "pt", 71L -> "gl", 72L -> "nb",
+      73L -> "es", 74L -> "en"))
+  }
+
+  test("pt/gl: orthography counts are clean of English base-text bigrams") {
+    // 'small'/'all' must not feed t_gl (the llo-not-ll pattern choice)
+    val row = TextOps.langScoredOrtho(Seq(
+      80L -> "a small table with all the values").toDF("doc_id", "text"))
+      .select("t_pt", "t_gl").head
+    assert(row.getLong(0) === 0L)
+    assert(row.getLong(1) === 0L)
+  }
+
   test("overlapping function words accumulate for every language that claims them") {
     // 'de' is both Spanish and French; 'la' Spanish/French/Italian — a
     // text of only shared forms must score them for all claimants
