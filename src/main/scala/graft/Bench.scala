@@ -127,8 +127,16 @@ object Bench {
     val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
     val jvmFlags = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(a => a.startsWith("-X")).mkString(" ")
+    // JSON-escape the flags fully (round-9 advice: quote-stripping alone
+    // leaves backslashes/control chars that would invalidate the record)
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < 0x20 || c > 0x7e => "" // drop non-printing/non-ASCII
+      case c => c.toString
+    }
     val envStamp =
-      s""""gc":"$gcNames","heap_mb":$heapMb,"jvm_flags":"${jvmFlags.replace("\"", "")}""""
+      s""""gc":"${jesc(gcNames)}","heap_mb":$heapMb,"jvm_flags":"${jesc(jvmFlags)}""""
     // Locale.ROOT: the f-interpolator formats through the DEFAULT locale,
     // which renders "12,34" on comma-decimal locales — invalid JSON
     def d2(v: Double): String =

@@ -104,10 +104,22 @@ case class SortedMultiConcat(
 
   override def eval(buf: ArrayBuffer[Array[UTF8String]]): Any = {
     val arr = buf.toArray
+    // Key ties break on the remaining columns (full-entry lexicographic
+    // compare): entries arrive in partial-merge order, which varies with
+    // partitioning, so a key-only sort would make duplicate-key output
+    // nondeterministic. Full-entry order matches the replaced
+    // sort_array(struct(key, v1, ..)) chain, which ordered whole structs.
     java.util.Arrays.sort(arr,
       new java.util.Comparator[Array[UTF8String]] {
-        override def compare(a: Array[UTF8String], b: Array[UTF8String]): Int =
-          a(0).compareTo(b(0))
+        override def compare(a: Array[UTF8String], b: Array[UTF8String]): Int = {
+          var i = 0
+          while (i < a.length) {
+            val c = a(i).compareTo(b(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
       })
     val out = new Array[Any](nOut)
     var j = 0

@@ -1008,10 +1008,17 @@ object DedupOps {
     // (P ≈ 4e-7 at a 10⁶-shingle vocabulary — and it would shift
     // Jaccard by at most one member). localCheckpoint: the df census,
     // rarity ranking, AND both verify sides read this table — see the
-    // scaladoc's post-checkpoint note.
+    // scaladoc's post-checkpoint note. LAZY (round-9 advice): eager
+    // would run a Spark job at DataFrame-CONSTRUCTION time, a side
+    // effect for plan-only callers (specs that .explain, the driver's
+    // registry walk); lazy materializes on the first action and is
+    // shared by every later consumer identically. Trade-off at real
+    // cluster scale: executor-local blocks are NOT fault-tolerant — a
+    // lost executor fails the job — so a 1000-node run would swap this
+    // for reliable checkpointing (HDFS dir) or persist(DISK_ONLY_2).
     val docArr = TextOps.shingled(documents)
       .select(col("doc_id"), expr("h60_array(sh)").as("hs"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // n = size of the DISTINCT shingle set, read off the array before
     // the explode — no corpus-wide COUNT window needed
     val tk = docArr

@@ -58,6 +58,33 @@ class SortedConcatSpec extends SparkSpec {
     assert(row.getString(1) == "BC")
   }
 
+  test("duplicate keys break ties on value columns, deterministically " +
+    "across partitionings") {
+    // Round-9 advice: a key-only sort left equal-key entries in
+    // partial-merge arrival order — flaky output under any partitioning
+    // change. Ties must order by the remaining columns (the sort_array
+    // chain's full-struct order). 60 rows over 10 keys, 6 duplicates per
+    // key, values shuffled so arrival order never equals sorted order.
+    val rows = (0 until 60).map { i =>
+      (1, f"k${i % 10}%02d", s"<v${(i * 37) % 60}/>", s"[t${(i * 53) % 60}]")
+    }
+    def run(parts: Int) = rows.toDF("g", "k", "v", "t").repartition(parts)
+      .groupBy("g")
+      .agg(expr("sorted_multi_concat(k, v, t)").as("j"))
+      .select(col("j.c0").as("vs"), col("j.c1").as("ts"))
+      .head()
+    val chain = rows.toDF("g", "k", "v", "t").groupBy("g")
+      .agg(sort_array(collect_list(struct(col("k"), col("v"), col("t")))).as("a"))
+      .select(
+        array_join(col("a").getField("v"), "").as("vs"),
+        array_join(col("a").getField("t"), "").as("ts"))
+      .head()
+    val a = run(3)
+    assert(a == chain, "tie order must match the full-struct sort_array chain")
+    assert(run(7) == a && run(1) == a,
+      "output must not depend on partition/merge arrival order")
+  }
+
   test("binary key order matches DuckDB/string_agg collation on mixed bytes") {
     // 'Z' (0x5a) < 'a' (0x61) in binary order — the collation both
     // sort_array and DuckDB's default use; locale-aware sorts would flip it
