@@ -99,7 +99,8 @@ object ScaleSmoke {
     "q121_corpus_diff", "q122_dedup_funnel", "q124_leakage_safe_split",
     "q125_ivfpq_adc", "q126_source_affinity", "q127_training_shards",
     "q128_bottomk_sample", "q129_embedding_health", "q131_ppjoin_pairs",
-    "q132_image_phash_neardup", "q133_nordic_langid", "q134_ptgl_langid")
+    "q132_image_phash_neardup", "q133_nordic_langid", "q134_ptgl_langid",
+    "q135_hrsr_langid")
 
   private val Stride = 1000000L
 
@@ -186,6 +187,13 @@ object ScaleSmoke {
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt.max(1)
+    // Warm-up reps discarded before the measured window (round-9 verdict
+    // item 3): a fresh JVM's first post-warm reps still carry JIT
+    // compilation for the heavier plans — q131's x10 reps declined
+    // monotonically 6.74→2.94 s within one run, so a median over reps
+    // 1–5 overstated the steady cost it exists to record. WARM=2 puts
+    // the median past the C2 ramp; task-seconds stay the cross-check.
+    val warms = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM", "1").toInt.max(1)
     val named = args.filter(a => !a.startsWith("--"))
     val run = if (named.nonEmpty) named.toSeq else targets
     val unknown = run.filterNot(n =>
@@ -193,9 +201,9 @@ object ScaleSmoke {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
 
     val fragments = run.map { name =>
-      val bw = timed(name, base)
+      val bw = (1 to warms).map(_ => timed(name, base)).head
       val b = Seq.fill(reps)(timed(name, base))
-      val xw = timed(name, scaled)
+      val xw = (1 to warms).map(_ => timed(name, scaled)).head
       val x = Seq.fill(reps)(timed(name, scaled))
       val ratio = med(x.map(_.wall)) / med(b.map(_.wall))
       val taskRatio = med(x.map(_.taskSec)) / med(b.map(_.taskSec))
@@ -256,7 +264,7 @@ object ScaleSmoke {
     val totalX = fragments.map(medOf(_, s"x${factor}_med")).sum
     val json =
       s"""{"factor":$factor,"base":"$base","scaled":"$scaled",""" +
-        s""""methodology":"fresh JVM per query (tools/bench_scale.sh); reps are median-of-N steady after 1 warm; task/cpu arrays = executor task-seconds and CPU-seconds per rep",""" +
+        s""""methodology":"fresh JVM per query (tools/bench_scale.sh); reps are median-of-N steady after >=1 discarded warm-up reps (SPARK_GRAFT_SCALE_WARM; flagged heavy queries re-recorded at WARM=2 REPS=5 so the median sits past the JIT ramp); task/cpu arrays = executor task-seconds and CPU-seconds per rep",""" +
         s""""total_base_sec":${f2(totalB)},"total_x${factor}_sec":${f2(totalX)},""" +
         s""""total_ratio":${f2(totalX / totalB)},"queries":{${fragments.mkString(",")}}}"""
     Files.write(Paths.get("BENCH_SCALE.json"), json.getBytes(StandardCharsets.UTF_8))

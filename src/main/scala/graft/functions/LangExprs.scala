@@ -12,7 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `lang_scores(tk)`: every function-word profile score in ONE token
   * loop — returns `array<bigint>` of the per-language hit counts in
   * [[LangScores.profiles]] order (en, es, de, fr, it, pt, nl, sv, da,
-  * nb, gl).
+  * nb, gl, hr, sr).
   *
   * Round-5 verdict item 3: the previous formulation ran five separate
   * interpreted `size(filter(tk, t -> array_contains(array(...20...), t)))`
@@ -124,7 +124,21 @@ object LangScores {
     // discipline.
     "gl" -> Seq("o", "a", "de", "que", "e", "do", "da", "un", "os",
       "non", "se", "como", "con", "para", "por", "no", "na", "ao",
-      "unha", "máis"))
+      "unha", "máis"),
+    // round-10 third inseparable pair: Croatian vs Serbian (Latin
+    // script) — the standard varieties share virtually the whole
+    // function-word inventory (je/i/u/da/se/na/za/su/od/a/koji/iz/kao/
+    // ali/bi/po/što/ne/o, public knowledge: any hr or sr frequency
+    // list); only the interrogative tko↔ko differs in this top-20 cut,
+    // so any document avoiding that one word votes a dead tie and
+    // profile order would call everything 'hr'. The orthography census
+    // (the ijekavian↔ekavian yat reflex plus lexical markers —
+    // [[graft.operators.TextOps.hrSrOrtho]]) separates them. Appended
+    // at the END, same discipline as da/nb and pt/gl.
+    "hr" -> Seq("je", "i", "u", "da", "se", "na", "za", "su", "od", "a",
+      "koji", "iz", "kao", "ali", "bi", "po", "što", "ne", "o", "tko"),
+    "sr" -> Seq("je", "i", "u", "da", "se", "na", "za", "su", "od", "a",
+      "koji", "iz", "kao", "ali", "bi", "po", "što", "ne", "o", "ko"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode

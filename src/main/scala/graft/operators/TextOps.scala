@@ -166,11 +166,46 @@ object TextOps {
     "pt" -> Seq("ç", "lh", "nh", "ão"),
     "gl" -> Seq("ñ", "llo", "ón", "án"))
 
+  /** Third inseparable pair (round 10): Croatian vs Serbian in Latin
+    * script share the entire function-word skeleton, but the yat reflex
+    * diverges systematically across the whole vocabulary (public
+    * knowledge, any hr/sr orthography comparison): hr is ijekavian —
+    * rijeka/uvijek/lijep/vrijeme/mlijeko — where sr standard is ekavian
+    * — reka/uvek/lep/vreme/mleko. `ijek`/`ijep` cover the productive
+    * reflex families without matching the shared `nije` (both
+    * languages); the ekavian side has no positive CHARACTER signal (it
+    * is the absence of ije), so sr patterns are word-bounded ekavian
+    * reflexes plus the hleb/kruh lexical split — boundary spaces keep
+    * English base text ("elephant", "telepathy" would otherwise feed
+    * the lep census) out of it; " lep"/" mlek" are word-INITIAL so the
+    * inflected forms (lepa/lepo/lepi, mleka/mleko) all count. */
+  val hrSrOrtho: Seq[(String, Seq[String])] = Seq(
+    "hr" -> Seq("ijek", "ijep", "vrijem", "mlijek", " tko ", " kruh "),
+    "sr" -> Seq(" reka ", " lep", " vreme ", " uvek ", " mlek", " hleb "))
+
   /** The margin-gated orthography pairs [[langScoredOrtho]] applies, in
     * application order. Each entry: (langA, patternsA, langB, patternsB)
     * with A the earlier profile (the tie-break winner the fallback
     * corrects). */
-  val orthoPairs: Seq[(Seq[(String, Seq[String])])] = Seq(daNbOrtho, ptGlOrtho)
+  val orthoPairs: Seq[(Seq[(String, Seq[String])])] =
+    Seq(daNbOrtho, ptGlOrtho, hrSrOrtho)
+
+  /** DuckDB CTE chain applying EVERY registered pair rewrite in
+    * [[orthoPairs]] order — the oracle-side mirror of
+    * [[langScoredOrtho]]'s fold, so a new registered pair updates every
+    * ortho oracle in lockstep (q134/q135 share this text). Input: a CTE
+    * named `g` holding `lang_guess` + all `s_`/`t_` columns. Returns
+    * (cteListSql, finalCteName); the caller appends the fragments after
+    * `g` and selects from the final name. */
+  private[graft] def orthoRewriteCtes(margin: Int): (String, String) = {
+    val names = "g" +: (0 until orthoPairs.size).map(i => s"g${i + 2}")
+    val ctes = orthoPairs.zipWithIndex.map { case (pair, i) =>
+      s"""${names(i + 1)} AS (SELECT * REPLACE (
+         |  ${pairFallbackSql(pair.head._1, pair(1)._1, margin)} AS lang_guess)
+         |  FROM ${names(i)})""".stripMargin
+    }
+    (ctes.mkString(",\n"), names.last)
+  }
 
   /** Occurrence-count sum of `pats` inside the SQL string expression
     * `src`, phrased so Spark and DuckDB execute it identically:
@@ -221,7 +256,7 @@ object TextOps {
   }
 
   /** [[langScored]] + EVERY registered orthography pair
-    * ([[orthoPairs]]: da/nb and pt/gl): one `t_<lang>` census column per
+    * ([[orthoPairs]]: da/nb, pt/gl, hr/sr): one `t_<lang>` census column per
     * pair member, then the margin-gated [[pairFallbackSql]] rewrites
     * applied in sequence — the pairs are disjoint on guesses, so the
     * rewrites compose without interaction and every non-pair language's

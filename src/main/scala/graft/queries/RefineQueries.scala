@@ -758,6 +758,7 @@ object RefineQueries {
           case (lang, pats) =>
             s"${graft.operators.TextOps.orthoCountSql(lowSrc, pats)} AS t_$lang"
         }.mkString(",\n  ")
+        val (chain, last) = graft.operators.TextOps.orthoRewriteCtes(2)
         s"""WITH aug AS (
            |  SELECT doc_id, coalesce(text, '') ||
            |    CASE WHEN doc_id % 9 = 3 THEN ' $ptSnippet $ptSnippet'
@@ -771,12 +772,9 @@ object RefineQueries {
            |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
            |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
            |      FROM sc),
-           |g2 AS (SELECT * REPLACE (
-           |  ${graft.operators.TextOps.pairFallbackSql("da", "nb", 2)} AS lang_guess)
-           |  FROM g)
-           |SELECT doc_id, s_pt, s_gl, t_pt, t_gl,
-           |  ${graft.operators.TextOps.pairFallbackSql("pt", "gl", 2)} AS lang_guess
-           |FROM g2 ORDER BY doc_id""".stripMargin
+           |$chain
+           |SELECT doc_id, s_pt, s_gl, t_pt, t_gl, lang_guess
+           |FROM $last ORDER BY doc_id""".stripMargin
       },
       "Text analysis: pt/gl lang-ID via the generalized orthography tie-break") { (s, d) =>
       val aug = Tables(s, d, "documents").select(col("doc_id"),
@@ -786,6 +784,57 @@ object RefineQueries {
           .otherwise(lit(""))).as("text"))
       graft.operators.TextOps.langScoredOrtho(aug)
         .select("doc_id", "s_pt", "s_gl", "t_pt", "t_gl", "lang_guess")
+        .orderBy("doc_id")
+    },
+
+    // hr/sr-Latn — the third function-word-inseparable pair, shipped as
+    // pure DATA through the generalized registry (round-9 verdict item
+    // 7: a new pair is a pattern list in TextOps.orthoPairs plus two
+    // appended profiles, zero new machinery). Snippets use only the 19
+    // function words hr and sr share verbatim (je/i/za/ali/ne here —
+    // tko/ko, the lone divergent pair, deliberately absent), so
+    // s_hr == s_sr dead-ties; content words differ only in the yat
+    // reflex (rijeka/reka, lijepa/lepa, vrijeme/vreme, uvijek/uvek,
+    // mlijeko/mleko) and the kruh/hleb lexical split. The oracle's
+    // rewrite chain comes from the same orthoRewriteCtes the q134
+    // oracle uses, so Spark fold and DuckDB chain can never skew.
+    oracle(
+      "q135_hrsr_langid",
+      {
+        val scoreCols = graft.operators.TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val lowSrc = "(' ' || lower(coalesce(text, '')) || ' ')"
+        val censuses = graft.operators.TextOps.orthoPairs.flatten.map {
+          case (lang, pats) =>
+            s"${graft.operators.TextOps.orthoCountSql(lowSrc, pats)} AS t_$lang"
+        }.mkString(",\n  ")
+        val (chain, last) = graft.operators.TextOps.orthoRewriteCtes(2)
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % 9 = 5 THEN ' $hrSnippet $hrSnippet'
+           |         WHEN doc_id % 9 = 6 THEN ' $srSnippet $srSnippet'
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $scoreCols,
+           |  $censuses
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
+           |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
+           |      FROM sc),
+           |$chain
+           |SELECT doc_id, s_hr, s_sr, t_hr, t_sr, lang_guess
+           |FROM $last ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: hr/sr-Latn lang-ID via the orthography-pair registry") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 5, lit(s" $hrSnippet $hrSnippet"))
+          .when(col("doc_id") % 9 === 6, lit(s" $srSnippet $srSnippet"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.langScoredOrtho(aug)
+        .select("doc_id", "s_hr", "s_sr", "t_hr", "t_sr", "lang_guess")
         .orderBy("doc_id")
     })
 
@@ -803,6 +852,14 @@ object RefineQueries {
     "o coração do filho e o vinho da praça que se move para o trabalho no verão"
   private[queries] lazy val glSnippet =
     "o corazón do fillo e o viño da praza que se move para o traballo no verán"
+
+  /** The hr/sr inseparable pair for q135, same construction: identical
+    * shared-function-word skeletons (tko/ko absent), yat-reflex and
+    * kruh/hleb content divergence only. */
+  private[queries] lazy val hrSnippet =
+    "rijeka je lijepa i vrijeme je uvijek dobro za mlijeko ali ne za kruh"
+  private[queries] lazy val srSnippet =
+    "reka je lepa i vreme je uvek dobro za mleko ali ne za hleb"
 
   /** DuckDB fragment: final codebook centroids for prefix `p` — the mean
     * of each cluster's FINAL members as exact BIGINT micro-unit sums

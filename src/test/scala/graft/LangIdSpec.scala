@@ -133,6 +133,44 @@ class LangIdSpec extends SparkSpec {
       73L -> "es", 74L -> "en"))
   }
 
+  test("hr/sr: vote dead-ties, registry pair separates via yat reflex (round 10)") {
+    // only the 19 shared function words (tko/ko absent) → s_hr == s_sr;
+    // content words differ solely in ijekavian/ekavian orthography
+    val hr = 90L -> "rijeka je lijepa i vrijeme je uvijek dobro za mlijeko ali ne za kruh"
+    val sr = 91L -> "reka je lepa i vreme je uvek dobro za mleko ali ne za hleb"
+    val voteOnly = guess(Seq(hr, sr))
+    assert(voteOnly === Map(90L -> "hr", 91L -> "hr")) // profile order alone: both 'hr'
+    val scores = TextOps.langScored(Seq(hr, sr).toDF("doc_id", "text"))
+      .select("doc_id", "s_hr", "s_sr").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scores(90L)._1 === scores(90L)._2) // dead tie on the hr doc
+    assert(scores(91L)._1 === scores(91L)._2) // and on the sr doc
+    val fixtures = Seq(hr, sr,
+      // composition: the earlier pairs must still fire with hr/sr registered
+      92L -> "jeg er ikke i veien til stasjonen og arbeidet gjennom høyre er ikke løy og jeg",
+      93L -> "o corazón do fillo e o viño da praza que se move para o traballo no verán",
+      // controls: non-pair guesses stay untouched by the third rewrite
+      94L -> "the cat sat on the mat and it was pleased with the result of this",
+      95L -> "el perro corre por la calle y los gatos se esconden en una casa del pueblo")
+    val got = TextOps.langScoredOrtho(fixtures.toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(90L -> "hr", 91L -> "sr", 92L -> "nb", 93L -> "gl",
+      94L -> "en", 95L -> "es"))
+  }
+
+  test("hr/sr: census is word-boundary-safe against English base text") {
+    // 'elephant'/'telepathy' must not feed t_sr through the word-initial
+    // lep pattern, and shared 'nije' must not feed t_hr (ijek/ijep, not ije)
+    val rows = TextOps.langScoredOrtho(Seq(
+      96L -> "the elephant used telepathy and detected nothing",
+      97L -> "to nije dobro ali je kako je").toDF("doc_id", "text"))
+      .select("doc_id", "t_hr", "t_sr").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(96L) === ((0L, 0L)))
+    assert(rows(97L) === ((0L, 0L)))
+  }
+
   test("pt/gl: orthography counts are clean of English base-text bigrams") {
     // 'small'/'all' must not feed t_gl (the llo-not-ll pattern choice)
     val row = TextOps.langScoredOrtho(Seq(
