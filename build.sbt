@@ -40,14 +40,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // driver-vs-local[8] 3× gap). The machine has 128 GiB; a real 32-core
   // executor would get far more than 8g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // A 108-plan bench session emits thousands of generated classes; the
+  // -Xms == -Xmx (round 10): the driver's q52 divergence reproduced at
+  // its 89g heap — single reps read 20-100x task CPU with ZERO gc time
+  // and ZERO new codegen classes (profiles/q52_r10_89g.jsonl). With the
+  // default 2g initial heap, ParallelGC grows toward 89g incrementally
+  // and adaptive sizing keeps committing/uncommitting tens of GB as it
+  // resizes generations; the page-commit + zeroing churn lands in TASK-
+  // thread allocation paths (mutator CPU, invisible to GC time). Pinning
+  // the initial heap to the max removes the resize churn: 8/8 steady
+  // reps flat at 15-18 CPU-s in both pinned runs, where the unpinned
+  // baseline inflated 3 of 8 reps (up to 476 CPU-s). A real executor JVM
+  // is provisioned -Xms == -Xmx for exactly this reason.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 135-plan bench session emits thousands of generated classes; the
   // JDK-17 default 240 MB reserved code cache can fill mid-session, at
   // which point the JIT flushes/stops compiling and hot call sites run
   // deoptimized — consistent with the intermittent ~10x single-rep CPU
   // inflation documented in BENCH_NOTES (round 6: mechanism JVM-internal,
-  // single-query A/Bs too small to reproduce). Reserving 1g is virtual
-  // address space only; it costs nothing when unused.
-  "-XX:ReservedCodeCacheSize=1g",
+  // single-query A/Bs too small to reproduce). Reserving 2g is virtual
+  // address space only; it costs nothing when unused (Q52Profile now
+  // records per-rep occupancy — codeCacheMB — so a fill shows itself).
+  "-XX:ReservedCodeCacheSize=2g",
   // Round-8 q52 root cause (profiles/q52_r8_{inbench,g1_cleanblocks,
   // parallelgc}.jsonl): under the default G1, a long-lived session that
   // has already run the other 130 registered plans inflates the

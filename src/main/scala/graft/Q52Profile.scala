@@ -70,6 +70,23 @@ object Q52Profile {
       ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
 
+    // JIT evidence (round 10): the 89g reproduction showed single reps
+    // at 100x task CPU with ZERO gc time and ZERO new Janino classes —
+    // the interpreter multiplier, pointing at JVM-level code-cache /
+    // deopt state, not Spark state. Record code-heap occupancy and
+    // cumulative JIT compile time per rep so an inflated rep self-
+    // identifies: compileMs jumping = recompilation storm; codeMB
+    // pinned at the reserve = cache full (compiler disabled).
+    def codeCacheMb(): Double =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed / 1048576.0).sum
+    def jitCompileMs(): Long = {
+      val c = ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else 0L
+    }
+
     // Janino compile activity (count of compiled classes + total compile
     // ms) — distinguishes "steady run recompiles its codegen" from heap /
     // GC pressure when the in-bench number disagrees with isolated runs
@@ -109,10 +126,13 @@ object Q52Profile {
     cleanSession()
 
     val fn = SparkEntry.queries(queryName)
-    def once(): (Double, Long, Seq[StageRow], Long) = {
+    final case class Once(wall: Double, gcDelta: Long, rows: Seq[StageRow],
+      cgClasses: Long, jitMs: Long, codeMb: Double)
+    def once(): Once = {
       stages.synchronized(stages.clear())
       val (cc0, _) = codegenStats()
       val gc0 = gcMillis()
+      val jit0 = jitCompileMs()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -121,7 +141,8 @@ object Q52Profile {
       // is enough for the tail events to land before the buffer snapshot
       Thread.sleep(1000)
       val (cc1, _) = codegenStats()
-      (wall, gcMillis() - gc0, stages.synchronized(stages.toVector), cc1 - cc0)
+      Once(wall, gcMillis() - gc0, stages.synchronized(stages.toVector),
+        cc1 - cc0, jitCompileMs() - jit0, codeCacheMb())
     }
 
     def fmt(runLabel: String, wall: Double, gcDelta: Long, rows: Seq[StageRow]): String = {
@@ -138,12 +159,12 @@ object Q52Profile {
         f""""stages":$stageJson}"""
     }
 
-    val (w0, g0, s0, c0) = once()
-    println(fmt("warm", w0, g0, s0).replace("\"stages\"", s""""codegenClasses":$c0,"stages""""))
-    (1 to runs).foreach { i =>
-      val (w, g, s, c) = once()
-      println(fmt(s"steady$i", w, g, s).replace("\"stages\"", s""""codegenClasses":$c,"stages""""))
-    }
+    def emit(label: String, o: Once): Unit =
+      println(fmt(label, o.wall, o.gcDelta, o.rows).replace("\"stages\"",
+        f""""codegenClasses":${o.cgClasses},"jitCompileSec":${o.jitMs / 1000.0}%.2f,""" +
+          f""""codeCacheMB":${o.codeMb}%.1f,"stages""""))
+    emit("warm", once())
+    (1 to runs).foreach(i => emit(s"steady$i", once()))
     spark.stop()
   }
 }

@@ -145,7 +145,7 @@ object ScaleSmoke {
     // different base would stamp BENCH_SCALE.json with wrong-scale
     // ratios (reviewed round 5)
     val marker = Paths.get(s"$scaled/_GENERATED_FROM")
-    val stamp = s"base=$base factor=$factor parts=64"
+    val stamp = s"base=$base factor=$factor parts=64 v2-tpc"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp
     if (!fresh) {
@@ -295,21 +295,46 @@ object ScaleSmoke {
     // rotation by k is only a distinct isometry for k < dims: slice
     // lengths go negative past it and k == dims is the identity (an
     // exact replica-0 duplicate, silently breaking the decorrelation
-    // the linear-scaling argument rests on — reviewed round 5)
+    // the linear-scaling argument rests on — reviewed round 5).
+    // Round 10 (the 100× smoke needs factor > dims): replicas
+    // dims ≤ k < 2·dims rotate by (k − dims) and NEGATE — negation is
+    // an isometry too, and rotation∘negation never equals a pure
+    // rotation of a non-null vector, so all 2·dims transforms stay
+    // pairwise distinct.
     val dims = embSrc.select(size(col("embedding"))).head.getInt(0)
-    require(factor <= dims,
-      s"scale factor $factor exceeds embedding dims $dims — rotation replicas would collide")
+    require(factor <= 2 * dims,
+      s"scale factor $factor exceeds 2x embedding dims ${2 * dims} — replicas would collide")
+    val rotSql =
+      s"""concat(slice(embedding, CAST(k % $dims AS INT) + 1,
+         |              size(embedding) - CAST(k % $dims AS INT)),
+         |       slice(embedding, 1, CAST(k % $dims AS INT)))""".stripMargin
     val embs = embSrc
       .crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("k") * lit(Stride)).as("vec_id"),
-        when(col("k") === 0L, col("embedding")).otherwise(expr(
-          """concat(slice(embedding, CAST(k AS INT) + 1, size(embedding) - CAST(k AS INT)),
-            |       slice(embedding, 1, CAST(k AS INT)))""".stripMargin))
+        when(col("k") === 0L, col("embedding"))
+          .when(col("k") < dims.toLong, expr(rotSql))
+          .otherwise(expr(s"transform($rotSql, x -> -x)"))
           .as("embedding"),
         col("label"))
     embs.repartition(64).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+    // TPC tables for the doc-assembly cost center (round-9 verdict item
+    // 8: the 100× smoke names q52, whose input is orders⋈lineitem, not
+    // the corpus tables). Replica k offsets every key by k·Stride —
+    // joins stay within-replica, group SIZES stay constant while group
+    // COUNT scales, the same linear-scaling construction as documents.
+    for ((tbl, keys) <- Seq(
+        "orders" -> Seq("o_orderkey"),
+        "lineitem" -> Seq("l_orderkey"))) {
+      val src = spark.read.parquet(s"$base/$tbl.parquet")
+      keys.foldLeft(src.crossJoin(broadcast(reps))) { case (df, kcol) =>
+          df.withColumn(kcol, col(kcol) + col("k") * lit(Stride))
+        }
+        .drop("k")
+        .repartition(64).write.mode("overwrite")
+        .parquet(s"$out/$tbl.parquet")
+    }
     println(s"[scale] generated ${factor}x slice at $out")
   }
 }

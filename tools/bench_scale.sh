@@ -40,10 +40,13 @@ fi
 # ParallelGC: must match build.sbt's javaOptions (this script invokes raw
 # java, bypassing sbt) — see the round-8 q52 root cause there: G1 in a
 # churned session inflates the heavy stages 3-10x; ParallelGC removes it.
-GC_FLAGS="-XX:+UseParallelGC -XX:ReservedCodeCacheSize=1g"
+GC_FLAGS="-XX:+UseParallelGC -XX:ReservedCodeCacheSize=2g"
 
 for q in "${QUERIES[@]}"; do
-  java -cp "$CP" $ADD_OPENS $GC_FLAGS -Xmx"${SPARK_DRIVER_MEM:-24g}" \
+  # -Xms == -Xmx: same heap pin as build.sbt (round 10 — unpinned heaps
+  # intermittently inflate task CPU via generation-resize commit churn)
+  java -cp "$CP" $ADD_OPENS $GC_FLAGS \
+    -Xms"${SPARK_DRIVER_MEM:-24g}" -Xmx"${SPARK_DRIVER_MEM:-24g}" \
     graft.ScaleSmoke "$q" 2>/dev/null | grep '^\[scale\]' || {
       echo "FAILED: $q"; exit 1; }
 done
