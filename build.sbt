@@ -52,6 +52,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // baseline inflated 3 of 8 reps (up to 476 CPU-s). A real executor JVM
   // is provisioned -Xms == -Xmx for exactly this reason.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ...and touch it at JVM init, not lazily: -Xms commits address space
+  // but Linux still zero-fills each page on FIRST TOUCH, which lands in
+  // whichever task threads allocate first — measured on a fresh 89g JVM
+  // as q52 warm 45.3 s/548 CPU-s vs 14.5 s/97 with PreTouch (steady1
+  // 37.9 -> 6.0 s; profiles/q52_r10_89g.jsonl). One bench session is one
+  // JVM, so the one-time parallel pre-touch at startup replaces a
+  // 20-30 s penalty inside the first heavy query's measured window.
+  "-XX:+AlwaysPreTouch",
   // A 135-plan bench session emits thousands of generated classes; the
   // JDK-17 default 240 MB reserved code cache can fill mid-session, at
   // which point the JIT flushes/stops compiling and hot call sites run

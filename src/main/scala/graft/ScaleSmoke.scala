@@ -169,8 +169,23 @@ object ScaleSmoke {
           .semDedupKeepers(emb, minCosine = 0.3, k = k, seedMode = "hash")
           .orderBy("vec_id")
       }
+    // q122's tier 3 embeds the same fixed-k=8 oracle configuration as
+    // q74 — contract-superlinear (cluster size ∝ N). The smoke's scale
+    // path for the funnel applies the identical kForCorpus prescription
+    // so the record shows the design bound for the COMPOSED pipeline.
+    val funnelScaledK: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        val emb = graft.sources.Tables(s, dir, "embeddings")
+        val k = graft.operators.ClusterOps.kForCorpus(emb.count(), 625L)
+        graft.operators.RefineOps.dedupFunnel(
+          graft.sources.Tables(s, dir, "documents"), emb, "md5(text)", k = k)
+      }
     def queryFn(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
-      if (name == "q74_semdedup_scaledk") scaledK else SparkEntry.queries(name)
+      name match {
+        case "q74_semdedup_scaledk" => scaledK
+        case "q122_dedup_funnel_scaledk" => funnelScaledK
+        case n => SparkEntry.queries(n)
+      }
 
     def timed(name: String, dir: String): Rep = {
       System.gc()
@@ -197,7 +212,8 @@ object ScaleSmoke {
     val named = args.filter(a => !a.startsWith("--"))
     val run = if (named.nonEmpty) named.toSeq else targets
     val unknown = run.filterNot(n =>
-      n == "q74_semdedup_scaledk" || SparkEntry.queries.contains(n))
+      n == "q74_semdedup_scaledk" || n == "q122_dedup_funnel_scaledk" ||
+        SparkEntry.queries.contains(n))
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
 
     val fragments = run.map { name =>

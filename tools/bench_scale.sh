@@ -40,7 +40,7 @@ fi
 # ParallelGC: must match build.sbt's javaOptions (this script invokes raw
 # java, bypassing sbt) — see the round-8 q52 root cause there: G1 in a
 # churned session inflates the heavy stages 3-10x; ParallelGC removes it.
-GC_FLAGS="-XX:+UseParallelGC -XX:ReservedCodeCacheSize=2g"
+GC_FLAGS="-XX:+UseParallelGC -XX:ReservedCodeCacheSize=2g -XX:+AlwaysPreTouch"
 
 for q in "${QUERIES[@]}"; do
   # -Xms == -Xmx: same heap pin as build.sbt (round 10 — unpinned heaps
