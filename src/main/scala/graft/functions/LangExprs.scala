@@ -138,7 +138,25 @@ object LangScores {
     "hr" -> Seq("je", "i", "u", "da", "se", "na", "za", "su", "od", "a",
       "koji", "iz", "kao", "ali", "bi", "po", "što", "ne", "o", "tko"),
     "sr" -> Seq("je", "i", "u", "da", "se", "na", "za", "su", "od", "a",
-      "koji", "iz", "kao", "ali", "bi", "po", "što", "ne", "o", "ko"))
+      "koji", "iz", "kao", "ali", "bi", "po", "što", "ne", "o", "ko"),
+    // round-10 fourth inseparable pair: Malay vs Indonesian — the two
+    // standards share the function-word inventory nearly verbatim
+    // (yang/dan/di/itu/dengan/ini/untuk/tidak/dari/dalam/pada/akan/ke/
+    // juga/ada/atau/oleh/mereka, public knowledge: any ms or id
+    // frequency list); this top-20 cut diverges only in kerana↔karena
+    // (because) and the preferred perfective telah↔sudah (both exist in
+    // both languages — REAL ambiguity, same class as es/fr `de`), so a
+    // document avoiding those votes a dead tie and profile order would
+    // call everything 'ms'. The orthography census
+    // ([[graft.operators.TextOps.msIdOrtho]]: the English-loan -iti vs
+    // Dutch-loan -itas suffix, kerana/karena, wang/uang, sahaja/saja,
+    // mahu/mau) separates them. Appended at the END, same discipline.
+    "ms" -> Seq("yang", "dan", "di", "itu", "dengan", "ini", "untuk",
+      "tidak", "dari", "dalam", "pada", "akan", "ke", "juga", "ada",
+      "atau", "oleh", "mereka", "telah", "kerana"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "ini", "untuk",
+      "tidak", "dari", "dalam", "pada", "akan", "ke", "juga", "ada",
+      "atau", "oleh", "mereka", "sudah", "karena"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode

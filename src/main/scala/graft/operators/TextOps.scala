@@ -183,12 +183,31 @@ object TextOps {
     "hr" -> Seq("ijek", "ijep", "vrijem", "mlijek", " tko ", " kruh "),
     "sr" -> Seq(" reka ", " lep", " vreme ", " uvek ", " mlek", " hleb "))
 
+  /** Fourth inseparable pair (round 10): Malay vs Indonesian share the
+    * function-word skeleton nearly verbatim, but the LOANWORD strata
+    * diverge systematically (public knowledge, any ms/id comparison):
+    * English-derived `-ty` nouns take ms `-iti` (universiti, aktiviti,
+    * kualiti) where id inherits Dutch `-itas` (universitas, aktivitas,
+    * kualitas); English `-tion` gives ms `-syen` (televisyen,
+    * konvensyen); and the core lexicon splits on kerana/karena,
+    * wang/uang (money), sahaja/saja (only), mahu/mau (want). Word-final
+    * spaces on `iti `/`itas ` keep mid-word hits out; " saja " cannot
+    * match inside " sahaja " (no space before the s) and " mau " cannot
+    * match inside " mahu ", so each census is blind to the other side's
+    * forms. Known residual ambiguity: `teliti`-family words (shared by
+    * both languages) feed `iti ` — the same accumulate-for-all-claimants
+    * semantics as the shared function words, resolved by total
+    * evidence. */
+  val msIdOrtho: Seq[(String, Seq[String])] = Seq(
+    "ms" -> Seq("kerana", "iti ", "syen", " wang ", " sahaja ", " mahu "),
+    "id" -> Seq("karena", "itas ", " uang ", " saja ", " mau ", " bisa "))
+
   /** The margin-gated orthography pairs [[langScoredOrtho]] applies, in
     * application order. Each entry: (langA, patternsA, langB, patternsB)
     * with A the earlier profile (the tie-break winner the fallback
     * corrects). */
   val orthoPairs: Seq[(Seq[(String, Seq[String])])] =
-    Seq(daNbOrtho, ptGlOrtho, hrSrOrtho)
+    Seq(daNbOrtho, ptGlOrtho, hrSrOrtho, msIdOrtho)
 
   /** DuckDB CTE chain applying EVERY registered pair rewrite in
     * [[orthoPairs]] order — the oracle-side mirror of
@@ -256,7 +275,7 @@ object TextOps {
   }
 
   /** [[langScored]] + EVERY registered orthography pair
-    * ([[orthoPairs]]: da/nb, pt/gl, hr/sr): one `t_<lang>` census column per
+    * ([[orthoPairs]]: da/nb, pt/gl, hr/sr, ms/id): one `t_<lang>` census column per
     * pair member, then the margin-gated [[pairFallbackSql]] rewrites
     * applied in sequence — the pairs are disjoint on guesses, so the
     * rewrites compose without interaction and every non-pair language's

@@ -836,6 +836,57 @@ object RefineQueries {
       graft.operators.TextOps.langScoredOrtho(aug)
         .select("doc_id", "s_hr", "s_sr", "t_hr", "t_sr", "lang_guess")
         .orderBy("doc_id")
+    },
+
+    // ms/id — the fourth function-word-inseparable pair, again pure
+    // registry data (two appended profiles + one pattern list in
+    // TextOps.msIdOrtho). Snippets use only function words ms and id
+    // share verbatim (mereka/untuk/di/itu/dan/yang/ada/dari/juga —
+    // kerana/karena and telah/sudah, the divergent top-20 forms,
+    // deliberately absent), so s_ms == s_id dead-ties; content words
+    // differ only in the loanword stratum (aktiviti/aktivitas,
+    // universiti/universitas, kualiti/kualitas — the -iti/-itas census)
+    // and the lexical splits (wang/uang, sahaja/saja, mahu/mau). The
+    // oracle's rewrite chain comes from the same orthoRewriteCtes as
+    // q134/q135, so Spark fold and DuckDB chain can never skew.
+    oracle(
+      "q136_msid_langid",
+      {
+        val scoreCols = graft.operators.TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val lowSrc = "(' ' || lower(coalesce(text, '')) || ' ')"
+        val censuses = graft.operators.TextOps.orthoPairs.flatten.map {
+          case (lang, pats) =>
+            s"${graft.operators.TextOps.orthoCountSql(lowSrc, pats)} AS t_$lang"
+        }.mkString(",\n  ")
+        val (chain, last) = graft.operators.TextOps.orthoRewriteCtes(2)
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % 9 = 7 THEN ' $msSnippet $msSnippet'
+           |         WHEN doc_id % 9 = 8 THEN ' $idSnippet $idSnippet'
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $scoreCols,
+           |  $censuses
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
+           |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
+           |      FROM sc),
+           |$chain
+           |SELECT doc_id, s_ms, s_id, t_ms, t_id, lang_guess
+           |FROM $last ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: ms/id lang-ID via the orthography-pair registry") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 7, lit(s" $msSnippet $msSnippet"))
+          .when(col("doc_id") % 9 === 8, lit(s" $idSnippet $idSnippet"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.langScoredOrtho(aug)
+        .select("doc_id", "s_ms", "s_id", "t_ms", "t_id", "lang_guess")
+        .orderBy("doc_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical
@@ -860,6 +911,14 @@ object RefineQueries {
     "rijeka je lijepa i vrijeme je uvijek dobro za mlijeko ali ne za kruh"
   private[queries] lazy val srSnippet =
     "reka je lepa i vreme je uvek dobro za mleko ali ne za hleb"
+
+  /** The ms/id inseparable pair for q136, same construction: identical
+    * shared-function-word skeletons (kerana/karena and telah/sudah
+    * absent), loanword-suffix and lexical content divergence only. */
+  private[queries] lazy val msSnippet =
+    "mereka mahu wang untuk aktiviti di universiti itu sahaja dan kualiti yang ada dari itu juga"
+  private[queries] lazy val idSnippet =
+    "mereka mau uang untuk aktivitas di universitas itu saja dan kualitas yang ada dari itu juga"
 
   /** DuckDB fragment: final codebook centroids for prefix `p` — the mean
     * of each cluster's FINAL members as exact BIGINT micro-unit sums

@@ -171,6 +171,47 @@ class LangIdSpec extends SparkSpec {
     assert(rows(97L) === ((0L, 0L)))
   }
 
+  test("ms/id: vote dead-ties, registry pair separates via loanword strata (round 10)") {
+    // only shared function words (kerana/karena and telah/sudah absent)
+    // → s_ms == s_id; content words differ solely in the -iti/-itas
+    // loanword suffix and the wang/uang, sahaja/saja, mahu/mau splits
+    val ms = 100L -> "mereka mahu wang untuk aktiviti di universiti itu sahaja dan kualiti yang ada dari itu juga"
+    val id = 101L -> "mereka mau uang untuk aktivitas di universitas itu saja dan kualitas yang ada dari itu juga"
+    val voteOnly = guess(Seq(ms, id))
+    assert(voteOnly === Map(100L -> "ms", 101L -> "ms")) // profile order alone: both 'ms'
+    val scores = TextOps.langScored(Seq(ms, id).toDF("doc_id", "text"))
+      .select("doc_id", "s_ms", "s_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scores(100L)._1 === scores(100L)._2) // dead tie on the ms doc
+    assert(scores(101L)._1 === scores(101L)._2) // and on the id doc
+    val fixtures = Seq(ms, id,
+      // composition: every earlier pair must still fire with ms/id registered
+      102L -> "jeg er ikke i veien til stasjonen og arbeidet gjennom høyre er ikke løy og jeg",
+      103L -> "o corazón do fillo e o viño da praza que se move para o traballo no verán",
+      104L -> "reka je lepa i vreme je uvek dobro za mleko ali ne za hleb",
+      // controls: non-pair guesses stay untouched by the fourth rewrite
+      105L -> "the cat sat on the mat and it was pleased with the result of this",
+      106L -> "el perro corre por la calle y los gatos se esconden en una casa del pueblo")
+    val got = TextOps.langScoredOrtho(fixtures.toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(100L -> "ms", 101L -> "id", 102L -> "nb", 103L -> "gl",
+      104L -> "sr", 105L -> "en", 106L -> "es"))
+  }
+
+  test("ms/id: census sides are blind to each other's forms") {
+    // ' saja ' must not match inside ' sahaja ', ' mau ' not inside
+    // ' mahu ', 'itas ' not inside word-final 'iti ' (and vice versa) —
+    // each side's planted sentence counts ZERO for the opposite census
+    val rows = TextOps.langScoredOrtho(Seq(
+      110L -> "mahu wang sahaja aktiviti kualiti",
+      111L -> "mau uang saja aktivitas kualitas").toDF("doc_id", "text"))
+      .select("doc_id", "t_ms", "t_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(110L) === ((5L, 0L)))
+    assert(rows(111L) === ((0L, 5L)))
+  }
+
   test("pt/gl: orthography counts are clean of English base-text bigrams") {
     // 'small'/'all' must not feed t_gl (the llo-not-ll pattern choice)
     val row = TextOps.langScoredOrtho(Seq(
