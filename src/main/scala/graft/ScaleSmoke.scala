@@ -96,7 +96,8 @@ object ScaleSmoke {
     "q113_quality_threshold_sweep", "q114_quality_keeper",
     "q115_within_doc_dedup", "q116_source_leakage", "q117_tfidf_keywords",
     "q118_dedup_yield", "q119_ivf_nprobe_recall", "q120_incremental_dedup",
-    "q121_corpus_diff", "q122_dedup_funnel", "q124_leakage_safe_split",
+    "q121_corpus_diff", "q122_dedup_funnel", "q122_dedup_funnel_scaledk",
+    "q124_leakage_safe_split",
     "q125_ivfpq_adc", "q126_source_affinity", "q127_training_shards",
     "q128_bottomk_sample", "q129_embedding_health", "q131_ppjoin_pairs",
     "q132_image_phash_neardup", "q133_nordic_langid", "q134_ptgl_langid",
