@@ -1115,22 +1115,7 @@ object DedupOps {
     * the dup rate is known to be low. */
   def dupSpanStats(documents: DataFrame, w: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(w >= 2, s"w must be >= 2, got $w")
-    graft.functions.H60Hash.register(documents.sparkSession)
-    graft.functions.NgramShingles.register(documents.sparkSession)
-    val toks = TextOps.tokenized(documents)
-      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk"))
-    val wins = toks
-      .select(col("doc_id"), posexplode(expr(s"ngram_shingles(tk, $w)")).as(Seq("p0", "win")))
-      .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"),
-        expr(h60x("win")).as("h"))
-    val census = wins.groupBy("h").agg(
-      count(lit(1)).as("cnt"),
-      min(struct(col("doc_id"), col("pos"))).as("canon"))
-    val flagged = wins.join(census.filter(col("cnt") >= 2), Seq("h"))
-      .filter(!(col("doc_id") === col("canon.doc_id") &&
-        col("pos") === col("canon.pos")))
-      .select("doc_id", "pos")
+    val (toks, flagged) = dupFlaggedWindows(documents, w)
     // gaps-and-islands: intervals all have width w, so the running max
     // end is always lag(pos)+w and "new span" reduces to pos-lag(pos)>w
     // (adjacent windows — gap exactly w — merge into one contiguous run)
@@ -1156,5 +1141,73 @@ object DedupOps {
         coalesce(col("max_span"), lit(0L)).as("max_span"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_frac"))
+  }
+
+  /** Shared front half of the EXACTSUBSTR pair ([[dupSpanStats]],
+    * [[dupSpanExcise]]): tokenized docs plus the flagged (doc_id, pos)
+    * set — every w-token window whose h60 occurs ≥ 2 times corpus-wide,
+    * minus the canonical first occurrence (min (doc_id, pos)). */
+  private def dupFlaggedWindows(
+      documents: DataFrame, w: Int): (DataFrame, DataFrame) = {
+    require(w >= 2, s"w must be >= 2, got $w")
+    graft.functions.H60Hash.register(documents.sparkSession)
+    graft.functions.NgramShingles.register(documents.sparkSession)
+    val toks = TextOps.tokenized(documents)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk"))
+    val wins = toks
+      .select(col("doc_id"), posexplode(expr(s"ngram_shingles(tk, $w)")).as(Seq("p0", "win")))
+      .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"),
+        expr(h60x("win")).as("h"))
+    val census = wins.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("canon"))
+    val flagged = wins.join(census.filter(col("cnt") >= 2), Seq("h"))
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("pos") === col("canon.pos")))
+      .select("doc_id", "pos")
+    (toks, flagged)
+  }
+
+  /** EXACTSUBSTR span REMOVAL — the act [[dupSpanStats]]'s census reads
+    * out for (Lee et al. 2022's deduplication step itself, not just its
+    * report): rewrite each document's token stream dropping every token
+    * covered by a non-canonical duplicated window, keeping exactly one
+    * copy of every duplicated w-token run corpus-wide. Output per doc:
+    * original/kept/dropped token counts and the excised `text_clean`
+    * (canonical copies and unique text byte-identical; a pure duplicate
+    * of an earlier doc collapses to the empty string).
+    *
+    * Shape at 100 TB: adds three corpus-token-bounded stages to the
+    * census — covered positions (explode of `sequence(pos, pos+w-1)`,
+    * ≤ w rows per flagged window, then distinct), a hash LEFT ANTI join
+    * of the posexploded tokens against them, and the per-doc
+    * reassembly, which rides [[graft.functions.SortedMultiConcat]] (the
+    * q52 allocation discipline: one exactly-sized buffer per doc, no
+    * collect_list → sort_array garbage). Nothing quadratic; every join
+    * is a hash equi-join keyed by (doc_id, position) or the window
+    * hash. The `lpad`-ed position key reproduces integer order under
+    * the aggregate's binary-collation sort, so the DuckDB oracle's
+    * `string_agg(tok, ' ' ORDER BY p)` replays byte-exact. */
+  def dupSpanExcise(documents: DataFrame, w: Int = 10): DataFrame = {
+    val (toks, flagged) = dupFlaggedWindows(documents, w)
+    graft.functions.SortedMultiConcat.register(documents.sparkSession)
+    val cov = flagged
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${w - 1}L)")).as("p"))
+      .distinct()
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1L).cast("long").as("p"), col("tok"))
+    val rebuilt = tokens.join(cov, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("kept_tokens"),
+        expr("substring(sorted_multi_concat(lpad(cast(p AS string), 10, '0')," +
+          " concat(' ', tok)).c0, 2)").as("text_clean"))
+    toks.select("doc_id", "n_tokens")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("dropped_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 }

@@ -975,6 +975,51 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // The EXACTSUBSTR removal itself (round 10): q101's census acted on
+    // — non-canonical duplicated windows mark their positions, covered
+    // tokens drop, the remainder reassembles in position order
+    // (sorted_multi_concat — the q52 allocation discipline). The full
+    // rewritten corpus hash-checks cross-engine, byte for byte.
+    oracle(
+      "q137_dup_span_excise",
+      s"""WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM tkx),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    ${h60d("array_to_string(tk[pos:pos+9], ' ')")} AS h
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8)) AS pos
+         |        FROM base WHERE len(tk) >= 10)),
+         |occ AS (
+         |  SELECT doc_id, pos,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    COUNT(*) OVER (PARTITION BY h) AS cnt
+         |  FROM wins),
+         |flagged AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, CAST(pos + g AS BIGINT) AS p
+         |  FROM (SELECT doc_id, pos, unnest(range(0, 10)) AS g FROM flagged)),
+         |tokp AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS p, tk[p] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p FROM base)),
+         |keep AS (
+         |  SELECT t.doc_id, t.p, t.tok FROM tokp t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                    WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+         |reb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+         |  FROM keep GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(r.kept_tokens, 0) AS kept_tokens,
+         |  b.n_tokens - coalesce(r.kept_tokens, 0) AS dropped_tokens,
+         |  coalesce(r.text_clean, '') AS text_clean
+         |FROM base b LEFT JOIN reb r USING (doc_id)
+         |ORDER BY b.doc_id""",
+      "Dedup: EXACTSUBSTR span removal (rewritten corpus, canonical kept)") { (s, d) =>
+      DedupOps.dupSpanExcise(Tables(s, d, "documents"), w = 10)
+        .orderBy("doc_id")
+    },
+
     // Distributed BPE merge induction: 4 rounds of count-adjacent-pairs
     // \u2192 argmax (count desc, pair asc) \u2192 greedy-leftmost merge. The
     // oracle replays the marker-wrap replace chain verbatim.

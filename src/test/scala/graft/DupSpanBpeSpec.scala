@@ -37,6 +37,39 @@ class DupSpanBpeSpec extends SparkSpec {
       fracs(2) === 6.0 / 7 && fracs(3) === 7.0 / 12)
   }
 
+  test("dupSpanExcise: drops covered tokens, keeps canonical copies byte-exact") {
+    // same fixture as the census test (w=3); expectations derived from
+    // the flagged sets asserted there: doc2 covers pos 1..4, doc3 pos
+    // 2..7 (canonical window pos 1 keeps token 1), doc9 pos {2..4, 9..12}
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, "z z z z z z z"),
+      (9L, "k k k k z1 z2 z3 z4 k k k k")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpanExcise(docs, w = 3).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4))) === Array(
+      (1L, 6L, 6L, 0L, "a b c d e f"),
+      (2L, 6L, 2L, 4L, "x y"),
+      (3L, 7L, 1L, 6L, "z"),
+      (9L, 12L, 5L, 7L, "k z1 z2 z3 z4")))
+  }
+
+  test("dupSpanExcise: pure duplicate collapses to empty; partition-invariant") {
+    val rows = Seq(
+      (1L, "p q r s t u"),  // canonical — survives byte-exact
+      (5L, "p q r s t u"),  // full duplicate — every position covered
+      (7L, "m m m"))        // single unique window — untouched
+    def run(parts: Int) = DedupOps
+      .dupSpanExcise(rows.toDF("doc_id", "text").repartition(parts), w = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4))).toSeq
+    val one = run(1)
+    assert(one === Seq((1L, 6L, "p q r s t u"), (5L, 0L, ""), (7L, 3L, "m m m")))
+    assert(run(7) === one, "excision must not depend on partitioning")
+  }
+
   test("dupSpanStats: docs shorter than w emit zero windows, never join") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c")).toDF("doc_id", "text")
     // identical 2-token docs share NO 3-token window — all zeros
