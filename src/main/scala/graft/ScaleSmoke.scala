@@ -116,15 +116,47 @@ object ScaleSmoke {
     val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Shuffle splits must scale with volume for the same reason the
+    // generated slice writes 64 files, not 8 (see generate()): at
+    // factor 100 a 32-partition shuffle hands each task 100× the
+    // per-task state of the design point. Raw split count is not
+    // enough, though — AQE's coalescing (parallelismFirst=true) merges
+    // post-shuffle partitions back to ~defaultParallelism based on
+    // SHUFFLE bytes, which under-counts operators whose state EXPANDS
+    // the data: the round-10 q52 100× smoke shuffled ~1.5 GB of
+    // compressed raw columns that AQE happily packed into 32
+    // partitions, whose doc-assembly aggregate then inflated into 16 M
+    // live group buffers (~18 GB) and GC-thrashed a 24 GiB heap into
+    // heartbeat death. ADVISORY_MB sizes AQE's target from the
+    // expanded-state budget instead (it also disables parallelismFirst,
+    // which otherwise ignores the advisory) — the same tuning a real
+    // cluster applies to any shuffle feeding a state-expanding
+    // operator.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
+    val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB")
+    // The sort-based fallback is ObjectHashAggregate's ONLY memory
+    // valve (the hash map is bounded by entry COUNT, not bytes).
+    // 1048576 — the sf0.1 tuning, where 10⁴ bounded groups/partition
+    // made any fallback pure loss — turns the valve off entirely; a
+    // ~1 KB/group payload (q52's rendered XML members) then rides the
+    // map straight past the heap at 100×. 262144 ≈ 256 MB/task at that
+    // payload: unreachable at the design point (≤ 5 × 10⁴
+    // groups/partition through 30×), engaged before death beyond it.
+    val aggFallback = sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", "262144")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", aggFallback)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
-      .getOrCreate()
+    advisoryMb.foreach { mb =>
+      builder
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Per-stage executor run/CPU accumulation (same listener as Bench):
