@@ -667,6 +667,44 @@ object TextOps {
       .groupBy("doc_id", "j").agg(sum(col("sgn")).as("v"), count(lit(1)).as("c"))
   }
 
+  /** Model-based quality filtering — the hashing-trick LINEAR-CLASSIFIER
+    * inference step (the shape FineWeb-Edu / DCLM / phi-class pipelines
+    * use to score every document with a small trained model, where the
+    * Gopher rules of q75 are hand heuristics). Features are hashed
+    * token counts over `dim` buckets (Weinberger et al., ICML'09 — the
+    * same trick as [[hashedDocVector]]); the "trained" weights load as
+    * a `(j, w)` TABLE exactly as a real pipeline loads a parameter
+    * file — here each micro-unit weight derives deterministically from
+    * the bucket id (`h60("w_" <> j) % 1000001 − 500000`, uniform over
+    * ±0.5 in ppm units) so the DuckDB oracle replays the identical
+    * model. Every document scores `logit = Σ_t w[h(t)]` and is kept
+    * iff `logit > 0` (mean token weight above the midpoint). All
+    * arithmetic is BIGINT micro-units end to end — bit-exact
+    * cross-engine, no sigmoid needed (monotone in the logit).
+    *
+    * Shape at 100 TB: the weight table is `dim` rows — broadcast once;
+    * the corpus tokenizes and per-token bucket scoring folds map-side
+    * into ONE doc_id-keyed partial aggregate. A 2M-bucket production
+    * model is still ~16 MB — comfortably inside the broadcast regime,
+    * which is precisely why fastText-style scorers run at corpus scale
+    * where a GPU cross-encoder cannot. */
+  def qualityClassifier(documents: DataFrame, dim: Int = 256): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val session = documents.sparkSession
+    graft.functions.H60Hash.register(session)
+    val weights = session.range(dim).select(col("id").as("j"),
+      (expr(s"pmod(${h60x("concat('w_', CAST(id AS STRING))")}, 1000001L)")
+        - lit(500000L)).as("w"))
+    tokenized(documents)
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .select(col("doc_id"), expr(s"pmod(${h60x("t")}, ${dim}L)").as("j"))
+      .join(broadcast(weights), Seq("j"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("logit"))
+      .select(col("doc_id"), col("n_tokens"), col("logit"),
+        (col("logit") > lit(0L)).as("kept"))
+  }
+
   def hashedDocVector(documents: DataFrame, dim: Int = 16): DataFrame = {
     hashedDims(documents, dim)
       .groupBy("doc_id")

@@ -887,6 +887,30 @@ object RefineQueries {
       graft.operators.TextOps.langScoredOrtho(aug)
         .select("doc_id", "s_ms", "s_id", "t_ms", "t_id", "lang_guess")
         .orderBy("doc_id")
+    },
+
+    // Model-based quality filtering: hashing-trick linear classifier
+    // inference (the fastText/DCLM scorer shape — weights load as a
+    // broadcast table, every doc scores one integer logit). Weights
+    // derive from h60 so the oracle replays the identical "model".
+    oracle(
+      "q138_quality_classifier",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |f AS (
+         |  SELECT doc_id, ${h60Sql("t")} % 256 AS j FROM tok),
+         |w AS (
+         |  SELECT j, (${h60Sql("'w_' || j::VARCHAR")} % 1000001) - 500000 AS w
+         |  FROM (SELECT unnest(range(0, 256)) AS j)),
+         |ag AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(w.w) AS BIGINT) AS logit
+         |  FROM f JOIN w USING (j) GROUP BY 1)
+         |SELECT doc_id, n_tokens, logit, logit > 0 AS kept
+         |FROM ag ORDER BY doc_id""".stripMargin,
+      "Quality: hashed linear-classifier inference (fastText/DCLM shape)") { (s, d) =>
+      TextOps.qualityClassifier(Tables(s, d, "documents"))
+        .orderBy("doc_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

@@ -138,4 +138,57 @@ class CurationTextSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).select("affinity").as[Long].head()
     assert(aff == expected, s"affinity $aff != exact self-dot $expected")
   }
+
+  // ---------------------------------------------------------------- q138
+
+  /** The classifier's weight formula, replayed driver-side: the spec's
+    * brute-force scorer must derive the model the same way the plan and
+    * the DuckDB oracle do. */
+  private def weightOf(j: Long): Long =
+    java.lang.Math.floorMod(
+      graft.functions.Scalars.h60Jvm(s"w_$j"), 1000001L) - 500000L
+
+  test("qualityClassifier: logit equals the brute-force per-token weight sum") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "delta"),
+      (3L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityClassifier(docs, dim = 32)
+      .select("doc_id", "n_tokens", "logit")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for ((id, text) <- Seq(1L -> "alpha beta gamma alpha", 2L -> "delta",
+        3L -> "the quick brown fox jumps over the lazy dog")) {
+      val toks = text.split(" ")
+      val expected = toks.map(t =>
+        weightOf(java.lang.Math.floorMod(
+          graft.functions.Scalars.h60Jvm(t), 32L))).sum
+      assert(out(id) == ((toks.length.toLong, expected)),
+        s"doc $id read ${out(id)}, brute force (${toks.length}, $expected)")
+    }
+  }
+
+  test("qualityClassifier: kept is exactly logit > 0 and the scorer is partition-invariant") {
+    val docs = (1L to 40L)
+      .map(i => (i, s"tok${i % 7} tok${i % 11} tok${i % 13} shared common"))
+      .toDF("doc_id", "text")
+    val once = TextOps.qualityClassifier(docs, dim = 64)
+      .orderBy("doc_id").collect()
+    val again = TextOps.qualityClassifier(docs.repartition(7), dim = 64)
+      .orderBy("doc_id").collect()
+    assert(once.sameElements(again), "scores must not depend on partitioning")
+    once.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) > 0L), s"kept/logit skew on $r")
+    }
+    val kept = once.count(_.getBoolean(3))
+    assert(kept > 0 && kept < once.length,
+      s"classifier is degenerate: $kept/${once.length} kept")
+  }
+
+  test("qualityClassifier: weights are bounded micro-units over the full bucket range") {
+    (0L until 256L).foreach { j =>
+      val w = weightOf(j)
+      assert(w >= -500000L && w <= 500000L, s"weight $w out of range at bucket $j")
+    }
+  }
 }
