@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CdcBoundaries, CmsSketch, DotProduct, H60Array, HllSketch, Int8QuantStats, LangScores, NgramShingles, PolyFingerprint, SimHashBits, SortedMultiConcat, WinnowFingerprints}
+import graft.functions.{CdcBoundaries, CmsSketch, DotProduct, H60Array, HllSketch, Int8QuantStats, LangScores, MinhashSig, NgramShingles, PolyFingerprint, SimHashBits, SortedMultiConcat, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -71,5 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SortedMultiConcat.fnName),
       new ExpressionInfo(classOf[SortedMultiConcat].getName, SortedMultiConcat.fnName),
       SortedMultiConcat.builder _))
+    e.injectFunction((
+      FunctionIdentifier(MinhashSig.fnName),
+      new ExpressionInfo(classOf[MinhashSig].getName, MinhashSig.fnName),
+      MinhashSig.builder _))
   }
 }

@@ -230,3 +230,101 @@ object H60Hash {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(fnName), info, builder _)
 }
+
+/** `minhash_sig(sh, k)`: the k-hash MinHash signature of a shingle
+  * array in ONE per-row loop — the PER-ROW form of
+  * [[graft.operators.DedupOps.minhashSigned]]'s explode→k-min
+  * aggregation, for contexts where aggregation is unavailable (a
+  * streaming ingest row must carry its own signature before any
+  * stateful operator — see `StreamOps.lshNearDupStream`). Identical
+  * values by construction: the same md5-h60 element hash mod p and the
+  * same [[MinhashSig.coefficients]] affine families (both replayed by
+  * the DuckDB oracle's SIG CTE); an empty or all-NULL array returns
+  * the k-length −1 sentinel, matching `minhashSigned`'s coalesce.
+  * NULL elements are skipped (an exploded NULL never reaches the agg
+  * min either). */
+case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires k >= 1, got $k")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = MinhashSig.fnName
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSig.sig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashSig.sig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  val fnName = "minhash_sig"
+
+  private val P = 1000000007L
+
+  /** The k affine family coefficients h_j(x) = (a_j·x + b_j) mod p,
+    * md5-h60-derived so Spark, the driver, and the DuckDB oracle all
+    * see the identical families — the single canonical derivation
+    * (`DedupOps.minhashCoefficients` delegates here). All operands stay
+    * < 1e9 so a_j·x < 1e18 never overflows int64. */
+  def coefficients(k: Int): Array[(Long, Long)] =
+    (0 until k).map(j =>
+      (Scalars.h60Jvm(s"a:$j") % (P - 1L) + 1L,
+        Scalars.h60Jvm(s"b:$j") % P)).toArray
+
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
+
+  /** Java-callable signature loop: one h60 per element, k affine mins. */
+  def sig(arr: ArrayData, k: Int): ArrayData = {
+    val coefs = coefCache.computeIfAbsent(k, coefficients(_))
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = PolyFingerprint.h60(arr.getUTF8String(i)) % P
+        var j = 0
+        while (j < k) {
+          val v = (coefs(j)._1 * h + coefs(j)._2) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      out(j) = java.lang.Long.valueOf(if (seen) mins(j) else -1L)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private val info = new ExpressionInfo(classOf[MinhashSig].getName, fnName)
+
+  private[graft] def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s, Literal(k: Int, IntegerType)) => MinhashSig(s, k)
+    case other => throw new IllegalArgumentException(
+      s"$fnName expects (array<string>, int literal); got ${other.size} args")
+  }
+
+  /** Register `minhash_sig` in this session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fnName), info, builder _)
+}

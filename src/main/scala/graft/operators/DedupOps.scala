@@ -70,11 +70,8 @@ object DedupOps {
     * DuckDB oracle uses (first 15 md5 hex digits as int64), so both
     * engines see identical families. All operands stay < 1e9 so
     * a_j·x < 1e18 never overflows int64. */
-  def minhashCoefficients(k: Int): Seq[(Long, Long)] = {
-    import graft.functions.Scalars.h60Jvm
-    (0 until k).map(j =>
-      (h60Jvm(s"a:$j") % 1000000006L + 1L, h60Jvm(s"b:$j") % 1000000007L))
-  }
+  def minhashCoefficients(k: Int): Seq[(Long, Long)] =
+    graft.functions.MinhashSig.coefficients(k).toSeq
 
   /** MinHash signature: min of each affine family over the distinct 3-gram
     * shingles; empty shingle set → all -1 sentinel.
@@ -132,15 +129,20 @@ object DedupOps {
     lshBandedFrom(
       TextOps.shingled(documents).select(col("doc_id"), col("sh")), bands, rows)
 
+  /** The per-row band→bucket fragment over a `sig` column — shared by
+    * [[lshBandedFrom]] and the streaming ingest path
+    * (`StreamOps.lshNearDupStream`) so batch and stream bucket
+    * IDENTICALLY by construction. */
+  private[graft] def bandBucketSql(bands: Int, rows: Int): String =
+    s"""transform(sequence(0, ${bands - 1}), b -> struct(
+       |  CAST(b AS INT) AS band,
+       |  ${h60x(s"concat(cast(b AS string), '|', array_join(transform(slice(sig, b * $rows + 1, $rows), x -> cast(x AS string)), ','))")} AS bucket))""".stripMargin
+
   private def lshBandedFrom(shSets: DataFrame, bands: Int = 4,
       rows: Int = 4): DataFrame =
     minhashSignedPresentFrom(shSets, bands * rows)
       .select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0, ${bands - 1}), b -> struct(
-             |  CAST(b AS INT) AS band,
-             |  ${h60x(s"concat(cast(b AS string), '|', array_join(transform(slice(sig, b * $rows + 1, $rows), x -> cast(x AS string)), ','))")} AS bucket))""".stripMargin))
-          .as("e"))
+        explode(expr(bandBucketSql(bands, rows))).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bucket"))
 
   /** LSH bucket-health statistics, per band: the readout a dedup
@@ -218,6 +220,46 @@ object DedupOps {
         .hint("merge"), Seq("b"))
       .withColumn("jaccard", expr("CAST(c AS DOUBLE) / (na + nb - c)"))
       .select("a", "b", "jaccard")
+  }
+
+  /** Signature-agreement near-dup pairs: LSH-bucketed candidates
+    * verified by MINHASH-COMPONENT agreement (`agree` of k equal
+    * positions, estimated Jaccard = agree/k) instead of
+    * [[minhashCandidatePairs]]' true shingle Jaccard. This is the
+    * verification a STREAMING ingest can afford — state holds k longs
+    * per document, never the shingle sets — and this batch form is the
+    * ground truth `StreamOps.lshNearDupStream` is proven against
+    * (emitted pair sets are arrival-order invariant: the stream
+    * orients every pair (min, max) and agreement is a pure function of
+    * the two signatures).
+    *
+    * Shape at 100 TB: candidate generation is the proven q36 bucket
+    * self-join; the verify is a k-element zip per DISTINCT candidate
+    * pair — interpreted HOF, but over k = bands·rows ≅ 16 elements on
+    * an LSH-BOUNDED pair set, not a corpus-wide per-token path (the
+    * q131 lesson applies to corpus-scale lambdas, not bounded ones). */
+  def signatureAgreementPairs(documents: DataFrame, bands: Int = 4,
+      rows: Int = 4, minAgree: Int = 8): DataFrame = {
+    val k = bands * rows
+    require(minAgree >= 1 && minAgree <= k,
+      s"minAgree must be in [1, $k], got $minAgree")
+    val sh = TextOps.shingled(documents).select(col("doc_id"), col("sh"))
+    val sigs = minhashSignedPresentFrom(sh, k)
+    val banded = sigs
+      .select(col("doc_id"), explode(expr(bandBucketSql(bands, rows))).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bucket"))
+    val cand = banded.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(banded.select(col("doc_id").as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), Seq("b"))
+      .withColumn("agree",
+        expr("CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS BIGINT)"))
+      .filter(col("agree") >= lit(minAgree.toLong))
+      .select("a", "b", "agree")
   }
 
   /** Decile histogram of true Jaccard over the LSH candidate pairs —

@@ -158,5 +158,40 @@ object StreamingQueries {
         .select(col("event_type"), col("n_seen"),
           (col("i") + 1).cast("long").as("sample_rank"), col("event_id"))
         .orderBy("event_type", "sample_rank")
+    },
+
+    // Batch ground truth of the streaming ingest near-dup detector
+    // (StreamOps.lshNearDupStream): LSH-bucketed candidates verified by
+    // MINHASH-COMPONENT agreement — the verification bounded streaming
+    // state can afford (k longs per doc, never the shingle sets). The
+    // StreamingSpec proves the multi-batch stream emits this exact
+    // distinct pair set under any micro-batch slicing.
+    oracle(
+      "q139_stream_neardup_pairs",
+      {
+        import graft.operators.TextOps.h60d
+        s"""WITH sh AS (${NorthStarQueries.SH}),
+           |sig AS (${NorthStarQueries.SIG()}),
+           |bands AS (
+           |  SELECT doc_id, unnest(range(0, 4)) AS band,
+           |    unnest(list_transform(range(0, 4), b ->
+           |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+           |  FROM sig WHERE sig[1] <> -1),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+           |  WHERE x.doc_id < y.doc_id),
+           |ag AS (
+           |  SELECT c.a, c.b,
+           |    CAST(len(list_filter(range(1, 17),
+           |      i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS agree
+           |  FROM cand c
+           |  JOIN sig sa ON sa.doc_id = c.a
+           |  JOIN sig sb ON sb.doc_id = c.b)
+           |SELECT a, b, agree FROM ag WHERE agree >= 8 ORDER BY a, b""".stripMargin
+      },
+      "SURVEY §2.8: streaming ingest near-dup (batch ground truth, signature agreement)") { (s, d) =>
+      graft.operators.DedupOps.signatureAgreementPairs(Tables(s, d, "documents"))
+        .orderBy("a", "b")
     })
 }

@@ -239,6 +239,111 @@ object StreamOps {
       .toDF()
   }
 
+  /** File-source stream over a documents parquet directory — the ingest
+    * side of the corpus operators ([[lshNearDupStream]]): schema probed
+    * from the files present, exactly-once file tracking in the
+    * checkpoint, optional per-micro-batch file cap for multi-batch
+    * testing. */
+  def documentsStream(spark: SparkSession, dir: String,
+      glob: String = "*.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream
+      .schema(probed)
+      .option("pathGlobFilter", glob)
+    val bounded =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    bounded.parquet(dir)
+  }
+
+  /** One stored signature in an LSH bucket's state. */
+  final case class BucketEntry(doc_id: Long, sig: Seq[Long])
+
+  /** An emitted near-dup pair event: `agree` of k signature components
+    * equal (estimated Jaccard = agree/k), oriented a < b. */
+  final case class NearDupPair(a: Long, b: Long, agree: Long)
+
+  /** STREAMING near-duplicate detection at ingest — the question a
+    * 100 TB training-data pipeline actually asks continuously: "is this
+    * arriving document a near-copy of anything already ingested?".
+    * Each arriving document carries its own MinHash signature computed
+    * per-row (`minhash_sig`, the native one-loop form of the batch
+    * explode→k-min aggregation — a streaming row cannot pre-aggregate
+    * before a stateful operator), bands into the IDENTICAL buckets as
+    * the batch LSH (`DedupOps.bandBucketSql` — shared fragment, so
+    * batch and stream can never bucket differently), and each
+    * (band, bucket) group's state stores the signatures seen so far.
+    * A new arrival emits one [[NearDupPair]] per stored signature
+    * agreeing on ≥ `minAgree` of k components.
+    *
+    * Emitted pairs are ARRIVAL-ORDER INVARIANT as a set: orientation
+    * is (min, max), agreement is a pure function of the two
+    * signatures, and within a micro-batch arrivals process in doc_id
+    * order — so any slicing of the corpus into micro-batches emits the
+    * same distinct pairs as [[graft.operators.DedupOps.signatureAgreementPairs]],
+    * the batch ground truth (pairs colliding in several bands
+    * deduplicate at the consumer — `distinct` — exactly like the batch
+    * form's candidate `distinct`).
+    *
+    * Scale shape: one exchange on (band, bucket); state per bucket is
+    * k longs per member — the signatures, NEVER the shingle sets or
+    * text (the reason the verify is signature agreement: it is what
+    * bounded state can afford at ingest). Bucket occupancy is the same
+    * quantity [[graft.operators.DedupOps.lshBucketStats]] audits
+    * batch-side; a production deployment adds a GroupStateTimeout to
+    * bound history — documented, not defaulted, because silently
+    * expiring history re-admits duplicates. */
+  def lshNearDupStream(docs: DataFrame, bands: Int = 4, rows: Int = 4,
+      minAgree: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val k = bands * rows
+    require(minAgree >= 1 && minAgree <= k,
+      s"minAgree must be in [1, $k], got $minAgree")
+    val spark = docs.sparkSession
+    graft.functions.MinhashSig.register(spark)
+    import spark.implicits._
+    graft.operators.TextOps.shingled(docs)
+      .withColumn("sig", expr(s"minhash_sig(sh, $k)"))
+      .filter(expr("sig[0] <> -1L")) // empty-shingle docs never band (q36 rule)
+      .select(col("doc_id"),
+        explode(expr(graft.operators.DedupOps.bandBucketSql(bands, rows))).as("e"),
+        col("sig"))
+      .select(col("doc_id"), col("e.band"), col("e.bucket"), col("sig"))
+      .as[(Long, Int, Long, Seq[Long])]
+      .groupByKey { case (_, band, bucket, _) => (band, bucket) }
+      .flatMapGroupsWithState[Seq[BucketEntry], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rowsIt, state) =>
+          val prior = state.getOption.getOrElse(Seq.empty)
+          // doc_id order within the batch: deterministic under any
+          // batch slicing (see scaladoc)
+          val arrivals = rowsIt.toSeq.sortBy(_._1)
+          val out = Seq.newBuilder[NearDupPair]
+          var seen = prior
+          arrivals.foreach { case (id, _, _, sig) =>
+            seen.foreach { e =>
+              if (e.doc_id != id) {
+                var agree = 0
+                var j = 0
+                while (j < k) {
+                  if (e.sig(j) == sig(j)) agree += 1
+                  j += 1
+                }
+                if (agree >= minAgree)
+                  out += NearDupPair(math.min(e.doc_id, id),
+                    math.max(e.doc_id, id), agree.toLong)
+              }
+            }
+            seen = seen :+ BucketEntry(id, sig)
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Stream-static enrichment + windowed rollup: the arriving event
     * stream joins a STATIC dimension (user → nation via customer), then
     * aggregates per (tumbling hour, nation) — the canonical "enrich the

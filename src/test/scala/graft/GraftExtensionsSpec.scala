@@ -109,5 +109,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy("g").agg(org.apache.spark.sql.functions.expr(
         "sorted_multi_concat(k, v).c0").as("s")).head
     assert(smc.getString(1) === "XY")
+    // round-10 expression: minhash_sig equals the coefficient formula
+    val ms = spark.sql("SELECT minhash_sig(array('a b c'), 4) AS s").head
+      .getSeq[Long](0)
+    val h = graft.functions.PolyFingerprint.h60(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c")) % 1000000007L
+    assert(ms === graft.functions.MinhashSig.coefficients(4).toSeq
+      .map { case (a, b) => (a * h + b) % 1000000007L })
+    assert(spark.sql(
+      "SELECT minhash_sig(CAST(array() AS ARRAY<STRING>), 4) AS s").head
+      .getSeq[Long](0) === Seq.fill(4)(-1L), "empty array yields the sentinel")
   }
 }

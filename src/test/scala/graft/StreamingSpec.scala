@@ -172,4 +172,69 @@ class StreamingSpec extends SparkSpec {
       .head.getLong(0)
     assert(totalEvents === Tables(spark, dir, "events").count())
   }
+
+  test("minhash_sig: per-row native signature equals the aggregation-derived one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.MinhashSig.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different document about spark streaming state"),
+      (3L, "xy"), // < 3 tokens: empty shingle set -> sentinel
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val perRow = graft.operators.TextOps.shingled(docs)
+      .select(col("doc_id"), expr("minhash_sig(sh, 16)").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = graft.operators.DedupOps.minhashSigned(docs, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(perRow === viaAgg,
+      "per-row and aggregation-derived signatures must be identical")
+    assert(perRow(3L).forall(_ == -1L), "shingle-less doc gets the sentinel")
+  }
+
+  test("streaming ingest near-dup: any micro-batch slicing emits the batch pair set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted corpus: two near-dup clusters + strangers, split over
+    // three files so the state crosses micro-batch boundaries (cluster
+    // members deliberately land in DIFFERENT files)
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa xi mu",
+      4L -> "one two three four five six seven eight nine ten eleven twelve",
+      5L -> "one two three four five six seven eight nine ten eleven thirteen",
+      6L -> "totally unrelated words about parquet files and shuffle exchanges here",
+      7L -> "another stranger document with its own vocabulary entirely disjoint today")
+    val srcDir = tmpDir("neardup_src")
+    val files = Seq(Seq(1L, 4L, 6L), Seq(2L, 7L), Seq(3L, 5L))
+    files.zipWithIndex.foreach { case (ids, f) =>
+      ids.map(id => (id, texts(id))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/stage$f")
+      val part = new java.io.File(s"$srcDir/stage$f").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"docs$f%d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + f * 60000L)
+    }
+    val streamed = StreamOps.lshNearDupStream(
+      StreamOps.documentsStream(spark, srcDir, glob = "docs*.parquet",
+        maxFilesPerTrigger = 1))
+    val got = StreamOps.runAvailableNow(spark, streamed,
+        "t_neardup", tmpDir("ckpt"))
+      .select("a", "b", "agree").distinct().orderBy("a", "b")
+      .collect().map(_.toSeq).toSeq
+    val all = spark.read.parquet(s"$srcDir/docs*.parquet")
+    val want = graft.operators.DedupOps.signatureAgreementPairs(all)
+      .distinct().orderBy("a", "b")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want, "stream pair set must equal the batch ground truth")
+    assert(got.nonEmpty, "planted clusters must surface pairs")
+    val pairIds = got.map(r => (r(0), r(1))).toSet
+    assert(!pairIds.exists { case (a, b) =>
+      Set(a, b).intersect(Set[Any](6L, 7L)).nonEmpty &&
+        Set(a, b).intersect(Set[Any](1L, 2L, 3L, 4L, 5L)).nonEmpty
+    }, "strangers must not pair with cluster members")
+  }
 }
