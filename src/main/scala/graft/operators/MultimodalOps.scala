@@ -326,6 +326,164 @@ object MultimodalOps {
     }
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Typed metadata of an audio payload — the audio analog of
+    * [[MediaMeta]]. */
+  final case class AudioMeta(path: String, mimetype: String, channels: Int,
+      sample_rate: Int, bits: Int, n_samples: Long, duration_ms: Long)
+
+  /** Pluggable audio decode boundary. Unlike images (javax.imageio) and
+    * JPEG2000 (no JVM codec — stubbed), uncompressed RIFF/PCM WAV needs
+    * NO codec at all, so [[WavAudioAdapter]] is fully REAL: header
+    * parse + 16-bit PCM sample decode in plain JVM code. A compressed
+    * format (mp3/flac/opus) swaps its decoder in behind this same
+    * surface without touching the Spark plumbing. */
+  trait AudioAdapter extends Serializable {
+    /** (mimetype, channels, sampleRate, bitsPerSample, nSamplesPerChannel) */
+    def probe(path: String, content: Array[Byte]): (String, Int, Int, Int, Long)
+    /** Channel-averaged samples normalized to [−1, 1]. */
+    def samples(path: String, content: Array[Byte]): Array[Double]
+  }
+
+  /** REAL RIFF/PCM WAV adapter: little-endian chunk walk to `fmt ` and
+    * `data`, 16-bit PCM only (the archival-master format; anything else
+    * raises — a silent misparse would poison every downstream feature). */
+  object WavAudioAdapter extends AudioAdapter {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (channels, sampleRate, bits, dataOffset, dataLen) */
+    private def header(path: String, b: Array[Byte]): (Int, Int, Int, Int, Int) = {
+      require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        s"$path: not a RIFF/WAVE payload")
+      var o = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(b, o); val len = le32(b, o + 4)
+        if (id == "fmt ") {
+          val audioFormat = le16(b, o + 8)
+          require(audioFormat == 1, s"$path: non-PCM WAV (format $audioFormat)")
+          fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
+        } else if (id == "data") data = Some((o + 8, len))
+        o += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      val (ch, rate, bits) = fmt.getOrElse(
+        throw new IllegalArgumentException(s"$path: no fmt chunk"))
+      require(bits == 16, s"$path: only 16-bit PCM supported, got $bits")
+      val (doff, dlen) = data.getOrElse(
+        throw new IllegalArgumentException(s"$path: no data chunk"))
+      (ch, rate, bits, doff, math.min(dlen, b.length - doff))
+    }
+
+    def probe(path: String, content: Array[Byte]): (String, Int, Int, Int, Long) = {
+      val (ch, rate, bits, _, dlen) = header(path, content)
+      ("audio/wav", ch, rate, bits, dlen.toLong / (2L * ch))
+    }
+
+    def samples(path: String, content: Array[Byte]): Array[Double] = {
+      val (ch, _, _, doff, dlen) = header(path, content)
+      val n = dlen / (2 * ch)
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = doff + 2 * (i * ch + c)
+          acc += (((content(o) & 0xff) | (content(o + 1) << 8)).toShort
+            .toDouble / 32768.0)
+          c += 1
+        }
+        out(i) = acc / ch
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Probe a binaryFile listing of audio payloads into typed metadata —
+    * the S13/S14 shape for the audio modality. Partition-parallel. */
+  def probeAudio(files: DataFrame,
+      adapter: AudioAdapter = WavAudioAdapter): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    files.select("path", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val path = r.getString(0)
+        val content = r.getAs[Array[Byte]](1)
+        val (mime, ch, rate, bits, n) = adapter.probe(path, content)
+        AudioMeta(path, mime, ch, rate, bits, n,
+          n * 1000L / math.max(rate, 1))
+      }
+    }
+  }
+
+  /** One analysis window of an audio payload: RMS energy and
+    * zero-crossing rate in integer ppm (floored — partition- and
+    * platform-deterministic; `Math.sqrt` is IEEE correctly rounded). */
+  final case class AudioWindow(path: String, win_idx: Long, n: Int,
+      rms_ppm: Long, zcr_ppm: Long)
+
+  /** Framed audio feature extraction — REAL end to end on WAV: per
+    * non-overlapping `windowMs` window of the channel-averaged signal,
+    * RMS energy (the loudness/VAD feature) and zero-crossing rate (the
+    * cheap spectral proxy), both floored to BIGINT ppm. The explode
+    * shape mirrors [[sampleFrames]]: one narrow row per window, no
+    * shuffle; downstream aggregation parallelizes per window. A short
+    * tail window is kept (its `n` says so), matching the q63 chunking
+    * discipline. */
+  def audioFeatures(files: DataFrame,
+      adapter: AudioAdapter = WavAudioAdapter,
+      windowMs: Int = 25): Dataset[AudioWindow] = {
+    require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
+    implicit val enc = Encoders.product[AudioWindow]
+    files.select("path", "content").flatMap { r =>
+      val path = r.getString(0)
+      val content = r.getAs[Array[Byte]](1)
+      val (_, _, rate, _, _) = adapter.probe(path, content)
+      val xs = adapter.samples(path, content)
+      val w = math.max(rate * windowMs / 1000, 1)
+      (0 until xs.length by w).map { start =>
+        val end = math.min(start + w, xs.length)
+        val n = end - start
+        var sumSq = 0.0
+        var crossings = 0L
+        var i = start
+        while (i < end) {
+          sumSq += xs(i) * xs(i)
+          if (i > start && ((xs(i) >= 0.0) != (xs(i - 1) >= 0.0))) crossings += 1L
+          i += 1
+        }
+        AudioWindow(path, (start / w).toLong, n,
+          math.floor(math.sqrt(sumSq / n) * 1e6).toLong,
+          if (n > 1) crossings * 1000000L / (n - 1) else 0L)
+      }
+    }
+  }
+
+  /** Per-payload silence-trim bounds over [[audioFeatures]] windows: the
+    * first/last window whose RMS clears `thresholdPpm`, plus totals —
+    * the lead-in/lead-out trim a speech-corpus ingest applies before
+    * transcription. One path-keyed partial aggregation. */
+  def silenceBounds(windows: Dataset[AudioWindow],
+      thresholdPpm: Long): DataFrame =
+    windows.toDF()
+      .groupBy("path")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        min(when(col("rms_ppm") >= thresholdPpm, col("win_idx")))
+          .as("first_loud"),
+        max(when(col("rms_ppm") >= thresholdPpm, col("win_idx")))
+          .as("last_loud"),
+        sum(when(col("rms_ppm") >= thresholdPpm, 1L).otherwise(0L))
+          .as("n_loud"))
+
   /** One assembled deliverable: the folder's pages concatenated into a
     * single document payload (the A9 product). */
   final case class AssembledDoc(folder: String, mimetype: String,

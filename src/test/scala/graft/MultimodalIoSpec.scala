@@ -388,4 +388,87 @@ class MultimodalIoSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(banded === brute)
   }
+
+  // ------------------------------------------------------------- audio
+
+  /** Genuine RIFF/PCM 16-bit WAV bytes — a real file any player reads. */
+  private def wavBytes(samples: Array[Array[Short]], rate: Int): Array[Byte] = {
+    val ch = samples.length
+    val n = samples.head.length
+    val dataLen = 2 * ch * n
+    val bos = new ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    bos.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(ch); le32(rate); le32(rate * ch * 2); le16(ch * 2); le16(16)
+    bos.write("data".getBytes("US-ASCII")); le32(dataLen)
+    for (i <- 0 until n; c <- 0 until ch) le16(samples(c)(i) & 0xffff)
+    bos.toByteArray
+  }
+
+  /** 1 kHz sine at 8 kHz/16-bit with silence padding on both sides. */
+  private def toneWithSilence(amp: Short, tone: Int, pad: Int): Array[Short] = {
+    val sine = (0 until tone).map(i =>
+      (amp * math.sin(2 * math.Pi * i / 8.0)).round.toShort)
+    (Array.fill(pad)(0.toShort) ++ sine ++ Array.fill(pad)(0.toShort))
+  }
+
+  test("probeAudio reads genuine WAV headers: channels, rate, bits, duration") {
+    val mono = wavBytes(Array(toneWithSilence(16384, 1600, 200)), 8000)
+    val stereo = wavBytes(Array(
+      toneWithSilence(16384, 800, 0), toneWithSilence(8192, 800, 0)), 16000)
+    val files = Seq(("a.wav", mono), ("b.wav", stereo)).toDF("path", "content")
+    val got = MultimodalOps.probeAudio(files).collect()
+      .map(m => m.path -> m).toMap
+    assert(got("a.wav") === MultimodalOps.AudioMeta(
+      "a.wav", "audio/wav", 1, 8000, 16, 2000L, 250L))
+    assert(got("b.wav") === MultimodalOps.AudioMeta(
+      "b.wav", "audio/wav", 2, 16000, 16, 800L, 50L))
+  }
+
+  test("audioFeatures: RMS and ZCR per window match a driver-side replay") {
+    val pcm = toneWithSilence(16384, 1600, 200) // 25 windows of 80 at 10ms
+    val files = Seq(("t.wav", wavBytes(Array(pcm), 8000))).toDF("path", "content")
+    val got = MultimodalOps.audioFeatures(files, windowMs = 10)
+      .collect().sortBy(_.win_idx)
+    val xs = pcm.map(_.toDouble / 32768.0)
+    val expected = xs.grouped(80).zipWithIndex.map { case (w, i) =>
+      val rms = math.floor(math.sqrt(w.map(x => x * x).sum / w.length) * 1e6).toLong
+      val zcr = (1 until w.length).count(j => (w(j) >= 0) != (w(j - 1) >= 0))
+        .toLong * 1000000L / (w.length - 1)
+      (i.toLong, w.length, rms, zcr)
+    }.toSeq
+    assert(got.map(a => (a.win_idx, a.n, a.rms_ppm, a.zcr_ppm)).toSeq === expected)
+    // physics sanity: the pure-tone windows read ~amp/sqrt(2), silence reads 0
+    assert(got.head.rms_ppm === 0L && got.last.rms_ppm === 0L)
+    assert(math.abs(got(10).rms_ppm - 353553L) < 500L,
+      s"mid-tone RMS ${got(10).rms_ppm} should be ~0.5/sqrt(2) ppm")
+  }
+
+  test("silenceBounds finds the lead-in/lead-out trim points") {
+    val pcm = toneWithSilence(16384, 1600, 200)
+    val files = Seq(("t.wav", wavBytes(Array(pcm), 8000))).toDF("path", "content")
+    val row = MultimodalOps.silenceBounds(
+        MultimodalOps.audioFeatures(files, windowMs = 10), thresholdPpm = 10000L)
+      .head()
+    // 200 silent samples = 2.5 windows of 80: windows 0-1 silent, 2 mixed,
+    // tone through window 22 (1600 samples end at sample 1800 = window 22.5)
+    assert(row.getAs[Long]("n_windows") === 25L)
+    assert(row.getAs[Long]("first_loud") === 2L)
+    assert(row.getAs[Long]("last_loud") === 22L)
+    assert(row.getAs[Long]("n_loud") === 21L)
+  }
+
+  test("WavAudioAdapter rejects non-PCM and truncated payloads instead of misparsing") {
+    intercept[IllegalArgumentException] {
+      MultimodalOps.WavAudioAdapter.probe("x.bin", Array.fill(10)(0.toByte))
+    }
+    val bad = wavBytes(Array(Array[Short](1, 2, 3, 4)), 8000)
+    bad(20) = 3 // audioFormat: PCM=1 -> 3 (IEEE float would be misdecoded)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.WavAudioAdapter.probe("f.wav", bad)
+    }
+  }
 }
