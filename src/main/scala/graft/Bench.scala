@@ -31,8 +31,14 @@ object Bench {
       // (q42/q43/q52 hold 10⁴-10⁵ bounded-size groups per partition that
       // fit in memory trivially). Raise the fallback so hash aggregation
       // actually runs; sort_array keeps results order-deterministic
-      // either way.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // either way. 262144, NOT "effectively infinite" (round 10): the
+      // fallback is the operator's ONLY memory valve (entry COUNT, not
+      // bytes) — the 1M setting let the q52 aggregate ride 16 M ~1 KB
+      // buffers straight past a 24 GiB heap at the 100× smoke. 256k ≈
+      // 256 MB/task at that payload: unreachable at sf0.1 (≤ 5k
+      // groups/partition — behavior and timings identical), engaged
+      // before death beyond.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       // A long-lived session running 130+ distinct plans evicts
       // generated classes at the default cache size; keeping them
       // resident avoids recompilation churn. (The intermittent ~10x

@@ -40,7 +40,7 @@ object Q52Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       // codegen cache sized for a 130-plan session (the round-6 CPU-
       // inflation suspicion this conf carried was closed in round 8:
       // the inflation was G1 — see build.sbt's UseParallelGC note).

@@ -17,8 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // see Bench.scala: keep ObjectHashAggregate hashing instead of the
       // 128-key sort-based fallback (results stay deterministic — every
-      // collected array is sort_array'd)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // collected array is sort_array'd); 262144 = the memory-valve
+      // bound, unreachable at verify scale
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
