@@ -102,7 +102,8 @@ object ScaleSmoke {
     "q128_bottomk_sample", "q129_embedding_health", "q131_ppjoin_pairs",
     "q132_image_phash_neardup", "q133_nordic_langid", "q134_ptgl_langid",
     "q135_hrsr_langid", "q136_msid_langid", "q137_dup_span_excise",
-    "q138_quality_classifier", "q139_stream_neardup_pairs")
+    "q138_quality_classifier", "q139_stream_neardup_pairs",
+    "q140_length_quantiles")
 
   private val Stride = 1000000L
 

@@ -380,6 +380,41 @@ object TextOps {
     * broadcast. The τ column is `step/10.0` computed identically in
     * both engines, and the ppm rates are integer `div`s — no
     * cross-engine float drift anywhere. */
+  /** Per-source EXACT token-length quantiles — the corpus-datasheet
+    * numbers (p50/p90/p99 document length per source) every dataset
+    * card publishes, computed exactly instead of via
+    * `percentile_approx`'s float sketch: quantile p = the smallest
+    * length whose cumulative doc count reaches ⌈p·N/100⌉ within the
+    * source, decided by the all-integer compare `cum·100 ≥ N·p` (no
+    * division, no doubles — bit-exact cross-engine).
+    *
+    * Shape at 100 TB: the corpus collapses map-side into (source,
+    * length) counts — bounded by |sources| × |distinct lengths|, NOT
+    * corpus-scale — before the per-source cumulative window and final
+    * fold run on those bounded rows. Exactness costs nothing here
+    * because the value domain (document lengths) is small; the sketch
+    * is only needed when it isn't. */
+  def lengthQuantiles(documents: DataFrame,
+      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1,100], got $pcts")
+    val lens = tokenized(documents)
+      .select(col("source"), expr("CAST(size(tk) AS BIGINT)").as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val cum = lens
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("len")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_docs", sum(col("c")).over(Window.partitionBy("source")))
+    val qcols = pcts.map { p =>
+      min(when(col("cum") * lit(100L) >= col("n_docs") * lit(p.toLong),
+        col("len"))).as(s"p$p")
+    }
+    val aggCols = max(col("n_docs")).as("n_docs") +: qcols
+    cum.groupBy("source").agg(aggCols.head, aggCols.tail: _*)
+  }
+
   def qualityThresholdSweep(documents: DataFrame, steps: Int = 10): DataFrame = {
     require(steps >= 1 && steps <= 11, s"steps must be in [1,11], got $steps")
     val q = qualityScored(documents)

@@ -911,6 +911,33 @@ object RefineQueries {
       "Quality: hashed linear-classifier inference (fastText/DCLM shape)") { (s, d) =>
       TextOps.qualityClassifier(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    // Corpus-datasheet length quantiles: exact per-source p50/p90/p99
+    // via the integer cumulative compare (no percentile_approx sketch —
+    // the (source, len) domain is bounded, exactness is free).
+    oracle(
+      "q140_length_quantiles",
+      """WITH tl AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, len, CAST(count(*) AS BIGINT) AS c
+        |  FROM tl GROUP BY 1, 2),
+        |cmt AS (
+        |  SELECT source, len, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY len) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n_docs
+        |  FROM g)
+        |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |  min(CASE WHEN cum * 100 >= n_docs * 50 THEN len END) AS p50,
+        |  min(CASE WHEN cum * 100 >= n_docs * 90 THEN len END) AS p90,
+        |  min(CASE WHEN cum * 100 >= n_docs * 99 THEN len END) AS p99
+        |FROM cmt GROUP BY source ORDER BY source""",
+      "Quality: exact per-source token-length quantiles (datasheet numbers)") { (s, d) =>
+      TextOps.lengthQuantiles(Tables(s, d, "documents"))
+        .orderBy("source")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

@@ -191,4 +191,19 @@ class CurationTextSpec extends SparkSpec {
       assert(w >= -500000L && w <= 500000L, s"weight $w out of range at bucket $j")
     }
   }
+
+  // ---------------------------------------------------------------- q140
+
+  test("lengthQuantiles: exact ceil-rank quantiles on a constructed ladder") {
+    // source A: one doc per length 1..10 -> p50 = 5 (cum 5 of 10),
+    // p90 = 9, p99 = 10; source B: three docs of length 4 -> all 4
+    val docs = ((1 to 10).map(n => ("A", (1 to n).map(_ => "w").mkString(" "))) ++
+      (1 to 3).map(_ => ("B", "w w w w")))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.lengthQuantiles(docs).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(("A", 10L, 5L, 9L, 10L), ("B", 3L, 4L, 4L, 4L)))
+  }
 }
