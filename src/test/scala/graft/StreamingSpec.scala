@@ -237,4 +237,34 @@ class StreamingSpec extends SparkSpec {
         Set(a, b).intersect(Set[Any](1L, 2L, 3L, 4L, 5L)).nonEmpty
     }, "strangers must not pair with cluster members")
   }
+
+  test("quality classifier runs UNCHANGED over a document stream (complete-mode agg)") {
+    import spark.implicits._
+    // the registered q138 operator applied verbatim to a readStream
+    // source: stream-static broadcast of the weight table + the doc-keyed
+    // aggregation as a streaming agg — Spark's unified model, no
+    // streaming-specific variant needed
+    val srcDir = tmpDir("qc_src")
+    val docs = (1L to 30L)
+      .map(i => (i, s"tok${i % 5} tok${i % 7} tok${i % 11} filler words here"))
+    docs.grouped(15).zipWithIndex.foreach { case (chunk, f) =>
+      chunk.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/stage$f")
+      val part = new java.io.File(s"$srcDir/stage$f").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, f"docs$f%d.parquet").toPath)
+    }
+    val streamed = graft.operators.TextOps.qualityClassifier(
+      StreamOps.documentsStream(spark, srcDir, glob = "docs*.parquet",
+        maxFilesPerTrigger = 1), dim = 64)
+    val got = StreamOps.runAvailableNowComplete(spark, streamed,
+        "t_qclass", tmpDir("ckpt"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = graft.operators.TextOps.qualityClassifier(
+        spark.read.parquet(s"$srcDir/docs*.parquet"), dim = 64)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(got.size === 30)
+  }
 }
