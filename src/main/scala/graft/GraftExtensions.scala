@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CdcBoundaries, CmsSketch, DotProduct, H60Array, HllSketch, Int8QuantStats, LangScores, MinhashSig, NgramShingles, PolyFingerprint, SimHashBits, SortedMultiConcat, WinnowFingerprints}
+import graft.functions.{CdcBoundaries, CmsSketch, DotProduct, H60Array, HllSketch, Int8QuantStats, LangScores, MinhashSig, NfcNormalize, NgramShingles, PolyFingerprint, SimHashBits, SortedMultiConcat, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for sessions built with
@@ -75,5 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(MinhashSig.fnName),
       new ExpressionInfo(classOf[MinhashSig].getName, MinhashSig.fnName),
       MinhashSig.builder _))
+    e.injectFunction((
+      FunctionIdentifier(NfcNormalize.fnName),
+      new ExpressionInfo(classOf[NfcNormalize].getName, NfcNormalize.fnName),
+      NfcNormalize.builder _))
   }
 }

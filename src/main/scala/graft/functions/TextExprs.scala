@@ -231,6 +231,73 @@ object H60Hash {
       FunctionIdentifier(fnName), info, builder _)
 }
 
+/** `nfc_normalize(s)`: Unicode NFC normalization — the ftfy-class
+  * encoding-hygiene step every web-corpus ingest runs before hashing
+  * or deduplicating text (a decomposed `e + U+0301` and a composed
+  * `é` are DIFFERENT strings to every hash in this engine). Named
+  * after DuckDB's built-in `nfc_normalize` deliberately: the oracle
+  * SQL reads identically, and both implement the same Unicode
+  * normalization standard — verified byte-identical on composed,
+  * decomposed, and non-composable (o + U+030A) fixtures. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = NfcNormalize.fnName
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  val fnName = "nfc_normalize"
+
+  /** Java-callable normalizer; the fast path skips the String
+    * round-trip entirely for pure-ASCII input (NFC is the identity
+    * there), which is most of a web corpus. */
+  def normalize(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    while (ascii && i < n) {
+      if ((org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0x80) != 0)
+        ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  private val info = new ExpressionInfo(classOf[NfcNormalize].getName, fnName)
+
+  private[graft] def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => NfcNormalize(s)
+    case other => throw new IllegalArgumentException(
+      s"$fnName expects (string); got ${other.size} args")
+  }
+
+  /** Register `nfc_normalize` in this session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fnName), info, builder _)
+}
+
 /** `minhash_sig(sh, k)`: the k-hash MinHash signature of a shingle
   * array in ONE per-row loop — the PER-ROW form of
   * [[graft.operators.DedupOps.minhashSigned]]'s explode→k-min

@@ -380,6 +380,25 @@ object TextOps {
     * broadcast. The τ column is `step/10.0` computed identically in
     * both engines, and the ppm rates are integer `div`s — no
     * cross-engine float drift anywhere. */
+  /** Unicode NFC normalization census — the ftfy-class encoding-hygiene
+    * pass (CCNet/FineWeb run it before anything hashes text, because a
+    * decomposed `e + U+0301` and a composed `é` are different strings
+    * to every dedup hash and shingle in this engine). Pure per-row
+    * scan: the native `nfc_normalize` (ASCII fast path — the identity
+    * for most of a web corpus) plus the changed flag and normalized
+    * length. Emitting the full normalized text makes the oracle
+    * comparison total: a single differing codepoint anywhere fails the
+    * hash. Zero shuffles before the caller's ordering. */
+  def unicodeNormalized(documents: DataFrame): DataFrame = {
+    graft.functions.NfcNormalize.register(documents.sparkSession)
+    documents
+      .withColumn("text_nfc", expr("nfc_normalize(text)"))
+      .select(col("doc_id"),
+        (col("text_nfc") =!= col("text")).as("changed"),
+        length(col("text_nfc")).cast("long").as("n_chars_nfc"),
+        col("text_nfc"))
+  }
+
   /** Per-source EXACT token-length quantiles — the corpus-datasheet
     * numbers (p50/p90/p99 document length per source) every dataset
     * card publishes, computed exactly instead of via

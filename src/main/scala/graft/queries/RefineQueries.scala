@@ -938,6 +938,32 @@ object RefineQueries {
       "Quality: exact per-source token-length quantiles (datasheet numbers)") { (s, d) =>
       TextOps.lengthQuantiles(Tables(s, d, "documents"))
         .orderBy("source")
+    },
+
+    // Unicode NFC hygiene: planted decomposed sequences (doc_id % 7 = 3)
+    // must compose, the pre-composed control (% 7 = 4) must not change,
+    // and the untouched ASCII corpus rides the identity fast path. The
+    // full normalized text ships in the result, so the oracle hash
+    // checks every codepoint.
+    oracle(
+      "q141_nfc_normalize",
+      s"""WITH aug AS (
+         |  SELECT doc_id, coalesce(text, '') ||
+         |    CASE WHEN doc_id % 7 = 3 THEN ' $nfcDecomposed'
+         |         WHEN doc_id % 7 = 4 THEN ' $nfcComposed'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |n AS (SELECT doc_id, text, nfc_normalize(text) AS text_nfc FROM aug)
+         |SELECT doc_id, text_nfc <> text AS changed,
+         |  CAST(len(text_nfc) AS BIGINT) AS n_chars_nfc, text_nfc
+         |FROM n ORDER BY doc_id""",
+      "Quality: Unicode NFC normalization census (encoding hygiene)") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 7 === 3, lit(s" $nfcDecomposed"))
+          .when(col("doc_id") % 7 === 4, lit(s" $nfcComposed"))
+          .otherwise(lit(""))).as("text"))
+      TextOps.unicodeNormalized(aug).orderBy("doc_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical
@@ -970,6 +996,17 @@ object RefineQueries {
     "mereka mahu wang untuk aktiviti di universiti itu sahaja dan kualiti yang ada dari itu juga"
   private[queries] lazy val idSnippet =
     "mereka mau uang untuk aktivitas di universitas itu saja dan kualitas yang ada dari itu juga"
+
+  /** Planted Unicode fixtures for q141: the decomposed form (combining
+    * marks U+0301/U+0308, which NFC composes, plus o + U+030A which has
+    * NO composed form and must survive) and the pre-composed control
+    * (already NFC — must pass through unchanged). Both strings embed
+    * the raw codepoints so Spark and the DuckDB SQL literal carry the
+    * identical bytes. */
+  private[queries] lazy val nfcDecomposed =
+    "cafe\u0301 nai\u0308ve co\u030Ald e\u0301tude"
+  private[queries] lazy val nfcComposed =
+    "caf\u00e9 na\u00efve \u00e9tude"
 
   /** DuckDB fragment: final codebook centroids for prefix `p` — the mean
     * of each cluster's FINAL members as exact BIGINT micro-unit sums

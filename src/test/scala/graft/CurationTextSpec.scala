@@ -192,6 +192,30 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q141
+
+  test("unicodeNormalized: composes combining marks, keeps non-composable ones, flags changes") {
+    val docs = Seq(
+      (1L, "cafe\u0301 nai\u0308ve"),   // decomposed -> composes
+      (2L, "caf\u00e9 na\u00efve"),     // already NFC -> unchanged
+      (3L, "co\u030Ald"),               // o + ring: NO composed form exists
+      (4L, "plain ascii text")
+    ).toDF("doc_id", "text")
+    val out = TextOps.unicodeNormalized(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((true, 10L, "caf\u00e9 na\u00efve")))
+    assert(out(2L) === ((false, 10L, "caf\u00e9 na\u00efve")))
+    assert(out(3L) === ((false, 5L, "co\u030Ald")),
+      "a mark with no composed form must survive unchanged")
+    assert(out(4L)._1 === false)
+    // idempotence: normalizing the normalized output changes nothing
+    val again = TextOps.unicodeNormalized(
+      TextOps.unicodeNormalized(docs).select(col("doc_id"),
+        col("text_nfc").as("text")))
+    assert(again.filter(col("changed")).count() === 0L)
+  }
+
   // ---------------------------------------------------------------- q140
 
   test("lengthQuantiles: exact ceil-rank quantiles on a constructed ladder") {

@@ -119,5 +119,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       "SELECT minhash_sig(CAST(array() AS ARRAY<STRING>), 4) AS s").head
       .getSeq[Long](0) === Seq.fill(4)(-1L), "empty array yields the sentinel")
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301')").head.getString(0)
+      === "caf\u00e9", "nfc_normalize resolves and composes through extensions")
   }
 }
