@@ -380,6 +380,64 @@ object TextOps {
     * broadcast. The τ column is `step/10.0` computed identically in
     * both engines, and the ppm rates are integer `div`s — no
     * cross-engine float drift anywhere. */
+  /** BM25 ranked retrieval (Robertson/Spärck Jones) for a LITERAL query
+    * — the standard IR scorer a corpus-curation team runs to pull
+    * topical slices ("give me the docs about X") where
+    * [[seedCentroidTopK]] retrieves by example and [[targetAffinity]]
+    * by distribution. Classic BM25 with two house disciplines: the IDF
+    * is the log-free rational form `(N − df + 0.5)/(df + 0.5)` (ln is
+    * not cross-engine exact; the q117 precedent), and each per-term
+    * double score FLOORS to BIGINT micro-units BEFORE the cross-term
+    * sum, so the total is an order-free integer sum (FP addition is
+    * non-associative; a 3-term double sum can differ between engines
+    * by summation order alone).
+    *
+    * Shape at 100 TB: the query-term filter prunes the exploded corpus
+    * AT THE SCAN (3 terms of a literal IN list); df and totals are a
+    * 3-row and a 1-row broadcast; the only corpus-keyed work is the
+    * (doc, term) tf partial agg and one doc-keyed length join; top-k
+    * plans TakeOrderedAndProject — no global sort. */
+  def bm25TopK(documents: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val tk = tokenized(documents)
+    val lens = tk.select(col("doc_id"),
+      expr("CAST(size(tk) AS BIGINT)").as("len"))
+    val toks = tk.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(expr(s"term IN ($inList)"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    tf
+      .join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_ppm", expr(
+        s"""CAST(floor(
+           |  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           |    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           |  * (CAST(tf AS DOUBLE) * (CAST($k1 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+           |  / (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE)
+           |     * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)
+           |        + CAST($b AS DOUBLE) * (CAST(len AS DOUBLE)
+           |          / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+           |  * CAST(1000000.0 AS DOUBLE)) AS BIGINT)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum(col("score_ppm")).as("score_ppm"),
+        max(col("len")).as("n_tokens"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.Scalars.constPartitionKey(col("doc_id")))
+          .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "score_ppm", "n_tokens")
+  }
+
   /** Unicode NFC normalization census — the ftfy-class encoding-hygiene
     * pass (CCNet/FineWeb run it before anything hashes text, because a
     * decomposed `e + U+0301` and a composed `é` are different strings

@@ -964,6 +964,48 @@ object RefineQueries {
           .when(col("doc_id") % 7 === 4, lit(s" $nfcComposed"))
           .otherwise(lit(""))).as("text"))
       TextOps.unicodeNormalized(aug).orderBy("doc_id")
+    },
+
+    // BM25 ranked retrieval for a literal query: log-free rational IDF
+    // (the q117 precedent) and per-term scores floored to BIGINT ppm
+    // BEFORE the cross-term sum (FP addition order must not matter).
+    oracle(
+      "q142_bm25_topk",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tk),
+        |qt AS (
+        |  SELECT doc_id, term
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+        |  WHERE term IN ('hash', 'merge', 'vector')),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM qt GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM qt) GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(len) AS BIGINT) AS total_len FROM lens),
+        |sc AS (
+        |  SELECT tf.doc_id, lens.len,
+        |    CAST(floor(
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * (CAST(len AS DOUBLE)
+        |              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_ppm
+        |  FROM tf JOIN df USING (term)
+        |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN tot),
+        |ag AS (SELECT doc_id, CAST(sum(score_ppm) AS BIGINT) AS score_ppm,
+        |         max(len) AS n_tokens FROM sc GROUP BY 1),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |        (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS "rank" FROM ag)
+        |SELECT "rank", doc_id, score_ppm, n_tokens
+        |FROM r WHERE "rank" <= 20 ORDER BY "rank"""",
+      "Retrieval: BM25 top-k for a literal query (rational IDF, ppm-floored)") { (s, d) =>
+      TextOps.bm25TopK(Tables(s, d, "documents"),
+          Seq("hash", "merge", "vector"))
+        .orderBy("rank")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

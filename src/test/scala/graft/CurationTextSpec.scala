@@ -192,6 +192,33 @@ class CurationTextSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q142
+
+  test("bm25TopK: tf raises, length normalizes, rarity dominates, k bounds") {
+    val docs = Seq(
+      (1L, "hash hash hash pad pad pad pad pad"),   // tf=3, len 8
+      (2L, "hash pad pad pad pad pad pad pad"),     // tf=1, len 8
+      (3L, "hash hash hash " + ("pad " * 37).trim), // tf=3, len 40 (penalized)
+      (4L, "rare pad pad pad pad pad pad pad"),     // df(rare)=1 beats df(hash)=3
+      (5L, "pad pad pad pad pad pad pad pad")       // no query term: absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("hash", "rare"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 4, "docs without query terms never rank")
+    assert(!out.exists(_._2 == 5L))
+    val byDoc = out.map(r => r._2 -> r._3).toMap
+    assert(byDoc(1L) > byDoc(3L), "same tf, longer doc scores lower")
+    assert(byDoc(1L) > byDoc(2L), "higher tf scores higher at equal length")
+    assert(byDoc(4L) > byDoc(1L), "rarer term outranks common-term tf")
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L), "dense ranks in score order")
+    val scores = out.sortBy(_._1).map(_._3).toSeq
+    assert(scores === scores.sorted.reverse, "scores descend with rank")
+    // k genuinely bounds: asking for 2 returns the top 2 of the same order
+    val top2 = TextOps.bm25TopK(docs, Seq("hash", "rare"), k = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(top2 === out.sortBy(_._1).take(2).map(_._2).toSeq)
+  }
+
   // ---------------------------------------------------------------- q141
 
   test("unicodeNormalized: composes combining marks, keeps non-composable ones, flags changes") {
