@@ -222,6 +222,40 @@ object DedupOps {
       .select("a", "b", "jaccard")
   }
 
+  /** Dedup-graph HEALTH readout: the component-size histogram of the
+    * transitive closure, plus the giant-component alarm. The one number
+    * a dedup deployment must watch before acting on [[componentKeepers]]'
+    * output: a near-dup graph whose largest component holds a material
+    * share of the corpus means the threshold (or a hub document — a
+    * boilerplate page every site quotes) is chaining unrelated
+    * documents together, and the keeper pass is about to delete the
+    * corpus. Output: one row per component SIZE (n_components, docs in
+    * them, docs a keeper pass would remove) with the constant
+    * `giant_share_ppm` = largest component / corpus, integer ppm.
+    *
+    * Shape at 100 TB: everything past the (proven) closure is
+    * aggregation onto bounded keys — component count ≤ corpus, size
+    * histogram ≤ distinct sizes, totals 1 row broadcast. */
+  def componentSizeHistogram(documents: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidatePairs(documents)
+      .filter(col("jaccard") >= minJaccard).select("a", "b")
+    val labels = componentKeepers(pairs).withColumnRenamed("id", "doc_id")
+    val keepers = documents.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("label"), col("doc_id")).as("keeper"))
+    val comps = keepers.groupBy("keeper").agg(count(lit(1)).as("size"))
+    val totals = comps.agg(sum(col("size")).as("n_docs_total"),
+      max(col("size")).as("max_size"))
+    comps.groupBy("size").agg(count(lit(1)).as("n_components"))
+      .withColumn("n_docs", col("size") * col("n_components"))
+      .withColumn("removed", (col("size") - lit(1L)) * col("n_components"))
+      .crossJoin(broadcast(totals))
+      .withColumn("giant_share_ppm",
+        expr("(max_size * 1000000L) div n_docs_total"))
+      .select("size", "n_components", "n_docs", "removed", "giant_share_ppm")
+  }
+
   /** Signature-agreement near-dup pairs: LSH-bucketed candidates
     * verified by MINHASH-COMPONENT agreement (`agree` of k equal
     * positions, estimated Jaccard = agree/k) instead of

@@ -1006,6 +1006,54 @@ object RefineQueries {
       TextOps.bm25TopK(Tables(s, d, "documents"),
           Seq("hash", "merge", "vector"))
         .orderBy("rank")
+    },
+
+    // Dedup-graph health: component-size histogram of q57's closure +
+    // the giant-component alarm (the threshold-too-loose / hub-document
+    // failure a keeper pass must catch BEFORE deleting the corpus).
+    oracle(
+      "q143_component_histogram",
+      {
+        import graft.operators.TextOps.h60d
+        s"""WITH RECURSIVE sh AS (${NorthStarQueries.SH}),
+           |sig AS (${NorthStarQueries.SIG()}),
+           |bands AS (
+           |  SELECT doc_id, unnest(range(0, 4)) AS band,
+           |    unnest(list_transform(range(0, 4), b ->
+           |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+           |  FROM sig WHERE sig[1] <> -1),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+           |  WHERE x.doc_id < y.doc_id),
+           |verified AS (
+           |  SELECT a, b FROM cand
+           |  JOIN sh sa ON sa.doc_id = a
+           |  JOIN sh sb ON sb.doc_id = b
+           |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+           |edges AS (SELECT a AS u, b AS v FROM verified
+           |          UNION SELECT b AS u, a AS v FROM verified),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+           |final AS (SELECT id AS doc_id, min(r) AS keeper_doc_id
+           |          FROM reach GROUP BY id),
+           |comps AS (SELECT keeper_doc_id, CAST(count(*) AS BIGINT) AS size
+           |          FROM final GROUP BY 1),
+           |tot AS (SELECT CAST(sum(size) AS BIGINT) AS n_docs_total,
+           |          CAST(max(size) AS BIGINT) AS max_size FROM comps),
+           |h AS (SELECT size, CAST(count(*) AS BIGINT) AS n_components
+           |      FROM comps GROUP BY 1)
+           |SELECT h.size, h.n_components, h.size * h.n_components AS n_docs,
+           |  (h.size - 1) * h.n_components AS removed,
+           |  (t.max_size * 1000000) // t.n_docs_total AS giant_share_ppm
+           |FROM h CROSS JOIN tot t ORDER BY h.size""".stripMargin
+      },
+      "Dedup: component-size histogram + giant-component alarm") { (s, d) =>
+      graft.operators.DedupOps.componentSizeHistogram(Tables(s, d, "documents"))
+        .orderBy("size")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

@@ -47,7 +47,8 @@ class ScaleSpec extends SparkSpec {
       "q122_dedup_funnel", // 1-row kmeans centroid + 1-row totals broadcasts (q73/q74 shapes)
       "q126_source_affinity", // ≤|sources|-row centroid table vs itself — bounded by construction
       "q129_embedding_health", // 1-row packed-centroid broadcast (the q73/q80 shape)
-      "q142_bm25_topk") // 1-row (n_docs, total_len) totals broadcast (the q113/q118 shape)
+      "q142_bm25_topk", // 1-row (n_docs, total_len) totals broadcast (the q113/q118 shape)
+      "q143_component_histogram") // 1-row (corpus total, max component) broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
