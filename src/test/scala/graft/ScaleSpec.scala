@@ -145,10 +145,16 @@ class ScaleSpec extends SparkSpec {
       "q131_ppjoin_pairs" -> 10,     // post-checkpoint hashed-array table (round 9): df agg + doc-key rank window (n from the array, no COUNT window) + prefix self-join + positional-filter pair agg + un-hinted two-side array verify (per-pair array_intersect, no exploded re-join) + sort; candidate keys are each doc's RAREST shingles (inherent anti-skew)
       "q132_image_phash_neardup" -> 3, // per-row dHash (narrow mapPartitions) + 4×16-bit band self-join (1 exchange each side) + pair distinct + sort — the q37/q59 SimHash shape over an image hash; never all-pairs
       "q138_quality_classifier" -> 3, // weight-table broadcast + ONE doc-keyed agg + sort; the explode+score rides inside the scan stage — the model-inference scale shape
+      "q133_nordic_langid" -> 1,     // per-row native lang_scores + orthography censuses + sort (the q31/q109 shape)
+      "q134_ptgl_langid" -> 1,       // same scan shape — the pair registry is per-row data
+      "q135_hrsr_langid" -> 1,       // same
+      "q136_msid_langid" -> 1,       // same
+      "q137_dup_span_excise" -> 7,   // covered-position explode/distinct + anti join + lpad-position sorted_multi_concat re-assembly + flag join-back + sort
       "q139_stream_neardup_pairs" -> 8, // sig agg + band self-join (2) + pair distinct + two sig join-backs (2) + agreement filter + sort — the batch ground truth of the streaming detector
       "q140_length_quantiles" -> 3,  // (source,len) partial agg + source window + final agg reuses the window partitioning + sort; windows on bounded rows only
       "q141_nfc_normalize" -> 1,     // pure per-row native expression + sort — the whole scale argument
-      "q142_bm25_topk" -> 8)         // IN-pruned tf agg + df agg/broadcast + doc-length join + 1-row totals broadcast + doc agg + TakeOrdered (const-key rank on k rows)
+      "q142_bm25_topk" -> 8,         // IN-pruned tf agg + df agg/broadcast + doc-length join + 1-row totals broadcast + doc agg + TakeOrdered (const-key rank on k rows)
+      "q143_component_histogram" -> 12) // q57's pair chain + keeper label join + component agg + size histogram agg + 1-row totals broadcast + sort (closure rounds off-plan behind localCheckpoint)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
