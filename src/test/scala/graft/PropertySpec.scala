@@ -271,4 +271,26 @@ class RandomizedSpec extends SparkSpec {
       .agg(Scalars.decSum(col("x"))).head.getDouble(0)
     assert(got === expected)
   }
+
+  test("per-row minhash_sig equals the aggregation-derived signature on random corpora") {
+    // the bridge the streaming near-dup detector (q139) stands on: the
+    // one-loop native signature and the batch explode->k-min aggregation
+    // must agree on EVERY input, including short docs and repeated tokens
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.MinhashSig.register(spark)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "x1", "y2")
+    val docs = (1L to 120L).map { i =>
+      val n = rnd.nextInt(12) // 0..11 tokens: some below the shingle width
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val perRow = graft.operators.TextOps.shingled(docs)
+      .select(col("doc_id"), expr("minhash_sig(sh, 16)").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = graft.operators.DedupOps.minhashSigned(docs, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(perRow === viaAgg)
+    assert(perRow.values.exists(_.head != -1L), "non-degenerate: some docs shingle")
+    assert(perRow.values.exists(_.head == -1L), "non-degenerate: some docs are sentinels")
+  }
 }
