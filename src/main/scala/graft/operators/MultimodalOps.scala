@@ -326,6 +326,78 @@ object MultimodalOps {
     }
   }
 
+  // ------------------------------------------------- video (real demux)
+
+  /** Pluggable video demux boundary — the "real demuxer adapter swaps in
+    * behind the same row-explosion shape" promise of [[sampleFrames]],
+    * kept: [[AviMjpegAdapter]] is a REAL container parser. */
+  trait VideoAdapter extends Serializable {
+    /** Every video frame payload, in stream order. */
+    def frames(path: String, content: Array[Byte]): IndexedSeq[Array[Byte]]
+  }
+
+  /** REAL AVI/MJPEG demuxer — fully codec-free like the WAV path: AVI is
+    * RIFF (the same little-endian chunk grammar as WAV), and an MJPEG
+    * stream's frames are plain JPEG payloads the JDK's ImageIO decodes.
+    * The walk descends into LIST chunks to find `movi` and collects the
+    * video-stream chunks (`NNdc`/`NNdb` compressed/uncompressed frame
+    * ids). Malformed containers REJECT rather than misparse (the
+    * WavAudioAdapter discipline). */
+  object AviMjpegAdapter extends VideoAdapter {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def frames(path: String, content: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      require(content.length >= 12 && tag(content, 0) == "RIFF" &&
+        tag(content, 8) == "AVI ", s"$path: not a RIFF/AVI payload")
+      val out = IndexedSeq.newBuilder[Array[Byte]]
+      def isFrameId(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "dc" || id.substring(2) == "db")
+      def walk(from: Int, until: Int): Unit = {
+        var o = from
+        while (o + 8 <= until) {
+          val id = tag(content, o); val len = le32(content, o + 4)
+          // Long arithmetic: a hostile 0x7fffffff length overflows the
+          // Int bound check and the copy below would allocate 2 GB
+          // before any range check fires
+          require(len >= 0 && o.toLong + 8L + len.toLong <= content.length.toLong,
+            s"$path: chunk $id overruns the container")
+          if (id == "LIST") walk(o + 12, o + 8 + len) // skip the list type tag
+          else if (isFrameId(id))
+            out += java.util.Arrays.copyOfRange(content, o + 8, o + 8 + len)
+          o += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, math.min(content.length, 8 + le32(content, 4)))
+      out.result()
+    }
+  }
+
+  /** Demux a binaryFile listing of video payloads into one row per
+    * sampled frame through a REAL container parser — the real-transport
+    * form of [[sampleFrames]]'s stub container. Each sampled frame is a
+    * decodable image payload (JPEG for MJPEG streams), so the whole
+    * image toolchain ([[imageDHash]], [[resizeToTarget]], OCR adapters)
+    * applies per frame unchanged; video near-dup = frame dHash through
+    * the SAME Hamming-banded machinery. Narrow flatMap, no shuffle;
+    * downstream work parallelizes per frame. */
+  def demuxFrames(files: DataFrame, stride: Int = 10,
+      adapter: VideoAdapter = AviMjpegAdapter): Dataset[Frame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    implicit val enc = Encoders.product[Frame]
+    files.select("path", "content").flatMap { r =>
+      val path = r.getString(0)
+      val all = adapter.frames(path, r.getAs[Array[Byte]](1))
+      (0 until all.length by stride).map { i =>
+        Frame(path, (i / stride).toLong, i.toLong, all(i))
+      }
+    }
+  }
+
   // ------------------------------------------------------------- audio
 
   /** Typed metadata of an audio payload — the audio analog of
