@@ -103,7 +103,8 @@ object ScaleSmoke {
     "q132_image_phash_neardup", "q133_nordic_langid", "q134_ptgl_langid",
     "q135_hrsr_langid", "q136_msid_langid", "q137_dup_span_excise",
     "q138_quality_classifier", "q139_stream_neardup_pairs",
-    "q140_length_quantiles", "q141_nfc_normalize", "q142_bm25_topk", "q143_component_histogram")
+    "q140_length_quantiles", "q141_nfc_normalize", "q142_bm25_topk", "q143_component_histogram",
+    "q144_budget_selection")
 
   private val Stride = 1000000L
 

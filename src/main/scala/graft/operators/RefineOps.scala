@@ -462,4 +462,44 @@ object RefineOps {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .select("doc_id", "shard", "pos")
   }
+
+  /** Token-budget corpus selection — the LAST act of curation: given a
+    * training-token budget, keep the highest-quality documents until it
+    * is spent (the greedy quality knapsack every data team runs after
+    * filtering and dedup). The naive phrasing — order the corpus by
+    * quality, cumulative-sum tokens, cut at the budget — is a
+    * single-partition corpus-wide window (the q69 anti-pattern). Scale-
+    * safe phrasing: the budget RESOLVES TO A QUALITY THRESHOLD over
+    * bounded buckets — docs collapse map-side into ≤ 1001 ppt quality
+    * buckets, the cumulative token window runs best-first over those
+    * bounded rows, and a bucket is kept iff the budget covers
+    * everything at or above it. The BOUNDARY bucket (the first one the
+    * budget cannot swallow whole) is reported, not split: splitting it
+    * requires a corpus-wide order BY DESIGN, and at 100 TB the honest
+    * answer is "the threshold is quality ≥ X ppt; the boundary bucket
+    * holds Y tokens against your Z remaining" — the operator returns
+    * exactly that table. Output: one row per occupied bucket (best
+    * first) with doc/token mass, running total, `kept`, and the
+    * boundary flag. */
+  def budgetSelection(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0L, s"budgetTokens must be >= 0, got $budgetTokens")
+    val buckets = TextOps.qualityScored(documents)
+      .withColumn("bucket",
+        expr("CAST(floor(quality * CAST(1000.0 AS DOUBLE)) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    // ≤ 1001 bucket rows; constPartitionKey keeps the bounded global
+    // window out of WindowExec's single-partition WARN
+    val w = Window
+      .partitionBy(graft.functions.Scalars.constPartitionKey(col("bucket")))
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= lit(budgetTokens))
+      .withColumn("boundary",
+        !col("kept") &&
+          (col("cum_tokens") - col("n_tokens")) <= lit(budgetTokens))
+      .select("bucket", "n_docs", "n_tokens", "cum_tokens", "kept", "boundary")
+  }
 }

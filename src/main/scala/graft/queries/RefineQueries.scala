@@ -1054,6 +1054,46 @@ object RefineQueries {
       "Dedup: component-size histogram + giant-component alarm") { (s, d) =>
       graft.operators.DedupOps.componentSizeHistogram(Tables(s, d, "documents"))
         .orderBy("size")
+    },
+
+    // Token-budget selection: the budget resolves to a quality threshold
+    // over bounded ppt buckets (splitting the boundary bucket would need
+    // a corpus-wide order — reported instead, the 100 TB-honest answer).
+    oracle(
+      "q144_budget_selection",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(tk,
+        |      t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS n_stop,
+        |    list_reduce([0::BIGINT] || list_transform(tk,
+        |      t -> CAST(len(t) AS BIGINT)), (acc, x) -> acc + x) AS sum_len
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |      + 0.2 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0)
+        |      AS quality
+        |  FROM s),
+        |b AS (
+        |  SELECT CAST(floor(quality * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM q GROUP BY 1),
+        |c AS (
+        |  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY bucket DESC)
+        |    AS BIGINT) AS cum_tokens
+        |  FROM b)
+        |SELECT bucket, n_docs, n_tokens, cum_tokens,
+        |  cum_tokens <= 8000 AS kept,
+        |  (NOT (cum_tokens <= 8000)) AND (cum_tokens - n_tokens <= 8000)
+        |    AS boundary
+        |FROM c ORDER BY bucket DESC""",
+      "Refine: token-budget selection (budget resolves to a quality threshold)") { (s, d) =>
+      RefineOps.budgetSelection(Tables(s, d, "documents"), budgetTokens = 8000L)
+        .orderBy(col("bucket").desc)
     })
 
   /** The function-word-inseparable planted pair for q133: identical

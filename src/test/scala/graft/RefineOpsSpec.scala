@@ -284,4 +284,35 @@ class RefineOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
     out.foreach(r => assert(again(r.getLong(0)) === r.getAs[Long]("shard")))
   }
+
+  test("budgetSelection: kept is a best-first prefix, boundary is the first unaffordable bucket") {
+    // three quality strata: unique-word docs (high ttr), half-repeated,
+    // stopword-heavy — distinct buckets by construction
+    val docs = (
+      (1L to 3L).map(i => (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")) ++
+      (4L to 6L).map(i => (i, s"rep$i rep$i rep$i rep$i other$i other$i")) ++
+      (7L to 9L).map(i => (i, "the a of and the a of and the a of and"))
+    ).toDF("doc_id", "text")
+    def run(budget: Long) = RefineOps.budgetSelection(docs, budget)
+      .orderBy(col("bucket").desc).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    val all = run(1000L) // >= total tokens (54): everything kept
+    assert(all.length >= 3, "strata must land in distinct buckets")
+    assert(all.forall(_._4) && all.forall(!_._5), "budget >= corpus: all kept, no boundary")
+    assert(all.map(_._3).toSeq === all.map(_._3).sorted.toSeq, "cum_tokens monotone")
+    val none = run(0L)
+    assert(none.forall(!_._4), "budget 0 keeps nothing")
+    assert(none.head._5 && none.count(_._5) === 1, "best bucket is the boundary")
+    // budget = exactly the best bucket's mass: prefix property + boundary
+    val firstMass = all.head._2
+    val part = run(firstMass)
+    assert(part.head._4, "the best bucket is affordable exactly")
+    val keptFlags = part.map(_._4).toSeq
+    assert(keptFlags === keptFlags.sorted.reverse, "kept is a prefix best-first")
+    val bIdx = part.indexWhere(_._5)
+    assert(bIdx === keptFlags.count(identity),
+      "boundary sits immediately after the kept prefix")
+    assert(part.count(_._5) === 1)
+  }
 }
