@@ -154,7 +154,8 @@ class ScaleSpec extends SparkSpec {
       "q140_length_quantiles" -> 3,  // (source,len) partial agg + source window + final agg reuses the window partitioning + sort; windows on bounded rows only
       "q141_nfc_normalize" -> 1,     // pure per-row native expression + sort — the whole scale argument
       "q142_bm25_topk" -> 8,         // IN-pruned tf agg + df agg/broadcast + doc-length join + 1-row totals broadcast + doc agg + TakeOrdered (const-key rank on k rows)
-      "q143_component_histogram" -> 12) // q57's pair chain + keeper label join + component agg + size histogram agg + 1-row totals broadcast + sort (closure rounds off-plan behind localCheckpoint)
+      "q143_component_histogram" -> 12, // q57's pair chain + keeper label join + component agg + size histogram agg + 1-row totals broadcast + sort (closure rounds off-plan behind localCheckpoint)
+      "q144_budget_selection" -> 3)  // ≤1001-key bucket agg + const-keyed cumulative window + sort — the budget-to-threshold resolution never orders the corpus
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
