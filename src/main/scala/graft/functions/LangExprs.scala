@@ -156,7 +156,21 @@ object LangScores {
       "atau", "oleh", "mereka", "telah", "kerana"),
     "id" -> Seq("yang", "dan", "di", "itu", "dengan", "ini", "untuk",
       "tidak", "dari", "dalam", "pada", "akan", "ke", "juga", "ada",
-      "atau", "oleh", "mereka", "sudah", "karena"))
+      "atau", "oleh", "mereka", "sudah", "karena"),
+    // round-10 fifth inseparable pair: Czech vs Slovak — 18 of these 20
+    // function-word forms are IDENTICAL strings (a/na/je/v/že/s/z/do/
+    // to/o/i/k/ale/po/tak/už/si/za, public knowledge: any cs or sk
+    // frequency list); only the reflexive se↔sa and interrogative
+    // co↔čo differ in this cut, so a document avoiding those two votes
+    // a dead tie and profile order would call everything 'cs'. The
+    // orthography census ([[graft.operators.TextOps.csSkOrtho]]:
+    // letters each orthography simply does not have — cs ř/ě/ů vs sk
+    // ľ/ô/ä) separates them. Appended at the END, same discipline as
+    // the four earlier pairs.
+    "cs" -> Seq("a", "na", "je", "v", "že", "s", "z", "do", "to", "o",
+      "i", "k", "ale", "po", "tak", "už", "si", "za", "se", "co"),
+    "sk" -> Seq("a", "na", "je", "v", "že", "s", "z", "do", "to", "o",
+      "i", "k", "ale", "po", "tak", "už", "si", "za", "sa", "čo"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode

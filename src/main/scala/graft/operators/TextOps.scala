@@ -202,12 +202,20 @@ object TextOps {
     "ms" -> Seq("kerana", "iti ", "syen", " wang ", " sahaja ", " mahu "),
     "id" -> Seq("karena", "itas ", " uang ", " saja ", " mau ", " bisa "))
 
+  /** cs/sk census: the strongest possible orthography signal — letters
+    * the OTHER orthography simply does not have (ř/ě/ů exist only in
+    * Czech; ľ/ô/ä only in Slovak). Single-character patterns, counted
+    * by the same replace-chain as every other pair. */
+  val csSkOrtho: Seq[(String, Seq[String])] = Seq(
+    "cs" -> Seq("ř", "ě", "ů"),
+    "sk" -> Seq("ľ", "ô", "ä"))
+
   /** The margin-gated orthography pairs [[langScoredOrtho]] applies, in
     * application order. Each entry: (langA, patternsA, langB, patternsB)
     * with A the earlier profile (the tie-break winner the fallback
     * corrects). */
   val orthoPairs: Seq[(Seq[(String, Seq[String])])] =
-    Seq(daNbOrtho, ptGlOrtho, hrSrOrtho, msIdOrtho)
+    Seq(daNbOrtho, ptGlOrtho, hrSrOrtho, msIdOrtho, csSkOrtho)
 
   /** DuckDB CTE chain applying EVERY registered pair rewrite in
     * [[orthoPairs]] order — the oracle-side mirror of

@@ -1094,6 +1094,51 @@ object RefineQueries {
       "Refine: token-budget selection (budget resolves to a quality threshold)") { (s, d) =>
       RefineOps.budgetSelection(Tables(s, d, "documents"), budgetTokens = 8000L)
         .orderBy(col("bucket").desc)
+    },
+
+    // The FIFTH orthography pair, cs/sk — pure registry data like
+    // hr/sr and ms/id: two appended profiles + one pattern list
+    // (letters the other orthography does not have), zero new
+    // machinery; the oracle rewrite chain regenerates from the
+    // registry.
+    oracle(
+      "q145_cssk_langid",
+      {
+        val scoreCols = graft.operators.TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val lowSrc = "(' ' || lower(coalesce(text, '')) || ' ')"
+        val censuses = graft.operators.TextOps.orthoPairs.flatten.map {
+          case (lang, pats) =>
+            s"${graft.operators.TextOps.orthoCountSql(lowSrc, pats)} AS t_$lang"
+        }.mkString(",\n  ")
+        val (chain, last) = graft.operators.TextOps.orthoRewriteCtes(2)
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % 9 = 4 THEN ' $csSnippet $csSnippet'
+           |         WHEN doc_id % 9 = 5 THEN ' $skSnippet $skSnippet'
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $scoreCols,
+           |  $censuses
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
+           |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
+           |      FROM sc),
+           |$chain
+           |SELECT doc_id, s_cs, s_sk, t_cs, t_sk, lang_guess
+           |FROM $last ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: cs/sk lang-ID via the orthography-pair registry") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 4, lit(s" $csSnippet $csSnippet"))
+          .when(col("doc_id") % 9 === 5, lit(s" $skSnippet $skSnippet"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.langScoredOrtho(aug)
+        .select("doc_id", "s_cs", "s_sk", "t_cs", "t_sk", "lang_guess")
+        .orderBy("doc_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical
@@ -1126,6 +1171,16 @@ object RefineQueries {
     "mereka mahu wang untuk aktiviti di universiti itu sahaja dan kualiti yang ada dari itu juga"
   private[queries] lazy val idSnippet =
     "mereka mau uang untuk aktivitas di universitas itu saja dan kualitas yang ada dari itu juga"
+
+  /** The cs/sk inseparable pair for q145, same construction: every
+    * function word in both snippets is one of the 18 SHARED top-20
+    * forms (a/je/už/v/ale/tak/že/si/to — a dead tie by construction);
+    * the content words differ only in the letters the other
+    * orthography does not have (ř/ě/ů vs ľ/ô/ä). */
+  private[queries] lazy val csSnippet =
+    "řeka a měsíc je tady už v zimě ale vůně dřeva je tak dobrá že si to pamatuji"
+  private[queries] lazy val skSnippet =
+    "rieka a mesiac je tu už v zime ale vôňa dreva je tak dobrá že si to pamätám ľudia"
 
   /** Planted Unicode fixtures for q141: the decomposed form (combining
     * marks U+0301/U+0308, which NFC composes, plus o + U+030A which has

@@ -212,6 +212,43 @@ class LangIdSpec extends SparkSpec {
     assert(rows(111L) === ((0L, 5L)))
   }
 
+  test("cs/sk: vote dead-ties, registry pair separates via exclusive letters (round 10)") {
+    // only the 18 shared function-word forms (se/sa and co/čo absent)
+    // → s_cs == s_sk; content words differ solely in the letters the
+    // other orthography does not have (ř/ě/ů vs ľ/ô/ä)
+    val cs = 120L -> "řeka a měsíc je tady už v zimě ale vůně dřeva je tak dobrá že si to pamatuji"
+    val sk = 121L -> "rieka a mesiac je tu už v zime ale vôňa dreva je tak dobrá že si to pamätám ľudia"
+    val voteOnly = guess(Seq(cs, sk))
+    assert(voteOnly === Map(120L -> "cs", 121L -> "cs")) // profile order alone: both 'cs'
+    val scores = TextOps.langScored(Seq(cs, sk).toDF("doc_id", "text"))
+      .select("doc_id", "s_cs", "s_sk").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scores(120L)._1 === scores(120L)._2) // dead tie on the cs doc
+    assert(scores(121L)._1 === scores(121L)._2) // and on the sk doc
+    val fixtures = Seq(cs, sk,
+      // composition: every earlier pair must still fire with cs/sk registered
+      122L -> "jeg er ikke i veien til stasjonen og arbeidet gjennom høyre er ikke løy og jeg",
+      123L -> "mereka mau uang untuk aktivitas di universitas itu saja dan kualitas yang ada dari itu juga",
+      // controls: non-pair guesses stay untouched by the fifth rewrite
+      124L -> "the cat sat on the mat and it was pleased with the result of this",
+      125L -> "el perro corre por la calle y los gatos se esconden en una casa del pueblo")
+    val got = TextOps.langScoredOrtho(fixtures.toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(120L -> "cs", 121L -> "sk", 122L -> "nb",
+      123L -> "id", 124L -> "en", 125L -> "es"))
+  }
+
+  test("cs/sk: census sides are blind to each other's letters") {
+    val rows = TextOps.langScoredOrtho(Seq(
+      130L -> "řeka měsíc vůně dřeva zimě", // ř×2 ě×3 (vůně has both) ů×1 — no sk letters
+      131L -> "ľudia vôňa mäso vôbec").toDF("doc_id", "text") // ľ ô×2 ä — no cs letters
+      ).select("doc_id", "t_cs", "t_sk").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(130L) === ((6L, 0L)))
+    assert(rows(131L) === ((0L, 4L)))
+  }
+
   test("pt/gl: orthography counts are clean of English base-text bigrams") {
     // 'small'/'all' must not feed t_gl (the llo-not-ll pattern choice)
     val row = TextOps.langScoredOrtho(Seq(
