@@ -104,7 +104,9 @@ object ScaleSmoke {
     "q135_hrsr_langid", "q136_msid_langid", "q137_dup_span_excise",
     "q138_quality_classifier", "q139_stream_neardup_pairs",
     "q140_length_quantiles", "q141_nfc_normalize", "q142_bm25_topk", "q143_component_histogram",
-    "q144_budget_selection", "q145_cssk_langid")
+    "q144_budget_selection", "q145_cssk_langid",
+    "q146_paragraph_dedup", "q147_semantic_decontamination",
+    "q148_zipf_spectrum", "q149_ngram_novelty")
 
   private val Stride = 1000000L
 

@@ -17,7 +17,7 @@ object SparkEntry {
   private def modules: Seq[QueryDef] =
     CoreQueries.defs ++ StreamingQueries.defs ++ NorthStarQueries.defs ++
       DocQueries.defs ++ JdbcQueries.defs ++ ClusterQueries.defs ++
-      CorpusQueries.defs ++ RefineQueries.defs
+      CorpusQueries.defs ++ RefineQueries.defs ++ DatasheetQueries.defs
 
   /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows > 0.
     *

@@ -502,4 +502,54 @@ object RefineOps {
           (col("cum_tokens") - col("n_tokens")) <= lit(budgetTokens))
       .select("bucket", "n_docs", "n_tokens", "cum_tokens", "kept", "boundary")
   }
+
+  /** CROSS-document paragraph dedup with corpus rewrite — the Dolma /
+    * RefinedWeb "paragraph dedupe" pass: the FIRST occurrence of each
+    * distinct paragraph corpus-wide (ordered by `(doc_id, pos)`) is
+    * kept; every other occurrence — in other documents AND later in the
+    * same document — is dropped, and each document is re-assembled from
+    * its surviving paragraphs in original order. The global companion
+    * to [[dedupLinesWithinDoc]] (per-doc only) and
+    * [[TextOps.stripBoilerplateLines]] (df-threshold census: drops ALL
+    * occurrences, keeps none).
+    *
+    * Input: `(doc_id, lines array<string>)` (e.g. [[TextOps.linesOf]] or
+    * a real paragraph split). Output per document: `n_lines`, `n_kept`,
+    * `n_dropped`, `clean_text` (survivors '\n'-joined).
+    *
+    * Shape at 100 TB: the winner census is `min(struct(doc_id, pos))`
+    * per line — a line-keyed PARTIAL aggregation (map-side combine
+    * collapses every local occurrence before the shuffle), deliberately
+    * NOT a `row_number` window: a window partitioned on the line text
+    * moves every occurrence of a hot boilerplate paragraph to one task,
+    * while the agg reduces hot keys per-partition first (skew-proof by
+    * construction). The winner set joins back on the full
+    * `(line, doc_id, pos)` identity — one shuffle each side, at most one
+    * match per occurrence — and the rebuild is a doc-keyed partial agg.
+    * At petabyte scale swap the join key for `h60(line)` to thin the
+    * shuffle (the q110 note; same 60-bit collision budget). */
+  def dedupParagraphsAcrossDocs(docLines: DataFrame): DataFrame = {
+    // posexplode_OUTER: a zero-line document survives to the output
+    // (its null row counts as no line); ONE exploded derivation feeds
+    // both the census and the rebuild (the q110 single-subtree lesson).
+    val ex = docLines.select(col("doc_id"),
+      posexplode_outer(col("lines")).as(Seq("pos", "line")))
+    val winners = ex.filter(col("pos").isNotNull)
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("line"), col("w.doc_id").as("doc_id"),
+        col("w.pos").as("pos"), lit(true).as("keep"))
+    ex.join(winners, Seq("line", "doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("pos")).as("n_lines"),
+        sum(when(col("keep").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips nulls: losers and the outer-explode null
+        // row drop out; survivors sort back into original position
+        expr("""array_join(transform(
+                |  array_sort(collect_list(CASE WHEN keep
+                |    THEN struct(pos, line) END)), s -> s.line), '\n')"""
+          .stripMargin).as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"), col("clean_text"))
+  }
 }

@@ -667,4 +667,45 @@ object SimOps {
         expr("(1000000L * sum(CASE WHEN cos_ppm < 0L THEN 1L ELSE 0L END)) div count(cos_ppm)")
           .as("neg_cos_ppm"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space companion to the
+    * n-gram screens ([[DedupOps.decontaminate]] exact shingles,
+    * [[DedupOps.bloomDecontaminate]] bloom prefilter): an eval/benchmark
+    * document that was paraphrased into the training corpus shares no
+    * 3-gram but sits at high cosine, which is exactly what the lexical
+    * screens cannot see (the "rephrased contamination" finding in the
+    * GPT-4/Llama decontamination reports). Every train vector
+    * (`vec_id >= evalMax`) is scored by its NEAREST eval vector
+    * (`vec_id < evalMax`, ties → smaller eval id) and flagged when that
+    * cosine reaches `threshold`.
+    *
+    * Output: one row per train vector — `vec_id, eval_id, cosine,
+    * contaminated` — so the flag is auditable (which benchmark item
+    * matched, how closely), not just a drop list.
+    *
+    * Shape at 100 TB: the eval side is bounded by construction (a
+    * benchmark suite, not a corpus) → `broadcast`; the train corpus
+    * STREAMS through one bounded nested-loop pass and never shuffles
+    * for scoring. The argmax window partitions on `vec_id` (per-train
+    * groups of |eval| rows, never corpus-wide). Cosines ride the native
+    * `dot_product` expression — index-order summation, replayed exactly
+    * by the oracle (the q39 discipline). */
+  def semanticDecontamination(embeddings: DataFrame, evalMax: Long = 50L,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val eval = e.filter(col("vec_id") < evalMax)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        col("norm").as("e_norm"))
+    val train = e.filter(col("vec_id") >= evalMax)
+      .select(col("vec_id"), col("embedding").as("t_emb"), col("norm").as("t_norm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("eval_id").asc)
+    train.crossJoin(broadcast(eval))
+      .withColumn("cosine", expr(s"${dotX("t_emb", "e_emb")} / (t_norm * e_norm)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("eval_id"), col("cosine"),
+        (col("cosine") >= lit(threshold)).as("contaminated"))
+  }
 }

@@ -1410,4 +1410,78 @@ object TextOps {
       .withColumn("overcount", col("cms_est") - col("exact_c"))
       .orderBy(col("exact_c").desc, col("t").asc)
   }
+
+  /** Corpus-datasheet frequency spectrum — the Zipf/Heaps health readout
+    * a curator checks before trusting token statistics at all: how many
+    * distinct types sit in each ⌊log₂(frequency)⌋ bucket, and what token
+    * mass each bucket carries. A natural-language corpus shows the Zipf
+    * signature (types per bucket falling ~geometrically, mass spread
+    * across buckets); template/boilerplate spam collapses the spectrum
+    * into few buckets, and OCR noise inflates the f=1 bucket. The Heaps
+    * point (`total_types` vs `total_tokens`, constant on every row)
+    * tracks vocabulary growth across corpus snapshots.
+    *
+    * All-integer by design (the q69 no-ln discipline): the log₂ bucket
+    * is `length(bin(c)) - 1` — the binary digit count, EXACT in both
+    * engines, never a floating log that could flip at a power-of-two
+    * boundary.
+    *
+    * Shape at 100 TB: token counts are a vocab-keyed two-level partial
+    * aggregation (map-side combine); the spectrum re-aggregates the
+    * VOCABULARY (≪ corpus) into ≤ 64 bucket rows. The corpus totals are
+    * derived FROM those 64 rows (Σ n_occ, Σ n_types) — never from a
+    * second corpus pass — so the plan reads the corpus exactly once;
+    * the 64-row spectrum is localCheckpointed for its two consumers
+    * (without it each one re-runs the corpus tokenize+agg — the q69 tf
+    * discipline, at 1/10⁶ the materialized size). */
+  def zipfSpectrum(documents: DataFrame): DataFrame = {
+    val spec = tokenized(documents).select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .select((length(bin(col("c"))) - 1).cast("long").as("bucket"), col("c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occ"))
+      .localCheckpoint()
+    val tot = spec.agg(sum(col("n_occ")).as("total_tokens"),
+      sum(col("n_types")).as("total_types"))
+    spec.crossJoin(broadcast(tot))
+      .withColumn("occ_share_ppm", expr("n_occ * 1000000L div total_tokens"))
+      .select("bucket", "n_types", "n_occ", "total_tokens", "total_types",
+        "occ_share_ppm")
+  }
+
+  /** Per-document n-gram NOVELTY in corpus order — what fraction of a
+    * document's distinct n-grams appear here for the FIRST time (no
+    * earlier doc_id contains them). The curriculum/ordering readout: a
+    * freshness curve that decays as the corpus saturates, and a per-doc
+    * redundancy signal that, unlike pairwise dedup, charges a document
+    * for content spread across MANY earlier documents (a mosaic of
+    * copied fragments scores near-zero novelty yet pairs with nobody).
+    * [[graft.operators.DedupOps]]'s pair detectors answer "which two
+    * docs match"; this answers "what does each doc add".
+    *
+    * Output per document: `n_grams` (distinct), `n_novel` (first-seen
+    * here), `novelty_ppm` (integer ppm; 0 for gram-less docs).
+    *
+    * Shape at 100 TB: first-occurrence attribution is `min(doc_id)` per
+    * gram — a gram-keyed PARTIAL aggregation (map-side combine,
+    * skew-proof: a million-occurrence boilerplate gram collapses
+    * per-partition before the shuffle). Both per-doc counts are doc-keyed
+    * partial aggs; CRUCIALLY there is no gram-level join back to the
+    * corpus — the winner census re-aggregates by its OWN winner column,
+    * so the widest shuffle is the distinct (doc, gram) explode that any
+    * shingle pass already pays. */
+  def ngramNovelty(documents: DataFrame, n: Int = 3): DataFrame = {
+    val rows = shingleRows(documents, n) // distinct (doc_id, g) by construction
+    val nG = rows.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val nN = rows.groupBy("g").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    documents.select("doc_id")
+      .join(nG, Seq("doc_id"), "left")
+      .join(nN, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr(
+        "CASE WHEN n_grams = 0 THEN 0L ELSE n_novel * 1000000L div n_grams END"))
+  }
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef, QueryDef.oracle
+import graft.operators.{RefineOps, SimOps, TextOps}
+import graft.sources.Tables
+
+/** Corpus-datasheet / global-census query family (q146+): the readouts
+  * that treat the corpus as ONE object — cross-document paragraph
+  * dedup, embedding-space decontamination, the Zipf/Heaps frequency
+  * spectrum, and the per-document novelty curve.
+  *
+  * Oracle discipline unchanged from the rest of the registry: doubles
+  * are exact single division chains replayed verbatim (cosine), all
+  * other ratios are integer ppm, and the log₂ bucket is the binary
+  * digit count — never a floating log.
+  */
+object DatasheetQueries {
+
+  /** DuckDB fragment: `(doc_id, lines)` fixed-width token windows —
+    * the [[graft.operators.TextOps.linesOf]] mirror (q110/q115 form). */
+  private def linesCte(lt: Int): String =
+    s"""SELECT doc_id,
+       |    (CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+       |     ELSE list_transform(range(0, CAST(ceil(len(tk) / $lt.0) AS BIGINT)),
+       |       i -> array_to_string(tk[i*$lt+1 : i*$lt+$lt], ' ')) END) AS lines
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)""".stripMargin
+
+  /** DuckDB fragment: sequential double dot of two list columns (the
+    * q39/q56 mirror of the native `dot_product`). */
+  private def dotD(a: String, b: String): String =
+    s"list_reduce([0.0::DOUBLE] || list_transform(range(1, len($a)+1), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Cross-document paragraph dedup: global first occurrence (by
+    // doc_id, pos) of each distinct 4-token paragraph wins; corpus is
+    // rewritten from the survivors. The oracle replays the winner rule
+    // as a window (fine at sf0.01); the Spark side is the skew-proof
+    // min(struct) census — same winner by definition of min.
+    oracle(
+      "q146_paragraph_dedup",
+      s"""WITH dl AS (${linesCte(4)}),
+         |ex AS (
+         |  SELECT doc_id, unnest(range(0, len(lines))) AS pos,
+         |    unnest(lines) AS line
+         |  FROM dl),
+         |r AS (
+         |  SELECT doc_id, pos, line,
+         |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+         |  FROM ex),
+         |kept AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |  FROM r WHERE rk = 1 GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(d.lines) AS BIGINT) AS n_lines,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         |  CAST(len(d.lines) AS BIGINT) - coalesce(k.n_kept, 0)::BIGINT AS n_dropped,
+         |  coalesce(k.clean_text, '') AS clean_text
+         |FROM dl d LEFT JOIN kept k USING (doc_id)
+         |ORDER BY d.doc_id""",
+      "Refine: CROSS-document paragraph dedup with corpus rewrite (Dolma pass)") { (s, d) =>
+      RefineOps.dedupParagraphsAcrossDocs(
+          TextOps.linesOf(Tables(s, d, "documents"), lineTokens = 4))
+        .orderBy("doc_id")
+    },
+
+    // Embedding-space decontamination: every train vector scored by its
+    // nearest eval vector (vec_id < 50 stands in for the benchmark set,
+    // the q39/q62 probe convention), flagged at cosine >= 0.8.
+    oracle(
+      "q147_semantic_decontamination",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotD("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT t.vec_id AS vec_id, v.vec_id AS eval_id,
+         |    ${dotD("t.embedding", "v.embedding")} / (t.norm * v.norm) AS cosine
+         |  FROM e t JOIN e v ON t.vec_id >= 50 AND v.vec_id < 50),
+         |r AS (
+         |  SELECT vec_id, eval_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, eval_id) AS rk
+         |  FROM scored)
+         |SELECT vec_id, eval_id, cosine, cosine >= 0.8 AS contaminated
+         |FROM r WHERE rk = 1 ORDER BY vec_id""",
+      "Similarity: embedding-space decontamination (nearest eval vector per train vector)") { (s, d) =>
+      SimOps.semanticDecontamination(Tables(s, d, "embeddings"))
+        .orderBy("vec_id")
+    },
+
+    // Zipf/Heaps datasheet: distinct types and token mass per
+    // floor(log2 frequency) bucket, corpus totals on every row. The
+    // bucket is the binary digit count — exact integers both engines.
+    oracle(
+      "q148_zipf_spectrum",
+      """WITH tf AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS total_types
+        |  FROM tf)
+        |SELECT CAST(length(format('{:b}', c)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_occ,
+        |  tot.total_tokens, tot.total_types,
+        |  (CAST(sum(c) AS BIGINT) * 1000000) // tot.total_tokens AS occ_share_ppm
+        |FROM tf CROSS JOIN tot
+        |GROUP BY 1, tot.total_tokens, tot.total_types
+        |ORDER BY bucket""",
+      "Text analysis: Zipf/Heaps frequency spectrum (exact log2 buckets)") { (s, d) =>
+      TextOps.zipfSpectrum(Tables(s, d, "documents"))
+        .orderBy("bucket")
+    },
+
+    // Per-document 3-gram novelty in corpus (doc_id) order: what each
+    // document adds that no earlier document contained.
+    oracle(
+      "q149_ngram_novelty",
+      s"""WITH sh AS (${NorthStarQueries.SH}),
+         |rows_ AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |       FROM rows_ GROUP BY 1),
+         |nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+         |       FROM (SELECT g, min(doc_id) AS doc_id FROM rows_ GROUP BY 1)
+         |       GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(ng.n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(nn.n_novel, 0)::BIGINT AS n_novel,
+         |  CASE WHEN coalesce(ng.n_grams, 0) = 0 THEN 0
+         |       ELSE (coalesce(nn.n_novel, 0) * 1000000) // ng.n_grams
+         |  END::BIGINT AS novelty_ppm
+         |FROM documents d
+         |LEFT JOIN ng ON ng.doc_id = d.doc_id
+         |LEFT JOIN nn ON nn.doc_id = d.doc_id
+         |ORDER BY d.doc_id""",
+      "Text analysis: per-document n-gram novelty curve (first-occurrence attribution)") { (s, d) =>
+      TextOps.ngramNovelty(Tables(s, d, "documents"))
+        .orderBy("doc_id")
+    })
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RefineOps, SimOps, TextOps}
+
+/** Behavioural pins for the corpus-datasheet family (q146–q149):
+  * cross-document paragraph dedup winner rule + rewrite order,
+  * embedding-space decontamination argmax/tie-break and its bounded
+  * broadcast plan, exact log₂ bucketing at power-of-two boundaries, and
+  * first-occurrence novelty attribution. Cross-engine bit-equality is
+  * the oracles' job; these pin semantics on constructed fixtures plus
+  * the plan shapes that are each operator's scale argument. */
+class DatasheetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupParagraphsAcrossDocs: global first occurrence wins, rewrite keeps order") {
+    val lines = Seq(
+      // doc 1 owns "a b" (pos 0) and "c d" (pos 1); its own repeat of
+      // "a b" at pos 2 must ALSO drop (global rule subsumes within-doc)
+      (1L, Seq("a b", "c d", "a b", "e f")),
+      // doc 2 repeats doc 1's content + contributes one new line
+      (2L, Seq("c d", "x y", "a b")),
+      // doc 3 is entirely derivative
+      (3L, Seq("a b", "c d")),
+      // empty doc survives to the output
+      (4L, Seq.empty[String])
+    ).toDF("doc_id", "lines").repartition(3) // winners cross partitions
+    val out = RefineOps.dedupParagraphsAcrossDocs(lines)
+      .orderBy("doc_id").collect()
+    assert(out.length === 4)
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 3L)
+    assert(out(0).getString(4) === "a b\nc d\ne f")
+    assert(out(1).getLong(2) === 1L && out(1).getString(4) === "x y")
+    assert(out(2).getLong(2) === 0L && out(2).getString(4) === "")
+    assert(out(3).getLong(1) === 0L && out(3).getString(4) === "")
+  }
+
+  test("dedupParagraphsAcrossDocs: census is an aggregation, not a line-keyed window") {
+    // The scale argument: the winner census must be min(struct) partial
+    // agg (map-side combine on hot boilerplate lines), never a window
+    // partitioned on the line text.
+    val lines = Seq((1L, Seq("a b", "c d"))).toDF("doc_id", "lines")
+    val plan = RefineOps.dedupParagraphsAcrossDocs(lines)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "winner selection must be a partial agg, not a row_number window")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("semanticDecontamination: nearest eval vector, deterministic ties, threshold flag") {
+    // 2-D unit-ish vectors; eval = ids 0/1, train = ids 50/51/52
+    // (evalMax 50). Train 50 aligns with eval 0 exactly (cos 1 ≥ 0.8);
+    // train 51 aligns with eval 1 (cos 1); train 52 sits at 45° from
+    // BOTH evals (cos ≈ 0.707 < 0.8, tie → eval 0).
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0),
+      (50L, Seq(2f, 0f), 0), (51L, Seq(0f, 3f), 0), (52L, Seq(1f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimOps.semanticDecontamination(vecs)
+      .orderBy("vec_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(1) === 0L && out(0).getBoolean(3))
+    assert(out(1).getLong(1) === 1L && out(1).getBoolean(3))
+    assert(out(2).getLong(1) === 0L, "equal-cosine tie must pick the smaller eval id")
+    assert(math.abs(out(2).getDouble(2) - math.sqrt(0.5)) < 1e-9)
+    assert(!out(2).getBoolean(3))
+  }
+
+  test("semanticDecontamination: eval side broadcasts, train side never shuffles for scoring") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0), (50L, Seq(0f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val plan = SimOps.semanticDecontamination(vecs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "bounded probe set must broadcast; the corpus streams")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("zipfSpectrum: exact log2 buckets at power-of-two boundaries") {
+    // counts: a=1 (bucket 0), b=2 (bucket 1), c=3 (bucket 1), d=4
+    // (bucket 2) — the c=4 boundary is exactly where a floating log2
+    // could misbucket; length(bin(c))-1 cannot.
+    val docs = Seq(
+      (1L, "a b b c c c d d"),
+      (2L, "d d")
+    ).toDF("doc_id", "text")
+    val out = TextOps.zipfSpectrum(docs).orderBy("bucket").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 1L, 1L), (1L, 2L, 5L), (2L, 1L, 4L)))
+    // Heaps point constants on every row; ppm is floor division
+    assert(out.forall(r => r.getLong(3) === 10L && r.getLong(4) === 4L))
+    assert(out.map(_.getLong(5)).toSeq === Seq(100000L, 500000L, 400000L))
+  }
+
+  test("ngramNovelty: first-occurrence attribution in doc order") {
+    val docs = Seq(
+      // doc 1: grams {a b c, b c d} — both novel (first doc)
+      (1L, "a b c d"),
+      // doc 2: repeats doc 1's text exactly — zero novelty
+      (2L, "a b c d"),
+      // doc 3: one shared gram (b c d via "b c d e"→{b c d, c d e}) —
+      // half novel
+      (3L, "b c d e"),
+      // doc 4: too short for a 3-gram — 0/0 → ppm 0
+      (4L, "x y")
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((2L, 2L, 1000000L), (2L, 0L, 0L), (2L, 1L, 500000L), (0L, 0L, 0L)))
+  }
+
+  test("ngramNovelty: no gram-level join back to the corpus") {
+    // The scale argument: the widest shuffle is the (doc, gram) explode;
+    // the winner census re-aggregates by its own winner column. Exactly
+    // one join may appear — the narrow doc-keyed count join.
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = TextOps.ngramNovelty(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val sortJoins = "SortMergeJoin".r.findAllIn(plan).length
+    val hashJoins = "HashJoin".r.findAllIn(plan).length
+    assert(sortJoins + hashJoins <= 2,
+      s"expected only the two doc-keyed count joins, got $sortJoins SMJ + $hashJoins HJ:\n$plan")
+  }
+}

@@ -48,7 +48,9 @@ class ScaleSpec extends SparkSpec {
       "q126_source_affinity", // ≤|sources|-row centroid table vs itself — bounded by construction
       "q129_embedding_health", // 1-row packed-centroid broadcast (the q73/q80 shape)
       "q142_bm25_topk", // 1-row (n_docs, total_len) totals broadcast (the q113/q118 shape)
-      "q143_component_histogram") // 1-row (corpus total, max component) broadcast
+      "q143_component_histogram", // 1-row (corpus total, max component) broadcast
+      "q147_semantic_decontamination", // bounded eval-set broadcast (the q39/q94 probe shape); the train corpus streams
+      "q148_zipf_spectrum") // 1-row corpus-totals broadcast onto ≤64 bucket rows
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -155,7 +157,11 @@ class ScaleSpec extends SparkSpec {
       "q141_nfc_normalize" -> 1,     // pure per-row native expression + sort — the whole scale argument
       "q142_bm25_topk" -> 8,         // IN-pruned tf agg + df agg/broadcast + doc-length join + 1-row totals broadcast + doc agg + TakeOrdered (const-key rank on k rows)
       "q143_component_histogram" -> 12, // q57's pair chain + keeper label join + component agg + size histogram agg + 1-row totals broadcast + sort (closure rounds off-plan behind localCheckpoint)
-      "q144_budget_selection" -> 3)  // ≤1001-key bucket agg + const-keyed cumulative window + sort — the budget-to-threshold resolution never orders the corpus
+      "q144_budget_selection" -> 3,  // ≤1001-key bucket agg + const-keyed cumulative window + sort — the budget-to-threshold resolution never orders the corpus
+      "q146_paragraph_dedup" -> 4,   // winner census (min-struct partial agg, NOT a line window) + un-hinted identity join-back + per-doc rebuild agg + sort; the second corpus scan in the census branch is deliberate — re-scanning columnar parquet beats checkpointing a corpus-sized explode (the q86 reasoning)
+      "q147_semantic_decontamination" -> 3, // bounded eval broadcast + per-train argmax window + sort; the corpus never shuffles for scoring
+      "q148_zipf_spectrum" -> 3,     // post-checkpoint ≤64-row spectrum (the vocab agg + bucket agg run once, off-plan): 1-row totals agg + its broadcast + sort — ONE corpus scan total
+      "q149_ngram_novelty" -> 6)     // gram-winner census (min partial agg) re-aggregated by winner + per-doc gram count + two doc-keyed completeness join-backs + sort; NO gram-level join back to the corpus — the two shingle-explode scans are the q146/q86 re-scan-beats-checkpoint trade
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
