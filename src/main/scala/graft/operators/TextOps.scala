@@ -1462,24 +1462,27 @@ object TextOps {
     * Output per document: `n_grams` (distinct), `n_novel` (first-seen
     * here), `novelty_ppm` (integer ppm; 0 for gram-less docs).
     *
-    * Shape at 100 TB: first-occurrence attribution is `min(doc_id)` per
-    * gram — a gram-keyed PARTIAL aggregation (map-side combine,
-    * skew-proof: a million-occurrence boilerplate gram collapses
-    * per-partition before the shuffle). Both per-doc counts are doc-keyed
-    * partial aggs; CRUCIALLY there is no gram-level join back to the
-    * corpus — the winner census re-aggregates by its OWN winner column,
-    * so the widest shuffle is the distinct (doc, gram) explode that any
-    * shingle pass already pays. */
+    * Shape at 100 TB: `n_grams` is `size(sh)` — PER-ROW, no explode, no
+    * shuffle (the first cut aggregated the exploded rows back by doc_id,
+    * a whole second corpus-wide shuffle for a number the array already
+    * knows; its 10× smoke read 8.4×). First-occurrence attribution is
+    * `min(doc_id)` per gram — a gram-keyed PARTIAL aggregation
+    * (map-side combine, skew-proof: a million-occurrence boilerplate
+    * gram collapses per-partition before the shuffle) over `h60(gram)`
+    * LONGS, not ~25-byte gram strings (the q38 hashed-shingle lesson —
+    * same 60-bit collision budget, both engines hash identically so the
+    * oracle replays bit-exact). The winner census re-aggregates by its
+    * OWN winner column — no gram-level join back to the corpus. */
   def ngramNovelty(documents: DataFrame, n: Int = 3): DataFrame = {
-    val rows = shingleRows(documents, n) // distinct (doc_id, g) by construction
-    val nG = rows.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    graft.functions.H60Hash.register(documents.sparkSession)
+    val sh = shingled(documents, n)
+    val nG = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+    val rows = sh.select(col("doc_id"), explode(col("sh")).as("g0"))
+      .select(col("doc_id"), expr("h60(g0)").as("g"))
     val nN = rows.groupBy("g").agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    documents.select("doc_id")
-      .join(nG, Seq("doc_id"), "left")
-      .join(nN, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+    nG.join(nN, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr(
         "CASE WHEN n_grams = 0 THEN 0L ELSE n_novel * 1000000L div n_grams END"))

@@ -119,26 +119,26 @@ object DatasheetQueries {
     },
 
     // Per-document 3-gram novelty in corpus (doc_id) order: what each
-    // document adds that no earlier document contained.
+    // document adds that no earlier document contained. n_grams reads
+    // the per-row array size; the winner census runs over h60(gram)
+    // longs — both engines hash identically (the q38 discipline).
     oracle(
       "q149_ngram_novelty",
       s"""WITH sh AS (${NorthStarQueries.SH}),
-         |rows_ AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-         |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
-         |       FROM rows_ GROUP BY 1),
+         |ng AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams FROM sh),
+         |rows_ AS (SELECT doc_id,
+         |    ${graft.functions.Scalars.h60Sql("unnest(sh)")} AS g FROM sh),
          |nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
          |       FROM (SELECT g, min(doc_id) AS doc_id FROM rows_ GROUP BY 1)
          |       GROUP BY 1)
-         |SELECT d.doc_id,
-         |  coalesce(ng.n_grams, 0)::BIGINT AS n_grams,
+         |SELECT ng.doc_id, ng.n_grams,
          |  coalesce(nn.n_novel, 0)::BIGINT AS n_novel,
-         |  CASE WHEN coalesce(ng.n_grams, 0) = 0 THEN 0
+         |  CASE WHEN ng.n_grams = 0 THEN 0
          |       ELSE (coalesce(nn.n_novel, 0) * 1000000) // ng.n_grams
          |  END::BIGINT AS novelty_ppm
-         |FROM documents d
-         |LEFT JOIN ng ON ng.doc_id = d.doc_id
-         |LEFT JOIN nn ON nn.doc_id = d.doc_id
-         |ORDER BY d.doc_id""",
+         |FROM ng
+         |LEFT JOIN nn ON nn.doc_id = ng.doc_id
+         |ORDER BY ng.doc_id""",
       "Text analysis: per-document n-gram novelty curve (first-occurrence attribution)") { (s, d) =>
       TextOps.ngramNovelty(Tables(s, d, "documents"))
         .orderBy("doc_id")

@@ -112,15 +112,16 @@ class DatasheetSpec extends SparkSpec {
   }
 
   test("ngramNovelty: no gram-level join back to the corpus") {
-    // The scale argument: the widest shuffle is the (doc, gram) explode;
-    // the winner census re-aggregates by its own winner column. Exactly
-    // one join may appear — the narrow doc-keyed count join.
+    // The scale argument: n_grams is per-row (size of the shingle
+    // array, never an explode re-aggregation); the winner census
+    // re-aggregates by its own winner column. Exactly ONE join may
+    // appear — the narrow doc-keyed novel-count join.
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val plan = TextOps.ngramNovelty(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     val sortJoins = "SortMergeJoin".r.findAllIn(plan).length
     val hashJoins = "HashJoin".r.findAllIn(plan).length
-    assert(sortJoins + hashJoins <= 2,
-      s"expected only the two doc-keyed count joins, got $sortJoins SMJ + $hashJoins HJ:\n$plan")
+    assert(sortJoins + hashJoins <= 1,
+      s"expected only the doc-keyed count join, got $sortJoins SMJ + $hashJoins HJ:\n$plan")
   }
 }

@@ -293,4 +293,46 @@ class RandomizedSpec extends SparkSpec {
     assert(perRow.values.exists(_.head != -1L), "non-degenerate: some docs shingle")
     assert(perRow.values.exists(_.head == -1L), "non-degenerate: some docs are sentinels")
   }
+
+  test("datasheet conservation laws hold on random corpora (q146/q148/q149)") {
+    // Three invariants that must hold for ANY input, not just the
+    // oracle fixture: (a) cross-doc paragraph dedup keeps each distinct
+    // line exactly once corpus-wide; (b) the Zipf spectrum's bucket
+    // sums reproduce its own Heaps totals; (c) novelty attribution
+    // partitions the distinct-gram set — winners sum to the corpus
+    // vocabulary of grams.
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val vocab = Vector("key", "row", "agg", "scan", "fast", "slow", "x9")
+    val docs = (1L to 80L).map { i =>
+      val n = rnd.nextInt(14)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text").repartition(7)
+
+    val lines = graft.operators.TextOps.linesOf(docs, lineTokens = 2)
+    val deduped = graft.operators.RefineOps.dedupParagraphsAcrossDocs(lines)
+    // n_kept disambiguates "no lines kept" from "kept the one empty
+    // line" (an empty doc tokenizes to [""], a legitimate paragraph)
+    val keptLines = deduped.select("n_kept", "clean_text").collect()
+      .flatMap(r => if (r.getLong(0) == 0L) Nil
+                    else r.getString(1).split("\n", -1).toSeq)
+    val allLines = lines.select(explode(col("lines")).as("line"))
+      .collect().map(_.getString(0))
+    assert(keptLines.sorted.toSeq === allLines.distinct.sorted.toSeq,
+      "every distinct paragraph survives exactly once corpus-wide")
+
+    val spec = graft.operators.TextOps.zipfSpectrum(docs).collect()
+    assert(spec.map(_.getLong(2)).sum === spec.head.getLong(3),
+      "bucket occurrence mass must sum to total_tokens")
+    assert(spec.map(_.getLong(1)).sum === spec.head.getLong(4),
+      "bucket type counts must sum to total_types")
+
+    val nov = graft.operators.TextOps.ngramNovelty(docs).collect()
+    val distinctGrams = graft.operators.TextOps.shingleRows(docs)
+      .select("g").distinct().count()
+    assert(nov.map(_.getLong(2)).sum === distinctGrams,
+      "novelty winners must partition the corpus gram vocabulary")
+    val firstWithGrams = nov.filter(_.getLong(1) > 0L).minBy(_.getLong(0))
+    assert(firstWithGrams.getLong(3) === 1000000L,
+      "the earliest gram-bearing doc is 100% novel")
+  }
 }
