@@ -1318,6 +1318,36 @@ object TextOps {
         "compression_ppm", "encoded_text")
   }
 
+  /** Per-LANGUAGE tokenizer-efficiency rollup over [[bpeEncode]] — the
+    * multilingual-fairness datasheet (the "tokenizer parity" readout in
+    * multilingual tokenizer comparisons: which language pays more
+    * symbols per byte under one shared vocabulary). Per language:
+    * document/token/symbol/merge totals, `compression_ppm`
+    * (Σ symbols · 10⁶ div Σ tokens — corpus-level, NOT the mean of
+    * per-doc ratios) and `bytes_per_symbol_ppm` (UTF-8 bytes of the
+    * ORIGINAL text per post-merge symbol — the cost a context window
+    * actually pays).
+    *
+    * Scale shape: [[bpeEncode]]'s (per round one partial-agg pair count
+    * + a 1-row broadcast merge, all inside localCheckpoint jobs) plus
+    * ONE doc-keyed equi-join of two NARROW tables (the per-doc census
+    * vs (doc_id, lang, n_bytes)) and a |langs|-key partial agg. */
+  def bpeLangFertility(documents: DataFrame, rounds: Int = 4): DataFrame = {
+    val enc = bpeEncode(documents, rounds)
+      .select(col("doc_id"), col("n_tokens"), col("n_symbols"), col("n_merged"))
+    val base = documents.select(col("doc_id"), col("lang"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+    enc.join(base, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_symbols")).as("n_symbols"),
+        sum(col("n_merged")).as("n_merged"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .withColumn("compression_ppm", expr("n_symbols * 1000000L div n_tokens"))
+      .withColumn("bytes_per_symbol_ppm", expr("n_bytes * 1000000L div n_symbols"))
+  }
+
   /** Encoding-quality flags: the byte-level hygiene pass a crawl corpus
     * runs BEFORE any tokenizer or LM sees the text — U+FFFD replacement
     * characters (a decoder already gave up), C0 control characters

@@ -1452,7 +1452,7 @@ object CorpusQueries {
   /** DuckDB mirror of [[TextOps.bpeMerges]]: a `rounds`-deep CTE chain \u2014
     * pair count \u2192 1-row argmax \u2192 marker-wrapped greedy replace \u2014 ending
     * in the union of the per-round winners. */
-  private def bpeCte(rounds: Int, applyAll: Boolean = false): String = {
+  private[queries] def bpeCte(rounds: Int, applyAll: Boolean = false): String = {
     val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text FROM documents)")
     for (r <- 1 to rounds) {
       sb.append(s""",

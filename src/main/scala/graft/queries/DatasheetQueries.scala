@@ -142,5 +142,29 @@ object DatasheetQueries {
       "Text analysis: per-document n-gram novelty curve (first-occurrence attribution)") { (s, d) =>
       TextOps.ngramNovelty(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    // Per-language tokenizer parity under the shared 4-merge BPE
+    // vocabulary: corpus-level compression and bytes-per-symbol. The
+    // oracle nests q112's proven merge-induction CTE chain as a
+    // subquery and rolls it up by language.
+    oracle(
+      "q150_bpe_lang_fertility",
+      s"""SELECT d.lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(e.n_symbols) AS BIGINT) AS n_symbols,
+         |  CAST(sum(e.n_merged) AS BIGINT) AS n_merged,
+         |  CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS n_bytes,
+         |  (CAST(sum(e.n_symbols) AS BIGINT) * 1000000)
+         |    // CAST(sum(e.n_tokens) AS BIGINT) AS compression_ppm,
+         |  (CAST(sum(octet_length(encode(d.text))) AS BIGINT) * 1000000)
+         |    // CAST(sum(e.n_symbols) AS BIGINT) AS bytes_per_symbol_ppm
+         |FROM (${CorpusQueries.bpeCte(4, applyAll = true)}) e
+         |JOIN documents d ON d.doc_id = e.doc_id
+         |GROUP BY 1 ORDER BY 1""",
+      "Tokenizer: per-language BPE fertility/parity datasheet (shared vocabulary)") { (s, d) =>
+      TextOps.bpeLangFertility(Tables(s, d, "documents"), rounds = 4)
+        .orderBy("lang")
     })
 }

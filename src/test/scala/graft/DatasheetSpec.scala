@@ -111,6 +111,38 @@ class DatasheetSpec extends SparkSpec {
       Seq((2L, 2L, 1000000L), (2L, 0L, 0L), (2L, 1L, 500000L), (0L, 0L, 0L)))
   }
 
+  test("bpeLangFertility: rollup reproduces the per-doc census exactly (incl. floor div)") {
+    // The BPE induction itself is DupSpanBpeSpec's job; this pins the
+    // per-language rollup against a hand aggregation of bpeEncode's own
+    // per-doc output — corpus-level ratios, not means of per-doc ratios.
+    val docs = Seq(
+      (1L, "aa bb aa bb cc", "xx"),
+      (2L, "aa bb aa bb", "xx"),
+      (3L, "dd ee dd ee dd", "yy"),
+      (4L, "", "yy")
+    ).toDF("doc_id", "text", "lang")
+    val perDoc = TextOps.bpeEncode(docs, rounds = 2)
+      .select("doc_id", "n_tokens", "n_symbols", "n_merged")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val bytes = Map(1L -> 14L, 2L -> 11L, 3L -> 14L, 4L -> 0L)
+    val out = TextOps.bpeLangFertility(docs, rounds = 2)
+      .orderBy("lang").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("xx", "yy"))
+    Seq("xx" -> Seq(1L, 2L), "yy" -> Seq(3L, 4L)).zip(out).foreach {
+      case ((_, ids), row) =>
+        val t = ids.map(perDoc(_)._1).sum
+        val s = ids.map(perDoc(_)._2).sum
+        val m = ids.map(perDoc(_)._3).sum
+        val b = ids.map(bytes).sum
+        assert(row.getLong(1) === ids.size.toLong)
+        assert((row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+          === ((t, s, m, b)))
+        assert(row.getLong(6) === s * 1000000L / t)
+        assert(row.getLong(7) === b * 1000000L / s)
+    }
+  }
+
   test("ngramNovelty: no gram-level join back to the corpus") {
     // The scale argument: n_grams is per-row (size of the shingle
     // array, never an explode re-aggregation); the winner census

@@ -161,7 +161,8 @@ class ScaleSpec extends SparkSpec {
       "q146_paragraph_dedup" -> 4,   // winner census (min-struct partial agg, NOT a line window) + un-hinted identity join-back + per-doc rebuild agg + sort; the second corpus scan in the census branch is deliberate — re-scanning columnar parquet beats checkpointing a corpus-sized explode (the q86 reasoning)
       "q147_semantic_decontamination" -> 3, // bounded eval broadcast + per-train argmax window + sort; the corpus never shuffles for scoring
       "q148_zipf_spectrum" -> 3,     // post-checkpoint ≤64-row spectrum (the vocab agg + bucket agg run once, off-plan): 1-row totals agg + its broadcast + sort — ONE corpus scan total
-      "q149_ngram_novelty" -> 4)     // h60-hashed gram-winner census (min partial agg, long keys — the q38 lesson) re-aggregated by winner (2) + ONE doc-keyed join-back onto the per-row size(sh) counts (1) + sort (1); no per-doc explode re-aggregation, no gram-level join back to the corpus
+      "q149_ngram_novelty" -> 4,     // h60-hashed gram-winner census (min partial agg, long keys — the q38 lesson) re-aggregated by winner (2) + ONE doc-keyed join-back onto the per-row size(sh) counts (1) + sort (1); no per-doc explode re-aggregation, no gram-level join back to the corpus
+      "q150_bpe_lang_fertility" -> 3) // post-checkpoint encoded text (q112's four merge rounds off-plan): doc-keyed census⋈(lang, bytes) join + |langs|-key partial agg + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
