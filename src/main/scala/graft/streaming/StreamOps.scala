@@ -259,6 +259,48 @@ object StreamOps {
   }
 
   /** One stored signature in an LSH bucket's state. */
+  final case class LineDecision(doc_id: Long, pos: Int, keep: Boolean)
+
+  /** Streaming form of the CROSS-document paragraph dedup
+    * ([[graft.operators.RefineOps.dedupParagraphsAcrossDocs]], q146):
+    * every arriving `(doc_id, lines)` row explodes to per-paragraph
+    * occurrences keyed by `h60(line)`; the FIRST occurrence ever seen on
+    * a key keeps, every later one drops. Output: one keep/drop decision
+    * per occurrence — the ingest-time filter a pipeline applies before
+    * a duplicate paragraph ever reaches storage.
+    *
+    * Equals the batch operator's winner set when ingest follows corpus
+    * `(doc_id, pos)` order (the deployment contract, same as
+    * [[lshNearDupStream]]'s arrival-order framing): within a micro-batch
+    * arrivals sort by `(doc_id, pos)` before deciding, so any slicing of
+    * an ordered corpus emits identical decisions — the spec proves it
+    * across 3 slicings. State per distinct paragraph: ONE boolean (the
+    * hash key itself carries the identity) — bounded by the distinct
+    * paragraph count, never by corpus size; text is never held. */
+  def paragraphDedupStream(docLines: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docLines.sparkSession
+    graft.functions.H60Hash.register(spark)
+    import spark.implicits._
+    docLines
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), expr("h60(line)").as("h"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, LineDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rowsIt, state) =>
+          val seen = state.getOption.getOrElse(false)
+          val arrivals = rowsIt.toSeq.sortBy(r => (r._1, r._2))
+          val out = arrivals.zipWithIndex.map { case ((d, p, _), i) =>
+            LineDecision(d, p, keep = !seen && i == 0)
+          }
+          state.update(true)
+          out.iterator
+      }
+      .toDF()
+  }
+
   final case class BucketEntry(doc_id: Long, sig: Seq[Long])
 
   /** An emitted near-dup pair event: `agree` of k signature components

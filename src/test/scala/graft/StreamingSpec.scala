@@ -238,6 +238,57 @@ class StreamingSpec extends SparkSpec {
     }, "strangers must not pair with cluster members")
   }
 
+  test("streaming paragraph dedup: ordered ingest reproduces the batch winner set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // cross-file duplicate paragraphs: "a b" first appears in doc 1
+    // (file 0) and recurs in docs 3/5 (files 1/2); "c d" first in doc 2;
+    // doc 5 also repeats "a b" within itself — all later occurrences
+    // must drop, across micro-batch boundaries.
+    val texts = Map(
+      1L -> "a b c x", 2L -> "c d e f", 3L -> "a b g h",
+      4L -> "i j k l", 5L -> "a b a b m n")
+    val srcDir = tmpDir("paradedup_src")
+    val files = Seq(Seq(1L, 2L), Seq(3L), Seq(4L, 5L))
+    files.zipWithIndex.foreach { case (ids, f) =>
+      ids.map(id => (id, texts(id))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/stage$f")
+      val part = new java.io.File(s"$srcDir/stage$f").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"docs$f%d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + f * 60000L)
+    }
+    val streamed = StreamOps.paragraphDedupStream(
+      graft.operators.TextOps.linesOf(
+        StreamOps.documentsStream(spark, srcDir, glob = "docs*.parquet",
+          maxFilesPerTrigger = 1), lineTokens = 2))
+    val got = StreamOps.runAvailableNow(spark, streamed,
+        "t_paradedup", tmpDir("ckpt"))
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    // batch ground truth: rebuild each doc from the streaming keeps and
+    // compare with dedupParagraphsAcrossDocs' clean_text
+    val all = spark.read.parquet(s"$srcDir/docs*.parquet")
+    val lines = graft.operators.TextOps.linesOf(all, lineTokens = 2)
+    val want = graft.operators.RefineOps.dedupParagraphsAcrossDocs(lines)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fixture = texts.map { case (id, t) =>
+      id -> t.split(" ").grouped(2).map(_.mkString(" ")).toVector
+    }
+    val rebuilt = got.filter(_._3).groupBy(_._1).map { case (id, ks) =>
+      id -> ks.sortBy(_._2).map { case (_, p, _) => fixture(id)(p) }.mkString("\n")
+    }
+    texts.keys.foreach { id =>
+      assert(rebuilt.getOrElse(id, "") === want(id),
+        s"doc $id: streaming keeps must rebuild the batch clean_text")
+    }
+    assert(got.length === 11, "one decision per paragraph occurrence")
+    assert(!got.filter(_._1 == 5L).filter(_._2 == 1).head._3,
+      "doc 5's within-doc repeat of 'a b' drops")
+  }
+
   test("quality classifier runs UNCHANGED over a document stream (complete-mode agg)") {
     import spark.implicits._
     // the registered q138 operator applied verbatim to a readStream
