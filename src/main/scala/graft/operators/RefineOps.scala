@@ -523,23 +523,27 @@ object RefineOps {
     * NOT a `row_number` window: a window partitioned on the line text
     * moves every occurrence of a hot boilerplate paragraph to one task,
     * while the agg reduces hot keys per-partition first (skew-proof by
-    * construction). The winner set joins back on the full
-    * `(line, doc_id, pos)` identity — one shuffle each side, at most one
-    * match per occurrence — and the rebuild is a doc-keyed partial agg.
-    * At petabyte scale swap the join key for `h60(line)` to thin the
-    * shuffle (the q110 note; same 60-bit collision budget). */
+    * construction). Census keys and the join-back identity carry
+    * `h60(line)` LONGS, never the paragraph text (the q38/q149 lesson;
+    * the 100× smoke on raw string keys read per-row CPU ×3.3 — hashing
+    * returns it to the band). An h60 collision merges two paragraphs
+    * IDENTICALLY in both engines (the oracle partitions by the same
+    * md5-prefix hash), so results stay bit-exact; the rebuild is a
+    * doc-keyed partial agg. */
   def dedupParagraphsAcrossDocs(docLines: DataFrame): DataFrame = {
+    graft.functions.H60Hash.register(docLines.sparkSession)
     // posexplode_OUTER: a zero-line document survives to the output
     // (its null row counts as no line); ONE exploded derivation feeds
     // both the census and the rebuild (the q110 single-subtree lesson).
     val ex = docLines.select(col("doc_id"),
       posexplode_outer(col("lines")).as(Seq("pos", "line")))
+      .withColumn("h", expr("h60(line)"))
     val winners = ex.filter(col("pos").isNotNull)
-      .groupBy("line")
+      .groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-      .select(col("line"), col("w.doc_id").as("doc_id"),
+      .select(col("h"), col("w.doc_id").as("doc_id"),
         col("w.pos").as("pos"), lit(true).as("keep"))
-    ex.join(winners, Seq("line", "doc_id", "pos"), "left")
+    ex.join(winners, Seq("h", "doc_id", "pos"), "left")
       .groupBy("doc_id")
       .agg(count(col("pos")).as("n_lines"),
         sum(when(col("keep").isNotNull, 1L).otherwise(0L)).as("n_kept"),

@@ -49,7 +49,8 @@ object DatasheetQueries {
          |  FROM dl),
          |r AS (
          |  SELECT doc_id, pos, line,
-         |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+         |    ROW_NUMBER() OVER (PARTITION BY ${graft.functions.Scalars.h60Sql("line")}
+         |      ORDER BY doc_id, pos) AS rk
          |  FROM ex),
          |kept AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
