@@ -106,7 +106,8 @@ object ScaleSmoke {
     "q140_length_quantiles", "q141_nfc_normalize", "q142_bm25_topk", "q143_component_histogram",
     "q144_budget_selection", "q145_cssk_langid",
     "q146_paragraph_dedup", "q147_semantic_decontamination",
-    "q148_zipf_spectrum", "q149_ngram_novelty", "q150_bpe_lang_fertility")
+    "q148_zipf_spectrum", "q149_ngram_novelty", "q150_bpe_lang_fertility",
+    "q151_decontaminate_excise")
 
   private val Stride = 1000000L
 

@@ -1266,7 +1266,17 @@ object DedupOps {
     * `string_agg(tok, ' ' ORDER BY p)` replays byte-exact. */
   def dupSpanExcise(documents: DataFrame, w: Int = 10): DataFrame = {
     val (toks, flagged) = dupFlaggedWindows(documents, w)
-    graft.functions.SortedMultiConcat.register(documents.sparkSession)
+    exciseFlagged(toks, flagged, w)
+  }
+
+  /** Shared back half of the excision pair ([[dupSpanExcise]],
+    * [[decontaminateExcise]]): covered positions → anti-join → per-doc
+    * reassembly through [[graft.functions.SortedMultiConcat]] (the q52
+    * allocation discipline). `toks` = (doc_id, n_tokens, tk); `flagged`
+    * = the (doc_id, pos) window starts to remove. */
+  private def exciseFlagged(toks: DataFrame, flagged: DataFrame,
+      w: Int): DataFrame = {
+    graft.functions.SortedMultiConcat.register(toks.sparkSession)
     val cov = flagged
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${w - 1}L)")).as("p"))
       .distinct()
@@ -1285,5 +1295,43 @@ object DedupOps {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("dropped_tokens"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Decontamination by EXCISION — the act [[decontaminate]]'s census
+    * reads out for (the GPT-3/Pile decontamination step: REMOVE the
+    * contaminated spans, keep the rest of the document — dropping whole
+    * documents over one leaked quote wastes the corpus): every token of
+    * a corpus document covered by a `w`-token window that appears
+    * ANYWHERE in the probe/benchmark set is excised and the document
+    * re-assembled. Unlike [[dupSpanExcise]] there is NO canonical-copy
+    * exemption — contaminated text has no right to survive anywhere in
+    * the training corpus.
+    *
+    * Shape at 100 TB: the probe side collapses to DISTINCT window
+    * hashes — bounded by the benchmark suite, broadcast (the q62
+    * contract; swap in [[bloomDecontaminate]]'s bitset prefilter when
+    * the suite outgrows a broadcast) — so flagging is a per-row
+    * semi-join the corpus streams through; the excision tail is
+    * [[dupSpanExcise]]'s (position explode bounded by w per flagged
+    * window, hash anti-join, doc-keyed [[graft.functions.SortedMultiConcat]]
+    * reassembly). Nothing quadratic, no corpus self-join at all. */
+  def decontaminateExcise(corpus: DataFrame, probes: DataFrame,
+      w: Int = 10): DataFrame = {
+    require(w >= 2, s"w must be >= 2, got $w")
+    graft.functions.H60Hash.register(corpus.sparkSession)
+    graft.functions.NgramShingles.register(corpus.sparkSession)
+    val toks = TextOps.tokenized(corpus)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk"))
+    val probeH = TextOps.tokenized(probes)
+      .select(explode(expr(s"ngram_shingles(tk, $w)")).as("win"))
+      .select(expr(TextOps.h60x("win")).as("h"))
+      .distinct()
+    val flagged = toks
+      .select(col("doc_id"), posexplode(expr(s"ngram_shingles(tk, $w)")).as(Seq("p0", "win")))
+      .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"),
+        expr(TextOps.h60x("win")).as("h"))
+      .join(broadcast(probeH), Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+    exciseFlagged(toks, flagged, w)
   }
 }

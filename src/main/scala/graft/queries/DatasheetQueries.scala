@@ -167,5 +167,55 @@ object DatasheetQueries {
       "Tokenizer: per-language BPE fertility/parity datasheet (shared vocabulary)") { (s, d) =>
       TextOps.bpeLangFertility(Tables(s, d, "documents"), rounds = 4)
         .orderBy("lang")
+    },
+
+    // Decontamination by EXCISION: q62's benchmark screen (docs < 25 =
+    // the eval set), but the ACT — every corpus token covered by a
+    // 10-token window appearing anywhere in the eval set is removed and
+    // the document re-assembled (the GPT-3/Pile span-removal step; q137
+    // is the within-corpus sibling). No canonical exemption.
+    oracle(
+      "q151_decontaminate_excise",
+      s"""WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |            FROM documents WHERE doc_id >= 25),
+         |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM tkx),
+         |pw AS (
+         |  SELECT DISTINCT ${TextOps.h60d("array_to_string(tk[pos:pos+9], ' ')")} AS h
+         |  FROM (SELECT tk, unnest(range(1, len(tk) - 8)) AS pos
+         |        FROM (SELECT string_split(text, ' ') AS tk
+         |              FROM documents WHERE doc_id < 25)
+         |        WHERE len(tk) >= 10)),
+         |wins AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    ${TextOps.h60d("array_to_string(tk[pos:pos+9], ' ')")} AS h
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8)) AS pos
+         |        FROM base WHERE len(tk) >= 10)),
+         |flagged AS (SELECT w.doc_id, w.pos FROM wins w JOIN pw USING (h)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, CAST(pos + g AS BIGINT) AS p
+         |  FROM (SELECT doc_id, pos, unnest(range(0, 10)) AS g FROM flagged)),
+         |tokp AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS p, tk[p] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p FROM base)),
+         |keep AS (
+         |  SELECT t.doc_id, t.p, t.tok FROM tokp t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                    WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+         |reb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+         |  FROM keep GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(r.kept_tokens, 0) AS kept_tokens,
+         |  b.n_tokens - coalesce(r.kept_tokens, 0) AS dropped_tokens,
+         |  coalesce(r.text_clean, '') AS text_clean
+         |FROM base b LEFT JOIN reb r USING (doc_id)
+         |ORDER BY b.doc_id""",
+      "Dedup: decontamination by span excision (eval-matching runs removed, corpus rewritten)") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      graft.operators.DedupOps.decontaminateExcise(
+          corpus = docs.filter(col("doc_id") >= 25),
+          probes = docs.filter(col("doc_id") < 25), w = 10)
+        .orderBy("doc_id")
     })
 }

@@ -143,6 +143,31 @@ class DatasheetSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateExcise: eval-matching spans drop with no canonical exemption") {
+    import graft.operators.DedupOps
+    val evalRun = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"
+    val probes = Seq((1L, s"intro words $evalRun closing words"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // leaked run mid-document: exactly those 10 tokens excise, the
+      // flanks survive — and there is NO canonical copy kept (unlike
+      // dupSpanExcise, the corpus's only copy still drops)
+      (100L, s"keep one $evalRun keep two"),
+      // clean document: byte-identical passthrough
+      (101L, "totally clean text with nothing shared at all today"),
+      // pure contamination: collapses to the empty string
+      (102L, evalRun)
+    ).toDF("doc_id", "text")
+    val out = DedupOps.decontaminateExcise(corpus, probes, w = 10)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(4) === "keep one keep two")
+    assert(out(0).getLong(1) === 14L && out(0).getLong(3) === 10L)
+    assert(out(1).getString(4) ===
+      "totally clean text with nothing shared at all today")
+    assert(out(1).getLong(3) === 0L)
+    assert(out(2).getString(4) === "" && out(2).getLong(2) === 0L)
+  }
+
   test("ngramNovelty: no gram-level join back to the corpus") {
     // The scale argument: n_grams is per-row (size of the shingle
     // array, never an explode re-aggregation); the winner census
