@@ -71,7 +71,32 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    final case class Rep(wall: Double, taskSec: Double, cpuSec: Double)
+    // Per-rep environment stamps (Q52Profile's fields, generalized — round-11
+    // verdict item 1): the q125/q123/q124 driver-record cluster read 2–6×
+    // every builder record with wall≫task, the same shape q52 had before its
+    // r10 root-cause. A rep that carries its own JIT-compile delta, GC delta,
+    // and 1-minute system load self-identifies as "re-JIT storm" (jitSec
+    // jumps), "collector churn" (gcSec jumps), or "busy neighbor" (sysLoad ≫
+    // cpus) without a separate profiling session.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    def jitCompileMs(): Long = {
+      val c = ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else 0L
+    }
+    def codeCacheMb(): Double =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed / 1048576.0).sum
+    def sysLoad(): Double =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    final case class Rep(wall: Double, taskSec: Double, cpuSec: Double,
+      gcSec: Double, jitSec: Double, codeMb: Double, load: Double)
     final case class QRes(name: String, first: Rep, steady: Seq[Rep]) {
       private def med(xs: Seq[Double]): Double =
         if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
@@ -97,6 +122,7 @@ object Bench {
         // collection runs BEFORE t0, so timings exclude it symmetrically.
         System.gc()
         runMs.set(0L); cpuMs.set(0L)
+        val gc0 = gcMillis(); val jit0 = jitCompileMs()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -105,10 +131,12 @@ object Bench {
         if (!ok) None
         else {
           Thread.sleep(300) // listener-bus settle before counter snapshot
-          Some(Rep(wall, runMs.get / 1000.0, cpuMs.get / 1000.0))
+          Some(Rep(wall, runMs.get / 1000.0, cpuMs.get / 1000.0,
+            (gcMillis() - gc0) / 1000.0, (jitCompileMs() - jit0) / 1000.0,
+            codeCacheMb(), sysLoad()))
         }
       }
-      val first = timed().getOrElse(Rep(-1.0, -1.0, -1.0))
+      val first = timed().getOrElse(Rep(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0))
       val steady =
         if (first.wall < 0) Seq.empty[Rep]
         else (1 to reps).flatMap(_ => timed())
@@ -170,7 +198,8 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LINE.json"), fullLine + "\n")
     def repArr(rs: Seq[Rep]): String =
-      rs.map(r => s"[${r.wall},${r.taskSec},${r.cpuSec}]").mkString("[", ",", "]")
+      rs.map(r => s"[${r.wall},${r.taskSec},${r.cpuSec},${r.gcSec},${r.jitSec}," +
+        s"${d2(r.codeMb)},${d2(r.load)}]").mkString("[", ",", "]")
     val fullRows = results.map { r =>
       s""""${r.name}":{"first":${repArr(Seq(r.first))},"steady":${repArr(r.steady)},""" +
         s""""steadyWallMed":${r.steadyWallMed},"steadyWallMin":${r.steadyWallMin},""" +
@@ -180,12 +209,26 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
         s""""steady_total":$steadyTotal,"task_total":$taskTotal,$envStamp,""" +
-        s""""rep_shape":"[wallSec,taskSec,cpuSec]","per_query":$fullRows}\n""")
+        s""""rep_shape":"[wallSec,taskSec,cpuSec,gcSec,jitCompileSec,codeCacheMB,sysLoad1m]",""" +
+        s""""per_query":$fullRows}\n""")
     // Leading newline: if a log line on the merged capture was written
     // without its terminator just before us, the JSON still starts at
     // column 0 of its own line (the driver parses line-wise).
+    //
+    // TWO stdout lines, small one LAST (round-11 verdict item 4): the
+    // driver's tail capture beheaded r11's single long line — the 151-entry
+    // queries map pushed the head (metric/value) past the buffer and the
+    // record parsed null. The per-query map now goes on its own line first;
+    // the FINAL line is totals-only (~250 bytes), so whichever way the
+    // capture truncates, the last complete line always parses.
     System.out.println()
     System.out.println(line)
+    val totalsLine =
+      s"""{"metric":"total","value":${d2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,""" +
+        s""""steady_total":${d2(steadyTotal)},"task_total":${d2(taskTotal)},""" +
+        s""""gc":"${jesc(gcNames)}","heap_mb":$heapMb,""" +
+        s""""queries_note":"per-query map on previous stdout line and in BENCH_LINE.json; reps+stamps in BENCH_FULL.json"}"""
+    System.out.println(totalsLine)
     System.out.flush()
     spark.stop()
   }
