@@ -686,26 +686,36 @@ object SimOps {
     * Shape at 100 TB: the eval side is bounded by construction (a
     * benchmark suite, not a corpus) → `broadcast`; the train corpus
     * STREAMS through one bounded nested-loop pass and never shuffles
-    * for scoring. The argmax window partitions on `vec_id` (per-train
-    * groups of |eval| rows, never corpus-wide). Cosines ride the native
+    * for scoring. Winner selection is a `max(struct)` PARTIAL aggregate
+    * (the repo's winner-selection rule — never a window on the hot key):
+    * the map side combines the |eval| candidate rows per train vector to
+    * ONE row before the exchange, so shuffle volume is |train|, not
+    * |train|×|eval| — 50× less wire at this eval size, more at a real
+    * benchmark suite's. Tie rule (cosine desc, eval_id asc) rides the
+    * struct comparison: `(cosine, -eval_id)` under `max` picks highest
+    * cosine, then smallest eval id. Cosines ride the native
     * `dot_product` expression — index-order summation, replayed exactly
-    * by the oracle (the q39 discipline). */
+    * by the oracle (the q39 discipline). Degenerate zero-norm vectors
+    * score cosine = 0.0 by definition in BOTH engines (round-11 advice:
+    * unguarded 0/0 is NaN in Spark — which sorts ABOVE every double and
+    * passes `>= threshold` — but an error/NULL in DuckDB; the explicit
+    * branch removes the cross-engine divergence). */
   def semanticDecontamination(embeddings: DataFrame, evalMax: Long = 50L,
       threshold: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings)
     val eval = e.filter(col("vec_id") < evalMax)
       .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
         col("norm").as("e_norm"))
     val train = e.filter(col("vec_id") >= evalMax)
       .select(col("vec_id"), col("embedding").as("t_emb"), col("norm").as("t_norm"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("eval_id").asc)
     train.crossJoin(broadcast(eval))
-      .withColumn("cosine", expr(s"${dotX("t_emb", "e_emb")} / (t_norm * e_norm)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("eval_id"), col("cosine"),
-        (col("cosine") >= lit(threshold)).as("contaminated"))
+      .withColumn("cosine", expr(
+        s"""CASE WHEN t_norm * e_norm = 0.0D THEN 0.0D
+           |     ELSE ${dotX("t_emb", "e_emb")} / (t_norm * e_norm) END""".stripMargin))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_eval"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_eval")).as("eval_id"),
+        col("best.cosine").as("cosine"),
+        (col("best.cosine") >= lit(threshold)).as("contaminated"))
   }
 }

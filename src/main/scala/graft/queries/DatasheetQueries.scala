@@ -79,7 +79,9 @@ object DatasheetQueries {
          |  FROM embeddings),
          |scored AS (
          |  SELECT t.vec_id AS vec_id, v.vec_id AS eval_id,
-         |    ${dotD("t.embedding", "v.embedding")} / (t.norm * v.norm) AS cosine
+         |    CASE WHEN t.norm * v.norm = 0 THEN 0.0
+         |         ELSE ${dotD("t.embedding", "v.embedding")} / (t.norm * v.norm)
+         |    END AS cosine
          |  FROM e t JOIN e v ON t.vec_id >= 50 AND v.vec_id < 50),
          |r AS (
          |  SELECT vec_id, eval_id, cosine,

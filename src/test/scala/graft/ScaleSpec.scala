@@ -159,7 +159,7 @@ class ScaleSpec extends SparkSpec {
       "q143_component_histogram" -> 12, // q57's pair chain + keeper label join + component agg + size histogram agg + 1-row totals broadcast + sort (closure rounds off-plan behind localCheckpoint)
       "q144_budget_selection" -> 3,  // ≤1001-key bucket agg + const-keyed cumulative window + sort — the budget-to-threshold resolution never orders the corpus
       "q146_paragraph_dedup" -> 4,   // winner census (min-struct partial agg, NOT a line window) + un-hinted identity join-back + per-doc rebuild agg + sort; the second corpus scan in the census branch is deliberate — re-scanning columnar parquet beats checkpointing a corpus-sized explode (the q86 reasoning)
-      "q147_semantic_decontamination" -> 3, // bounded eval broadcast + per-train argmax window + sort; the corpus never shuffles for scoring
+      "q147_semantic_decontamination" -> 3, // bounded eval broadcast + vec_id max(struct) agg exchange (PARTIAL — map-side combine ships 1 row per train vector, not |eval|; round-11 item 2 retired the window here) + sort
       "q148_zipf_spectrum" -> 3,     // post-checkpoint ≤64-row spectrum (the vocab agg + bucket agg run once, off-plan): 1-row totals agg + its broadcast + sort — ONE corpus scan total
       "q149_ngram_novelty" -> 4,     // h60-hashed gram-winner census (min partial agg, long keys — the q38 lesson) re-aggregated by winner (2) + ONE doc-keyed join-back onto the per-row size(sh) counts (1) + sort (1); no per-doc explode re-aggregation, no gram-level join back to the corpus
       "q150_bpe_lang_fertility" -> 3, // post-checkpoint encoded text (q112's four merge rounds off-plan): doc-keyed census⋈(lang, bytes) join + |langs|-key partial agg + sort
