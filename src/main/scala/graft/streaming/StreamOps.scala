@@ -276,7 +276,18 @@ object StreamOps {
     * an ordered corpus emits identical decisions — the spec proves it
     * across 3 slicings. State per distinct paragraph: ONE boolean (the
     * hash key itself carries the identity) — bounded by the distinct
-    * paragraph count, never by corpus size; text is never held. */
+    * paragraph count, never by corpus size; text is never held.
+    *
+    * The per-batch working set is O(1) too (round-11 advice): the group
+    * handler streams the occurrence iterator ONCE, tracking only the
+    * running-min `(doc_id, pos)` candidate, and emits every displaced
+    * occurrence as a drop the moment a smaller one arrives — a hot
+    * boilerplate paragraph occurring millions of times in one
+    * micro-batch never buffers (the old form's `toSeq.sortBy` held the
+    * whole group). The winner is min(doc_id, pos) — an order-invariant
+    * property of the SET of occurrences — so no sort is needed for the
+    * determinism contract; only the emission ORDER of drop rows varies
+    * with arrival order, which Spark row semantics don't carry. */
   def paragraphDedupStream(docLines: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = docLines.sparkSession
@@ -291,21 +302,48 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rowsIt, state) =>
           val seen = state.getOption.getOrElse(false)
-          val arrivals = rowsIt.toSeq.sortBy(r => (r._1, r._2))
-          val out = arrivals.zipWithIndex.map { case ((d, p, _), i) =>
-            LineDecision(d, p, keep = !seen && i == 0)
-          }
+          // State write-back happens after the output iterator drains
+          // (FlatMapGroupsWithStateExec wraps it in a CompletionIterator),
+          // so updating before returning the lazy iterator is safe.
           state.update(true)
-          out.iterator
+          new Iterator[LineDecision] {
+            private var bestDoc = 0L
+            private var bestPos = 0
+            private var hasBest = false
+            private var emittedBest = false
+            override def hasNext: Boolean =
+              rowsIt.hasNext || (hasBest && !emittedBest)
+            override def next(): LineDecision = {
+              while (rowsIt.hasNext) {
+                val (d, p, _) = rowsIt.next()
+                if (!hasBest) { bestDoc = d; bestPos = p; hasBest = true }
+                else if (d < bestDoc || (d == bestDoc && p < bestPos)) {
+                  val (od, op) = (bestDoc, bestPos)
+                  bestDoc = d; bestPos = p
+                  return LineDecision(od, op, keep = false)
+                } else return LineDecision(d, p, keep = false)
+              }
+              emittedBest = true
+              LineDecision(bestDoc, bestPos, keep = !seen)
+            }
+          }
       }
       .toDF()
   }
 
   final case class BucketEntry(doc_id: Long, sig: Seq[Long])
 
-  /** An emitted near-dup pair event: `agree` of k signature components
-    * equal (estimated Jaccard = agree/k), oriented a < b. */
-  final case class NearDupPair(a: Long, b: Long, agree: Long)
+  /** An emitted near-dup event. `kind = "pair"`: `agree` of k signature
+    * components equal (estimated Jaccard = agree/k), oriented a < b.
+    * `kind = "bucket_overflow"`: the (band, bucket) group hit its member
+    * cap and arrival `a` was NOT admitted to state (b = -1, agree = 0) —
+    * the ingest-side alarm whose (band, bucket, members) columns join
+    * directly against the q84 batch bucket-health readout
+    * ([[graft.operators.DedupOps.lshBucketStats]] keys its occupancy
+    * rows the same way), so a breach points at the exact bucket the
+    * batch audit will show as pathological. */
+  final case class NearDupEvent(kind: String, a: Long, b: Long, agree: Long,
+      band: Int, bucket: Long, members: Long)
 
   /** STREAMING near-duplicate detection at ingest — the question a
     * 100 TB training-data pipeline actually asks continuously: "is this
@@ -332,17 +370,34 @@ object StreamOps {
     * Scale shape: one exchange on (band, bucket); state per bucket is
     * k longs per member — the signatures, NEVER the shingle sets or
     * text (the reason the verify is signature agreement: it is what
-    * bounded state can afford at ingest). Bucket occupancy is the same
-    * quantity [[graft.operators.DedupOps.lshBucketStats]] audits
-    * batch-side; a production deployment adds a GroupStateTimeout to
-    * bound history — documented, not defaulted, because silently
-    * expiring history re-admits duplicates. */
+    * bounded state can afford at ingest) — and CAPPED at
+    * `maxBucketMembers` members (round-11 verdict item 3: without the
+    * cap, one hot boilerplate bucket — the exact skew q84 bucket-health
+    * exists to detect — grows state linearly and per-arrival compare
+    * cost quadratically within that bucket; the batch form prunes the
+    * same skew with its df-cap). An arrival into a full bucket still
+    * compares against the `maxBucketMembers` stored signatures (so it
+    * can pair with the bucket's RESIDENTS — detection degrades
+    * gracefully, it does not go blind) but is not admitted to state,
+    * and one `bucket_overflow` alarm row is emitted per rejected
+    * arrival — overflow volume is countable downstream, and the alarm's
+    * (band, bucket) key joins the q84 readout directly. Stream ≡ batch
+    * pair-set equivalence holds exactly for every bucket that never
+    * overflows (the spec proves both: equivalence under slicing at the
+    * default cap, bounded state + fired alarm on a planted hot bucket).
+    * Bucket occupancy is the same quantity
+    * [[graft.operators.DedupOps.lshBucketStats]] audits batch-side; a
+    * production deployment adds a GroupStateTimeout to bound history —
+    * documented, not defaulted, because silently expiring history
+    * re-admits duplicates. */
   def lshNearDupStream(docs: DataFrame, bands: Int = 4, rows: Int = 4,
-      minAgree: Int = 8): DataFrame = {
+      minAgree: Int = 8, maxBucketMembers: Int = 1024): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val k = bands * rows
     require(minAgree >= 1 && minAgree <= k,
       s"minAgree must be in [1, $k], got $minAgree")
+    require(maxBucketMembers >= 1,
+      s"maxBucketMembers must be >= 1, got $maxBucketMembers")
     val spark = docs.sparkSession
     graft.functions.MinhashSig.register(spark)
     import spark.implicits._
@@ -355,14 +410,15 @@ object StreamOps {
       .select(col("doc_id"), col("e.band"), col("e.bucket"), col("sig"))
       .as[(Long, Int, Long, Seq[Long])]
       .groupByKey { case (_, band, bucket, _) => (band, bucket) }
-      .flatMapGroupsWithState[Seq[BucketEntry], NearDupPair](
+      .flatMapGroupsWithState[Seq[BucketEntry], NearDupEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_, rowsIt, state) =>
+        (key, rowsIt, state) =>
+          val (band, bucket) = key
           val prior = state.getOption.getOrElse(Seq.empty)
           // doc_id order within the batch: deterministic under any
           // batch slicing (see scaladoc)
           val arrivals = rowsIt.toSeq.sortBy(_._1)
-          val out = Seq.newBuilder[NearDupPair]
+          val out = Seq.newBuilder[NearDupEvent]
           var seen = prior
           arrivals.foreach { case (id, _, _, sig) =>
             seen.foreach { e =>
@@ -374,11 +430,14 @@ object StreamOps {
                   j += 1
                 }
                 if (agree >= minAgree)
-                  out += NearDupPair(math.min(e.doc_id, id),
-                    math.max(e.doc_id, id), agree.toLong)
+                  out += NearDupEvent("pair", math.min(e.doc_id, id),
+                    math.max(e.doc_id, id), agree.toLong,
+                    band, bucket, seen.size.toLong)
               }
             }
-            seen = seen :+ BucketEntry(id, sig)
+            if (seen.size < maxBucketMembers) seen = seen :+ BucketEntry(id, sig)
+            else out += NearDupEvent("bucket_overflow", id, -1L, 0L,
+              band, bucket, seen.size.toLong)
           }
           state.update(seen)
           out.result().iterator

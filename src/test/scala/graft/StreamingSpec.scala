@@ -238,6 +238,48 @@ class StreamingSpec extends SparkSpec {
     }, "strangers must not pair with cluster members")
   }
 
+  test("streaming near-dup: hot bucket hits the member cap, alarms fire, state stays bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // five IDENTICAL docs — one signature, so every doc lands in the SAME
+    // (band, bucket) in all 4 bands: the planted boilerplate hot bucket.
+    // cap = 2 → docs 1,2 become residents; 3,4,5 are rejected with one
+    // bucket_overflow alarm per band each, but still PAIR with the
+    // residents (detection degrades gracefully, it does not go blind).
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val srcDir = tmpDir("hotbucket_src")
+    val files = Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L))
+    files.zipWithIndex.foreach { case (ids, f) =>
+      ids.map(id => (id, text)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/stage$f")
+      val part = new java.io.File(s"$srcDir/stage$f").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"docs$f%d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + f * 60000L)
+    }
+    val streamed = StreamOps.lshNearDupStream(
+      StreamOps.documentsStream(spark, srcDir, glob = "docs*.parquet",
+        maxFilesPerTrigger = 1),
+      maxBucketMembers = 2)
+    val got = StreamOps.runAvailableNow(spark, streamed,
+      "t_hotbucket", tmpDir("ckpt"))
+    val alarms = got.filter(col("kind") === "bucket_overflow").collect()
+    // 3 rejected docs × 4 bands — the alarm volume counts the overflow
+    assert(alarms.length === 12, s"expected 12 alarms, got ${alarms.length}")
+    assert(alarms.forall(_.getAs[Long]("members") === 2L),
+      "every alarm must report occupancy AT the cap — state never grew past it")
+    assert(alarms.forall(_.getAs[Long]("b") === -1L))
+    assert(alarms.map(_.getAs[Long]("a")).toSet === Set(3L, 4L, 5L),
+      "exactly the post-cap arrivals are rejected")
+    val pairs = got.filter(col("kind") === "pair")
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 3L), (2L, 4L), (2L, 5L)),
+      "rejected arrivals still pair with the residents; rejected-rejected pairs cannot exist")
+  }
+
   test("streaming paragraph dedup: ordered ingest reproduces the batch winner set") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
