@@ -1219,11 +1219,13 @@ object DedupOps {
           .as("dup_frac"))
   }
 
-  /** Shared front half of the EXACTSUBSTR pair ([[dupSpanStats]],
-    * [[dupSpanExcise]]): tokenized docs plus the flagged (doc_id, pos)
-    * set — every w-token window whose h60 occurs ≥ 2 times corpus-wide,
-    * minus the canonical first occurrence (min (doc_id, pos)). */
-  private def dupFlaggedWindows(
+  /** Shared tokenize-and-hash front of every windowed excision entry
+    * point ([[dupSpanStats]], [[dupSpanExcise]], [[decontaminateExcise]]
+    * — round-11 advice: the latter had this frame duplicated verbatim):
+    * `toks` = (doc_id, n_tokens, tk); `wins` = one (doc_id, pos, h) row
+    * per w-token window, h60-hashed AT the explode (the q38 discipline —
+    * raw window strings never reach an exchange). */
+  private def hashedWindows(
       documents: DataFrame, w: Int): (DataFrame, DataFrame) = {
     require(w >= 2, s"w must be >= 2, got $w")
     graft.functions.H60Hash.register(documents.sparkSession)
@@ -1234,6 +1236,16 @@ object DedupOps {
       .select(col("doc_id"), posexplode(expr(s"ngram_shingles(tk, $w)")).as(Seq("p0", "win")))
       .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"),
         expr(h60x("win")).as("h"))
+    (toks, wins)
+  }
+
+  /** Shared front half of the EXACTSUBSTR pair ([[dupSpanStats]],
+    * [[dupSpanExcise]]): tokenized docs plus the flagged (doc_id, pos)
+    * set — every w-token window whose h60 occurs ≥ 2 times corpus-wide,
+    * minus the canonical first occurrence (min (doc_id, pos)). */
+  private def dupFlaggedWindows(
+      documents: DataFrame, w: Int): (DataFrame, DataFrame) = {
+    val (toks, wins) = hashedWindows(documents, w)
     val census = wins.groupBy("h").agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("canon"))
@@ -1317,19 +1329,9 @@ object DedupOps {
     * reassembly). Nothing quadratic, no corpus self-join at all. */
   def decontaminateExcise(corpus: DataFrame, probes: DataFrame,
       w: Int = 10): DataFrame = {
-    require(w >= 2, s"w must be >= 2, got $w")
-    graft.functions.H60Hash.register(corpus.sparkSession)
-    graft.functions.NgramShingles.register(corpus.sparkSession)
-    val toks = TextOps.tokenized(corpus)
-      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk"))
-    val probeH = TextOps.tokenized(probes)
-      .select(explode(expr(s"ngram_shingles(tk, $w)")).as("win"))
-      .select(expr(TextOps.h60x("win")).as("h"))
-      .distinct()
-    val flagged = toks
-      .select(col("doc_id"), posexplode(expr(s"ngram_shingles(tk, $w)")).as(Seq("p0", "win")))
-      .select(col("doc_id"), (col("p0") + 1L).cast("long").as("pos"),
-        expr(TextOps.h60x("win")).as("h"))
+    val (toks, wins) = hashedWindows(corpus, w)
+    val probeH = hashedWindows(probes, w)._2.select("h").distinct()
+    val flagged = wins
       .join(broadcast(probeH), Seq("h"), "left_semi")
       .select("doc_id", "pos")
     exciseFlagged(toks, flagged, w)

@@ -1344,8 +1344,14 @@ object TextOps {
         sum(col("n_symbols")).as("n_symbols"),
         sum(col("n_merged")).as("n_merged"),
         sum(col("n_bytes")).as("n_bytes"))
-      .withColumn("compression_ppm", expr("n_symbols * 1000000L div n_tokens"))
-      .withColumn("bytes_per_symbol_ppm", expr("n_bytes * 1000000L div n_symbols"))
+      // zero guards (round-11 advice): a degenerate language partition of
+      // symbol-free docs makes Spark's `div` yield NULL while the DuckDB
+      // oracle's `//` errors — the explicit 0 branch keeps both engines on
+      // one defined value (the ngramNovelty n_grams = 0 pattern).
+      .withColumn("compression_ppm", expr(
+        "CASE WHEN n_tokens = 0L THEN 0L ELSE n_symbols * 1000000L div n_tokens END"))
+      .withColumn("bytes_per_symbol_ppm", expr(
+        "CASE WHEN n_symbols = 0L THEN 0L ELSE n_bytes * 1000000L div n_symbols END"))
   }
 
   /** Encoding-quality flags: the byte-level hygiene pass a crawl corpus

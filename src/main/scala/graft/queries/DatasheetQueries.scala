@@ -159,10 +159,14 @@ object DatasheetQueries {
          |  CAST(sum(e.n_symbols) AS BIGINT) AS n_symbols,
          |  CAST(sum(e.n_merged) AS BIGINT) AS n_merged,
          |  CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS n_bytes,
-         |  (CAST(sum(e.n_symbols) AS BIGINT) * 1000000)
-         |    // CAST(sum(e.n_tokens) AS BIGINT) AS compression_ppm,
-         |  (CAST(sum(octet_length(encode(d.text))) AS BIGINT) * 1000000)
-         |    // CAST(sum(e.n_symbols) AS BIGINT) AS bytes_per_symbol_ppm
+         |  CASE WHEN CAST(sum(e.n_tokens) AS BIGINT) = 0 THEN 0
+         |       ELSE (CAST(sum(e.n_symbols) AS BIGINT) * 1000000)
+         |            // CAST(sum(e.n_tokens) AS BIGINT)
+         |  END::BIGINT AS compression_ppm,
+         |  CASE WHEN CAST(sum(e.n_symbols) AS BIGINT) = 0 THEN 0
+         |       ELSE (CAST(sum(octet_length(encode(d.text))) AS BIGINT) * 1000000)
+         |            // CAST(sum(e.n_symbols) AS BIGINT)
+         |  END::BIGINT AS bytes_per_symbol_ppm
          |FROM (${CorpusQueries.bpeCte(4, applyAll = true)}) e
          |JOIN documents d ON d.doc_id = e.doc_id
          |GROUP BY 1 ORDER BY 1""",
