@@ -170,7 +170,25 @@ object LangScores {
     "cs" -> Seq("a", "na", "je", "v", "že", "s", "z", "do", "to", "o",
       "i", "k", "ale", "po", "tak", "už", "si", "za", "se", "co"),
     "sk" -> Seq("a", "na", "je", "v", "že", "s", "z", "do", "to", "o",
-      "i", "k", "ale", "po", "tak", "už", "si", "za", "sa", "čo"))
+      "i", "k", "ale", "po", "tak", "už", "si", "za", "sa", "čo"),
+    // round-12 sixth inseparable pair: Bulgarian vs Macedonian — the
+    // first Cyrillic-script pair through the registry. 13 of these 20
+    // function-word forms are IDENTICAL Cyrillic strings (на/и/да/се/е/
+    // за/не/а/по/но/го/му/ли, public knowledge: any bg or mk frequency
+    // list); the divergent forms (в↔во, от↔од, че↔дека, с↔со, ще↔ќе,
+    // като↔како, това↔тоа) often miss in short documents, so the vote
+    // dead-ties and profile order would call everything 'bg'. The
+    // orthography census ([[graft.operators.TextOps.bgMkOrtho]]:
+    // letters the other alphabet simply does not have — bg ъ/щ/ю/я vs
+    // mk ќ/ѓ/љ/њ/џ/ѕ) separates them. NOTE these are Cyrillic
+    // codepoints throughout — no collision with the Latin profiles'
+    // a/i/za strings (U+0430 ≠ U+0061). Appended at the END, same
+    // discipline as the five earlier pairs.
+    "bg" -> Seq("на", "и", "в", "да", "се", "е", "за", "не", "от", "че",
+      "с", "а", "ще", "по", "като", "но", "го", "му", "това", "ли"),
+    "mk" -> Seq("на", "и", "во", "да", "се", "е", "за", "не", "од",
+      "дека", "со", "а", "ќе", "по", "како", "но", "го", "му", "тоа",
+      "ли"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode

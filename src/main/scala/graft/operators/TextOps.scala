@@ -210,12 +210,24 @@ object TextOps {
     "cs" -> Seq("ř", "ě", "ů"),
     "sk" -> Seq("ľ", "ô", "ä"))
 
+  /** bg/mk census (round 12, the first Cyrillic pair): the cs/sk
+    * construction — letters the OTHER alphabet simply does not have.
+    * The Bulgarian alphabet has ъ (a full vowel), щ, ю, я; the
+    * Macedonian alphabet dropped all four and instead has the six
+    * letters ќ, ѓ, љ, њ, џ, ѕ, none of which Bulgarian uses (public
+    * knowledge: the two alphabets' letter inventories). Single
+    * Cyrillic codepoints, counted by the same replace-chain as every
+    * other pair — and immune to Latin base text by script alone. */
+  val bgMkOrtho: Seq[(String, Seq[String])] = Seq(
+    "bg" -> Seq("ъ", "щ", "ю", "я"),
+    "mk" -> Seq("ќ", "ѓ", "љ", "њ", "џ", "ѕ"))
+
   /** The margin-gated orthography pairs [[langScoredOrtho]] applies, in
     * application order. Each entry: (langA, patternsA, langB, patternsB)
     * with A the earlier profile (the tie-break winner the fallback
     * corrects). */
   val orthoPairs: Seq[(Seq[(String, Seq[String])])] =
-    Seq(daNbOrtho, ptGlOrtho, hrSrOrtho, msIdOrtho, csSkOrtho)
+    Seq(daNbOrtho, ptGlOrtho, hrSrOrtho, msIdOrtho, csSkOrtho, bgMkOrtho)
 
   /** DuckDB CTE chain applying EVERY registered pair rewrite in
     * [[orthoPairs]] order — the oracle-side mirror of

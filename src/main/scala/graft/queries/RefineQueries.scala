@@ -1139,6 +1139,56 @@ object RefineQueries {
       graft.operators.TextOps.langScoredOrtho(aug)
         .select("doc_id", "s_cs", "s_sk", "t_cs", "t_sk", "lang_guess")
         .orderBy("doc_id")
+    },
+
+    // bg/mk — the sixth function-word-inseparable pair and the first
+    // CYRILLIC one, still pure registry data (two appended profiles +
+    // one pattern list in TextOps.bgMkOrtho, zero new machinery — the
+    // claim the five earlier pairs keep proving). Snippets use only
+    // function words bg and mk share as identical Cyrillic strings
+    // (на/и/е/се/за/но/му here — в/во, от/од, ще/ќе, the divergent
+    // forms, deliberately absent), so s_bg == s_mk dead-ties; content
+    // words differ only in the letters the other alphabet does not
+    // have (bg ъ/щ/ю/я vs mk ќ/ѓ/љ/ѕ). The oracle's rewrite chain
+    // regenerates from the same orthoRewriteCtes registry fold.
+    oracle(
+      "q152_bgmk_langid",
+      {
+        val scoreCols = graft.operators.TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val lowSrc = "(' ' || lower(coalesce(text, '')) || ' ')"
+        val censuses = graft.operators.TextOps.orthoPairs.flatten.map {
+          case (lang, pats) =>
+            s"${graft.operators.TextOps.orthoCountSql(lowSrc, pats)} AS t_$lang"
+        }.mkString(",\n  ")
+        val (chain, last) = graft.operators.TextOps.orthoRewriteCtes(2)
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % 9 = 2 THEN ' $bgSnippet $bgSnippet'
+           |         WHEN doc_id % 9 = 3 THEN ' $mkSnippet $mkSnippet'
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $scoreCols,
+           |  $censuses
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
+           |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
+           |      FROM sc),
+           |$chain
+           |SELECT doc_id, s_bg, s_mk, t_bg, t_mk, lang_guess
+           |FROM $last ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: bg/mk lang-ID via the orthography-pair registry (first Cyrillic pair)") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 2, lit(s" $bgSnippet $bgSnippet"))
+          .when(col("doc_id") % 9 === 3, lit(s" $mkSnippet $mkSnippet"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.langScoredOrtho(aug)
+        .select("doc_id", "s_bg", "s_mk", "t_bg", "t_mk", "lang_guess")
+        .orderBy("doc_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical
@@ -1181,6 +1231,16 @@ object RefineQueries {
     "řeka a měsíc je tady už v zimě ale vůně dřeva je tak dobrá že si to pamatuji"
   private[queries] lazy val skSnippet =
     "rieka a mesiac je tu už v zime ale vôňa dreva je tak dobrá že si to pamätám ľudia"
+
+  /** The bg/mk inseparable pair for q152, same construction: every
+    * function word in both snippets is one of the 13 SHARED Cyrillic
+    * forms (на/и/е/се/за/но/му — a dead tie by construction); the
+    * content words differ only in the letters the other alphabet does
+    * not have (bg ъ/щ/ю/я vs mk ќ/ѓ/љ/ѕ). */
+  private[queries] lazy val bgSnippet =
+    "пътят на съня е дълъг и нощта е тъмна но язовирът се пълни за бъдещето му"
+  private[queries] lazy val mkSnippet =
+    "куќата на луѓето е убава и ноќта е мирна но ѕвездата се гледа за љубовта му"
 
   /** Planted Unicode fixtures for q141: the decomposed form (combining
     * marks U+0301/U+0308, which NFC composes, plus o + U+030A which has

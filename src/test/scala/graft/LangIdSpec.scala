@@ -249,6 +249,45 @@ class LangIdSpec extends SparkSpec {
     assert(rows(131L) === ((0L, 4L)))
   }
 
+  test("bg/mk: vote dead-ties, first Cyrillic registry pair separates via exclusive letters (round 12)") {
+    // only shared Cyrillic function-word forms (в/во, от/од, ще/ќе,
+    // като/како absent) → s_bg == s_mk; content words differ solely in
+    // the letters the other alphabet does not have (ъ/щ/ю/я vs ќ/ѓ/љ/ѕ)
+    val bg = 140L -> "пътят на съня е дълъг и нощта е тъмна но язовирът се пълни за бъдещето му"
+    val mk = 141L -> "куќата на луѓето е убава и ноќта е мирна но ѕвездата се гледа за љубовта му"
+    val voteOnly = guess(Seq(bg, mk))
+    assert(voteOnly === Map(140L -> "bg", 141L -> "bg")) // profile order alone: both 'bg'
+    val scores = TextOps.langScored(Seq(bg, mk).toDF("doc_id", "text"))
+      .select("doc_id", "s_bg", "s_mk").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scores(140L)._1 === scores(140L)._2) // dead tie on the bg doc
+    assert(scores(141L)._1 === scores(141L)._2) // and on the mk doc
+    val fixtures = Seq(bg, mk,
+      // composition: every earlier pair must still fire with bg/mk registered
+      142L -> "řeka a měsíc je tady už v zimě ale vůně dřeva je tak dobrá že si to pamatuji",
+      143L -> "rijeka je lijepa i vrijeme je uvijek dobro za mlijeko ali ne za kruh",
+      // controls: non-pair guesses stay untouched by the sixth rewrite
+      144L -> "the cat sat on the mat and it was pleased with the result of this",
+      145L -> "el perro corre por la calle y los gatos se esconden en una casa del pueblo")
+    val got = TextOps.langScoredOrtho(fixtures.toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(140L -> "bg", 141L -> "mk", 142L -> "cs",
+      143L -> "hr", 144L -> "en", 145L -> "es"))
+  }
+
+  test("bg/mk: census sides are blind to each other's letters and to Latin text") {
+    val rows = TextOps.langScoredOrtho(Seq(
+      150L -> "пътят нощта язовирът бъдещето юли ясно", // ъ×3 щ×2 ю×1 я×3 — no mk letters
+      151L -> "куќата луѓето љубовта ѕвезда џеб њива", // ќ ѓ љ ѕ џ њ — no bg letters
+      152L -> "plain english text with no cyrillic at all").toDF("doc_id", "text")
+      ).select("doc_id", "t_bg", "t_mk").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(150L) === ((9L, 0L)))
+    assert(rows(151L) === ((0L, 6L)))
+    assert(rows(152L) === ((0L, 0L)))
+  }
+
   test("pt/gl: orthography counts are clean of English base-text bigrams") {
     // 'small'/'all' must not feed t_gl (the llo-not-ll pattern choice)
     val row = TextOps.langScoredOrtho(Seq(
