@@ -137,7 +137,12 @@ object ScaleSmoke {
     // expanded-state budget instead (it also disables parallelismFirst,
     // which otherwise ignores the advisory) — the same tuning a real
     // cluster applies to any shuffle feeding a state-expanding
-    // operator.
+    // operator. State-expanding aggregates in this suite that warrant
+    // it at ≥100×: q52's doc assembly (the case above) and q146's
+    // corpus-rewrite aggregate (per-doc sorted_multi_concat of every
+    // kept line — its ×3.1 per-row CPU at 100× IS the rebuild payload,
+    // and the same 8 MB advisory keeps its post-shuffle partitions
+    // sized to the expanded state; 100× record in BENCH_NOTES).
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB")
     // The sort-based fallback is ObjectHashAggregate's ONLY memory

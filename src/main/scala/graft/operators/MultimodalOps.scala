@@ -94,6 +94,141 @@ object MultimodalOps {
     }
   }
 
+  /** REAL JPEG2000 header probe (round-11 stretch): the JDK ships no
+    * JP2 codec and this container can resolve no external one, but a
+    * PROBE never needed one — dimensions, component count, bit depth
+    * and decomposition levels all live in uncompressed header
+    * structures whose layout is public (ISO/IEC 15444-1: the JP2 box
+    * tree `signature → jp2h → ihdr`, and the codestream's SIZ / COD
+    * marker segments). This parser walks exactly those structures and
+    * stops at the first tile-part (SOT/SOD) — entropy-coded data is
+    * never touched, which is the same only-the-header contract as the
+    * reference's PIL probe (`bin/main.py:300-306`). Accepts both the
+    * JP2 container and a bare JPEG 2000 codestream. The ENCODE side
+    * (`kdu_compress`'s rate ladder, `bin/main.py:386-405`) remains the
+    * one documented stub — that genuinely requires a codec. */
+  object Jp2HeaderProbe {
+    /** Parsed JP2 header facts. `levels` = COD's decomposition-level
+      * count (the resolution ladder [[withJp2Levels]] PLANS on the
+      * encode side; here it is read back from the file). */
+    final case class Jp2Info(width: Int, height: Int, components: Int,
+        bits: Int, levels: Int)
+
+    private val Jp2Signature: Array[Byte] = Array(
+      0x00, 0x00, 0x00, 0x0c, 0x6a, 0x50, 0x20, 0x20,
+      0x0d, 0x0a, 0x87, 0x0a).map(_.toByte)
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    def isJp2Container(b: Array[Byte]): Boolean =
+      b.length >= 12 && b.take(12).sameElements(Jp2Signature)
+    def isRawCodestream(b: Array[Byte]): Boolean =
+      b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0x4f
+
+    /** SIZ (FF51) + COD (FF52) walk over a codestream starting at
+      * `off` (SOC). Returns None on any malformed/truncated structure —
+      * a probe must classify, never throw on hostile bytes. */
+    private def parseCodestream(b: Array[Byte], off: Int): Option[Jp2Info] = {
+      var i = off
+      if (i + 2 > b.length || (b(i) & 0xff) != 0xff || (b(i + 1) & 0xff) != 0x4f)
+        return None
+      i += 2 // SOC is a lone marker, no segment length
+      var w, h, nc, bits = -1
+      var levels = -1
+      while (i + 4 <= b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        val marker = b(i + 1) & 0xff
+        if (marker == 0x90 || marker == 0x93 || marker == 0xd9) { // SOT/SOD/EOC: header over
+          return if (w >= 0) Some(Jp2Info(w, h, nc, bits, math.max(levels, 0)))
+          else None
+        }
+        val len = u16(b, i + 2) // includes the 2 length bytes, not the marker
+        if (len < 2 || i + 2 + len > b.length) return None
+        marker match {
+          case 0x51 => // SIZ: Rsiz, Xsiz, Ysiz, XOsiz, YOsiz, 4 tile fields, Csiz, Ssiz…
+            val p = i + 4
+            if (len < 38) return None
+            w = (u32(b, p + 2) - u32(b, p + 10)).toInt  // Xsiz − XOsiz
+            h = (u32(b, p + 6) - u32(b, p + 14)).toInt  // Ysiz − YOsiz
+            nc = u16(b, p + 34)
+            if (len >= 41) bits = (b(p + 36) & 0x7f) + 1 // component 0 Ssiz
+          case 0x52 => // COD: Scod, SGcod(4), SPcod[0] = decomposition levels
+            val p = i + 4
+            if (len < 8) return None
+            levels = b(p + 5) & 0xff
+          case _ => () // COM, QCD, … — skip
+        }
+        i += 2 + len
+      }
+      if (w >= 0) Some(Jp2Info(w, h, nc, bits, math.max(levels, 0))) else None
+    }
+
+    /** JP2 box walk: find `jp2c` (contiguous codestream) and parse it;
+      * fall back to `jp2h → ihdr` (geometry only, levels 0) when the
+      * codestream is absent/garbled but the header box is intact. */
+    private def parseContainer(b: Array[Byte]): Option[Jp2Info] = {
+      var i = 0
+      var ihdr: Option[Jp2Info] = None
+      while (i + 8 <= b.length) {
+        val lbox = u32(b, i)
+        val tbox = new String(b.slice(i + 4, i + 8), "US-ASCII")
+        val (payload, boxEnd) =
+          if (lbox == 0L) (i + 8, b.length.toLong) // box runs to EOF
+          else if (lbox == 1L) {
+            if (i + 16 > b.length) return ihdr
+            // XLBox: 64-bit length; headers this parser reads never need it
+            val xl = (u32(b, i + 8) << 32) | u32(b, i + 12)
+            (i + 16, i + xl)
+          } else (i + 8, i + lbox)
+        if (boxEnd > b.length || boxEnd <= i) return ihdr
+        tbox match {
+          case "jp2c" =>
+            val cs = parseCodestream(b, payload)
+            if (cs.isDefined) return cs
+          case "jp2h" =>
+            // sub-box walk inside the header superbox for ihdr
+            var j = payload
+            while (j + 8 <= boxEnd.toInt) {
+              val sl = u32(b, j)
+              val st = new String(b.slice(j + 4, j + 8), "US-ASCII")
+              if (st == "ihdr" && sl >= 22 && j + sl <= b.length) {
+                val p = j + 8
+                ihdr = Some(Jp2Info(u32(b, p + 4).toInt, u32(b, p).toInt,
+                  u16(b, p + 8), (b(p + 10) & 0x7f) + 1, 0))
+              }
+              if (sl < 8) j = boxEnd.toInt else j += sl.toInt
+            }
+          case _ => ()
+        }
+        i = boxEnd.toInt
+      }
+      ihdr
+    }
+
+    def probe(content: Array[Byte]): Option[Jp2Info] =
+      if (isJp2Container(content)) parseContainer(content)
+      else if (isRawCodestream(content)) parseCodestream(content, 0)
+      else None
+  }
+
+  /** [[ImageIoAdapter]] + JPEG2000: payloads carrying the JP2 signature
+    * or a bare codestream SOC probe through [[Jp2HeaderProbe]] (real
+    * header parse, no codec); everything else falls through to the JDK
+    * readers. This retires the probe half of the JP2 stub — only the
+    * ENCODE ladder still stubs. */
+  object Jp2AwareAdapter extends ImageAdapter {
+    def probe(path: String, content: Array[Byte]): (String, Int, Int, Int) =
+      Jp2HeaderProbe.probe(content) match {
+        case Some(info) =>
+          ("image/jp2", info.width, info.height, info.bits * info.components)
+        case None => ImageIoAdapter.probe(path, content)
+      }
+  }
+
   /** Probe a binaryFile listing (path, content, length) into typed
     * metadata rows. Partition-parallel; the adapter initializes once per
     * partition. SHA-1 checksum mirrors `bin/dao.py:12-17` (A6). */

@@ -561,4 +561,92 @@ class MultimodalIoSpec extends SparkSpec {
       MultimodalOps.WavAudioAdapter.probe("f.wav", bad)
     }
   }
+
+  // ---- JPEG2000 header probe (round-12: the probe half of the JP2
+  // stub retired — ISO/IEC 15444-1 header structures parsed directly,
+  // no codec; the encode ladder remains the one documented stub) ----
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Genuine minimal JPEG 2000 codestream HEADER: SOC, SIZ (one
+    * component, no tiling offsets), COD (5 decomposition levels), EOC.
+    * Every field per the public marker layout — a conforming decoder
+    * would accept this header and then fail only at the missing
+    * entropy data, which a probe never reads. */
+  private def j2kCodestream(w: Int, h: Int, levels: Int, bits: Int): Array[Byte] = {
+    val siz = be16(41) ++ be16(0) ++ be32(w) ++ be32(h) ++ be32(0) ++ be32(0) ++
+      be32(w) ++ be32(h) ++ be32(0) ++ be32(0) ++ be16(1) ++
+      Array((bits - 1).toByte, 1.toByte, 1.toByte)
+    val cod = be16(12) ++ Array(0.toByte, 0.toByte) ++ be16(1) ++
+      Array(0.toByte, levels.toByte, 4.toByte, 4.toByte, 0.toByte, 0.toByte)
+    Array(0xff.toByte, 0x4f.toByte) ++            // SOC
+      Array(0xff.toByte, 0x51.toByte) ++ siz ++   // SIZ
+      Array(0xff.toByte, 0x52.toByte) ++ cod ++   // COD
+      Array(0xff.toByte, 0xd9.toByte)             // EOC
+  }
+
+  private def jp2Box(tag: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ tag.getBytes("US-ASCII") ++ payload
+
+  /** Genuine minimal JP2 container: signature box, ftyp, jp2h(ihdr +
+    * colr), jp2c wrapping the codestream above. */
+  private def jp2File(w: Int, h: Int, levels: Int, bits: Int): Array[Byte] = {
+    val sig = be32(12) ++ "jP  ".getBytes("US-ASCII") ++
+      Array(0x0d.toByte, 0x0a.toByte, 0x87.toByte, 0x0a.toByte)
+    val ftyp = jp2Box("ftyp", "jp2 ".getBytes("US-ASCII") ++
+      be32(0) ++ "jp2 ".getBytes("US-ASCII"))
+    val ihdr = jp2Box("ihdr", be32(h) ++ be32(w) ++ be16(1) ++
+      Array((bits - 1).toByte, 7.toByte, 0.toByte, 0.toByte))
+    val colr = jp2Box("colr", Array(1.toByte, 0.toByte, 0.toByte) ++ be32(17))
+    val jp2h = jp2Box("jp2h", ihdr ++ colr)
+    val jp2c = jp2Box("jp2c", j2kCodestream(w, h, levels, bits))
+    sig ++ ftyp ++ jp2h ++ jp2c
+  }
+
+  test("Jp2HeaderProbe reads dimensions, depth and levels from a genuine JP2 container") {
+    val info = MultimodalOps.Jp2HeaderProbe.probe(jp2File(2480, 3508, 5, 8))
+    assert(info === Some(MultimodalOps.Jp2HeaderProbe.Jp2Info(2480, 3508, 1, 8, 5)))
+  }
+
+  test("Jp2HeaderProbe reads a bare J2K codestream (no container)") {
+    val info = MultimodalOps.Jp2HeaderProbe.probe(j2kCodestream(640, 480, 3, 12))
+    assert(info === Some(MultimodalOps.Jp2HeaderProbe.Jp2Info(640, 480, 1, 12, 3)))
+  }
+
+  test("Jp2HeaderProbe refuses hostile bytes instead of misparsing") {
+    // truncated mid-SIZ: length field points past the payload
+    val trunc = j2kCodestream(640, 480, 3, 8).take(20)
+    assert(MultimodalOps.Jp2HeaderProbe.probe(trunc) === None)
+    // not JP2 at all
+    assert(MultimodalOps.Jp2HeaderProbe.probe(imageBytes("png", 8, 8)) === None)
+    // container whose jp2c is garbled but whose ihdr is intact:
+    // geometry-only fallback (levels 0)
+    val garbled = jp2File(100, 50, 5, 8)
+    val csStart = garbled.length - j2kCodestream(100, 50, 5, 8).length
+    garbled(csStart) = 0x00 // destroy SOC
+    assert(MultimodalOps.Jp2HeaderProbe.probe(garbled) ===
+      Some(MultimodalOps.Jp2HeaderProbe.Jp2Info(100, 50, 1, 8, 0)))
+  }
+
+  test("Jp2AwareAdapter routes JP2 to the header probe and PNG to the JDK readers") {
+    val (mime, w, h, bits) =
+      MultimodalOps.Jp2AwareAdapter.probe("x.jp2", jp2File(300, 200, 5, 8))
+    assert((mime, w, h, bits) === (("image/jp2", 300, 200, 8)))
+    val (pm, pw, ph, _) =
+      MultimodalOps.Jp2AwareAdapter.probe("x.png", imageBytes("png", 32, 16))
+    assert((pm, pw, ph) === (("image/png", 32, 16)))
+    // probeMedia end-to-end through the partition-parallel plumbing
+    val files = Seq(
+      ("a.jp2", jp2File(300, 200, 5, 8), jp2File(300, 200, 5, 8).length.toLong),
+      ("b.png", imageBytes("png", 32, 16), imageBytes("png", 32, 16).length.toLong)
+    ).toDF("path", "content", "length")
+    val metas = MultimodalOps.probeMedia(files, MultimodalOps.Jp2AwareAdapter)
+      .collect().map(m => m.path -> ((m.mimetype, m.width, m.height))).toMap
+    assert(metas("a.jp2") === (("image/jp2", 300, 200)))
+    assert(metas("b.png") === (("image/png", 32, 16)))
+  }
 }
