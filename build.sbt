@@ -69,6 +69,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // address space only; it costs nothing when unused (Q52Profile now
   // records per-rep occupancy — codeCacheMB — so a fill shows itself).
   "-XX:ReservedCodeCacheSize=2g",
+  // Round 12: the residual intermittent inflation — one random query per
+  // long session at ~10x task CPU with ZERO gc delta, ~zero load, and no
+  // new codegen classes (r12 run2: q09 task 2->21 s, q149 0.6->7.2 s;
+  // the SAME queries flat in run1 and in isolation, while run1 instead
+  // drew q101/q102) — matches HotSpot's per-method recompilation cutoff:
+  // a generated method that deoptimizes repeatedly (profile-polluted
+  // branches across 150 different plans hitting shared runtime helpers)
+  // gets marked not-compilable and runs INTERPRETED for the rest of the
+  // session. The cutoffs exist to stop deopt loops, not to save memory;
+  // -1 disables them so a hot method can always recompile. Product
+  // flags, JDK 17.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
   // Round-8 q52 root cause (profiles/q52_r8_{inbench,g1_cleanblocks,
   // parallelgc}.jsonl): under the default G1, a long-lived session that
   // has already run the other 130 registered plans inflates the

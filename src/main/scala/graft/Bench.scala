@@ -94,9 +94,17 @@ object Bench {
         .map(_.getUsage.getUsed / 1048576.0).sum
     def sysLoad(): Double =
       ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // Janino codegen class count: a rep that recompiles its generated
+    // code shows a POSITIVE delta; the interpreter-multiplier signature
+    // is the opposite — CPU x10 with ZERO new classes (and the flags
+    // build.sbt pins against it: PerMethodRecompilationCutoff=-1).
+    def cgClasses(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_SOURCE_CODE_SIZE.getCount
 
     final case class Rep(wall: Double, taskSec: Double, cpuSec: Double,
-      gcSec: Double, jitSec: Double, codeMb: Double, load: Double)
+      gcSec: Double, jitSec: Double, codeMb: Double, load: Double,
+      cgNew: Long)
     final case class QRes(name: String, first: Rep, steady: Seq[Rep]) {
       private def med(xs: Seq[Double]): Double =
         if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
@@ -122,7 +130,7 @@ object Bench {
         // collection runs BEFORE t0, so timings exclude it symmetrically.
         System.gc()
         runMs.set(0L); cpuMs.set(0L)
-        val gc0 = gcMillis(); val jit0 = jitCompileMs()
+        val gc0 = gcMillis(); val jit0 = jitCompileMs(); val cg0 = cgClasses()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -133,10 +141,10 @@ object Bench {
           Thread.sleep(300) // listener-bus settle before counter snapshot
           Some(Rep(wall, runMs.get / 1000.0, cpuMs.get / 1000.0,
             (gcMillis() - gc0) / 1000.0, (jitCompileMs() - jit0) / 1000.0,
-            codeCacheMb(), sysLoad()))
+            codeCacheMb(), sysLoad(), cgClasses() - cg0))
         }
       }
-      val first = timed().getOrElse(Rep(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0))
+      val first = timed().getOrElse(Rep(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1L))
       val steady =
         if (first.wall < 0) Seq.empty[Rep]
         else (1 to reps).flatMap(_ => timed())
@@ -199,7 +207,7 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LINE.json"), fullLine + "\n")
     def repArr(rs: Seq[Rep]): String =
       rs.map(r => s"[${r.wall},${r.taskSec},${r.cpuSec},${r.gcSec},${r.jitSec}," +
-        s"${d2(r.codeMb)},${d2(r.load)}]").mkString("[", ",", "]")
+        s"${d2(r.codeMb)},${d2(r.load)},${r.cgNew}]").mkString("[", ",", "]")
     val fullRows = results.map { r =>
       s""""${r.name}":{"first":${repArr(Seq(r.first))},"steady":${repArr(r.steady)},""" +
         s""""steadyWallMed":${r.steadyWallMed},"steadyWallMin":${r.steadyWallMin},""" +
@@ -209,7 +217,7 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
         s""""steady_total":$steadyTotal,"task_total":$taskTotal,$envStamp,""" +
-        s""""rep_shape":"[wallSec,taskSec,cpuSec,gcSec,jitCompileSec,codeCacheMB,sysLoad1m]",""" +
+        s""""rep_shape":"[wallSec,taskSec,cpuSec,gcSec,jitCompileSec,codeCacheMB,sysLoad1m,codegenNewClasses]",""" +
         s""""per_query":$fullRows}\n""")
     // Leading newline: if a log line on the merged capture was written
     // without its terminator just before us, the JSON still starts at

@@ -326,6 +326,27 @@ object MultimodalOps {
       }
   }
 
+  /** ICC color-profile ASSIGNMENT (round-11 missing item 2): the
+    * reference's convert stage tags every derivative with a profile by
+    * bit depth — 24-bit color gets `sRGB.icc`, everything else is
+    * forced to 8-bit and gets `gray22.icc` (`bin/main.py:310-311`; the
+    * profiles ship in its `lib/`). This operator reproduces that
+    * DECISION as metadata columns (`color_profile`, `convert_depth`) so
+    * a downstream encoder applies the right profile per row.
+    * Assignment is metadata routing and belongs in the plan;
+    * CONVERSION (rendering pixels through the profile) is codec work
+    * that lives behind [[ImageTransform]] with the encode ladder —
+    * `java.awt.color.ICC_Profile` can load the bytes on a real
+    * cluster, but the JDK PNG writer does not embed profiles, so the
+    * transform adapters here preserve geometry and quality parameters,
+    * not profile rendering. */
+  def withColorProfile(meta: DataFrame): DataFrame =
+    meta
+      .withColumn("color_profile",
+        when(col("bits") === 24, lit("sRGB.icc")).otherwise(lit("gray22.icc")))
+      .withColumn("convert_depth",
+        when(col("bits") === 24, lit(null).cast("int")).otherwise(lit(8)))
+
   /** One perceptual hash row: the [[imageDHash]] output shape. */
   final case class ImagePHash(doc_id: Long, phash: Long)
 

@@ -86,6 +86,18 @@ class DocOpsSpec extends SparkSpec {
     assert(got.getLong(1) === 6L)
   }
 
+  test("withColorProfile routes bits to the reference's ICC assignment (main.py:310-311)") {
+    val meta = Seq((24, "c.tif"), (8, "g.tif"), (1, "b.pbm"))
+      .toDF("bits", "path")
+    val got = MultimodalOps.withColorProfile(meta)
+      .select("path", "color_profile", "convert_depth").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))))
+      .toMap
+    assert(got("c.tif") === (("sRGB.icc", -1)))   // 24-bit color: sRGB, depth untouched
+    assert(got("g.tif") === (("gray22.icc", 8)))  // everything else: -depth 8 -profile gray22
+    assert(got("b.pbm") === (("gray22.icc", 8)))
+  }
+
   test("resizeToTarget keeps aspect ratio and hits the F17 target (stub codec)") {
     val media = Seq(
       ("/s/a.tif", Array.fill[Byte](4000)(7), 3247, 1100),
