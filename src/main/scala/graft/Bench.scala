@@ -124,10 +124,21 @@ object Bench {
     // expression-heavy queries). A query that throws records -1.0.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timed(): Option[Rep] = {
-        // start every timed run from a collected heap: without this, a
-        // payload query's run inherits its predecessor's multi-GB garbage
-        // and pays someone else's full GC inside the timer. The
-        // collection runs BEFORE t0, so timings exclude it symmetrically.
+        // start every timed run from a collected heap AND an empty block
+        // manager: without the gc, a payload query's run inherits its
+        // predecessor's multi-GB garbage and pays someone else's full GC
+        // inside the timer; without the unpersist, every localCheckpoint
+        // the previous rep/query materialized stays pinned until the
+        // ContextCleaner gets to it — and that asynchronous block removal
+        // then runs INSIDE the next timed window (r12 run3: q120's three
+        // steady reps read 1.4 -> 3.8 -> 11.8 s, zero gc, zero new codegen
+        // classes — the progressive signature of its own two checkpoints
+        // per rep accumulating). Both run BEFORE t0, excluded
+        // symmetrically; a per-job cluster gives every query exactly this
+        // (an empty block manager), so the cleanup matches the deployment
+        // premise rather than flattering it.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         runMs.set(0L); cpuMs.set(0L)
         val gc0 = gcMillis(); val jit0 = jitCompileMs(); val cg0 = cgClasses()
