@@ -1535,4 +1535,74 @@ object TextOps {
       .withColumn("novelty_ppm", expr(
         "CASE WHEN n_grams = 0 THEN 0L ELSE n_novel * 1000000L div n_grams END"))
   }
+
+  /** Quality-classifier TRAINING — the half of the fastText/DCLM
+    * model-based filter the registry did not yet cover (inference is
+    * q138's hashed linear scorer): a BATCH perceptron over
+    * hashed bag-of-words features, all-integer, so the full weight
+    * TRAJECTORY replays bit-exact in the oracle as unrolled CTE rounds
+    * (the q102/q112 iterative-algorithm discipline). Features are
+    * h60(token) mod `buckets` counts (the hashing trick, q99/q138's
+    * feature space); the label is `lang = 'en'` → +1 else −1 (a real,
+    * learnable signal: English function words concentrate in a few
+    * buckets). Per epoch: score every document against the CURRENT
+    * weights, and add `y·x` of every misclassified document (margin
+    * y·⟨w,x⟩ ≤ 0, ties update) to the weights — batch subgradient
+    * descent on the perceptron loss with unit rate, the parallel form
+    * of the classic sequential rule (deterministic: updates sum, order
+    * cannot matter). Epoch 1 needs no scoring join: w₀ = 0 means every
+    * margin is 0, so w₁ is simply Σ y·x over the corpus.
+    *
+    * Output: one row per OCCUPIED bucket with the weight after each
+    * epoch (`w1 … w<epochs>`) — the trajectory, not just the fixed
+    * point, so the oracle pins every round.
+    *
+    * Shape at 100 TB: per epoch ONE doc-keyed aggregation (the scoring
+    * pass — the feature table joins the ≤`buckets`-row weight table by
+    * BROADCAST, then combines map-side) + one ≤`buckets`-key partial
+    * agg for the update + one corpus semi-join on doc_id for the
+    * misclassified filter; weights never exceed `buckets` rows, and
+    * epochs are a fixed small constant. The feature table is built
+    * ONCE and localCheckpointed (the q112/q150 post-checkpoint
+    * discipline): it is the compact post-agg form — ≤ `buckets` rows
+    * of four longs per document, a small fraction of the text it
+    * summarizes, NOT a corpus-sized explode — and every epoch's
+    * lineage would otherwise re-embed the whole build (5 logical
+    * references planned 15 subtrees before the checkpoint). No
+    * collect: weights stay DataFrames end to end. */
+  def perceptronTrain(documents: DataFrame, buckets: Int = 64,
+      epochs: Int = 3): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(epochs >= 1 && epochs <= 8, s"epochs must be in [1, 8], got $epochs")
+    graft.functions.H60Hash.register(documents.sparkSession)
+    // plain space-split (not [[tokenized]]'s CJK shim) — the oracle
+    // replays string_split verbatim, the q138 tokenize contract
+    val fy = documents
+      .select(col("doc_id"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(-1L)).as("y"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), col("y"), expr(s"h60(t) % ${buckets}L").as("bucket"))
+      .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // each epoch's weights checkpoint too (≤ buckets rows — trivial jobs,
+    // the q112 per-round pattern): epoch e's lineage would otherwise
+    // re-embed every earlier epoch's scoring pass on each reference
+    var w = fy.groupBy("bucket").agg(sum(col("y") * col("cnt")).as("w"))
+      .localCheckpoint()
+    var out = w.select(col("bucket"), col("w").as("w1"))
+    for (e <- 2 to epochs) {
+      val scored = fy.join(broadcast(w), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(max(col("y")).as("y"), sum(col("cnt") * col("w")).as("s"))
+      val mis = scored.filter(col("y") * col("s") <= 0L).select("doc_id")
+      val delta = fy.join(mis, Seq("doc_id"), "left_semi")
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("dw"))
+      w = w.join(broadcast(delta), Seq("bucket"), "left")
+        .select(col("bucket"), (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+        .localCheckpoint()
+      out = out.join(broadcast(w.select(col("bucket"), col("w").as(s"w$e"))),
+        Seq("bucket"))
+    }
+    out
+  }
 }

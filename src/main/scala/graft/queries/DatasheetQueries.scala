@@ -223,5 +223,49 @@ object DatasheetQueries {
           corpus = docs.filter(col("doc_id") >= 25),
           probes = docs.filter(col("doc_id") < 25), w = 10)
         .orderBy("doc_id")
+    },
+
+    // Classifier TRAINING (q138 is the inference half): batch
+    // perceptron over h60-hashed bag-of-words, label lang='en'. All
+    // integers, so the oracle replays the full 3-epoch weight
+    // trajectory as unrolled CTE rounds (the q102/q112 discipline);
+    // epoch 1 is the closed form (w0 = 0 -> every margin ties at 0 ->
+    // w1 = sum of y*x over the corpus).
+    oracle(
+      "q153_perceptron_train",
+      {
+        val b = 64
+        def epoch(prev: String, cur: String): String =
+          s"""s$cur AS (
+             |  SELECT fy.doc_id, max(fy.y) AS y,
+             |    CAST(sum(fy.cnt * e$prev.w) AS BIGINT) AS s
+             |  FROM fy JOIN e$prev USING (bucket) GROUP BY 1),
+             |m$cur AS (SELECT doc_id FROM s$cur WHERE y * s <= 0),
+             |d$cur AS (
+             |  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS dw
+             |  FROM fy WHERE doc_id IN (SELECT doc_id FROM m$cur)
+             |  GROUP BY 1),
+             |e$cur AS (
+             |  SELECT e$prev.bucket, e$prev.w + coalesce(d$cur.dw, 0) AS w
+             |  FROM e$prev LEFT JOIN d$cur USING (bucket))""".stripMargin
+        s"""WITH fy AS (
+           |  SELECT doc_id, y, (${graft.operators.TextOps.h60d("t")} % $b) AS bucket,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT doc_id,
+           |          CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y,
+           |          unnest(string_split(text, ' ')) AS t
+           |        FROM documents)
+           |  GROUP BY 1, 2, 3),
+           |e1 AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS w
+           |       FROM fy GROUP BY 1),
+           |${epoch("1", "2")},
+           |${epoch("2", "3")}
+           |SELECT e1.bucket, e1.w AS w1, e2.w AS w2, e3.w AS w3
+           |FROM e1 JOIN e2 USING (bucket) JOIN e3 USING (bucket)
+           |ORDER BY e1.bucket""".stripMargin
+      },
+      "Quality: batch-perceptron classifier training (hashed bag-of-words, 3-epoch weight trajectory)") { (s, d) =>
+      TextOps.perceptronTrain(Tables(s, d, "documents"), buckets = 64, epochs = 3)
+        .orderBy("bucket")
     })
 }

@@ -257,4 +257,57 @@ class CurationTextSpec extends SparkSpec {
         r.getLong(3), r.getLong(4)))
     assert(got === Array(("A", 10L, 5L, 9L, 10L), ("B", 3L, 4L, 4L, 4L)))
   }
+
+  // ---------------------------------------------------------------- q153
+
+  test("perceptronTrain: 3-epoch weight trajectory equals a driver-side replay") {
+    val docs = Seq(
+      (1L, "the of the and data", "en"),
+      (2L, "der und der die photo", "de"),
+      (3L, "the the of engine", "en"),
+      (4L, "die und das der", "de"),
+      (5L, "of and the", "en"),
+      (6L, "la de el la", "es")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.perceptronTrain(docs, buckets = 64, epochs = 3)
+      .orderBy("bucket").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // replay with the SAME feature derivation (h60 via the registered
+    // expression so the bucket assignment cannot skew), then fold the
+    // batch-perceptron rule in plain Scala
+    graft.functions.H60Hash.register(spark)
+    val fy = docs
+      .selectExpr("doc_id",
+        "CASE WHEN lang = 'en' THEN 1L ELSE -1L END AS y",
+        "explode(split(text, ' ')) AS t")
+      .selectExpr("doc_id", "y", "h60(t) % 64L AS bucket")
+      .groupBy("doc_id", "y", "bucket").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def step(w: Map[Long, Long]): Map[Long, Long] = {
+      val margins = fy.groupBy(_._1).map { case (_, rows) =>
+        val y = rows.head._2
+        (y, rows, y * rows.map { case (_, _, b, c) => c * w.getOrElse(b, 0L) }.sum)
+      }
+      val mis = margins.filter(_._3 <= 0L)
+      val delta = mis.toSeq.flatMap { case (y, rows, _) =>
+        rows.map { case (_, _, b, c) => b -> y * c } }
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      (w.keySet ++ delta.keySet).map(b =>
+        b -> (w.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
+    }
+    val w1 = step(Map.empty) // w0 = 0: every margin ties at 0, all update
+    val w2 = step(w1)
+    val w3 = step(w2)
+    val want = w1.keySet.map(b =>
+      b -> ((w1(b), w2.getOrElse(b, 0L), w3.getOrElse(b, 0L)))).toMap
+    assert(got === want)
+    // epoch-1 closed form: w1 = sum of y*cnt per bucket over ALL docs
+    val closed = fy.groupBy(_._3).map { case (b, xs) =>
+      b -> xs.map(r => r._2 * r._4).sum }
+    assert(got.map { case (b, t) => b -> t._1 } === closed)
+    // the en/de/es split is h60-bucket-separable here, so training must
+    // actually move: some epoch-2 weight differs from epoch 1
+    assert(got.exists { case (_, (a, b2, _)) => a != b2 })
+  }
 }
