@@ -107,7 +107,8 @@ object ScaleSmoke {
     "q144_budget_selection", "q145_cssk_langid",
     "q146_paragraph_dedup", "q147_semantic_decontamination",
     "q148_zipf_spectrum", "q149_ngram_novelty", "q150_bpe_lang_fertility",
-    "q151_decontaminate_excise", "q152_bgmk_langid", "q153_perceptron_train")
+    "q151_decontaminate_excise", "q152_bgmk_langid", "q153_perceptron_train",
+    "q154_audio_fp_neardup")
 
   private val Stride = 1000000L
 

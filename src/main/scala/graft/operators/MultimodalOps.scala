@@ -712,6 +712,128 @@ object MultimodalOps {
         sum(when(col("rms_ppm") >= thresholdPpm, 1L).otherwise(0L))
           .as("n_loud"))
 
+  /** One acoustic fingerprint: `afp` packs up to 60 energy-delta sign
+    * bits (bit i set ⇔ frame i+1 carries more energy than frame i). */
+  final case class AudioFp(doc_id: Long, afp: Long)
+
+  /** Per-payload acoustic fingerprint — the Haitsma/Kalker
+    * "energy-difference" hash family reduced to its deterministic,
+    * FFT-free core: the signal splits into consecutive non-overlapping
+    * frames of `frameLen` channel-averaged samples, frame energy is the
+    * EXACT integer Σs² of the int16 sample values, and bit i of the
+    * fingerprint is the sign of the energy delta between frames i+1 and
+    * i. Loudness re-scaling aside, a re-encode of the same recording
+    * preserves most delta signs, so near-dups land within a small
+    * Hamming radius — the audio analog of the image dHash (q132) and
+    * the text SimHash (q37).
+    *
+    * Exactness: for mono 16-bit PCM the adapter's normalized doubles
+    * are s/2¹⁵ (exact — division by a power of two), so `rint(x·2¹⁵)`
+    * recovers the integer sample and Σs² ≤ 16·2³⁰ stays far inside
+    * BIGINT — the whole fingerprint replays bit-for-bit in any engine
+    * that can reproduce the sample values (the q154 oracle does).
+    * A trailing partial frame is dropped (its energy is not comparable
+    * to a full frame's); payloads shorter than (bits+1)·frameLen
+    * samples leave the missing high bits 0, matching a silent tail.
+    *
+    * Scale shape: one narrow row per payload, scan-shaped
+    * (mapPartitions, ZERO shuffles) — the decode cost parallelizes per
+    * partition and only 16 bytes per payload move downstream. */
+  def audioFingerprint(files: DataFrame,
+      adapter: AudioAdapter = WavAudioAdapter,
+      frameLen: Int = 16, bits: Int = 60): Dataset[AudioFp] = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
+    implicit val enc = Encoders.product[AudioFp]
+    files.select("doc_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val content = r.getAs[Array[Byte]](1)
+        val xs = adapter.samples(id.toString, content)
+        val nf = math.min(xs.length / frameLen, bits + 1)
+        val e = new Array[Long](nf)
+        var f = 0
+        while (f < nf) {
+          var acc = 0L
+          var j = 0
+          while (j < frameLen) {
+            val v = math.rint(xs(f * frameLen + j) * 32768.0).toLong
+            acc += v * v
+            j += 1
+          }
+          e(f) = acc
+          f += 1
+        }
+        var afp = 0L
+        var i = 0
+        while (i + 1 < nf) {
+          if (e(i + 1) > e(i)) afp |= 1L << i
+          i += 1
+        }
+        AudioFp(id, afp)
+      }
+    }
+  }
+
+  /** Audio near-dup pairs: [[audioFingerprint]] + the 4×15-bit
+    * Hamming-banded candidate join — the audio member of the near-dup
+    * modality family (text q37/q59, image q132, stream q139), sharing
+    * [[DedupOps.hammingCandidatePairs]]'s pigeonhole-complete recall at
+    * radius ≤ 3. Never all-pairs: candidates are a bounded equi-join on
+    * (band, 15-bit bucket). */
+  def audioNearDupPairs(files: DataFrame,
+      adapter: AudioAdapter = WavAudioAdapter,
+      frameLen: Int = 16, maxHamming: Int = 3): DataFrame =
+    DedupOps.hammingCandidatePairs(
+      audioFingerprint(files, adapter, frameLen).toDF(),
+      "doc_id", "afp", maxHamming, bandBits = 15)
+
+  /** Deterministic WAV fixture synth for the q154 oracle (the q132
+    * fabricated-payload discipline applied to audio): GENUINE RIFF/PCM
+    * mono 16-bit bytes any player reads, whose sample values derive
+    * from an md5 chain so DuckDB can rebuild them with its own
+    * md5/substr — block b of group g yields 16 samples
+    * s_j = byte_j·256 − 32768 where byte_j is the j-th digest byte of
+    * md5("g:b"), and the LAST block perturbs byte_j → (byte_j + member)
+    * mod 256, so group-mates share every frame energy except the final
+    * one (≤ 1 fingerprint bit apart) while distinct groups sit at
+    * md5-random Hamming distance. The Spark side round-trips these
+    * bytes through the REAL [[WavAudioAdapter]] parse — identical frame
+    * energies prove the container layer faithful, not assumed. */
+  def synthGroupWav(group: Long, member: Int, blocks: Int = 61,
+      rate: Int = 16000): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val data = new Array[Byte](blocks * 16 * 2)
+    var b = 0
+    while (b < blocks) {
+      val h = md.digest(s"$group:$b".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      var j = 0
+      while (j < 16) {
+        val u0 = h(j) & 0xff
+        val u = if (b == blocks - 1) (u0 + member) % 256 else u0
+        val s = u * 256 - 32768 // int16 by construction
+        data(2 * (b * 16 + j)) = (s & 0xff).toByte
+        data(2 * (b * 16 + j) + 1) = ((s >> 8) & 0xff).toByte
+        j += 1
+      }
+      b += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(44 + data.length)
+    def ascii(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    ascii("RIFF"); le32(36 + data.length); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(rate); le32(rate * 2)
+    le16(2); le16(16)
+    ascii("data"); le32(data.length); bos.write(data)
+    bos.toByteArray
+  }
+
   /** One assembled deliverable: the folder's pages concatenated into a
     * single document payload (the A9 product). */
   final case class AssembledDoc(folder: String, mimetype: String,

@@ -684,6 +684,59 @@ object RefineQueries {
         .orderBy("a", "b")
     },
 
+    // Audio acoustic-fingerprint near-dup — the audio member of the
+    // near-dup modality family (q132's treatment applied to the WAV
+    // adapter): fixture payloads are GENUINE RIFF/PCM WAV bytes whose
+    // samples derive from an md5 chain (MultimodalOps.synthGroupWav),
+    // five docs per div-5 group sharing every frame but the last
+    // (member-perturbed → group-mates within Hamming 1); the Spark side
+    // round-trips the bytes through the REAL WavAudioAdapter parse into
+    // 61 exact integer frame energies → 60 delta-sign bits →
+    // 4×15-bit-banded candidate join. The oracle rebuilds the SAMPLE
+    // VALUES from the same md5 formula and brute-forces all pairs — so
+    // the hash check proves both the banded plan's COMPLETENESS at
+    // radius 3 and the WAV container round-trip (a misparse would skew
+    // every energy).
+    oracle(
+      "q154_audio_fp_neardup",
+      """WITH blk AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS m,
+        |    unnest(range(0, 61)) AS b
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, b,
+        |    CAST(list_sum(list_transform(
+        |      list_transform(range(0, 16), j ->
+        |        (CASE WHEN b = 60
+        |          THEN (('0x' || substr(h, CAST(2*j+1 AS INT), 2))::BIGINT + m) % 256
+        |          ELSE ('0x' || substr(h, CAST(2*j+1 AS INT), 2))::BIGINT
+        |         END) * 256 - 32768),
+        |      v -> v * v)) AS BIGINT) AS e
+        |  FROM (SELECT doc_id, m, b,
+        |          md5(CAST(doc_id // 5 AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS h
+        |        FROM blk)),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 61), i ->
+        |      CASE WHEN e[CAST(i+1 AS INT)] > e[CAST(i AS INT)]
+        |        THEN CAST(1 AS BIGINT) << CAST(i-1 AS INT)
+        |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS afp
+        |  FROM (SELECT doc_id, list(e ORDER BY b) AS e FROM fr GROUP BY doc_id))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3
+        |ORDER BY a, b""",
+      "Dedup: audio acoustic-fingerprint near-dup pairs (real WAV round-trip, Hamming-banded)") { (s, d) =>
+      val synth = udf((g: Long, m: Int) =>
+        graft.operators.MultimodalOps.synthGroupWav(g, m))
+      val files = Tables(s, d, "documents").select(col("doc_id"),
+        synth(expr("doc_id div 5"), expr("CAST(doc_id % 5 AS INT)"))
+          .as("content"))
+      graft.operators.MultimodalOps.audioNearDupPairs(files)
+        .orderBy("a", "b")
+    },
+
     // da/nb orthography tie-break (round-8 verdict item 6, the §8.10
     // function-word-inseparable residual). The planted pair is built so
     // the stopword vote CANNOT separate it: both snippets use only the

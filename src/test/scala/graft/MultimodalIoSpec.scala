@@ -551,6 +551,55 @@ class MultimodalIoSpec extends SparkSpec {
     assert(row.getAs[Long]("n_loud") === 21L)
   }
 
+  // ------------------------------------------------ audio fingerprint (q154)
+
+  test("audioFingerprint: WAV round-trip lands on the md5-formula energies exactly") {
+    // recompute the fingerprint STRAIGHT from the md5 sample formula
+    // (never touching WAV bytes); the op must land on the same longs
+    // through the real RIFF parse — container-layer faithfulness
+    def directFp(g: Long, m: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val e = (0 until 61).map { b =>
+        val h = md.digest(s"$g:$b".getBytes("US-ASCII"))
+        (0 until 16).map { j =>
+          val u0 = h(j) & 0xff
+          val u = if (b == 60) (u0 + m) % 256 else u0
+          val v = (u * 256 - 32768).toLong
+          v * v
+        }.sum
+      }
+      (0 until 60).map(i => if (e(i + 1) > e(i)) 1L << i else 0L).sum
+    }
+    val files = (0L until 15L).map(id =>
+        (id, MultimodalOps.synthGroupWav(id / 5, (id % 5).toInt)))
+      .toDF("doc_id", "content")
+    val got = MultimodalOps.audioFingerprint(files).collect()
+      .map(f => f.doc_id -> f.afp).toMap
+    val want = (0L until 15L).map(id => id -> directFp(id / 5, (id % 5).toInt)).toMap
+    assert(got === want)
+    // group-mates differ only in the final frame energy -> bit 59 at most
+    for (g <- 0L until 3L; a <- 0 until 5; b <- (a + 1) until 5)
+      assert(java.lang.Long.bitCount(got(g * 5 + a) ^ got(g * 5 + b)) <= 1L)
+  }
+
+  test("audioNearDupPairs equals the brute-force Hamming join (banded completeness)") {
+    val files = (0L until 25L).map(id =>
+        (id, MultimodalOps.synthGroupWav(id / 5, (id % 5).toInt)))
+      .toDF("doc_id", "content")
+    val fps = MultimodalOps.audioFingerprint(files).collect()
+      .map(f => f.doc_id -> f.afp).sortBy(_._1)
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSeq
+    val got = MultimodalOps.audioNearDupPairs(files)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === brute)
+    // every within-group pair present (10 per group), fixture non-degenerate
+    assert(got.size >= 50 && got.count { case (a, b, _) => a / 5 == b / 5 } === 50)
+  }
+
   test("WavAudioAdapter rejects non-PCM and truncated payloads instead of misparsing") {
     intercept[IllegalArgumentException] {
       MultimodalOps.WavAudioAdapter.probe("x.bin", Array.fill(10)(0.toByte))
