@@ -48,6 +48,16 @@ object Bench {
       // independently correct for a 130-plan session.)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      // A/B lever for the KNOWN residual (BENCH_NOTES "stuck-below-C2"):
+      // each ~600-plan session draws 1-2 random queries at 3-12× task CPU
+      // with task≈cpu, zero gc, zero new codegen classes — a generated
+      // method that never reached C2. Splitting generated code into
+      // smaller methods (lower threshold) changes what HotSpot is asked
+      // to compile; the env knob lets a full-session A/B run without a
+      // code edit. Default = Spark's default (1024), so records are
+      // comparable across rounds unless the knob is set explicitly.
+      .config("spark.sql.codegen.methodSplitThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_METHOD_SPLIT", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -188,8 +198,10 @@ object Bench {
       case c if c < 0x20 || c > 0x7e => "" // drop non-printing/non-ASCII
       case c => c.toString
     }
+    val methodSplit = sys.env.getOrElse("SPARK_GRAFT_METHOD_SPLIT", "1024")
     val envStamp =
-      s""""gc":"${jesc(gcNames)}","heap_mb":$heapMb,"jvm_flags":"${jesc(jvmFlags)}""""
+      s""""gc":"${jesc(gcNames)}","heap_mb":$heapMb,"method_split":$methodSplit,""" +
+        s""""jvm_flags":"${jesc(jvmFlags)}""""
     // Locale.ROOT: the f-interpolator formats through the DEFAULT locale,
     // which renders "12,34" on comma-decimal locales — invalid JSON
     def d2(v: Double): String =

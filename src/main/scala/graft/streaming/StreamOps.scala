@@ -445,6 +445,92 @@ object StreamOps {
       .toDF()
   }
 
+  /** One stored fingerprint in a Hamming band bucket's state. */
+  final case class FpEntry(doc_id: Long, afp: Long)
+
+  /** An emitted media near-dup event — [[NearDupEvent]]'s shape with a
+    * Hamming distance where the MinHash form carries agreement. */
+  final case class MediaDupEvent(kind: String, a: Long, b: Long,
+      hamming: Long, band: Int, bucket: Long, members: Long)
+
+  /** STREAMING media-ingest near-dup — [[lshNearDupStream]]'s question
+    * asked of the AUDIO (or any fingerprintable) modality: "is this
+    * arriving recording a near-copy of anything already ingested?".
+    * Each arriving payload round-trips the REAL container parse into
+    * its 60-bit acoustic fingerprint
+    * ([[graft.operators.MultimodalOps.audioFingerprint]] — a stateless
+    * narrow map, so it streams as-is), bands into the IDENTICAL
+    * 4×15-bit buckets as the batch
+    * [[graft.operators.DedupOps.hammingCandidatePairs]] (same shift/
+    * mask arithmetic, so batch and stream can never bucket
+    * differently), and each (band, bucket) group's state stores ONE
+    * long per admitted member — the fingerprint; the audio itself
+    * never enters state. A new arrival emits one `pair` event per
+    * stored fingerprint within `maxHamming` (exact `bitCount` verify —
+    * the same pigeonhole completeness as the batch form: radius ≤ 3
+    * agrees on at least one whole band).
+    *
+    * Pairs are arrival-order invariant as a set (orientation (min,
+    * max), distance a pure function of the two fingerprints, within-
+    * batch arrivals process in doc_id order), so any micro-batch
+    * slicing emits the same distinct pair set as
+    * [[graft.operators.MultimodalOps.audioNearDupPairs]] — the batch
+    * ground truth q154 hash-checks against DuckDB. State per bucket is
+    * CAPPED at `maxBucketMembers` with the same graceful degradation
+    * and `bucket_overflow` alarm discipline as the MinHash form (an
+    * arrival into a full bucket still compares against the residents;
+    * the alarm's (band, bucket) key joins the q84-style occupancy
+    * readout). */
+  def audioNearDupStream(files: DataFrame,
+      adapter: graft.operators.MultimodalOps.AudioAdapter =
+        graft.operators.MultimodalOps.WavAudioAdapter,
+      frameLen: Int = 16, maxHamming: Int = 3,
+      maxBucketMembers: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(maxHamming <= 3,
+      s"4-band pigeonhole recall is exact only for maxHamming <= 3; got $maxHamming")
+    require(maxBucketMembers >= 1,
+      s"maxBucketMembers must be >= 1, got $maxBucketMembers")
+    val spark = files.sparkSession
+    import spark.implicits._
+    graft.operators.MultimodalOps.audioFingerprint(files, adapter, frameLen)
+      .toDF()
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(
+            |  CAST(b AS INT) AS band,
+            |  shiftrightunsigned(afp, b * 15) & 32767L AS bucket))""".stripMargin))
+          .as("e"),
+        col("afp"))
+      .select(col("doc_id"), col("e.band"), col("e.bucket"), col("afp"))
+      .as[(Long, Int, Long, Long)]
+      .groupByKey { case (_, band, bucket, _) => (band, bucket) }
+      .flatMapGroupsWithState[Seq[FpEntry], MediaDupEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rowsIt, state) =>
+          val (band, bucket) = key
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val arrivals = rowsIt.toSeq.sortBy(_._1)
+          val out = Seq.newBuilder[MediaDupEvent]
+          arrivals.foreach { case (id, _, _, afp) =>
+            seen.foreach { e =>
+              if (e.doc_id != id) {
+                val h = java.lang.Long.bitCount(e.afp ^ afp).toLong
+                if (h <= maxHamming)
+                  out += MediaDupEvent("pair", math.min(e.doc_id, id),
+                    math.max(e.doc_id, id), h, band, bucket, seen.size.toLong)
+              }
+            }
+            if (seen.size < maxBucketMembers) seen = seen :+ FpEntry(id, afp)
+            else out += MediaDupEvent("bucket_overflow", id, -1L, 0L,
+              band, bucket, seen.size.toLong)
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Stream-static enrichment + windowed rollup: the arriving event
     * stream joins a STATIC dimension (user → nation via customer), then
     * aggregates per (tumbling hour, nation) — the canonical "enrich the

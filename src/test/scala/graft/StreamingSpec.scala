@@ -280,6 +280,69 @@ class StreamingSpec extends SparkSpec {
       "rejected arrivals still pair with the residents; rejected-rejected pairs cannot exist")
   }
 
+  test("streaming audio near-dup: any micro-batch slicing emits the batch pair set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // three planted groups of genuine WAV payloads (q154's fixture),
+    // group-mates deliberately split across DIFFERENT files so every
+    // pair crosses a micro-batch boundary through state
+    val srcDir = tmpDir("audiodup_src")
+    val slices = Seq(Seq(0L, 5L, 10L), Seq(1L, 6L, 11L, 2L),
+      Seq(7L, 12L, 3L, 4L), Seq(8L, 9L, 13L, 14L))
+    slices.zipWithIndex.foreach { case (ids, f) =>
+      ids.map(id => (id, graft.operators.MultimodalOps
+          .synthGroupWav(id / 5, (id % 5).toInt)))
+        .toDF("doc_id", "content")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/stage$f")
+      val part = new java.io.File(s"$srcDir/stage$f").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"audio$f%d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + f * 60000L)
+    }
+    val streamed = StreamOps.audioNearDupStream(
+      StreamOps.documentsStream(spark, srcDir, glob = "audio*.parquet",
+        maxFilesPerTrigger = 1))
+    val got = StreamOps.runAvailableNow(spark, streamed,
+        "t_audiodup", tmpDir("ckpt"))
+      .filter(col("kind") === "pair")
+      .select("a", "b", "hamming").distinct().orderBy("a", "b")
+      .collect().map(_.toSeq).toSeq
+    val all = spark.read.parquet(s"$srcDir/audio*.parquet")
+    val want = graft.operators.MultimodalOps.audioNearDupPairs(all)
+      .orderBy("a", "b").collect().map(_.toSeq).toSeq
+    assert(got === want, "stream pair set must equal the q154 batch ground truth")
+    assert(got.size === 30, "3 groups x C(5,2) within-group pairs")
+  }
+
+  test("streaming audio near-dup: hot bucket caps state and fires alarms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // six IDENTICAL recordings — one fingerprint, so every arrival lands
+    // in the SAME (band, bucket) in all 4 bands; cap 3 → docs 0-2 become
+    // residents, 3-5 are rejected with one alarm per band but still pair
+    // with the residents (the lshNearDupStream cap discipline, verified
+    // on the media form)
+    val files = (0L until 6L).map(id =>
+        (id, graft.operators.MultimodalOps.synthGroupWav(7L, 0)))
+      .toDF("doc_id", "content")
+    // batch execution of the stateful operator (the unified-model q130
+    // discipline: state starts empty, one batch = the whole input) —
+    // the slicing test above already proves cross-batch state
+    val got = StreamOps.audioNearDupStream(files, maxBucketMembers = 3)
+    val alarms = got.filter(col("kind") === "bucket_overflow").collect()
+    assert(alarms.length === 12, s"3 rejected docs x 4 bands, got ${alarms.length}")
+    assert(alarms.forall(_.getAs[Long]("members") === 3L),
+      "every alarm reports occupancy AT the cap — state never grew past it")
+    assert(alarms.map(_.getAs[Long]("a")).toSet === Set(3L, 4L, 5L))
+    val pairs = got.filter(col("kind") === "pair")
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (a <- 0L until 3L; b <- (a + 1) until 6L) yield (a, b)).toSet
+    assert(pairs === want,
+      "rejected arrivals pair with residents; rejected-rejected pairs cannot exist")
+  }
+
   test("streaming paragraph dedup: ordered ingest reproduces the batch winner set") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
