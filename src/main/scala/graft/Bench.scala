@@ -226,8 +226,14 @@ object Bench {
       s"""{"metric":"total","value":${d2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,""" +
         s""""steady_total":${d2(steadyTotal)},"task_total":${d2(taskTotal)},$envStamp,""" +
         s""""first":${jmap(_.first.wall)},"steady":${jmap(_.steadyWallMed)},"task":${jmap(_.steadyTaskMed)}}"""
+    // A REPS=1 invocation is a shape check (does every query still run?),
+    // never a record — medians of one rep are meaningless. Route its
+    // files to /tmp so a quick check can't overwrite the committed
+    // multi-rep record in the working tree (this session's r12 lesson:
+    // a REPS=1 run silently replaced the run6 record and got committed).
+    val outDir = if (reps >= 2) "" else "/tmp/"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LINE.json"), fullLine + "\n")
+      java.nio.file.Paths.get(outDir + "BENCH_LINE.json"), fullLine + "\n")
     def repArr(rs: Seq[Rep]): String =
       rs.map(r => s"[${r.wall},${r.taskSec},${r.cpuSec},${r.gcSec},${r.jitSec}," +
         s"${d2(r.codeMb)},${d2(r.load)},${r.cgNew}]").mkString("[", ",", "]")
@@ -237,7 +243,7 @@ object Bench {
         s""""steadyWallMax":${r.steadyWallMax},"steadyTaskMed":${r.steadyTaskMed},""" +
         s""""steadyCpuMed":${r.steadyCpuMed}}"""
     }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outDir + "BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
         s""""steady_total":$steadyTotal,"task_total":$taskTotal,$envStamp,""" +
         s""""rep_shape":"[wallSec,taskSec,cpuSec,gcSec,jitCompileSec,codeCacheMB,sysLoad1m,codegenNewClasses]",""" +

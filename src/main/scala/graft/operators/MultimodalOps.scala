@@ -788,6 +788,107 @@ object MultimodalOps {
       audioFingerprint(files, adapter, frameLen).toDF(),
       "doc_id", "afp", maxHamming, bandBits = 15)
 
+  /** One perceptual frame hash of a video payload. */
+  final case class VideoFrameHash(doc_id: Long, fh: Long)
+
+  /** Per-frame perceptual hashes of a fixed-frame stub container (the
+    * [[sampleFrames]] "format": consecutive `frameBytes`-sized frames)
+    * — the scan side of [[videoNearDupPairs]]. One narrow row per
+    * frame, scan-shaped (flatMap, no shuffle). The REAL path feeds the
+    * same pair machinery from [[demuxFrames]] +
+    * [[ImageIoDHashAdapter]] per decoded frame (spec'd on genuine
+    * AVI/MJPEG bytes); the stub path is what the q155 oracle replays
+    * in SQL. */
+  def videoFrameHashes(media: DataFrame, frameBytes: Int = 16,
+      adapter: ImageHashAdapter = StubDHashAdapter): Dataset[VideoFrameHash] = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    implicit val enc = Encoders.product[VideoFrameHash]
+    media.select(col("doc_id").cast("long"), col("content")).flatMap { r =>
+      val id = r.getLong(0)
+      val c = r.getAs[Array[Byte]](1)
+      (0 until c.length / frameBytes).map { i =>
+        VideoFrameHash(id, adapter.dhash("",
+          java.util.Arrays.copyOfRange(c, i * frameBytes, (i + 1) * frameBytes)))
+      }
+    }
+  }
+
+  /** Video near-dup pairs by EXACT frame-hash-set Jaccard — the VIDEO
+    * member of the near-dup family: two clips are near-dups when they
+    * share ≥ `tPpm` of their distinct per-frame perceptual hashes (the
+    * clip-copying / shared-scene signal; per-frame decode-based
+    * hashing already absorbs container differences, and a deployment
+    * needing re-encoded-FRAME tolerance composes the q132 Hamming
+    * banding on the frame hashes before this set join).
+    *
+    * Input is the (doc_id, fh) per-frame hash table so the stub
+    * container (q155's oracle-replayable path) and the real
+    * AVI/MJPEG demux + javax.imageio dHash path feed the SAME pair
+    * machinery.
+    *
+    * Scale shape — the q38 lessons applied to frames: candidates come
+    * ONLY from shared RARE hashes (document frequency ≤ `dfCap`; a
+    * boilerplate intro frame shared by half the corpus generates no
+    * candidate — the df-skew valve), then verify is EXACT on the full
+    * per-video distinct hash arrays (`array_intersect` — bounded: a
+    * clip holds minutes×fps/stride frames, never corpus-scale), so the
+    * cap can only MISS a pair whose every shared frame is boilerplate
+    * (documented, exactly q38's contract), never report a wrong
+    * Jaccard. Never all-pairs. */
+  def videoNearDupPairs(frameHashes: DataFrame, tPpm: Long = 600000L,
+      dfCap: Long = 64L): DataFrame = {
+    require(tPpm >= 1L && tPpm <= 1000000L, s"tPpm must be in [1, 1e6], got $tPpm")
+    require(dfCap >= 1L, s"dfCap must be >= 1, got $dfCap")
+    val fh = frameHashes.select(col("doc_id").cast("long").as("doc_id"),
+      col("fh").cast("long").as("fh")).distinct()
+    // post-distinct frame table feeds three consumers (sets, df census,
+    // candidate join) — checkpoint once, bounded at frames-per-clip × N
+    val fhC = fh.localCheckpoint(eager = false)
+    val sets = fhC.groupBy("doc_id")
+      .agg(collect_set(col("fh")).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+    val rare = fhC.join(
+      fhC.groupBy("fh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("fh"),
+      Seq("fh"), "left_semi")
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.fh") === col("y.fh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("hs").as("ha"),
+        col("n").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("hs").as("hb"),
+        col("n").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("union_size", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 1000000L >= lit(tPpm) * col("union_size"))
+      .select(col("a"), col("b"), col("inter"), col("union_size"),
+        expr("inter * 1000000L div union_size").as("jaccard_ppm"))
+  }
+
+  /** Deterministic stub-container video fixture for the q155 oracle:
+    * `frames` consecutive 16-byte frames, frame f of group g carrying
+    * the md5 digest of "g:f" — except the first `member` frames, which
+    * carry md5("g:f:member") instead (a member-specific re-shoot of
+    * the clip's opening). Members a < b of one group therefore share
+    * exactly the frames ≥ b (Jaccard = (F−b)/(F+b)); distinct groups
+    * share nothing. DuckDB rebuilds the same digests with its own
+    * md5/substr, so the q155 hash check proves the df-capped candidate
+    * generation COMPLETE against a no-cap brute-force oracle on this
+    * fixture. */
+  def synthGroupVideo(group: Long, member: Int, frames: Int = 20): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](frames * 16)
+    var f = 0
+    while (f < frames) {
+      val s = if (f < member) s"$group:$f:$member" else s"$group:$f"
+      val h = md.digest(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      System.arraycopy(h, 0, out, f * 16, 16)
+      f += 1
+    }
+    out
+  }
+
   /** Deterministic WAV fixture synth for the q154 oracle (the q132
     * fabricated-payload discipline applied to audio): GENUINE RIFF/PCM
     * mono 16-bit bytes any player reads, whose sample values derive

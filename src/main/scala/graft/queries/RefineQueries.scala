@@ -737,6 +737,60 @@ object RefineQueries {
         .orderBy("a", "b")
     },
 
+    // Video near-dup by exact frame-hash-set Jaccard — the VIDEO member
+    // of the near-dup family (clip copying / shared scenes). Fixture:
+    // stub-container clips of 20 md5-digest frames per div-5 group,
+    // member m re-shooting the first m frames (synthGroupVideo), so
+    // members a < b share exactly the frames >= b — Jaccard
+    // (20-b)/(20+b), all 10 within-group pairs >= the 600000 ppm gate.
+    // Spark candidates come ONLY from shared df<=64 frame hashes with
+    // exact array_intersect verify (the q38 df-cap discipline on the
+    // frame axis); the oracle brute-forces ALL pairs with NO cap — the
+    // hash match proves the capped candidate generation complete on
+    // this fixture. Frame hash = StubDHashAdapter's bit-sampling
+    // formula (q132's SQL-replayable adapter) over each 16-byte frame.
+    oracle(
+      "q155_video_frame_jaccard",
+      """WITH fb AS (
+        |  SELECT doc_id, f,
+        |    md5(CASE WHEN f < m
+        |      THEN g || ':' || f || ':' || m
+        |      ELSE g || ':' || f END) AS h
+        |  FROM (SELECT doc_id, CAST(doc_id // 5 AS VARCHAR) AS g,
+        |          doc_id % 5 AS m, unnest(range(0, 20)) AS f
+        |        FROM documents)),
+        |fh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      ((('0x' || substr(h, CAST(2*(j%16)+1 AS INT), 2))::BIGINT
+        |        >> CAST(j // 16 AS INT)) & 1) << CAST(j AS INT)))
+        |      AS BIGINT) AS fh
+        |  FROM fb),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fh GROUP BY 1),
+        |iv AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM fh x JOIN fh y ON x.fh = y.fh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT iv.a, iv.b, iv.inter,
+        |  sa.n + sb.n - iv.inter AS union_size,
+        |  (iv.inter * 1000000) // (sa.n + sb.n - iv.inter) AS jaccard_ppm
+        |FROM iv
+        |JOIN sz sa ON sa.doc_id = iv.a
+        |JOIN sz sb ON sb.doc_id = iv.b
+        |WHERE iv.inter * 1000000 >= 600000 * (sa.n + sb.n - iv.inter)
+        |ORDER BY iv.a, iv.b""",
+      "Dedup: video near-dup pairs by exact frame-hash-set Jaccard (df-capped candidates)") { (s, d) =>
+      val synth = udf((g: Long, m: Int) =>
+        graft.operators.MultimodalOps.synthGroupVideo(g, m))
+      val media = Tables(s, d, "documents").select(col("doc_id"),
+        synth(expr("doc_id div 5"), expr("CAST(doc_id % 5 AS INT)"))
+          .as("content"))
+      graft.operators.MultimodalOps.videoNearDupPairs(
+          graft.operators.MultimodalOps.videoFrameHashes(media).toDF())
+        .orderBy("a", "b")
+    },
+
     // da/nb orthography tie-break (round-8 verdict item 6, the §8.10
     // function-word-inseparable residual). The planted pair is built so
     // the stopword vote CANNOT separate it: both snippets use only the

@@ -551,6 +551,73 @@ class MultimodalIoSpec extends SparkSpec {
     assert(row.getAs[Long]("n_loud") === 21L)
   }
 
+  // --------------------------------------------- video near-dup (q155)
+
+  test("videoNearDupPairs: stub-container groups match a driver-side Jaccard replay") {
+    val media = (0L until 15L).map(id =>
+        (id, MultimodalOps.synthGroupVideo(id / 5, (id % 5).toInt)))
+      .toDF("doc_id", "content")
+    val fh = MultimodalOps.videoFrameHashes(media).toDF()
+    val rows = fh.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sets = rows.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    // no stub-hash collisions inside the fixture: every clip keeps its
+    // 20 distinct frames, so the analytic Jaccard (20-b)/(20+b) applies
+    assert(sets.values.forall(_.size === 20))
+    val want = (for {
+      a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0
+      union = sets(a).size + sets(b).size - inter
+      if inter * 1000000L >= 600000L * union
+    } yield (a, b, inter, union.toLong, inter * 1000000L / union)).toSet
+    val got = MultimodalOps.videoNearDupPairs(fh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === want)
+    assert(got.size === 30, "3 groups x C(5,2) within-group pairs at (20-b)/(20+b)")
+    assert(got.forall { case (a, b, inter, _, _) =>
+      a / 5 == b / 5 && inter === 20L - (b % 5) })
+  }
+
+  test("videoNearDupPairs df-cap: boilerplate-only clips stay silent until the cap is raised") {
+    // six clips consisting of ONE shared boilerplate frame: Jaccard 1.0
+    // pairwise, but every shared hash has df 6 — at dfCap 4 the
+    // documented contract is NO candidates (the skew valve), at cap 10
+    // all 15 pairs return
+    val fh = (0L until 6L).map(id => (id, 42L)).toDF("doc_id", "fh")
+    assert(MultimodalOps.videoNearDupPairs(fh, tPpm = 1000000L, dfCap = 4L)
+      .count() === 0L)
+    assert(MultimodalOps.videoNearDupPairs(fh, tPpm = 1000000L, dfCap = 10L)
+      .count() === 15L)
+  }
+
+  test("video near-dup through the REAL chain: AVI demux + javax.imageio frame dHash") {
+    import javax.imageio.ImageIO
+    def patFrame(cell: Int, phase: Int): Array[Byte] = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 48)
+        img.setRGB(x, y,
+          if ((x / cell + y / cell + phase) % 2 == 0) 0xffffff else 0)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val p = (1 to 9).map(i => patFrame(3 + i, i))
+    // clip 2 shares three of clip 1's frames BYTE-IDENTICALLY (clip
+    // copying) and re-shoots the last; clip 3 is disjoint
+    val files = Seq(
+      ("1", aviBytes(Seq(p(0), p(1), p(2), p(3)))),
+      ("2", aviBytes(Seq(p(0), p(1), p(2), p(4)))),
+      ("3", aviBytes(Seq(p(5), p(6), p(7), p(8))))).toDF("path", "content")
+    val fh = MultimodalOps.demuxFrames(files, stride = 1)
+      .map(f => (f.path.toLong,
+        MultimodalOps.ImageIoDHashAdapter.dhash(f.path, f.frame)))
+      .toDF("doc_id", "fh")
+    val got = MultimodalOps.videoNearDupPairs(fh, tPpm = 500000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 3L)),
+      "the clip sharing 3 of 5 distinct frames pairs; the disjoint clip does not")
+  }
+
   // ------------------------------------------------ audio fingerprint (q154)
 
   test("audioFingerprint: WAV round-trip lands on the md5-formula energies exactly") {
