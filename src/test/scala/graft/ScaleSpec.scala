@@ -168,7 +168,7 @@ class ScaleSpec extends SparkSpec {
       "q151_decontaminate_excise" -> 7, // probe-window distinct (2-level) + its broadcast (flagging is a streamed semi-join, no corpus shuffle) + covered-position distinct + anti-join + sorted_multi_concat reassembly + flag join-back + sort — q137's excision tail behind a probe-driven flag set
       "q153_perceptron_train" -> 3,  // post-checkpoint weight trajectory (feature build + per-epoch scoring/update rounds run as localCheckpoint jobs off-plan, the q112 discipline): 2 broadcast epoch-column joins + sort; per-epoch cost lives in the rounds — one doc-keyed agg + one doc_id semi-join + one <=64-key partial agg each
       "q154_audio_fp_neardup" -> 3,  // per-payload fingerprint (narrow mapPartitions over the real WAV parse) + 4×15-bit band self-join (1 exchange each side, one reused) + pair distinct + sort — q132’s image shape on the audio modality; never all-pairs
-      "q155_video_frame_jaccard" -> 11)  // post-checkpoint frame-hash table (per-frame stub dHash is a narrow flatMap; the distinct runs once inside the checkpoint job): per-video hash-set agg + df census + df-cap semi-join + rare-hash candidate self-join + pair distinct + two set join-backs (array_intersect verify) + sort — candidates ONLY from df≤cap frames (the q38 skew valve on the frame axis), never all-pairs
+      "q155_video_frame_jaccard" -> 9)   // post-checkpoint per-video hash-set table (collect_set dedups map-side — no standalone frame-row distinct; the ONE doc-keyed agg runs inside the checkpoint job, N array rows stored, not 20N hash rows): df census over the narrow set-explode + df-cap semi-join + rare-hash candidate self-join + pair distinct + two set join-backs (array_intersect verify) + sort — candidates ONLY from df≤cap frames (the q38 skew valve on the frame axis), never all-pairs
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
