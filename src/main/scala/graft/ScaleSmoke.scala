@@ -108,7 +108,7 @@ object ScaleSmoke {
     "q146_paragraph_dedup", "q147_semantic_decontamination",
     "q148_zipf_spectrum", "q149_ngram_novelty", "q150_bpe_lang_fertility",
     "q151_decontaminate_excise", "q152_bgmk_langid", "q153_perceptron_train",
-    "q154_audio_fp_neardup", "q155_video_frame_jaccard")
+    "q154_audio_fp_neardup", "q155_video_frame_jaccard", "q156_ukru_langid")
 
   private val Stride = 1000000L
 

@@ -188,7 +188,27 @@ object LangScores {
       "с", "а", "ще", "по", "като", "но", "го", "му", "това", "ли"),
     "mk" -> Seq("на", "и", "во", "да", "се", "е", "за", "не", "од",
       "дека", "со", "а", "ќе", "по", "како", "но", "го", "му", "тоа",
-      "ли"))
+      "ли"),
+    // round-12 seventh inseparable pair: Ukrainian vs Russian — the
+    // second Cyrillic pair, and the largest-corpus one (web-scale
+    // multilingual crawls are full of both). 10 of these 20
+    // function-word forms are IDENTICAL Cyrillic strings (в/не/на/я/а/
+    // то/по/у/же/за, public knowledge: any uk or ru frequency list);
+    // the others diverge (и↔і, что↔що, с↔з, он↔він, как↔як, это↔це,
+    // но↔але, они↔вони, к↔до, от↔від) but often miss in short
+    // documents, so the vote dead-ties and profile order would call
+    // everything 'uk'. The orthography census
+    // ([[graft.operators.TextOps.ukRuOrtho]]: letters the other
+    // alphabet simply does not have — uk і/ї/є/ґ vs ru ы/э/ъ/ё)
+    // separates them. NOTE ru «и» (U+0438) and bg/mk «и» are the same
+    // string — REAL cross-language ambiguity, the accumulate-for-all-
+    // claimants semantics every shared form gets; uk «і» is U+0456,
+    // a different codepoint from Latin i. Appended at the END, same
+    // discipline as the six earlier pairs.
+    "uk" -> Seq("і", "в", "не", "на", "я", "що", "з", "він", "а", "то",
+      "як", "це", "по", "але", "вони", "до", "у", "же", "за", "від"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "с", "он", "а", "то",
+      "как", "это", "по", "но", "они", "к", "у", "же", "за", "от"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode

@@ -222,12 +222,26 @@ object TextOps {
     "bg" -> Seq("ъ", "щ", "ю", "я"),
     "mk" -> Seq("ќ", "ѓ", "љ", "њ", "џ", "ѕ"))
 
+  /** uk/ru census (round 12, the seventh pair and second Cyrillic one):
+    * the cs/sk construction again — letters the OTHER alphabet simply
+    * does not have. Ukrainian has і/ї/є/ґ, none of which the Russian
+    * alphabet contains; Russian has ы/э/ъ/ё, none of which Ukrainian
+    * contains (public knowledge: the two alphabets' letter
+    * inventories). uk «і» is U+0456 — a distinct codepoint from Latin
+    * `i`, so Latin base text cannot feed the census; ru «ъ» is shared
+    * with Bulgarian, which is harmless because a pair's fallback
+    * engages only when the argmax already landed on that pair. */
+  val ukRuOrtho: Seq[(String, Seq[String])] = Seq(
+    "uk" -> Seq("і", "ї", "є", "ґ"),
+    "ru" -> Seq("ы", "э", "ъ", "ё"))
+
   /** The margin-gated orthography pairs [[langScoredOrtho]] applies, in
     * application order. Each entry: (langA, patternsA, langB, patternsB)
     * with A the earlier profile (the tie-break winner the fallback
     * corrects). */
   val orthoPairs: Seq[(Seq[(String, Seq[String])])] =
-    Seq(daNbOrtho, ptGlOrtho, hrSrOrtho, msIdOrtho, csSkOrtho, bgMkOrtho)
+    Seq(daNbOrtho, ptGlOrtho, hrSrOrtho, msIdOrtho, csSkOrtho, bgMkOrtho,
+      ukRuOrtho)
 
   /** DuckDB CTE chain applying EVERY registered pair rewrite in
     * [[orthoPairs]] order — the oracle-side mirror of

@@ -1296,6 +1296,58 @@ object RefineQueries {
       graft.operators.TextOps.langScoredOrtho(aug)
         .select("doc_id", "s_bg", "s_mk", "t_bg", "t_mk", "lang_guess")
         .orderBy("doc_id")
+    },
+
+    // uk/ru — the seventh function-word-inseparable pair, the second
+    // Cyrillic one, and the largest-corpus instance (any web-scale
+    // multilingual crawl is full of both): still pure registry data —
+    // two appended profiles + one pattern list (TextOps.ukRuOrtho),
+    // zero new machinery. Snippets use only the 10 function words uk
+    // and ru share as identical Cyrillic strings (на/в/у/а/за/же/то
+    // here — и/і, что/що, с/з, the divergent forms, deliberately
+    // absent), so s_uk == s_ru dead-ties; content words differ only in
+    // the letters the other alphabet does not have (uk і/ї/є/ґ vs ru
+    // ы/э/ъ/ё). The oracle's rewrite chain regenerates from the same
+    // orthoRewriteCtes registry fold — a seventh CTE appears in every
+    // ortho oracle automatically.
+    oracle(
+      "q156_ukru_langid",
+      {
+        val scoreCols = graft.operators.TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val lowSrc = "(' ' || lower(coalesce(text, '')) || ' ')"
+        val censuses = graft.operators.TextOps.orthoPairs.flatten.map {
+          case (lang, pats) =>
+            s"${graft.operators.TextOps.orthoCountSql(lowSrc, pats)} AS t_$lang"
+        }.mkString(",\n  ")
+        val (chain, last) = graft.operators.TextOps.orthoRewriteCtes(2)
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % 9 = 6 THEN ' $ukSnippet $ukSnippet'
+           |         WHEN doc_id % 9 = 7 THEN ' $ruSnippet $ruSnippet'
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $scoreCols,
+           |  $censuses
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
+           |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
+           |      FROM sc),
+           |$chain
+           |SELECT doc_id, s_uk, s_ru, t_uk, t_ru, lang_guess
+           |FROM $last ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: uk/ru lang-ID via the orthography-pair registry (seventh pair, second Cyrillic)") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 6, lit(s" $ukSnippet $ukSnippet"))
+          .when(col("doc_id") % 9 === 7, lit(s" $ruSnippet $ruSnippet"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.langScoredOrtho(aug)
+        .select("doc_id", "s_uk", "s_ru", "t_uk", "t_ru", "lang_guess")
+        .orderBy("doc_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical
@@ -1348,6 +1400,17 @@ object RefineQueries {
     "пътят на съня е дълъг и нощта е тъмна но язовирът се пълни за бъдещето му"
   private[queries] lazy val mkSnippet =
     "куќата на луѓето е убава и ноќта е мирна но ѕвездата се гледа за љубовта му"
+
+  /** The uk/ru inseparable pair for q156, same construction: every
+    * function word in both snippets is one of the 10 SHARED Cyrillic
+    * forms (на/в/у/а/за/же/то — a dead tie by construction; standalone
+    * uk «і» and ru «и»/«это», the divergent forms, deliberately
+    * absent); the content words differ only in the letters the other
+    * alphabet does not have (uk і/ї/є/ґ vs ru ы/э/ъ/ё). */
+  private[queries] lazy val ukSnippet =
+    "їжак на ґанку в саду є тихий у світанні а літо за вікном же гарне то місяці"
+  private[queries] lazy val ruSnippet =
+    "ёжик на крыльце в саду есть тихий у подъезда а лето за этажом же ясное то сыры"
 
   /** Planted Unicode fixtures for q141: the decomposed form (combining
     * marks U+0301/U+0308, which NFC composes, plus o + U+030A which has

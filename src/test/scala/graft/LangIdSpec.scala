@@ -288,6 +288,49 @@ class LangIdSpec extends SparkSpec {
     assert(rows(152L) === ((0L, 0L)))
   }
 
+  test("uk/ru: vote dead-ties, seventh registry pair separates via exclusive letters (round 12)") {
+    // only the 10 shared Cyrillic function-word forms (и/і, что/що,
+    // с/з, это/це, the divergent forms, absent) → s_uk == s_ru; content
+    // words differ solely in the letters the other alphabet does not
+    // have (і/ї/є/ґ vs ы/э/ъ/ё)
+    val uk = 160L -> "їжак на ґанку в саду є тихий у світанні а літо за вікном же гарне то місяці"
+    val ru = 161L -> "ёжик на крыльце в саду есть тихий у подъезда а лето за этажом же ясное то сыры"
+    val voteOnly = guess(Seq(uk, ru))
+    assert(voteOnly === Map(160L -> "uk", 161L -> "uk")) // profile order alone: both 'uk'
+    val scores = TextOps.langScored(Seq(uk, ru).toDF("doc_id", "text"))
+      .select("doc_id", "s_uk", "s_ru").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scores(160L)._1 === scores(160L)._2) // dead tie on the uk doc
+    assert(scores(161L)._1 === scores(161L)._2) // and on the ru doc
+    val fixtures = Seq(uk, ru,
+      // composition: the earlier Cyrillic pair must still fire with
+      // uk/ru registered (ru claims и/но/за on these docs but loses the
+      // vote to bg/mk's fuller claim)
+      162L -> "пътят на съня е дълъг и нощта е тъмна но язовирът се пълни за бъдещето му",
+      163L -> "куќата на луѓето е убава и ноќта е мирна но ѕвездата се гледа за љубовта му",
+      // controls: non-pair guesses stay untouched by the seventh rewrite
+      164L -> "the cat sat on the mat and it was pleased with the result of this",
+      165L -> "el perro corre por la calle y los gatos se esconden en una casa del pueblo")
+    val got = TextOps.langScoredOrtho(fixtures.toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(160L -> "uk", 161L -> "ru", 162L -> "bg",
+      163L -> "mk", 164L -> "en", 165L -> "es"))
+  }
+
+  test("uk/ru: census sides are blind to each other's letters and to Latin text") {
+    val rows = TextOps.langScoredOrtho(Seq(
+      170L -> "їжак єдність ґанок місяці київ", // ї×2 є×1 ґ×1 і×3 — no ru letters
+      171L -> "ёлка этаж подъезд сыры объём",   // ё×2 э×1 ъ×2 ы×2 — no uk letters
+      172L -> "plain latin i in itself never feeds the cyrillic census")
+      .toDF("doc_id", "text"))
+      .select("doc_id", "t_uk", "t_ru").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(170L) === ((7L, 0L)))
+    assert(rows(171L) === ((0L, 7L)))
+    assert(rows(172L) === ((0L, 0L)))
+  }
+
   test("pt/gl: orthography counts are clean of English base-text bigrams") {
     // 'small'/'all' must not feed t_gl (the llo-not-ll pattern choice)
     val row = TextOps.langScoredOrtho(Seq(

@@ -153,6 +153,7 @@ class ScaleSpec extends SparkSpec {
       "q136_msid_langid" -> 1,       // same
       "q145_cssk_langid" -> 1,       // same
       "q152_bgmk_langid" -> 1,       // same — the Cyrillic pair is still per-row registry data
+      "q156_ukru_langid" -> 1,       // same — seventh pair, still a shuffle-free scan + sort
       "q137_dup_span_excise" -> 7,   // covered-position explode/distinct + anti join + lpad-position sorted_multi_concat re-assembly + flag join-back + sort
       "q139_stream_neardup_pairs" -> 8, // sig agg + band self-join (2) + pair distinct + two sig join-backs (2) + agreement filter + sort — the batch ground truth of the streaming detector
       "q140_length_quantiles" -> 3,  // (source,len) partial agg + source window + final agg reuses the window partitioning + sort; windows on bounded rows only
