@@ -5,6 +5,16 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** SPARK_GRAFT_METHOD_SPLIT, validated to digits-only: the value is
+    * interpolated UNQUOTED into the JSON records (`"method_split":N`),
+    * so a stray '+2048' or empty string would invalidate the record
+    * line the driver parses (the exact parsed:null failure the stdout
+    * discipline below exists to prevent). Anything non-numeric falls
+    * back to Spark's default. */
+  private[graft] val methodSplit: String =
+    sys.env.get("SPARK_GRAFT_METHOD_SPLIT").map(_.trim)
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).getOrElse("1024")
+
   /** Wall-clock is contention-sensitive: a busy neighbor on the host can
     * double every reading without any plan change (the round-5 record read
     * q52 at 6.9× its round-4 number on an untouched code path, and the
@@ -56,8 +66,7 @@ object Bench {
       // to compile; the env knob lets a full-session A/B run without a
       // code edit. Default = Spark's default (1024), so records are
       // comparable across rounds unless the knob is set explicitly.
-      .config("spark.sql.codegen.methodSplitThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_METHOD_SPLIT", "1024"))
+      .config("spark.sql.codegen.methodSplitThreshold", Bench.methodSplit)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -198,9 +207,8 @@ object Bench {
       case c if c < 0x20 || c > 0x7e => "" // drop non-printing/non-ASCII
       case c => c.toString
     }
-    val methodSplit = sys.env.getOrElse("SPARK_GRAFT_METHOD_SPLIT", "1024")
     val envStamp =
-      s""""gc":"${jesc(gcNames)}","heap_mb":$heapMb,"method_split":$methodSplit,""" +
+      s""""gc":"${jesc(gcNames)}","heap_mb":$heapMb,"method_split":${Bench.methodSplit},""" +
         s""""jvm_flags":"${jesc(jvmFlags)}""""
     // Locale.ROOT: the f-interpolator formats through the DEFAULT locale,
     // which renders "12,34" on comma-decimal locales — invalid JSON
@@ -232,6 +240,10 @@ object Bench {
     // multi-rep record in the working tree (this session's r12 lesson:
     // a REPS=1 run silently replaced the run6 record and got committed).
     val outDir = if (reps >= 2) "" else "/tmp/"
+    if (outDir.nonEmpty)
+      System.err.println(s"[bench] REPS=$reps is a shape check, not a record: " +
+        s"BENCH_LINE.json/BENCH_FULL.json written to $outDir (working-tree " +
+        "records untouched)")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir + "BENCH_LINE.json"), fullLine + "\n")
     def repArr(rs: Seq[Rep]): String =

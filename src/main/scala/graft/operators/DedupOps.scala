@@ -436,6 +436,18 @@ object DedupOps {
     * `shiftrightunsigned` so a 64-bit hash with the sign bit set still
     * buckets correctly. Scale shape: identical to MinHash-LSH
     * bucketing — bounded fan-out equi-join, no all-pairs. */
+  /** The 4-band (band, bucket) explode expression — ONE source of the
+    * shift/mask arithmetic, shared by [[hammingCandidatePairs]] and the
+    * streaming media ingest (`StreamOps.audioNearDupStream`), so batch
+    * and stream can never bucket differently (the `bandBucketSql`
+    * discipline applied to Hamming bands). */
+  private[graft] def hammingBandSql(hashCol: String, bandBits: Int): String = {
+    val mask = (1L << bandBits) - 1L
+    s"""transform(sequence(0, 3), b -> struct(
+       |  CAST(b AS INT) AS band,
+       |  shiftrightunsigned($hashCol, b * $bandBits) & ${mask}L AS bucket))""".stripMargin
+  }
+
   def hammingCandidatePairs(hashes: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int = 3, bandBits: Int = 15): DataFrame = {
     require(maxHamming <= 3,
@@ -443,15 +455,10 @@ object DedupOps {
         s"$maxHamming (derive more bands for a wider radius)")
     require(bandBits >= 1 && bandBits <= 16,
       s"bandBits must be in [1, 16] (4 bands over <= 64 bits), got $bandBits")
-    val mask = (1L << bandBits) - 1L
     val sh = hashes.select(col(idCol).as("doc_id"),
       col(hashCol).cast("long").as("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(expr(
-        s"""transform(sequence(0, 3), b -> struct(
-           |  CAST(b AS INT) AS band,
-           |  shiftrightunsigned(simhash, b * $bandBits) & ${mask}L AS bucket))""".stripMargin))
-        .as("e"))
+      explode(expr(hammingBandSql("simhash", bandBits))).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bucket"))
     val a = banded.select(col("doc_id").as("a"), col("simhash").as("sh_a"),
       col("band"), col("bucket"))

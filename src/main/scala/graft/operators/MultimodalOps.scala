@@ -735,10 +735,54 @@ object MultimodalOps {
     * A trailing partial frame is dropped (its energy is not comparable
     * to a full frame's); payloads shorter than (bits+1)·frameLen
     * samples leave the missing high bits 0, matching a silent tail.
+    * Frames WIDEN on long payloads so the fingerprint summarizes the
+    * WHOLE recording, never just its opening instant — see
+    * [[audioFingerprintOf]].
     *
     * Scale shape: one narrow row per payload, scan-shaped
     * (mapPartitions, ZERO shuffles) — the decode cost parallelizes per
     * partition and only 16 bytes per payload move downstream. */
+  /** The fingerprint computation itself, JVM-callable so the batch
+    * scan ([[audioFingerprint]]) and the streaming ingest path
+    * (`StreamOps.audioNearDupStream`, which needs a per-row try/catch
+    * around the decode) share ONE implementation. Frames WIDEN to
+    * cover the whole payload: the frame length is
+    * max(frameLen, nSamples/(bits+1)), so a long recording is
+    * summarized end to end — the audio analog of dHash downsampling
+    * the WHOLE image — rather than fingerprinting only its first
+    * (bits+1)·frameLen samples (two different recordings sharing a
+    * lead-in must not collide). `frameLen` is thus the MINIMUM frame,
+    * reached on short payloads; the q154 fixture is exactly
+    * (bits+1)·frameLen samples, where the two framings coincide and
+    * the oracle's fixed-width replay stays bit-exact. */
+  def audioFingerprintOf(content: Array[Byte], path: String = "",
+      adapter: AudioAdapter = WavAudioAdapter,
+      frameLen: Int = 16, bits: Int = 60): Long = {
+    val xs = adapter.samples(path, content)
+    val fl = math.max(frameLen, xs.length / (bits + 1))
+    val nf = math.min(xs.length / fl, bits + 1)
+    val e = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var acc = 0L
+      var j = 0
+      while (j < fl) {
+        val v = math.rint(xs(f * fl + j) * 32768.0).toLong
+        acc += v * v
+        j += 1
+      }
+      e(f) = acc
+      f += 1
+    }
+    var afp = 0L
+    var i = 0
+    while (i + 1 < nf) {
+      if (e(i + 1) > e(i)) afp |= 1L << i
+      i += 1
+    }
+    afp
+  }
+
   def audioFingerprint(files: DataFrame,
       adapter: AudioAdapter = WavAudioAdapter,
       frameLen: Int = 16, bits: Int = 60): Dataset[AudioFp] = {
@@ -748,29 +792,8 @@ object MultimodalOps {
     files.select("doc_id", "content").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val content = r.getAs[Array[Byte]](1)
-        val xs = adapter.samples(id.toString, content)
-        val nf = math.min(xs.length / frameLen, bits + 1)
-        val e = new Array[Long](nf)
-        var f = 0
-        while (f < nf) {
-          var acc = 0L
-          var j = 0
-          while (j < frameLen) {
-            val v = math.rint(xs(f * frameLen + j) * 32768.0).toLong
-            acc += v * v
-            j += 1
-          }
-          e(f) = acc
-          f += 1
-        }
-        var afp = 0L
-        var i = 0
-        while (i + 1 < nf) {
-          if (e(i + 1) > e(i)) afp |= 1L << i
-          i += 1
-        }
-        AudioFp(id, afp)
+        AudioFp(id, audioFingerprintOf(r.getAs[Array[Byte]](1), id.toString,
+          adapter, frameLen, bits))
       }
     }
   }

@@ -435,7 +435,12 @@ object StreamOps {
                     band, bucket, seen.size.toLong)
               }
             }
-            if (seen.size < maxBucketMembers) seen = seen :+ BucketEntry(id, sig)
+            // idempotent re-ingest (r12 session-2 review): a replayed
+            // doc_id neither occupies a second state slot nor alarms —
+            // it only re-emits its pairs, which the consumer's distinct
+            // absorbs (same discipline as audioNearDupStream)
+            if (seen.exists(_.doc_id == id)) ()
+            else if (seen.size < maxBucketMembers) seen = seen :+ BucketEntry(id, sig)
             else out += NearDupEvent("bucket_overflow", id, -1L, 0L,
               band, bucket, seen.size.toLong)
           }
@@ -493,13 +498,31 @@ object StreamOps {
       s"maxBucketMembers must be >= 1, got $maxBucketMembers")
     val spark = files.sparkSession
     import spark.implicits._
-    graft.operators.MultimodalOps.audioFingerprint(files, adapter, frameLen)
-      .toDF()
+    // per-row decode with a dead-letter path: an always-on ingest must
+    // SURVIVE a malformed payload (the adapter raises on non-RIFF /
+    // non-PCM / truncated bytes — correct for a batch job, a permanent
+    // crash-loop for a checkpointed stream that would replay the poison
+    // file forever). A failed decode becomes a `decode_error` event
+    // (b = -1, band = -1) the consumer can count and route, and the
+    // payload never reaches state.
+    val decoded = files.select(col("doc_id").cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            (id, graft.operators.MultimodalOps.audioFingerprintOf(
+              r.getAs[Array[Byte]](1), id.toString, adapter, frameLen), true)
+          } catch { case scala.util.control.NonFatal(_) => (id, 0L, false) }
+        }
+      }
+      .toDF("doc_id", "afp", "ok")
+    val errors = decoded.filter(!col("ok"))
+      .select(lit("decode_error").as("kind"), col("doc_id").as("a"),
+        lit(-1L).as("b"), lit(0L).as("hamming"), lit(-1).as("band"),
+        lit(-1L).as("bucket"), lit(0L).as("members"))
+    val events = decoded.filter(col("ok"))
       .select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 3), b -> struct(
-            |  CAST(b AS INT) AS band,
-            |  shiftrightunsigned(afp, b * 15) & 32767L AS bucket))""".stripMargin))
+        explode(expr(graft.operators.DedupOps.hammingBandSql("afp", 15)))
           .as("e"),
         col("afp"))
       .select(col("doc_id"), col("e.band"), col("e.bucket"), col("afp"))
@@ -521,7 +544,12 @@ object StreamOps {
                     math.max(e.doc_id, id), h, band, bucket, seen.size.toLong)
               }
             }
-            if (seen.size < maxBucketMembers) seen = seen :+ FpEntry(id, afp)
+            // idempotent re-ingest: a replayed doc_id neither occupies a
+            // second state slot (which would evict room for legitimate
+            // members under the cap) nor alarms — it only re-emits its
+            // pairs, which the consumer's distinct absorbs
+            if (seen.exists(_.doc_id == id)) ()
+            else if (seen.size < maxBucketMembers) seen = seen :+ FpEntry(id, afp)
             else out += MediaDupEvent("bucket_overflow", id, -1L, 0L,
               band, bucket, seen.size.toLong)
           }
@@ -529,6 +557,7 @@ object StreamOps {
           out.result().iterator
       }
       .toDF()
+    events.unionByName(errors)
   }
 
   /** Stream-static enrichment + windowed rollup: the arriving event

@@ -649,6 +649,25 @@ class MultimodalIoSpec extends SparkSpec {
       assert(java.lang.Long.bitCount(got(g * 5 + a) ^ got(g * 5 + b)) <= 1L)
   }
 
+  test("audioFingerprint frames widen to cover the WHOLE payload, not just its opening") {
+    // two long recordings sharing their first 61 blocks (a common
+    // lead-in) but diverging after — a prefix-only fingerprint would
+    // call them identical; whole-payload framing must not
+    val y1 = MultimodalOps.synthGroupWav(1L, 0, blocks = 122)
+    val z = MultimodalOps.synthGroupWav(9L, 0, blocks = 122)
+    val half = 44 + 61 * 16 * 2 // header + first 61 blocks of samples
+    val y2 = y1.take(half) ++ z.drop(half)
+    val fp1 = MultimodalOps.audioFingerprintOf(y1)
+    val fp2 = MultimodalOps.audioFingerprintOf(y2)
+    assert(fp1 !== fp2,
+      "recordings sharing only a lead-in must not collide")
+    // and the fixture width (exactly (bits+1)*frameLen samples) is where
+    // both framings coincide — the q154 oracle's fixed-width replay
+    val x = MultimodalOps.synthGroupWav(1L, 0) // 61 blocks = 976 samples
+    assert(MultimodalOps.audioFingerprintOf(x, frameLen = 16) ===
+      MultimodalOps.audioFingerprintOf(x))
+  }
+
   test("audioNearDupPairs equals the brute-force Hamming join (banded completeness)") {
     val files = (0L until 25L).map(id =>
         (id, MultimodalOps.synthGroupWav(id / 5, (id % 5).toInt)))

@@ -343,6 +343,60 @@ class StreamingSpec extends SparkSpec {
       "rejected arrivals pair with residents; rejected-rejected pairs cannot exist")
   }
 
+  test("streaming audio near-dup: a poison payload dead-letters, the stream completes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one good WAV + one garbage payload in the SAME file: the adapter
+    // raises on the garbage, which must become a decode_error event —
+    // not a failed micro-batch the checkpoint would replay forever
+    val srcDir = tmpDir("audiopoison_src")
+    Seq(
+      (0L, graft.operators.MultimodalOps.synthGroupWav(0L, 0)),
+      (1L, graft.operators.MultimodalOps.synthGroupWav(0L, 1)),
+      (2L, "not a wav at all".getBytes("US-ASCII")))
+      .toDF("doc_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/stage")
+    val part = new java.io.File(s"$srcDir/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(srcDir, "audio0.parquet").toPath)
+    val got = StreamOps.runAvailableNow(spark,
+      StreamOps.audioNearDupStream(
+        StreamOps.documentsStream(spark, srcDir, glob = "audio*.parquet")),
+      "t_audiopoison", tmpDir("ckpt"))
+    val errs = got.filter(col("kind") === "decode_error").collect()
+    assert(errs.map(_.getAs[Long]("a")).toSeq === Seq(2L),
+      "exactly the poison payload dead-letters")
+    assert(errs.forall(r => r.getAs[Long]("b") === -1L &&
+      r.getAs[Int]("band") === -1))
+    val pairs = got.filter(col("kind") === "pair")
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)), "the good group-mates still pair")
+  }
+
+  test("streaming audio near-dup: re-ingesting a resident is idempotent — no duplicate slot, no false alarm") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // identical recordings, doc 0 replayed: with cap 3 the replay must
+    // NOT occupy a second slot (which would evict room for doc 2) and
+    // must NOT alarm (a resident is not an overflow); doc 3 then
+    // genuinely overflows
+    val wav = graft.operators.MultimodalOps.synthGroupWav(7L, 0)
+    val files = Seq(0L, 0L, 1L, 2L, 3L).map(id => (id, wav))
+      .toDF("doc_id", "content")
+    val got = StreamOps.audioNearDupStream(files, maxBucketMembers = 3)
+    val alarms = got.filter(col("kind") === "bucket_overflow").collect()
+    assert(alarms.map(_.getAs[Long]("a")).toSet === Set(3L),
+      "only the genuine post-cap arrival alarms — never the replayed resident")
+    assert(alarms.length === 4)
+    val pairs = got.filter(col("kind") === "pair")
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L),
+      (0L, 3L), (1L, 3L), (2L, 3L)))
+  }
+
   test("streaming paragraph dedup: ordered ingest reproduces the batch winner set") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
