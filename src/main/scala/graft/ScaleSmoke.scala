@@ -108,7 +108,15 @@ object ScaleSmoke {
     "q146_paragraph_dedup", "q147_semantic_decontamination",
     "q148_zipf_spectrum", "q149_ngram_novelty", "q150_bpe_lang_fertility",
     "q151_decontaminate_excise", "q152_bgmk_langid", "q153_perceptron_train",
-    "q154_audio_fp_neardup", "q155_video_frame_jaccard", "q156_ukru_langid")
+    "q154_audio_fp_neardup", "q155_video_frame_jaccard", "q156_ukru_langid",
+    // q158 is deliberately NOT a smoke target: the registered query is
+    // the bounded-contract brute-force form (label-0 × label-1, both
+    // populations bounded by construction) and the replica slice grows
+    // BOTH labels ×factor → the pair table grows ×factor², measuring
+    // the contract violation, not the operator (the q74 fixed-k
+    // lesson). At corpus scale candidates gate through IVF/LSH first —
+    // the shapes q56/q41 already carry smoke rows for.
+    "q157_rrf_fusion", "q159_session_assembly", "q160_nlaf_langid")
 
   private val Stride = 1000000L
 
@@ -190,7 +198,7 @@ object ScaleSmoke {
     // different base would stamp BENCH_SCALE.json with wrong-scale
     // ratios (reviewed round 5)
     val marker = Paths.get(s"$scaled/_GENERATED_FROM")
-    val stamp = s"base=$base factor=$factor parts=64 v2-tpc"
+    val stamp = s"base=$base factor=$factor parts=64 v3-events"
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == stamp
     if (!fresh) {
@@ -387,7 +395,14 @@ object ScaleSmoke {
     // COUNT scales, the same linear-scaling construction as documents.
     for ((tbl, keys) <- Seq(
         "orders" -> Seq("o_orderkey"),
-        "lineitem" -> Seq("l_orderkey"))) {
+        "lineitem" -> Seq("l_orderkey"),
+        // events (round 12 session 3, for q159): replica k offsets both
+        // ids — each replica is a fresh cohort of users with the
+        // IDENTICAL session structure, so session SIZE stays constant
+        // while session count scales. Timestamps are untouched (the
+        // session-window key is (user, gap-island); same-ts rows across
+        // replicas are different users and never meet).
+        "events" -> Seq("event_id", "user_id"))) {
       val src = spark.read.parquet(s"$base/$tbl.parquet")
       keys.foldLeft(src.crossJoin(broadcast(reps))) { case (df, kcol) =>
           df.withColumn(kcol, col(kcol) + col("k") * lit(Stride))

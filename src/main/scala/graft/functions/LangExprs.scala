@@ -208,7 +208,25 @@ object LangScores {
     "uk" -> Seq("і", "в", "не", "на", "я", "що", "з", "він", "а", "то",
       "як", "це", "по", "але", "вони", "до", "у", "же", "за", "від"),
     "ru" -> Seq("и", "в", "не", "на", "я", "что", "с", "он", "а", "то",
-      "как", "это", "по", "но", "они", "к", "у", "же", "за", "от"))
+      "как", "это", "по", "но", "они", "к", "у", "же", "за", "от"),
+    // round-12 eighth inseparable pair: Afrikaans vs Dutch — the classic
+    // daughter-language case (Afrikaans split from 17th-century Dutch
+    // and kept the function-word skeleton). 13 of these 20 forms are
+    // IDENTICAL strings to the nl profile (van/het/en/in/is/dat/op/te/
+    // met/aan/om/ook/dan, public knowledge: any af frequency list); the
+    // divergent forms (die↔de, vir↔voor, nie↔niet, 'n↔een, sy/hy↔zijn/
+    // hij) often miss in short documents, so the vote dead-ties and
+    // profile order would call everything 'nl'. The orthography census
+    // ([[graft.operators.TextOps.nlAfOrtho]]: Dutch ij/z — Afrikaans
+    // respelled ij→y and z→s — vs Afrikaans circumflexes ê/ô and the
+    // double-negation " nie ") separates them. NOTE af «die» is the
+    // same string as the GERMAN article — REAL cross-language
+    // ambiguity, the accumulate-for-all-claimants semantics every
+    // shared form gets (de's other 19 forms carry the German argmax).
+    // Appended at the END, same discipline as the seven earlier pairs.
+    "af" -> Seq("die", "van", "het", "en", "in", "is", "dat", "op", "te",
+      "met", "vir", "nie", "aan", "om", "ook", "as", "dan", "wat", "hy",
+      "sy"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode

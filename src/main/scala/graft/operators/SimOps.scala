@@ -718,4 +718,135 @@ object SimOps {
         col("best.cosine").as("cosine"),
         (col("best.cosine") >= lit(threshold)).as("contaminated"))
   }
+
+  /** Reciprocal-rank-fusion hybrid retrieval — the standard way a RAG /
+    * corpus-slicing pipeline combines a LEXICAL ranking
+    * ([[TextOps.bm25TopK]]) with a SEMANTIC one (cosine against a probe
+    * embedding) without calibrating their incomparable score scales
+    * (Cormack/Clarke/Büttcher's RRF): each candidate scores
+    * `Σ_lists 1/(c + rank)`, absent-from-a-list contributes 0, fused
+    * top-`k` wins. The probe is the `probeId` row of the embeddings
+    * table (retrieval-by-example), the lexical query a literal term
+    * list — the same inputs q142 and q39 already take.
+    *
+    * Determinism: ranks are integers; the RRF addend is the integer
+    * `1000000 div (c + rank)` so the fused score is an order-free
+    * BIGINT sum — no float ever crosses engines (cosine doubles only
+    * ORDER the semantic list, the q39-proven discipline).
+    *
+    * Shape at 100 TB: both input rankings are top-`kList` bounded
+    * BEFORE the fusion join (BM25's term-IN filter prunes at the scan
+    * and plans TakeOrderedAndProject; the semantic scan is a 1-row
+    * broadcast probe against the streaming corpus with the same
+    * ordered-limit plan), so the full-outer fusion join touches
+    * ≤ 2·kList rows total — driver-scale work after two corpus scans,
+    * no corpus-keyed shuffle beyond them. */
+  def rrfFuseTopK(documents: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], probeId: Long = 0L, kList: Int = 100,
+      k: Int = 20, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kList >= k && k >= 1, s"need kList >= k >= 1, got $kList/$k")
+    require(c >= 1, s"rrf constant must be >= 1, got $c")
+    val lex = TextOps.bm25TopK(documents, terms, k = kList)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = withNorm(embeddings)
+    val probe = e.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val semW = Window
+      .partitionBy(graft.functions.Scalars.constPartitionKey(col("vec_id")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val sem = e.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine", expr(
+        s"""CASE WHEN norm * q_norm = 0.0D THEN 0.0D
+           |     ELSE ${dotX("embedding", "q_emb")} / (norm * q_norm) END""".stripMargin))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(kList)
+      .withColumn("sem_rank", row_number().over(semW).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    val fuseW = Window
+      .partitionBy(graft.functions.Scalars.constPartitionKey(col("doc_id")))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm", expr(
+        s"""CAST(coalesce(1000000 div ($c + lex_rank), 0)
+           |   + coalesce(1000000 div ($c + sem_rank), 0) AS BIGINT)""".stripMargin))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(fuseW).cast("long"))
+      .select("rank", "doc_id", "rrf_ppm", "lex_rank", "sem_rank")
+  }
+
+  /** Margin-based pair mining between two embedding populations — the
+    * ratio-margin criterion of large-scale bitext mining
+    * (Artetxe & Schwenk's "Margin-based Parallel Corpus Mining", the
+    * CCMatrix/LASER selection rule): a raw cosine threshold cannot
+    * separate true pairs from hubs (vectors near EVERYTHING), so each
+    * candidate pair (a, b) scores its cosine RELATIVE to the two
+    * vectors' own top-`km` neighborhoods:
+    * `margin = cos(a,b) / ((avgTop_km(a→B) + avgTop_km(b→A)) / 2)`.
+    * One output row per `labelA` vector: its best-margin `labelB`
+    * partner and whether the margin clears `thresholdPpm` — auditable
+    * like q147's flag, not just a pair list.
+    *
+    * Determinism: cosines FLOOR to ppm BIGINTs per pair BEFORE any
+    * aggregation (the bm25 order-free-integer-sum discipline), so the
+    * top-km sums and the margin ratio are exact integer arithmetic in
+    * both engines; the guarded branches keep every division
+    * positive/positive (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they agree only on non-negative operands). Ties break by
+    * partner id everywhere.
+    *
+    * Shape at 100 TB: the cross product is |A|×|B| for the two BOUNDED
+    * populations handed in (a probe batch vs a candidate pool — at
+    * corpus scale the caller gates candidates through the IVF buckets
+    * (q56) or hyperplane LSH (q41) first, exactly like every other
+    * all-pairs verifier in this engine). The per-side top-km ranks ride
+    * windows over unique, skew-free vector ids; winner selection is the
+    * `max(struct)` PARTIAL agg (the q146/q147 rule), so the exchange
+    * carries |A| rows, not |A|×|B|. */
+  def marginMiningPairs(embeddings: DataFrame, labelA: Long = 0L,
+      labelB: Long = 1L, km: Int = 4,
+      thresholdPpm: Long = 1200000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(km >= 1, s"km must be >= 1, got $km")
+    val e = withNorm(embeddings)
+    val a = e.filter(col("label") === labelA)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"))
+    val b = e.filter(col("label") === labelB)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"))
+    val pairs = a.crossJoin(broadcast(b))
+      .withColumn("cos_ppm", expr(
+        s"""CAST(floor((CASE WHEN a_norm * b_norm = 0.0D THEN 0.0D
+           |  ELSE ${dotX("a_emb", "b_emb")} / (a_norm * b_norm) END)
+           |  * 1000000.0D) AS BIGINT)""".stripMargin))
+      .select("a_id", "b_id", "cos_ppm")
+    val wA = Window.partitionBy("a_id").orderBy(col("cos_ppm").desc, col("b_id"))
+    val wB = Window.partitionBy("b_id").orderBy(col("cos_ppm").desc, col("a_id"))
+    val fwd = pairs.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= km).groupBy("a_id")
+      .agg(sum("cos_ppm").as("fwd_sum"), count(lit(1)).as("fwd_n"))
+    val bwd = pairs.withColumn("r", row_number().over(wB))
+      .filter(col("r") <= km).groupBy("b_id")
+      .agg(sum("cos_ppm").as("bwd_sum"), count(lit(1)).as("bwd_n"))
+    pairs
+      .join(broadcast(fwd), Seq("a_id"))
+      .join(broadcast(bwd), Seq("b_id"))
+      // margin = 2·cos / (fwd_sum/fwd_n + bwd_sum/bwd_n), cleared of
+      // nested division: 2·cos·fwd_n·bwd_n / (fwd_sum·bwd_n + bwd_sum·fwd_n)
+      .withColumn("margin_ppm", expr(
+        """CASE WHEN cos_ppm <= 0L
+          |       OR fwd_sum * bwd_n + bwd_sum * fwd_n <= 0L THEN 0L
+          |  ELSE (2L * cos_ppm * fwd_n * bwd_n * 1000000L)
+          |       div (fwd_sum * bwd_n + bwd_sum * fwd_n) END""".stripMargin))
+      .groupBy("a_id")
+      .agg(max(struct(col("margin_ppm"), (-col("b_id")).as("neg_b"),
+        col("cos_ppm"))).as("best"))
+      .select(col("a_id"), (-col("best.neg_b")).as("b_id"),
+        col("best.cos_ppm").as("cos_ppm"),
+        col("best.margin_ppm").as("margin_ppm"),
+        (col("best.margin_ppm") >= lit(thresholdPpm)).as("aligned"))
+  }
 }

@@ -235,13 +235,30 @@ object TextOps {
     "uk" -> Seq("і", "ї", "є", "ґ"),
     "ru" -> Seq("ы", "э", "ъ", "ё"))
 
+  /** nl/af census (round 12, the eighth pair): systematic RESPELLINGS
+    * rather than exclusive letters — Afrikaans replaced the Dutch `ij`
+    * digraph with `y` (zijn→syn, wijn→wyn) and `z` with `s` (zee→see,
+    * zon→son), so `ij` and `z` are Dutch-side evidence that native
+    * Afrikaans text essentially never carries (public knowledge: any
+    * af orthography reference); the Afrikaans side counts the
+    * circumflex vowels ê/ô Dutch does not use natively (sê, wêreld,
+    * môre) and the word-bounded double-negation marker " nie " /
+    * pronoun " jy " (Dutch: niet / jij — the trailing space keeps
+    * "niet" from feeding " nie "). French loans in Dutch (enquête) and
+    * loanword z in Afrikaans (Zoeloe) are rare stray counts the
+    * accumulate-and-compare semantics absorbs, same as every other
+    * pair's residual ambiguity. */
+  val nlAfOrtho: Seq[(String, Seq[String])] = Seq(
+    "nl" -> Seq("ij", "z", " een ", " niet "),
+    "af" -> Seq("ê", "ô", " nie ", " jy "))
+
   /** The margin-gated orthography pairs [[langScoredOrtho]] applies, in
     * application order. Each entry: (langA, patternsA, langB, patternsB)
     * with A the earlier profile (the tie-break winner the fallback
     * corrects). */
   val orthoPairs: Seq[(Seq[(String, Seq[String])])] =
     Seq(daNbOrtho, ptGlOrtho, hrSrOrtho, msIdOrtho, csSkOrtho, bgMkOrtho,
-      ukRuOrtho)
+      ukRuOrtho, nlAfOrtho)
 
   /** DuckDB CTE chain applying EVERY registered pair rewrite in
     * [[orthoPairs]] order — the oracle-side mirror of

@@ -26,6 +26,44 @@ object RefineQueries {
     s"list_reduce([0.0::DOUBLE] || list_transform(range(1, len($a)+1), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
 
+  /** DuckDB fragment: the q142-proven BM25 CTE chain for the literal
+    * query `terms` — rational IDF, per-term ppm floor before the
+    * cross-term sum — ending in `r(doc_id, score_ppm, n_tokens, "rank")`
+    * ranked by (score desc, doc_id). Shared by q142 and the q157 RRF
+    * fusion oracle so the lexical ranking can never skew between them. */
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tk),
+       |qt AS (
+       |  SELECT doc_id, term
+       |  FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+       |  WHERE term IN ($inList)),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM qt GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM qt) GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(len) AS BIGINT) AS total_len FROM lens),
+       |sc AS (
+       |  SELECT tf.doc_id, lens.len,
+       |    CAST(floor(
+       |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |            + CAST(0.75 AS DOUBLE) * (CAST(len AS DOUBLE)
+       |              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_ppm
+       |  FROM tf JOIN df USING (term)
+       |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN tot),
+       |ag AS (SELECT doc_id, CAST(sum(score_ppm) AS BIGINT) AS score_ppm,
+       |         max(len) AS n_tokens FROM sc GROUP BY 1),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+       |        (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS "rank" FROM ag)""".stripMargin
+  }
+
   /** DuckDB fragment: per-doc quality score — verbatim the q113-proven
     * formula over `(doc_id, string_split tokens)`. Yields
     * `q(doc_id, quality)`. */
@@ -1078,37 +1116,9 @@ object RefineQueries {
     // BEFORE the cross-term sum (FP addition order must not matter).
     oracle(
       "q142_bm25_topk",
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tk),
-        |qt AS (
-        |  SELECT doc_id, term
-        |  FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
-        |  WHERE term IN ('hash', 'merge', 'vector')),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM qt GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        |       FROM (SELECT DISTINCT doc_id, term FROM qt) GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |          CAST(sum(len) AS BIGINT) AS total_len FROM lens),
-        |sc AS (
-        |  SELECT tf.doc_id, lens.len,
-        |    CAST(floor(
-        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-        |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-        |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
-        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-        |            + CAST(0.75 AS DOUBLE) * (CAST(len AS DOUBLE)
-        |              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_ppm
-        |  FROM tf JOIN df USING (term)
-        |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN tot),
-        |ag AS (SELECT doc_id, CAST(sum(score_ppm) AS BIGINT) AS score_ppm,
-        |         max(len) AS n_tokens FROM sc GROUP BY 1),
-        |r AS (SELECT *, CAST(ROW_NUMBER() OVER
-        |        (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS "rank" FROM ag)
-        |SELECT "rank", doc_id, score_ppm, n_tokens
-        |FROM r WHERE "rank" <= 20 ORDER BY "rank"""",
+      s"""WITH ${bm25Ctes(Seq("hash", "merge", "vector"))}
+         |SELECT "rank", doc_id, score_ppm, n_tokens
+         |FROM r WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
       "Retrieval: BM25 top-k for a literal query (rational IDF, ppm-floored)") { (s, d) =>
       TextOps.bm25TopK(Tables(s, d, "documents"),
           Seq("hash", "merge", "vector"))
@@ -1348,6 +1358,151 @@ object RefineQueries {
       graft.operators.TextOps.langScoredOrtho(aug)
         .select("doc_id", "s_uk", "s_ru", "t_uk", "t_ru", "lang_guess")
         .orderBy("doc_id")
+    },
+
+    // nl/af — the eighth function-word-inseparable pair and the first
+    // RESPELLING-separated one (Afrikaans kept 17th-century Dutch's
+    // function-word skeleton but systematically respelled ij→y and
+    // z→s): still pure registry data — one appended profile (nl has
+    // been in the registry since round 8) + one pattern list
+    // (TextOps.nlAfOrtho), zero new machinery. Snippets use only the
+    // 13 function words nl and af share verbatim (het/en/is/dan/in/
+    // met/op/om/te/ook here — die/de, nie/niet, vir/voor, the
+    // divergent forms, deliberately absent), so s_nl == s_af
+    // dead-ties; content words differ only in the respelled
+    // orthography (nl ij/z vs af ê/ô). The oracle's rewrite chain
+    // regenerates from the same orthoRewriteCtes registry fold — an
+    // eighth CTE appears in every ortho oracle automatically.
+    oracle(
+      "q160_nlaf_langid",
+      {
+        val scoreCols = graft.operators.TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val lowSrc = "(' ' || lower(coalesce(text, '')) || ' ')"
+        val censuses = graft.operators.TextOps.orthoPairs.flatten.map {
+          case (lang, pats) =>
+            s"${graft.operators.TextOps.orthoCountSql(lowSrc, pats)} AS t_$lang"
+        }.mkString(",\n  ")
+        val (chain, last) = graft.operators.TextOps.orthoRewriteCtes(2)
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % 9 = 4 THEN ' $nlSnippet $nlSnippet'
+           |         WHEN doc_id % 9 = 5 THEN ' $afSnippet $afSnippet'
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $scoreCols,
+           |  $censuses
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
+           |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
+           |      FROM sc),
+           |$chain
+           |SELECT doc_id, s_nl, s_af, t_nl, t_af, lang_guess
+           |FROM $last ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: nl/af lang-ID via the orthography-pair registry (eighth pair, respelling census)") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 4, lit(s" $nlSnippet $nlSnippet"))
+          .when(col("doc_id") % 9 === 5, lit(s" $afSnippet $afSnippet"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.langScoredOrtho(aug)
+        .select("doc_id", "s_nl", "s_af", "t_nl", "t_af", "lang_guess")
+        .orderBy("doc_id")
+    },
+
+    // Reciprocal-rank-fusion hybrid retrieval: the q142 BM25 lexical
+    // ranking and a q39-style cosine ranking against probe vector 0,
+    // fused by integer RRF (1000000 div (60 + rank), absent list = 0)
+    // so the fused score is an order-free BIGINT sum — doubles only
+    // ORDER the semantic list, never cross engines. The lexical CTE is
+    // the shared bm25Ctes text, so q142 and this oracle can never skew.
+    oracle(
+      "q157_rrf_fusion",
+      s"""WITH ${bm25Ctes(Seq("hash", "merge", "vector"))},
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotD("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |ss AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    CASE WHEN q.norm * c.norm = 0 THEN 0.0
+         |         ELSE ${dotD("q.embedding", "c.embedding")} / (q.norm * c.norm)
+         |    END AS cosine
+         |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0),
+         |sr AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+         |    (ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank FROM ss),
+         |sem AS (SELECT doc_id, sem_rank FROM sr WHERE sem_rank <= 100),
+         |lex AS (SELECT doc_id, "rank" AS lex_rank FROM r WHERE "rank" <= 100),
+         |f AS (
+         |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+         |    CAST(coalesce(1000000 // (60 + lex_rank), 0)
+         |       + coalesce(1000000 // (60 + sem_rank), 0) AS BIGINT) AS rrf_ppm
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+         |fr AS (SELECT *, CAST(ROW_NUMBER() OVER
+         |        (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS "rank" FROM f)
+         |SELECT "rank", doc_id, rrf_ppm, lex_rank, sem_rank
+         |FROM fr WHERE "rank" <= 20 ORDER BY "rank"""",
+      "Retrieval: reciprocal-rank fusion of BM25 + cosine rankings (hybrid RAG retrieval)") { (s, d) =>
+      SimOps.rrfFuseTopK(Tables(s, d, "documents"), Tables(s, d, "embeddings"),
+          Seq("hash", "merge", "vector"))
+        .orderBy("rank")
+    },
+
+    // Margin-based pair mining (Artetxe & Schwenk ratio margin, the
+    // CCMatrix/LASER bitext selection rule) between the label-0 and
+    // label-1 embedding populations: per-pair cosines floor to ppm
+    // BEFORE the top-km neighborhood sums, so the margin ratio is exact
+    // integer arithmetic in both engines and every division is
+    // positive/positive (Spark div truncates, DuckDB // floors — they
+    // agree only there).
+    oracle(
+      "q158_margin_mining",
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${dotD("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |a AS (SELECT vec_id AS a_id, embedding AS a_emb, norm AS a_norm
+         |      FROM e WHERE label = 0),
+         |b AS (SELECT vec_id AS b_id, embedding AS b_emb, norm AS b_norm
+         |      FROM e WHERE label = 1),
+         |p AS (
+         |  SELECT a_id, b_id,
+         |    CAST(floor((CASE WHEN a_norm * b_norm = 0 THEN 0.0
+         |      ELSE ${dotD("a_emb", "b_emb")} / (a_norm * b_norm) END)
+         |      * 1000000.0) AS BIGINT) AS cos_ppm
+         |  FROM a CROSS JOIN b),
+         |fw AS (
+         |  SELECT a_id, CAST(sum(cos_ppm) AS BIGINT) AS fwd_sum,
+         |    CAST(count(*) AS BIGINT) AS fwd_n
+         |  FROM (SELECT *, ROW_NUMBER() OVER
+         |          (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id) AS r FROM p)
+         |  WHERE r <= 4 GROUP BY 1),
+         |bw AS (
+         |  SELECT b_id, CAST(sum(cos_ppm) AS BIGINT) AS bwd_sum,
+         |    CAST(count(*) AS BIGINT) AS bwd_n
+         |  FROM (SELECT *, ROW_NUMBER() OVER
+         |          (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id) AS r FROM p)
+         |  WHERE r <= 4 GROUP BY 1),
+         |m AS (
+         |  SELECT p.a_id, p.b_id, p.cos_ppm,
+         |    CAST(CASE WHEN cos_ppm <= 0
+         |           OR fwd_sum * bwd_n + bwd_sum * fwd_n <= 0 THEN 0
+         |      ELSE (2 * cos_ppm * fwd_n * bwd_n * 1000000)
+         |           // (fwd_sum * bwd_n + bwd_sum * fwd_n) END AS BIGINT)
+         |      AS margin_ppm
+         |  FROM p JOIN fw USING (a_id) JOIN bw USING (b_id)),
+         |w AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY a_id ORDER BY margin_ppm DESC, b_id) AS rn FROM m)
+         |SELECT a_id, b_id, cos_ppm, margin_ppm,
+         |  margin_ppm >= 1200000 AS aligned
+         |FROM w WHERE rn = 1 ORDER BY a_id""",
+      "Similarity: margin-based pair mining between embedding populations (ratio margin)") { (s, d) =>
+      SimOps.marginMiningPairs(Tables(s, d, "embeddings"))
+        .orderBy("a_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical
@@ -1411,6 +1566,18 @@ object RefineQueries {
     "їжак на ґанку в саду є тихий у світанні а літо за вікном же гарне то місяці"
   private[queries] lazy val ruSnippet =
     "ёжик на крыльце в саду есть тихий у подъезда а лето за этажом же ясное то сыры"
+
+  /** The nl/af inseparable pair for q160, same construction: every
+    * function word in both snippets is one of the 13 SHARED forms
+    * (het/en/is/dan/in/met/op/om/te/ook here — a dead tie by
+    * construction; die/de, nie/niet, vir/voor, een/'n, the divergent
+    * forms, deliberately absent); the content words differ only in the
+    * systematic respelling (nl ij/z — kijk/ijs/wijn/zee/zon — vs af
+    * y/s + circumflex — kyk/tyd/see/son/sê/môre/wêreld). */
+  private[queries] lazy val nlSnippet =
+    "kijk het ijs en wijn is fijn dan zwemt tijd in zee met zon op blije dagen om te zien ook"
+  private[queries] lazy val afSnippet =
+    "kyk vanmôre sê ons lê by wêreld en môre is mooi dan kom tyd in see met son op bly dae om te loop ook"
 
   /** Planted Unicode fixtures for q141: the decomposed form (combining
     * marks U+0301/U+0308, which NFC composes, plus o + U+030A which has

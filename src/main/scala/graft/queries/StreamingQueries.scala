@@ -193,5 +193,66 @@ object StreamingQueries {
       "SURVEY §2.8: streaming ingest near-dup (batch ground truth, signature agreement)") { (s, d) =>
       graft.operators.DedupOps.signatureAgreementPairs(Tables(s, d, "documents"))
         .orderBy("a", "b")
+    },
+
+    // Conversation assembly: the chat/interaction-data construction
+    // every dialogue-training pipeline runs — raw event streams become
+    // session documents (one row per 30-minute-gap session, events
+    // concatenated in time order, truncated to a per-session event
+    // budget so a runaway session cannot produce an unbounded
+    // document). Budget = 2 HERE so the truncation branch is
+    // oracle-exercised at this SF (driver sessions max out at 3
+    // events; a production budget of ~1000 would make the cap a
+    // no-op in the test data — the q74 fixed-k contract-row
+    // discipline). Oracle = the q29 gaps-and-islands construction
+    // plus a per-session rank cap; Spark = the same native
+    // session_window the q29 oracle already proved equivalent, with
+    // the assembly riding ONE sort_array(collect_list(struct))
+    // partial agg — per-session working set is the session itself,
+    // the only state a session window needs anyway. The
+    // slice/transform lambda runs on ≤ budget elements per row
+    // (cold, bounded — not the shingle-path HOF trap).
+    oracle(
+      "q159_session_assembly",
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+         |            ORDER BY ts, event_id) AS rn
+         |  FROM sessions),
+         |g AS (
+         |  SELECT user_id, sid, min(ts) AS session_start,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    string_agg(CASE WHEN rn <= 2 THEN event_type END, ' | '
+         |               ORDER BY ts, event_id) AS text
+         |  FROM ranked GROUP BY 1, 2)
+         |SELECT user_id, ${fmtTsSql("session_start")} AS session_start,
+         |  n_events, CAST(least(n_events, 2) AS BIGINT) AS n_kept,
+         |  text, CAST(len(text) AS BIGINT) AS n_chars
+         |FROM g ORDER BY user_id, session_start""",
+      "LLM pipeline: session-window conversation assembly (budget-truncated)") { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))).as("evs"))
+        .select(col("user_id"),
+          fmtTs(col("session_window.start")).as("session_start"),
+          col("n_events"),
+          least(col("n_events"), lit(2L)).as("n_kept"),
+          expr("array_join(transform(slice(evs, 1, 2), x -> x.event_type), ' | ')")
+            .as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("user_id", "session_start")
     })
 }

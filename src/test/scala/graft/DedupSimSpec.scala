@@ -592,4 +592,56 @@ class DedupSimSpec extends SparkSpec {
     assert(got.contains((100L, 101L)), "planted J=0.5 pair found")
     assert(expected.nonEmpty)
   }
+
+  test("rrfFuseTopK: integer RRF fuses the two rankings, absent list contributes 0") {
+    // lexical: doc 1 carries two query terms (top), doc 2 one; doc 3 none.
+    // semantic vs probe vec 0 = [1,0,0]: doc 2 identical (rank 1),
+    // doc 3 close (rank 2), doc 1 orthogonal (rank 3).
+    val documents = docs(
+      1L -> "hash merge vector hash plus filler words here",
+      2L -> "hash with otherwise unrelated filler words here",
+      3L -> "no query terms at all in this document text")
+    val embeddings = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), // probe
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimOps.rrfFuseTopK(documents, embeddings,
+        Seq("hash", "merge", "vector"), kList = 10, k = 4)
+      .orderBy("rank").collect()
+    // rrf(c=60): doc2 = 1e6/62 + 1e6/61; doc1 = 1e6/61 + 1e6/63;
+    // doc3 = 0 + 1e6/62 (absent from the lexical list)
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 1L, 3L))
+    assert(out(0).getLong(2) === 1000000L / 62 + 1000000L / 61)
+    assert(out(1).getLong(2) === 1000000L / 61 + 1000000L / 63)
+    assert(out(2).getLong(2) === 1000000L / 62)
+    assert(out(2).isNullAt(3), "doc 3 is absent from the lexical list")
+    assert(out(0).getLong(3) === 2L && out(0).getLong(4) === 1L)
+  }
+
+  test("marginMiningPairs: a mutual-nearest pair outranks a hub partner") {
+    // b10 pairs exclusively with a1 (mutual nearest, isolated);
+    // b11 is a HUB — the nearest partner of BOTH a2 and a3 — so its
+    // high neighborhood average depresses every margin through it.
+    // That asymmetry is the entire point of the ratio-margin criterion
+    // over a raw cosine threshold.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0L),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0L),
+      (3L, Array(0.0f, 0.9f, 0.44f), 0L),
+      (10L, Array(0.99f, 0.14f, 0.0f), 1L),
+      (11L, Array(0.5f, 0.5f, 0.7f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimOps.marginMiningPairs(vecs)
+      .orderBy("a_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "one row per label-A vector")
+    assert(out(1L)._1 === 10L, "a1's best partner is its near-twin")
+    assert(out(1L)._3, "the mutual-nearest pair clears the threshold")
+    assert(out(2L)._1 === 11L, "a2's best raw cosine IS the hub")
+    assert(!out(2L)._3, "…but the hub's neighborhood average kills the margin")
+    assert(out(1L)._2 > out(2L)._2, "mutual pair margin > hub pair margin")
+  }
 }

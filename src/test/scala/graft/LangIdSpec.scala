@@ -331,6 +331,50 @@ class LangIdSpec extends SparkSpec {
     assert(rows(172L) === ((0L, 0L)))
   }
 
+  test("nl/af: vote dead-ties, eighth registry pair separates via the respelling census (round 12)") {
+    // only the 13 shared function-word forms (die/de, nie/niet,
+    // vir/voor, een/'n, the divergent forms, absent) → s_nl == s_af;
+    // content words differ solely in the systematic respelling (nl
+    // ij/z — Afrikaans respelled ij→y, z→s — vs af ê/ô)
+    val nl = 180L -> "kijk het ijs en wijn is fijn dan zwemt tijd in zee met zon op blije dagen om te zien ook"
+    val af = 181L -> "kyk vanmôre sê ons lê by wêreld en môre is mooi dan kom tyd in see met son op bly dae om te loop ook"
+    val voteOnly = guess(Seq(nl, af))
+    assert(voteOnly === Map(180L -> "nl", 181L -> "nl")) // profile order alone: both 'nl'
+    val scores = TextOps.langScored(Seq(nl, af).toDF("doc_id", "text"))
+      .select("doc_id", "s_nl", "s_af").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scores(180L)._1 === scores(180L)._2) // dead tie on the nl doc
+    assert(scores(181L)._1 === scores(181L)._2) // and on the af doc
+    val fixtures = Seq(nl, af,
+      // composition: the ORIGINAL round-7 Dutch prose (carrying the
+      // nl-only forms de/niet/een) must still classify nl with af
+      // registered — the real-document case, not the planted dead tie
+      182L -> "de hond loopt niet op straat en het kind is met een bal aan het spelen voor de deur",
+      // and the earlier pairs still fire with nl/af registered
+      183L -> "jeg er ikke i vejen til stationen og arbejdet gennem højre er ikke løj og jeg",
+      // controls: non-pair guesses stay untouched by the eighth rewrite
+      184L -> "the cat sat on the mat and it was pleased with the result of this",
+      185L -> "der hund läuft durch die stadt und das kind spielt mit dem ball auf der wiese")
+    val got = TextOps.langScoredOrtho(fixtures.toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(180L -> "nl", 181L -> "af", 182L -> "nl",
+      183L -> "da", 184L -> "en", 185L -> "de"))
+  }
+
+  test("nl/af: census sides are blind to each other's orthography") {
+    val rows = TextOps.langScoredOrtho(Seq(
+      190L -> "kijk zijn wijn zee zon niet een", // ij×3 (kijk/zijn/wijn) + z×3 + " niet " + " een " = 8 — no af marks (" niet " does NOT feed " nie ": the trailing space)
+      191L -> "sê wêreld môre nie jy sy baie",   // ê×2 ô×1 " nie " " jy " — no nl marks (sy/baie: no ij, no z)
+      192L -> "plain english text with size and zero j words") // 'size'/'zero' feed z — Latin text is NOT blind to z, the gate (nl/af guess) is what protects it
+      .toDF("doc_id", "text"))
+      .select("doc_id", "t_nl", "t_af").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(190L) === ((8L, 0L)))
+    assert(rows(191L) === ((0L, 5L)))
+    assert(rows(192L)._2 === 0L)
+  }
+
   test("pt/gl: orthography counts are clean of English base-text bigrams") {
     // 'small'/'all' must not feed t_gl (the llo-not-ll pattern choice)
     val row = TextOps.langScoredOrtho(Seq(

@@ -50,7 +50,9 @@ class ScaleSpec extends SparkSpec {
       "q142_bm25_topk", // 1-row (n_docs, total_len) totals broadcast (the q113/q118 shape)
       "q143_component_histogram", // 1-row (corpus total, max component) broadcast
       "q147_semantic_decontamination", // bounded eval-set broadcast (the q39/q94 probe shape); the train corpus streams
-      "q148_zipf_spectrum") // 1-row corpus-totals broadcast onto ≤64 bucket rows
+      "q148_zipf_spectrum", // 1-row corpus-totals broadcast onto ≤64 bucket rows
+      "q157_rrf_fusion", // 1-row BM25 totals + 1-row probe-vector broadcasts (q142/q39 shapes)
+      "q158_margin_mining") // bounded population-B broadcast vs bounded population A (the q39 probe shape both ways)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -154,6 +156,7 @@ class ScaleSpec extends SparkSpec {
       "q145_cssk_langid" -> 1,       // same
       "q152_bgmk_langid" -> 1,       // same — the Cyrillic pair is still per-row registry data
       "q156_ukru_langid" -> 1,       // same — seventh pair, still a shuffle-free scan + sort
+      "q160_nlaf_langid" -> 1,       // same — eighth pair (respelling census), still per-row registry data
       "q137_dup_span_excise" -> 7,   // covered-position explode/distinct + anti join + lpad-position sorted_multi_concat re-assembly + flag join-back + sort
       "q139_stream_neardup_pairs" -> 8, // sig agg + band self-join (2) + pair distinct + two sig join-backs (2) + agreement filter + sort — the batch ground truth of the streaming detector
       "q140_length_quantiles" -> 3,  // (source,len) partial agg + source window + final agg reuses the window partitioning + sort; windows on bounded rows only
@@ -169,7 +172,10 @@ class ScaleSpec extends SparkSpec {
       "q151_decontaminate_excise" -> 7, // probe-window distinct (2-level) + its broadcast (flagging is a streamed semi-join, no corpus shuffle) + covered-position distinct + anti-join + sorted_multi_concat reassembly + flag join-back + sort — q137's excision tail behind a probe-driven flag set
       "q153_perceptron_train" -> 3,  // post-checkpoint weight trajectory (feature build + per-epoch scoring/update rounds run as localCheckpoint jobs off-plan, the q112 discipline): 2 broadcast epoch-column joins + sort; per-epoch cost lives in the rounds — one doc-keyed agg + one doc_id semi-join + one <=64-key partial agg each
       "q154_audio_fp_neardup" -> 3,  // per-payload fingerprint (narrow mapPartitions over the real WAV parse) + 4×15-bit band self-join (1 exchange each side, one reused) + pair distinct + sort — q132’s image shape on the audio modality; never all-pairs
-      "q155_video_frame_jaccard" -> 9)   // post-checkpoint per-video hash-set table (collect_set dedups map-side — no standalone frame-row distinct; the ONE doc-keyed agg runs inside the checkpoint job, N array rows stored, not 20N hash rows): df census over the narrow set-explode + df-cap semi-join + rare-hash candidate self-join + pair distinct + two set join-backs (array_intersect verify) + sort — candidates ONLY from df≤cap frames (the q38 skew valve on the frame axis), never all-pairs
+      "q155_video_frame_jaccard" -> 9,   // post-checkpoint per-video hash-set table (collect_set dedups map-side — no standalone frame-row distinct; the ONE doc-keyed agg runs inside the checkpoint job, N array rows stored, not 20N hash rows): df census over the narrow set-explode + df-cap semi-join + rare-hash candidate self-join + pair distinct + two set join-backs (array_intersect verify) + sort — candidates ONLY from df≤cap frames (the q38 skew valve on the frame axis), never all-pairs
+      "q157_rrf_fusion" -> 9,        // the q142 BM25 chain (8) feeding a ≤2·kList-row fusion: full-outer rank join + TakeOrdered const-key rank — both rankings are k-bounded BEFORE any join
+      "q158_margin_mining" -> 9,     // bounded |A|×|B| pair table + two top-km rank windows (a_id/b_id keys, skew-free) + their partial-agg sums (broadcast back) + a_id max(struct) winner agg + sort — the exchange carries |A| rows at the end, never the pair table twice
+      "q159_session_assembly" -> 2)  // ONE user-keyed exchange into the session window agg + total-order sort; assembly is a sort_array(collect_list) partial agg, per-session working set only
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
