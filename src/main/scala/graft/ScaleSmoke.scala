@@ -116,7 +116,8 @@ object ScaleSmoke {
     // the contract violation, not the operator (the q74 fixed-k
     // lesson). At corpus scale candidates gate through IVF/LSH first —
     // the shapes q56/q41 already carry smoke rows for.
-    "q157_rrf_fusion", "q159_session_assembly", "q160_nlaf_langid")
+    "q157_rrf_fusion", "q159_session_assembly", "q160_nlaf_langid",
+    "q161_classifier_calibration")
 
   private val Stride = 1000000L
 

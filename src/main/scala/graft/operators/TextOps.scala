@@ -868,6 +868,66 @@ object TextOps {
         (col("logit") > lit(0L)).as("kept"))
   }
 
+  /** Classifier-vs-rules calibration sweep — the governance readout a
+    * curation team runs before swapping the hand heuristics for the
+    * cheap model: at each candidate logit threshold τ, the confusion
+    * matrix of the [[qualityClassifier]] decision (`logit > τ`) against
+    * the [[qualityScored]] rule label (`quality >= qualityCut`), plus
+    * integer ppm precision/recall. The q77/q113 calibration discipline
+    * applied to the model-vs-rules axis: read the operating point off
+    * the curve BEFORE committing a classifier cutoff.
+    *
+    * Determinism: the label rides the q113-proven double compare; the
+    * confusion counts and ppm ratios are pure BIGINT (numerators and
+    * denominators non-negative, so Spark `div` ≡ DuckDB `//`).
+    *
+    * Shape at 100 TB: the label is a per-row formula computed in the
+    * same scan that tokenizes for the classifier (NO doc-keyed
+    * label⋈logit join — the label folds into the one doc_id partial
+    * agg the classifier already does); the τ fan-out multiplies the
+    * ALREADY-AGGREGATED doc rows (×|thresholds|, narrow), and the
+    * confusion agg is a ≤|thresholds|-key partial agg. One corpus
+    * scan, one doc-keyed exchange, one bounded-key exchange. */
+  def classifierCalibration(documents: DataFrame, dim: Int = 256,
+      qualityCut: Double = 0.625,
+      thresholds: Seq[Long] = (-4L to 4L).map(_ * 1000000L)): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val session = documents.sparkSession
+    graft.functions.H60Hash.register(session)
+    val weights = session.range(dim).select(col("id").as("j"),
+      (expr(s"pmod(${h60x("concat('w_', CAST(id AS STRING))")}, 1000001L)")
+        - lit(500000L)).as("w"))
+    val scored = qualityScored(documents)
+      .select(col("doc_id"),
+        when(col("quality") >= lit(qualityCut), 1L).otherwise(0L).as("label"),
+        explode(col("tk")).as("t"))
+      .select(col("doc_id"), col("label"),
+        expr(s"pmod(${h60x("t")}, ${dim}L)").as("j"))
+      .join(broadcast(weights), Seq("j"))
+      .groupBy("doc_id")
+      .agg(max(col("label")).as("label"), sum(col("w")).as("logit"))
+    val taus = thresholds.map(t => s"${t}L").mkString(", ")
+    scored
+      .select(col("label"), col("logit"),
+        explode(expr(s"array($taus)")).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("logit") > col("threshold") && col("label") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("logit") > col("threshold") && col("label") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("logit") <= col("threshold") && col("label") === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("logit") <= col("threshold") && col("label") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0 ELSE (tp * 1000000) div (tp + fp) END")
+          .cast("long").as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN 0 ELSE (tp * 1000000) div (tp + fn) END")
+          .cast("long").as("recall_ppm"))
+  }
+
   def hashedDocVector(documents: DataFrame, dim: Int = 16): DataFrame = {
     hashedDims(documents, dim)
       .groupBy("doc_id")

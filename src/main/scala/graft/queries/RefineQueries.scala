@@ -1503,6 +1503,52 @@ object RefineQueries {
       "Similarity: margin-based pair mining between embedding populations (ratio margin)") { (s, d) =>
       SimOps.marginMiningPairs(Tables(s, d, "embeddings"))
         .orderBy("a_id")
+    },
+
+    // Classifier-vs-rules calibration: the q138 hashed linear model's
+    // confusion matrix against the q113 quality-rule label at each
+    // candidate logit threshold — the governance readout before a team
+    // swaps hand heuristics for the cheap model. All counts and ppm
+    // ratios are non-negative integers (div ≡ //); the label reuses
+    // the q113-proven double compare.
+    oracle(
+      "q161_classifier_calibration",
+      s"""WITH q AS ($qualityCte),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |f AS (
+         |  SELECT doc_id, ${h60Sql("t")} % 256 AS j FROM tok),
+         |w AS (
+         |  SELECT j, (${h60Sql("'w_' || j::VARCHAR")} % 1000001) - 500000 AS w
+         |  FROM (SELECT unnest(range(0, 256)) AS j)),
+         |ag AS (
+         |  SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS logit
+         |  FROM f JOIN w USING (j) GROUP BY 1),
+         |lab AS (
+         |  SELECT ag.doc_id, logit,
+         |    CASE WHEN quality >= 0.625 THEN 1 ELSE 0 END AS label
+         |  FROM ag JOIN q USING (doc_id)),
+         |x AS (
+         |  SELECT label, logit,
+         |    unnest([-4000000, -3000000, -2000000, -1000000, 0,
+         |            1000000, 2000000, 3000000, 4000000]) AS threshold
+         |  FROM lab),
+         |c AS (
+         |  SELECT CAST(threshold AS BIGINT) AS threshold,
+         |    CAST(sum(CASE WHEN logit > threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN logit > threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN logit <= threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN logit <= threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM x GROUP BY 1)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  CAST(CASE WHEN tp + fp = 0 THEN 0
+         |       ELSE (tp * 1000000) // (tp + fp) END AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN tp + fn = 0 THEN 0
+         |       ELSE (tp * 1000000) // (tp + fn) END AS BIGINT) AS recall_ppm
+         |FROM c ORDER BY threshold""",
+      "Governance: hashed-classifier vs quality-rule calibration sweep (confusion + ppm P/R)") { (s, d) =>
+      TextOps.classifierCalibration(Tables(s, d, "documents"))
+        .orderBy("threshold")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

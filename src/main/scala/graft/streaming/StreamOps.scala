@@ -72,6 +72,32 @@ object StreamOps {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("session_start"), col("n_events"))
 
+  /** Streaming conversation/session assembly — q159's batch expression
+    * under a watermark: one document per 30-minute-gap session, events
+    * concatenated in (ts, event_id) order and truncated to `budget`
+    * events. State is the session window's own buffer (open sessions'
+    * events within the watermark horizon) — the q29/[[sessionCounts]]
+    * bound; the assembly adds only the struct payload per buffered
+    * event, and the `budget` cap bounds the EMITTED document even if a
+    * runaway session fills the buffer. Unified-model contract: an
+    * AvailableNow run equals the batch q159 result exactly
+    * (`StreamingSpec`). */
+  def sessionAssemblyStream(events: DataFrame, budget: Int = 2): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+      .select(col("user_id"),
+        graft.functions.Scalars.fmtTs(col("session_window.start"))
+          .as("session_start"),
+        col("n_events"),
+        least(col("n_events"), lit(budget.toLong)).as("n_kept"),
+        expr(s"array_join(transform(slice(evs, 1, $budget), x -> x.event_type), ' | ')")
+          .as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   /** Streaming exact-dedup within the watermark horizon — first
     * occurrence wins, the F7 idempotence contract under continuous
     * arrival. State is bounded by the watermark. */

@@ -310,4 +310,46 @@ class CurationTextSpec extends SparkSpec {
     // actually move: some epoch-2 weight differs from epoch 1
     assert(got.exists { case (_, (a, b2, _)) => a != b2 })
   }
+
+  test("classifierCalibration: confusion cells equal the brute-force replay and partition the corpus") {
+    val docs = Seq(
+      // varied tokens → high TTR → label 1; repeated spam → label 0
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "the quick brown fox jumps over a lazy dog tonight"),
+      (4L, "word word word word word other other other other other")
+    ).toDF("doc_id", "text")
+    val taus = Seq(-2000000L, 0L, 2000000L)
+    val out = TextOps.classifierCalibration(docs, dim = 32, thresholds = taus)
+      .orderBy("threshold").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // driver-side replay of both scores
+    val ref = Seq(
+      1L -> "alpha bravo charlie delta echo foxtrot golf hotel india",
+      2L -> "spam spam spam spam spam spam spam spam spam spam",
+      3L -> "the quick brown fox jumps over a lazy dog tonight",
+      4L -> "word word word word word other other other other other"
+    ).map { case (_, text) =>
+      val toks = text.split(" ")
+      val logit = toks.map(t => weightOf(java.lang.Math.floorMod(
+        graft.functions.Scalars.h60Jvm(t), 32L))).sum
+      val q = 0.5 * toks.distinct.length.toDouble / toks.length +
+        0.3 * (1.0 - toks.count(Set("the", "a", "of", "and")).toDouble / toks.length) +
+        0.2 * math.min(toks.map(_.length).sum.toDouble / toks.length / 8.0, 1.0)
+      (logit, if (q >= 0.625) 1L else 0L)
+    }
+    for (tau <- taus) {
+      val tp = ref.count { case (l, y) => l > tau && y == 1L }.toLong
+      val fp = ref.count { case (l, y) => l > tau && y == 0L }.toLong
+      val fn = ref.count { case (l, y) => l <= tau && y == 1L }.toLong
+      val tn = ref.count { case (l, y) => l <= tau && y == 0L }.toLong
+      def ppm(n: Long, d: Long) = if (d == 0) 0L else n * 1000000L / d
+      assert(out(tau) === ((tp, fp, fn, tn, ppm(tp, tp + fp), ppm(tp, tp + fn))),
+        s"confusion mismatch at tau=$tau")
+      assert(tp + fp + fn + tn === 4L, "every doc lands in exactly one cell")
+    }
+    // the fixture must exercise both labels or the sweep proves nothing
+    assert(ref.exists(_._2 == 1L) && ref.exists(_._2 == 0L))
+  }
 }

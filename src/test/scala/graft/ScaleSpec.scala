@@ -175,7 +175,8 @@ class ScaleSpec extends SparkSpec {
       "q155_video_frame_jaccard" -> 9,   // post-checkpoint per-video hash-set table (collect_set dedups map-side — no standalone frame-row distinct; the ONE doc-keyed agg runs inside the checkpoint job, N array rows stored, not 20N hash rows): df census over the narrow set-explode + df-cap semi-join + rare-hash candidate self-join + pair distinct + two set join-backs (array_intersect verify) + sort — candidates ONLY from df≤cap frames (the q38 skew valve on the frame axis), never all-pairs
       "q157_rrf_fusion" -> 9,        // the q142 BM25 chain (8) feeding a ≤2·kList-row fusion: full-outer rank join + TakeOrdered const-key rank — both rankings are k-bounded BEFORE any join
       "q158_margin_mining" -> 9,     // bounded |A|×|B| pair table + two top-km rank windows (a_id/b_id keys, skew-free) + their partial-agg sums (broadcast back) + a_id max(struct) winner agg + sort — the exchange carries |A| rows at the end, never the pair table twice
-      "q159_session_assembly" -> 2)  // ONE user-keyed exchange into the session window agg + total-order sort; assembly is a sort_array(collect_list) partial agg, per-session working set only
+      "q159_session_assembly" -> 2,  // ONE user-keyed exchange into the session window agg + total-order sort; assembly is a sort_array(collect_list) partial agg, per-session working set only
+      "q161_classifier_calibration" -> 4) // weight-table broadcast + ONE doc-keyed agg (label folds into the classifier's own partial agg — no label join) + ≤9-key confusion agg (τ fan-out rides the aggregated doc rows, not the corpus) + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString

@@ -173,6 +173,23 @@ class StreamingSpec extends SparkSpec {
     assert(totalEvents === Tables(spark, dir, "events").count())
   }
 
+  test("session assembly stream equals the batch q159 result exactly") {
+    // the unified-model contract on the ASSEMBLY payload, not just the
+    // counts: same session boundaries, same (ts, event_id) order inside
+    // the document, same budget truncation
+    val streamed = StreamOps.sessionAssemblyStream(
+      StreamOps.eventsStream(spark, dir))
+    val got = StreamOps.runAvailableNowComplete(spark, streamed,
+      "t_session_asm", tmpDir("ckpt"))
+      .select("user_id", "session_start", "n_events", "n_kept", "text", "n_chars")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = SparkEntry.queries("q159_session_assembly")(spark, dir)
+      .select("user_id", "session_start", "n_events", "n_kept", "text", "n_chars")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.length === batch.length)
+    assert(got === batch, "stream ≡ batch on the assembled documents")
+  }
+
   test("minhash_sig: per-row native signature equals the aggregation-derived one") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
