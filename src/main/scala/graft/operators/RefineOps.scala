@@ -556,4 +556,47 @@ object RefineOps {
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         (col("n_lines") - col("n_kept")).as("n_dropped"), col("clean_text"))
   }
+
+  /** Dedup-weighted training mass — the SOFT alternative to dropping
+    * duplicates: every document stays in the corpus but its loss weight
+    * is `1/cluster_size` over the q57 transitive-closure near-dup
+    * clusters, so each duplicated content unit counts ONCE in training
+    * expectation (the count-once weighting studied as the
+    * memorization-safe alternative to hard dedup — dropping loses the
+    * distributional signal of which content is popular; weighting keeps
+    * it at unit mass). Output per document: its cluster, the cluster
+    * size, the integer ppm weight, and its token mass before/after
+    * weighting — the per-source rollup a curator reads is one groupBy
+    * away.
+    *
+    * Determinism: weights are `1000000 div cluster_size` — positive
+    * BIGINTs end to end (div ≡ //); the clusters are q57's
+    * oracle-proven closure.
+    *
+    * Shape at 100 TB: identical to q57 (LSH candidates → verified edges
+    * → O(log d) star contraction behind localCheckpoint) plus one
+    * bounded census agg and two doc-keyed joins; the weighting itself
+    * adds no new corpus-scale shape. */
+  def dedupWeightedMass(documents: DataFrame,
+      jaccardMin: Double = 0.5): DataFrame = {
+    val pairs = DedupOps.minhashCandidatePairs(documents)
+      .filter(col("jaccard") >= jaccardMin).select("a", "b")
+    val labels = DedupOps.componentKeepers(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val clusters = documents.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val census = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val toks = TextOps.tokenized(documents)
+      .select(col("doc_id"), expr("CAST(size(tk) AS BIGINT)").as("n_tokens"))
+    clusters
+      .join(census, Seq("cluster_id"))
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_ppm"),
+        col("n_tokens"),
+        expr("(n_tokens * 1000000L) div cluster_size").as("weighted_tokens_ppm"))
+  }
 }

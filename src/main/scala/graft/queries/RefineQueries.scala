@@ -1549,6 +1549,59 @@ object RefineQueries {
       "Governance: hashed-classifier vs quality-rule calibration sweep (confusion + ppm P/R)") { (s, d) =>
       TextOps.classifierCalibration(Tables(s, d, "documents"))
         .orderBy("threshold")
+    },
+
+    // Dedup-weighted training mass: the SOFT alternative to dropping
+    // duplicates — every doc keeps a 1/cluster_size ppm loss weight
+    // over q57's transitive-closure clusters, so duplicated content
+    // counts once in expectation while the corpus (and its popularity
+    // signal) stays intact. Oracle = q57's proven recursive-closure
+    // chain + the census and token joins.
+    oracle(
+      "q162_dedup_weighted_mass",
+      {
+        import graft.operators.TextOps.h60d
+        s"""WITH RECURSIVE sh AS (${NorthStarQueries.SH}),
+           |sig AS (${NorthStarQueries.SIG()}),
+           |bands AS (
+           |  SELECT doc_id, unnest(range(0, 4)) AS band,
+           |    unnest(list_transform(range(0, 4), b ->
+           |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+           |  FROM sig WHERE sig[1] <> -1),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+           |  WHERE x.doc_id < y.doc_id),
+           |verified AS (
+           |  SELECT a, b FROM cand
+           |  JOIN sh sa ON sa.doc_id = a
+           |  JOIN sh sb ON sb.doc_id = b
+           |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+           |edges AS (SELECT a AS u, b AS v FROM verified
+           |          UNION SELECT b AS u, a AS v FROM verified),
+           |reach(id, r) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+           |final AS (SELECT id AS doc_id, min(r) AS cluster_id
+           |          FROM reach GROUP BY id),
+           |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           |       FROM final GROUP BY 1),
+           |tk AS (SELECT doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |       FROM documents)
+           |SELECT f.doc_id, f.cluster_id, cs.cluster_size,
+           |  CAST(1000000 // cs.cluster_size AS BIGINT) AS weight_ppm,
+           |  tk.n_tokens,
+           |  CAST((tk.n_tokens * 1000000) // cs.cluster_size AS BIGINT)
+           |    AS weighted_tokens_ppm
+           |FROM final f JOIN cs USING (cluster_id) JOIN tk USING (doc_id)
+           |ORDER BY f.doc_id""".stripMargin
+      },
+      "Governance: dedup-weighted training mass (count-once loss weighting, soft dedup)") { (s, d) =>
+      RefineOps.dedupWeightedMass(Tables(s, d, "documents"))
+        .orderBy("doc_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

@@ -315,4 +315,36 @@ class RefineOpsSpec extends SparkSpec {
       "boundary sits immediately after the kept prefix")
     assert(part.count(_._5) === 1)
   }
+
+  test("dedupWeightedMass: cluster members split unit mass; singletons keep it whole") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      1L -> base,
+      2L -> base.replace("sigma", "sygma"),        // near-dup of 1
+      3L -> base.replace("upsilon", "ypsilon"),    // near-dup of 1 and 2
+      4L -> (1 to 20).map(i => s"unique$i").mkString(" ")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = RefineOps.dedupWeightedMass(docs)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // the triple collapses to one cluster keyed by its min id
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (cid, size, w, n, wm) = out(id)
+      assert(cid === 1L && size === 3L && w === 333333L)
+      assert(wm === n * 1000000L / 3L, s"doc $id weighted mass")
+    }
+    val (cid4, size4, w4, n4, wm4) = out(4L)
+    assert(cid4 === 4L && size4 === 1L && w4 === 1000000L && wm4 === n4 * 1000000L)
+    // total weighted mass ≈ one copy of the cluster + the singleton:
+    // count-once in expectation (floor slack < cluster_size ppm)
+    val clusterTokens = out(1L)._4
+    val weighted = Seq(1L, 2L, 3L).map(out(_)._5).sum
+    assert(weighted <= clusterTokens * 1000000L &&
+      weighted > (clusterTokens - 1) * 1000000L - 3L,
+      "cluster mass sums to ~one copy")
+  }
 }

@@ -176,7 +176,8 @@ class ScaleSpec extends SparkSpec {
       "q157_rrf_fusion" -> 9,        // the q142 BM25 chain (8) feeding a ≤2·kList-row fusion: full-outer rank join + TakeOrdered const-key rank — both rankings are k-bounded BEFORE any join
       "q158_margin_mining" -> 9,     // bounded |A|×|B| pair table + two top-km rank windows (a_id/b_id keys, skew-free) + their partial-agg sums (broadcast back) + a_id max(struct) winner agg + sort — the exchange carries |A| rows at the end, never the pair table twice
       "q159_session_assembly" -> 2,  // ONE user-keyed exchange into the session window agg + total-order sort; assembly is a sort_array(collect_list) partial agg, per-session working set only
-      "q161_classifier_calibration" -> 4) // weight-table broadcast + ONE doc-keyed agg (label folds into the classifier's own partial agg — no label join) + ≤9-key confusion agg (τ fan-out rides the aggregated doc rows, not the corpus) + sort
+      "q161_classifier_calibration" -> 4, // weight-table broadcast + ONE doc-keyed agg (label folds into the classifier's own partial agg — no label join) + ≤9-key confusion agg (τ fan-out rides the aggregated doc rows, not the corpus) + sort
+      "q162_dedup_weighted_mass" -> 10) // q57's post-checkpoint pair chain + left label join + cluster census agg + census join-back + doc-keyed token join + sort; the weighting arithmetic is per-row — no new corpus-scale shape beyond q57's
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
