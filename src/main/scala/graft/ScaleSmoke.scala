@@ -117,7 +117,8 @@ object ScaleSmoke {
     // lesson). At corpus scale candidates gate through IVF/LSH first —
     // the shapes q56/q41 already carry smoke rows for.
     "q157_rrf_fusion", "q159_session_assembly", "q160_nlaf_langid",
-    "q161_classifier_calibration", "q162_dedup_weighted_mass")
+    "q161_classifier_calibration", "q162_dedup_weighted_mass",
+    "q163_truncation_recall")
 
   private val Stride = 1000000L
 

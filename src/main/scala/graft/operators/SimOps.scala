@@ -719,6 +719,60 @@ object SimOps {
         (col("best.cosine") >= lit(threshold)).as("contaminated"))
   }
 
+  /** Dimension-truncation recall curve — the Matryoshka evaluation
+    * (Kusupati et al., "Matryoshka Representation Learning", NeurIPS'22):
+    * serving systems rank with a PREFIX of each embedding (8/16/32 of
+    * the stored dims) to cut memory and compute, and the operating
+    * question is how much of the full-dimension top-k survives at each
+    * truncation. One row per (trunc_dim, probe): hits against the
+    * full-dim exact top-k and integer ppm recall — the same
+    * truth-vs-candidate construction as [[jlRecallAtK]], with prefix
+    * truncation in place of the JL projection.
+    *
+    * Shape at 100 TB: the probe side is bounded and broadcast (the
+    * q39 shape) for the truth pass AND each truncation pass — the
+    * corpus streams once per evaluated dim, shorter vectors each time;
+    * the truth table localCheckpoints so the |dims| candidate passes
+    * don't recompute it. Ranks tie-break by neighbor id; recall is
+    * integer hits over k (div ≡ //). */
+  def truncationRecall(embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32),
+      nQueries: Int = 50, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad dims $dims")
+    require(nQueries >= 1 && k >= 1, s"need nQueries/k >= 1, got $nQueries/$k")
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
+    def topkAt(embExpr: String): DataFrame = {
+      val e = register(embeddings)
+        .select(col("vec_id"), expr(embExpr).as("emb"))
+        .withColumn("nrm", expr(s"sqrt(${dotX("emb", "emb")})"))
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      e.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+          col("nrm").as("n_nrm"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cosine", expr(
+          s"""CASE WHEN q_nrm * n_nrm = 0.0D THEN 0.0D
+             |     ELSE ${dotX("q_emb", "n_emb")} / (q_nrm * n_nrm) END""".stripMargin))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("q_id", "n_id")
+    }
+    val truth = topkAt("embedding").localCheckpoint()
+    val probes = truth.select("q_id").distinct().localCheckpoint()
+    dims.map { d =>
+      val hits = truth.join(topkAt(s"slice(embedding, 1, $d)"),
+          Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      probes
+        .join(hits, Seq("q_id"), "left")
+        .select(lit(d.toLong).as("trunc_dim"), col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_ppm", expr(s"(n_hits * 1000000L) div ${k}L"))
+    }.reduce(_.union(_))
+  }
+
   /** Reciprocal-rank-fusion hybrid retrieval — the standard way a RAG /
     * corpus-slicing pipeline combines a LEXICAL ranking
     * ([[TextOps.bm25TopK]]) with a SEMANTIC one (cosine against a probe

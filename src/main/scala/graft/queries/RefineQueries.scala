@@ -1602,6 +1602,51 @@ object RefineQueries {
       "Governance: dedup-weighted training mass (count-once loss weighting, soft dedup)") { (s, d) =>
       RefineOps.dedupWeightedMass(Tables(s, d, "documents"))
         .orderBy("doc_id")
+    },
+
+    // Dimension-truncation recall (Matryoshka evaluation): how much of
+    // the full-dim exact top-5 survives when ranking with an 8/16/32-dim
+    // PREFIX of each embedding — the memory/recall trade a serving
+    // system reads before truncating its index. Oracle = one q39-style
+    // chain per dim over the list prefix.
+    oracle(
+      "q163_truncation_recall",
+      {
+        def chain(tag: String, embSel: String) =
+          s"""e$tag AS (SELECT vec_id, $embSel AS emb FROM embeddings),
+             |n$tag AS (
+             |  SELECT vec_id, emb, sqrt(${dotD("emb", "emb")}) AS nrm FROM e$tag),
+             |s$tag AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+             |         ELSE ${dotD("q.emb", "c.emb")} / (q.nrm * c.nrm) END AS cosine
+             |  FROM n$tag q JOIN n$tag c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+             |t$tag AS (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id, ROW_NUMBER() OVER
+             |      (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+             |    FROM s$tag)
+             |  WHERE rn <= 5)""".stripMargin
+        val dims = Seq(8, 16, 32)
+        val chains = (chain("f", "embedding") +:
+          dims.map(d => chain(s"d$d", s"embedding[1:$d]"))).mkString(",\n")
+        val perDim = dims.map { d =>
+          s"""SELECT CAST($d AS BIGINT) AS trunc_dim, p.q_id,
+             |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |  CAST((coalesce(h.n_hits, 0) * 1000000) // 5 AS BIGINT) AS recall_ppm
+             |FROM qs p LEFT JOIN (
+             |  SELECT t.q_id, count(*) AS n_hits
+             |  FROM tf t JOIN td$d c ON t.q_id = c.q_id AND t.n_id = c.n_id
+             |  GROUP BY 1) h ON p.q_id = h.q_id""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $chains,
+           |qs AS (SELECT DISTINCT q_id FROM tf)
+           |SELECT * FROM ($perDim)
+           |ORDER BY trunc_dim, q_id""".stripMargin
+      },
+      "Similarity: dimension-truncation recall curve (Matryoshka serving evaluation)") { (s, d) =>
+      SimOps.truncationRecall(Tables(s, d, "embeddings"))
+        .orderBy("trunc_dim", "q_id")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

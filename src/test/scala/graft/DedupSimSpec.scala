@@ -620,6 +620,25 @@ class DedupSimSpec extends SparkSpec {
     assert(out(0).getLong(3) === 2L && out(0).getLong(4) === 1L)
   }
 
+  test("truncationRecall: prefix ranking loses exactly the tail-dim neighbor") {
+    // v2's similarity to the probe lives in dim 3 — a 2-dim prefix sees
+    // cosine 1.0 for it (direction [0.5, 0] normalizes away the cut) and
+    // promotes it PAST the genuine full-dim rank-2 neighbor v3; the
+    // full-width row is the identity control.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.0f, 0.86f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimOps.truncationRecall(vecs, dims = Seq(2, 4), nQueries = 1, k = 2)
+      .orderBy("trunc_dim").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(2L) === ((1L, 500000L)),
+      "2-dim prefix keeps only the identical neighbor of the full top-2")
+    assert(out(4L) === ((2L, 1000000L)), "full-width truncation is the identity")
+  }
+
   test("marginMiningPairs: a mutual-nearest pair outranks a hub partner") {
     // b10 pairs exclusively with a1 (mutual nearest, isolated);
     // b11 is a HUB — the nearest partner of BOTH a2 and a3 — so its

@@ -52,7 +52,8 @@ class ScaleSpec extends SparkSpec {
       "q147_semantic_decontamination", // bounded eval-set broadcast (the q39/q94 probe shape); the train corpus streams
       "q148_zipf_spectrum", // 1-row corpus-totals broadcast onto ≤64 bucket rows
       "q157_rrf_fusion", // 1-row BM25 totals + 1-row probe-vector broadcasts (q142/q39 shapes)
-      "q158_margin_mining") // bounded population-B broadcast vs bounded population A (the q39 probe shape both ways)
+      "q158_margin_mining", // bounded population-B broadcast vs bounded population A (the q39 probe shape both ways)
+      "q163_truncation_recall") // bounded probe-set broadcast per evaluated dim (the q39/q107 shape)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -177,7 +178,8 @@ class ScaleSpec extends SparkSpec {
       "q158_margin_mining" -> 9,     // bounded |A|×|B| pair table + two top-km rank windows (a_id/b_id keys, skew-free) + their partial-agg sums (broadcast back) + a_id max(struct) winner agg + sort — the exchange carries |A| rows at the end, never the pair table twice
       "q159_session_assembly" -> 2,  // ONE user-keyed exchange into the session window agg + total-order sort; assembly is a sort_array(collect_list) partial agg, per-session working set only
       "q161_classifier_calibration" -> 4, // weight-table broadcast + ONE doc-keyed agg (label folds into the classifier's own partial agg — no label join) + ≤9-key confusion agg (τ fan-out rides the aggregated doc rows, not the corpus) + sort
-      "q162_dedup_weighted_mass" -> 10) // q57's post-checkpoint pair chain + left label join + cluster census agg + census join-back + doc-keyed token join + sort; the weighting arithmetic is per-row — no new corpus-scale shape beyond q57's
+      "q162_dedup_weighted_mass" -> 10, // q57's post-checkpoint pair chain + left label join + cluster census agg + census join-back + doc-keyed token join + sort; the weighting arithmetic is per-row — no new corpus-scale shape beyond q57's
+      "q163_truncation_recall" -> 19) // truth pass checkpoints off-plan; per evaluated dim (×3): broadcast-probe scan + q_id rank window + k·nQueries-row hits agg + probe left join — only the three rank windows are corpus-scale (one shorter-vector stream per dim, the design); union + sort on 3·nQueries rows
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
