@@ -1160,6 +1160,76 @@ object TextOps {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** Max-passage BM25 retrieval — the RAG-stack refinement of
+    * [[bm25TopK]]: long documents dilute whole-document BM25 (length
+    * normalization punishes them even when one PASSAGE answers the
+    * query), so production retrieval scores fixed token chunks
+    * ([[chunked]]'s windows) and ranks each document by its BEST chunk
+    * (the classic max-passage rule). Output: top-`k` documents with
+    * the winning chunk index and its ppm score — the caller feeds
+    * (doc, chunk) straight to a reader model.
+    *
+    * Determinism: the q142 discipline verbatim at chunk granularity —
+    * rational log-free IDF over CHUNK document-frequency, per-term
+    * scores floored to BIGINT ppm before the order-free cross-term
+    * sum; the per-doc winner is a `max(struct(score, -chunk_idx))`
+    * partial agg (best score, earliest chunk on ties).
+    *
+    * Shape at 100 TB: the stride explode is narrow (×len/stride rows
+    * but only (doc, chunk, term-hits) survive the IN filter at the
+    * scan); df and totals are |terms|-row and 1-row broadcasts; the
+    * two corpus-keyed partial aggs ((chunk, term) tf and the per-doc
+    * winner) both map-side combine; top-k plans TakeOrderedAndProject. */
+  def bm25MaxPassageTopK(documents: DataFrame, terms: Seq[String],
+      chunkSize: Int = 64, stride: Int = 48, k1: Double = 1.2,
+      b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val chunks = chunked(documents, chunkSize, stride)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        col("chunk_text"))
+    val lens = chunks.select(col("doc_id"), col("chunk_idx"),
+      col("n_chunk_tokens").as("len"))
+    val toks = chunks
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(split(col("chunk_text"), " ")).as("term"))
+      .filter(expr(s"term IN ($inList)"))
+    val tf = toks.groupBy("doc_id", "chunk_idx", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "chunk_idx", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = lens.agg(count(lit(1)).as("n_chunks"),
+      sum(col("len")).as("total_len"))
+    tf
+      .join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id", "chunk_idx"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_ppm", expr(
+        s"""CAST(floor(
+           |  ((CAST(n_chunks AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           |    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           |  * (CAST(tf AS DOUBLE) * (CAST($k1 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+           |  / (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE)
+           |     * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)
+           |        + CAST($b AS DOUBLE) * (CAST(len AS DOUBLE)
+           |          / (CAST(total_len AS DOUBLE) / CAST(n_chunks AS DOUBLE)))))
+           |  * CAST(1000000.0 AS DOUBLE)) AS BIGINT)""".stripMargin))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(sum(col("score_ppm")).as("score_ppm"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("score_ppm"), (-col("chunk_idx")).as("neg_ci"))).as("best"))
+      .select(col("doc_id"), (-col("best.neg_ci")).as("chunk_idx"),
+        col("best.score_ppm").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.Scalars.constPartitionKey(col("doc_id")))
+          .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "chunk_idx", "score_ppm")
+  }
+
   /** (doc_id, lines) view of a corpus: each document's token stream cut
     * into consecutive `lineTokens`-token lines (the driver corpus ships
     * newline-free, so the "line" structure is the fixed token window —

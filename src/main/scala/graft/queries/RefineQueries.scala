@@ -1647,6 +1647,62 @@ object RefineQueries {
       "Similarity: dimension-truncation recall curve (Matryoshka serving evaluation)") { (s, d) =>
       SimOps.truncationRecall(Tables(s, d, "embeddings"))
         .orderBy("trunc_dim", "q_id")
+    },
+
+    // Max-passage BM25: long documents dilute whole-document BM25, so
+    // retrieval scores the q63 token chunks and ranks each doc by its
+    // BEST chunk — the classic max-passage rule, at chunk-granularity
+    // document frequency. The q142 integer discipline verbatim; winner
+    // = max(struct) partial agg (best score, earliest chunk on ties).
+    oracle(
+      "q164_maxpassage_bm25",
+      s"""WITH ch AS (
+         |  SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+         |    CAST(len(tk[start + 1 : start + 64]) AS BIGINT) AS len,
+         |    tk[start + 1 : start + 64] AS ctk
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(0, greatest(len(tk), 1), 48)) AS start
+         |        FROM (${NorthStarQueries.TK}))),
+         |qt AS (
+         |  SELECT doc_id, chunk_idx, term
+         |  FROM (SELECT doc_id, chunk_idx, unnest(ctk) AS term FROM ch)
+         |  WHERE term IN ('hash', 'merge', 'vector')),
+         |tf AS (SELECT doc_id, chunk_idx, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM qt GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM (SELECT DISTINCT doc_id, chunk_idx, term FROM qt) GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         |          CAST(sum(len) AS BIGINT) AS total_len FROM ch),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.chunk_idx,
+         |    CAST(floor(
+         |      ((CAST(n_chunks AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |            + CAST(0.75 AS DOUBLE) * (CAST(ch.len AS DOUBLE)
+         |              / (CAST(total_len AS DOUBLE) / CAST(n_chunks AS DOUBLE)))))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_ppm
+         |  FROM tf JOIN df USING (term)
+         |  JOIN ch ON ch.doc_id = tf.doc_id AND ch.chunk_idx = tf.chunk_idx
+         |  CROSS JOIN tot),
+         |cs AS (SELECT doc_id, chunk_idx, CAST(sum(score_ppm) AS BIGINT) AS score_ppm
+         |       FROM sc GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, chunk_idx, score_ppm, ROW_NUMBER() OVER
+         |    (PARTITION BY doc_id ORDER BY score_ppm DESC, chunk_idx) AS rn
+         |  FROM cs),
+         |r AS (
+         |  SELECT doc_id, chunk_idx, score_ppm, CAST(ROW_NUMBER() OVER
+         |    (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS "rank"
+         |  FROM best WHERE rn = 1)
+         |SELECT "rank", doc_id, chunk_idx, score_ppm
+         |FROM r WHERE "rank" <= 20 ORDER BY "rank"""",
+      "Retrieval: max-passage BM25 over token chunks (passage scoring, doc-level ranking)") { (s, d) =>
+      TextOps.bm25MaxPassageTopK(Tables(s, d, "documents"),
+          Seq("hash", "merge", "vector"))
+        .orderBy("rank")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

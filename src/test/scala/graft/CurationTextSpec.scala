@@ -311,6 +311,25 @@ class CurationTextSpec extends SparkSpec {
     assert(got.exists { case (_, (a, b2, _)) => a != b2 })
   }
 
+  test("bm25MaxPassageTopK: a buried passage wins its doc and outranks a weaker short doc") {
+    // doc 1: the query terms live ONLY past token 100 — whole-document
+    // scoring would dilute them across 103 tokens; max-passage finds
+    // the short trailing chunk (start 96 → chunk_idx 2) that carries
+    // all three terms densely. doc 2 is short but matches one term.
+    val longFiller = (1 to 100).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$longFiller hash merge vector"),
+      (2L, "hash plus nine other words of plain filler text")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25MaxPassageTopK(docs, Seq("hash", "merge", "vector"))
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 2)
+    assert(out(0) === ((1L, 1L, 2L)),
+      "the 3-term trailing chunk wins doc 1 and doc 1 ranks first")
+    assert(out(1)._2 === 2L)
+  }
+
   test("classifierCalibration: confusion cells equal the brute-force replay and partition the corpus") {
     val docs = Seq(
       // varied tokens → high TTR → label 1; repeated spam → label 0

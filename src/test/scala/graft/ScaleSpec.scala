@@ -53,7 +53,8 @@ class ScaleSpec extends SparkSpec {
       "q148_zipf_spectrum", // 1-row corpus-totals broadcast onto ≤64 bucket rows
       "q157_rrf_fusion", // 1-row BM25 totals + 1-row probe-vector broadcasts (q142/q39 shapes)
       "q158_margin_mining", // bounded population-B broadcast vs bounded population A (the q39 probe shape both ways)
-      "q163_truncation_recall") // bounded probe-set broadcast per evaluated dim (the q39/q107 shape)
+      "q163_truncation_recall", // bounded probe-set broadcast per evaluated dim (the q39/q107 shape)
+      "q164_maxpassage_bm25") // 1-row (n_chunks, total_len) totals broadcast (the q142 shape at chunk granularity)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) {
@@ -179,7 +180,8 @@ class ScaleSpec extends SparkSpec {
       "q159_session_assembly" -> 2,  // ONE user-keyed exchange into the session window agg + total-order sort; assembly is a sort_array(collect_list) partial agg, per-session working set only
       "q161_classifier_calibration" -> 4, // weight-table broadcast + ONE doc-keyed agg (label folds into the classifier's own partial agg — no label join) + ≤9-key confusion agg (τ fan-out rides the aggregated doc rows, not the corpus) + sort
       "q162_dedup_weighted_mass" -> 10, // q57's post-checkpoint pair chain + left label join + cluster census agg + census join-back + doc-keyed token join + sort; the weighting arithmetic is per-row — no new corpus-scale shape beyond q57's
-      "q163_truncation_recall" -> 19) // truth pass checkpoints off-plan; per evaluated dim (×3): broadcast-probe scan + q_id rank window + k·nQueries-row hits agg + probe left join — only the three rank windows are corpus-scale (one shorter-vector stream per dim, the design); union + sort on 3·nQueries rows
+      "q163_truncation_recall" -> 19, // truth pass checkpoints off-plan; per evaluated dim (×3): broadcast-probe scan + q_id rank window + k·nQueries-row hits agg + probe left join — only the three rank windows are corpus-scale (one shorter-vector stream per dim, the design); union + sort on 3·nQueries rows
+      "q164_maxpassage_bm25" -> 9)   // q142's chain at chunk granularity: IN-pruned (chunk, term) tf agg + chunk-df agg/broadcast + chunk-length join + 1-row totals broadcast + per-chunk sum + per-doc max(struct) winner agg + TakeOrdered const-key rank — one more corpus-keyed partial agg than q142 (the winner), both map-side combine
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
