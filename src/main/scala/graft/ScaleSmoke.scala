@@ -118,7 +118,8 @@ object ScaleSmoke {
     // the shapes q56/q41 already carry smoke rows for.
     "q157_rrf_fusion", "q159_session_assembly", "q160_nlaf_langid",
     "q161_classifier_calibration", "q162_dedup_weighted_mass",
-    "q163_truncation_recall", "q164_maxpassage_bm25")
+    "q163_truncation_recall", "q164_maxpassage_bm25",
+    "q165_pair_evidence")
 
   private val Stride = 1000000L
 

@@ -1343,4 +1343,49 @@ object DedupOps {
       .select("doc_id", "pos")
     exciseFlagged(toks, flagged, w)
   }
+
+  /** Near-dup pair EVIDENCE — the explainability readout for a dedup
+    * decision: for every verified near-dup pair, its `topK` RAREST
+    * shared shingles (lowest corpus document-frequency first). A
+    * reviewer auditing "why were these two merged?" reads the shared
+    * rare n-grams, not a bare Jaccard number — common stop-grams shared
+    * by half the corpus explain nothing, the df ordering surfaces the
+    * distinctive overlap (the same rarest-is-most-informative principle
+    * PPJoin's prefix filter and q69's rare-term salience build on).
+    *
+    * Output: one row per (pair, rank ≤ topK): the shingle text and its
+    * corpus df. Rank ties break by the shingle's h60 — never by string
+    * collation (engine-dependent).
+    *
+    * Shape at 100 TB: pairs are the BOUNDED near-dup set; each pair
+    * fans out to its a-side doc's shingles (doc-sized, the audit's
+    * inherent cost) and semi-joins the b side; the df census is the one
+    * corpus-keyed agg and the rank window partitions by pair — bounded
+    * rows per partition, no corpus-wide window. Shingle rows derive
+    * from the narrow [[TextOps.shingleRows]] scan three times —
+    * re-scanning columnar parquet beats checkpointing a corpus-sized
+    * explode (the q86/q146 reasoning). */
+  def pairEvidence(documents: DataFrame, jaccardMin: Double = 0.5,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    graft.functions.H60Hash.register(documents.sparkSession)
+    val pairs = minhashCandidatePairs(documents)
+      .filter(col("jaccard") >= jaccardMin).select("a", "b")
+    val rows = TextOps.shingleRows(documents)
+    val dfc = rows.groupBy("g").agg(count(lit(1)).as("df"))
+    val shared = pairs
+      .join(rows.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(rows.select(col("doc_id").as("b"), col("g")), Seq("b", "g"),
+        "left_semi")
+    val w = Window.partitionBy("a", "b")
+      .orderBy(col("df").asc, col("h").asc)
+    shared
+      .join(dfc, Seq("g"))
+      .withColumn("h", expr(h60x("g")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("a"), col("b"), col("rank"), col("g").as("shingle"),
+        col("df"))
+  }
 }

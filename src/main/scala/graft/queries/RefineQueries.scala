@@ -1703,6 +1703,52 @@ object RefineQueries {
       TextOps.bm25MaxPassageTopK(Tables(s, d, "documents"),
           Seq("hash", "merge", "vector"))
         .orderBy("rank")
+    },
+
+    // Near-dup pair evidence: for every verified pair, the 3 RAREST
+    // shared shingles by corpus df — the explainability readout a
+    // reviewer reads before trusting a merge (shared stop-grams
+    // explain nothing; the rare overlap is the fingerprint). Ties
+    // break by h60, never string collation.
+    oracle(
+      "q165_pair_evidence",
+      {
+        import graft.operators.TextOps.h60d
+        s"""WITH sh AS (${NorthStarQueries.SH}),
+           |sig AS (${NorthStarQueries.SIG()}),
+           |bands AS (
+           |  SELECT doc_id, unnest(range(0, 4)) AS band,
+           |    unnest(list_transform(range(0, 4), b ->
+           |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+           |  FROM sig WHERE sig[1] <> -1),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+           |  WHERE x.doc_id < y.doc_id),
+           |verified AS (
+           |  SELECT a, b FROM cand
+           |  JOIN sh sa ON sa.doc_id = a
+           |  JOIN sh sb ON sb.doc_id = b
+           |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+           |rows_ AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+           |dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+           |        FROM rows_ GROUP BY 1),
+           |shared AS (
+           |  SELECT v.a, v.b, ra.g FROM verified v
+           |  JOIN rows_ ra ON ra.doc_id = v.a
+           |  JOIN rows_ rb ON rb.doc_id = v.b AND rb.g = ra.g),
+           |ranked AS (
+           |  SELECT s.a, s.b, s.g, dfc.df,
+           |    ROW_NUMBER() OVER (PARTITION BY s.a, s.b
+           |      ORDER BY dfc.df, ${h60d("s.g")}) AS rn
+           |  FROM shared s JOIN dfc USING (g))
+           |SELECT a, b, CAST(rn AS BIGINT) AS "rank", g AS shingle, df
+           |FROM ranked WHERE rn <= 3 ORDER BY a, b, "rank"""".stripMargin
+      },
+      "Governance: near-dup pair evidence — rarest shared shingles per verified pair") { (s, d) =>
+      graft.operators.DedupOps.pairEvidence(Tables(s, d, "documents"))
+        .orderBy("a", "b", "rank")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

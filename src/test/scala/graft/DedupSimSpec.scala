@@ -620,6 +620,33 @@ class DedupSimSpec extends SparkSpec {
     assert(out(0).getLong(3) === 2L && out(0).getLong(4) === 1L)
   }
 
+  test("pairEvidence: the rare shared shingle outranks corpus-wide boilerplate") {
+    // docs 1/2 are near-identical (one verified pair) and share BOTH a
+    // distinctive phrase (df=2, only them) and a boilerplate prefix
+    // that every doc carries (df=5) — the evidence ranking must lead
+    // with the distinctive phrase, which is the whole point of the df
+    // ordering.
+    val boiler = "standard corpus header line repeated across documents"
+    val distinct1 = "zanzibar quartz flamingo paradox umbrella nine"
+    val docs = (Seq(
+      1L -> s"$boiler $distinct1 tail one",
+      2L -> s"$boiler $distinct1 tail two") ++
+      (3L to 5L).map(i => i -> s"$boiler unique$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")
+      ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = DedupOps.pairEvidence(docs)
+      .orderBy("a", "b", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(out.nonEmpty, "the planted pair must verify")
+    assert(out.forall(r => r._1 == 1L && r._2 == 2L), "only the planted pair")
+    // every ranked shingle is pair-exclusive (df 2) — boilerplate
+    // shingles (df 5) exist in the shared set but lose the ranking
+    assert(out.forall(_._5 == 2L),
+      s"boilerplate must not reach the top-3 evidence: $out")
+    assert(out.map(_._3).toSeq === (1L to out.length.toLong))
+  }
+
   test("truncationRecall: prefix ranking loses exactly the tail-dim neighbor") {
     // v2's similarity to the probe lives in dim 3 — a 2-dim prefix sees
     // cosine 1.0 for it (direction [0.5, 0] normalizes away the cut) and

@@ -181,7 +181,8 @@ class ScaleSpec extends SparkSpec {
       "q161_classifier_calibration" -> 4, // weight-table broadcast + ONE doc-keyed agg (label folds into the classifier's own partial agg — no label join) + ≤9-key confusion agg (τ fan-out rides the aggregated doc rows, not the corpus) + sort
       "q162_dedup_weighted_mass" -> 10, // q57's post-checkpoint pair chain + left label join + cluster census agg + census join-back + doc-keyed token join + sort; the weighting arithmetic is per-row — no new corpus-scale shape beyond q57's
       "q163_truncation_recall" -> 19, // truth pass checkpoints off-plan; per evaluated dim (×3): broadcast-probe scan + q_id rank window + k·nQueries-row hits agg + probe left join — only the three rank windows are corpus-scale (one shorter-vector stream per dim, the design); union + sort on 3·nQueries rows
-      "q164_maxpassage_bm25" -> 9)   // q142's chain at chunk granularity: IN-pruned (chunk, term) tf agg + chunk-df agg/broadcast + chunk-length join + 1-row totals broadcast + per-chunk sum + per-doc max(struct) winner agg + TakeOrdered const-key rank — one more corpus-keyed partial agg than q142 (the winner), both map-side combine
+      "q164_maxpassage_bm25" -> 9,   // q142's chain at chunk granularity: IN-pruned (chunk, term) tf agg + chunk-df agg/broadcast + chunk-length join + 1-row totals broadcast + per-chunk sum + per-doc max(struct) winner agg + TakeOrdered const-key rank — one more corpus-keyed partial agg than q142 (the winner), both map-side combine
+      "q165_pair_evidence" -> 14)    // q36's candidate/verify chain (bounded pair set) + shingle-df census (the one corpus-keyed agg) + a-side fan-out join + b-side semi-join + per-pair rank window (bounded rows per pair) + sort; shingle rows re-derive from the narrow scan per consumer (the q86/q146 re-scan-beats-checkpoint reasoning)
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
