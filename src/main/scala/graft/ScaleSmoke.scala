@@ -119,7 +119,7 @@ object ScaleSmoke {
     "q157_rrf_fusion", "q159_session_assembly", "q160_nlaf_langid",
     "q161_classifier_calibration", "q162_dedup_weighted_mass",
     "q163_truncation_recall", "q164_maxpassage_bm25",
-    "q165_pair_evidence")
+    "q165_pair_evidence", "q166_esca_langid")
 
   private val Stride = 1000000L
 

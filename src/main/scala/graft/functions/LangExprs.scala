@@ -226,7 +226,24 @@ object LangScores {
     // Appended at the END, same discipline as the seven earlier pairs.
     "af" -> Seq("die", "van", "het", "en", "in", "is", "dat", "op", "te",
       "met", "vir", "nie", "aan", "om", "ook", "as", "dan", "wat", "hy",
-      "sy"))
+      "sy"),
+    // round-12 ninth inseparable pair: Catalan vs Spanish — the classic
+    // same-peninsula Romance sibling. 11 of these 20 forms are
+    // IDENTICAL strings to the es profile (de/la/que/el/a/en/un/una/
+    // al/del/no, public knowledge: any ca frequency list); the
+    // divergent forms (i↔y, els↔los, les↔las, per↔por, amb↔con,
+    // és↔es, més↔más) often miss in short documents, so the vote
+    // dead-ties and profile order would call everything 'es'. The
+    // orthography census ([[graft.operators.TextOps.esCaOrtho]]:
+    // es ñ + standalone y vs ca ç + the interpunct digraph l·l, which
+    // Spanish simply does not have) separates them. NOTE ca «i»/«a»
+    // are the same strings as hr/cs/pt forms — REAL cross-language
+    // ambiguity, the accumulate-for-all-claimants semantics; «si» is
+    // shared with Italian the same way. Appended at the END, same
+    // discipline as the eight earlier pairs.
+    "ca" -> Seq("de", "la", "que", "el", "i", "a", "en", "un", "per",
+      "amb", "els", "les", "una", "al", "és", "del", "no", "més", "ho",
+      "si"))
 
   // per-profile UTF8String hash sets, built once per JVM — membership is
   // a binary-comparison hash probe on the raw UTF-8 bytes, no decode

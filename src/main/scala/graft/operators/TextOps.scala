@@ -252,13 +252,27 @@ object TextOps {
     "nl" -> Seq("ij", "z", " een ", " niet "),
     "af" -> Seq("ê", "ô", " nie ", " jy "))
 
+  /** es/ca census (round 12, the ninth pair): Spanish ñ and the
+    * standalone conjunction « y » (Catalan writes « i ») against
+    * Catalan ç and the interpunct geminate l·l (U+00B7) — ñ and ·
+    * are codepoints the other orthography simply does not use, the
+    * cs/sk construction; the word-bounded " els "/" amb " markers add
+    * real-document evidence (they are ca profile words too — more
+    * census signal on genuine text, deliberately absent from the
+    * planted dead-tie snippets). " y " is an es PROFILE word, so a
+    * snippet carrying it pays one vote of margin — inside the ≤2-vote
+    * gate by construction. */
+  val esCaOrtho: Seq[(String, Seq[String])] = Seq(
+    "es" -> Seq("ñ", " y "),
+    "ca" -> Seq("ç", "l·l", " els ", " amb "))
+
   /** The margin-gated orthography pairs [[langScoredOrtho]] applies, in
     * application order. Each entry: (langA, patternsA, langB, patternsB)
     * with A the earlier profile (the tie-break winner the fallback
     * corrects). */
   val orthoPairs: Seq[(Seq[(String, Seq[String])])] =
     Seq(daNbOrtho, ptGlOrtho, hrSrOrtho, msIdOrtho, csSkOrtho, bgMkOrtho,
-      ukRuOrtho, nlAfOrtho)
+      ukRuOrtho, nlAfOrtho, esCaOrtho)
 
   /** DuckDB CTE chain applying EVERY registered pair rewrite in
     * [[orthoPairs]] order — the oracle-side mirror of

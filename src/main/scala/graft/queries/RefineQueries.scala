@@ -1413,6 +1413,54 @@ object RefineQueries {
         .orderBy("doc_id")
     },
 
+    // es/ca — the ninth function-word-inseparable pair: still pure
+    // registry data — one appended profile (es has been a core profile
+    // since round 1) + one pattern list (TextOps.esCaOrtho), zero new
+    // machinery. Snippets use the 11 function words es and ca share
+    // verbatim (la/de/en/el/que/del/no/una/al here); the es snippet
+    // carries ONE standalone « y » (an es profile word — one vote of
+    // margin, inside the ≤2 gate, and census evidence at once) plus
+    // ñ content; the ca snippet is a true dead tie with ç/l·l content.
+    oracle(
+      "q166_esca_langid",
+      {
+        val scoreCols = graft.operators.TextOps.langProfiles.map { case (l, ws) =>
+          s"CAST(len(list_filter(tk, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS BIGINT) AS s_$l"
+        }.mkString(",\n  ")
+        val lowSrc = "(' ' || lower(coalesce(text, '')) || ' ')"
+        val censuses = graft.operators.TextOps.orthoPairs.flatten.map {
+          case (lang, pats) =>
+            s"${graft.operators.TextOps.orthoCountSql(lowSrc, pats)} AS t_$lang"
+        }.mkString(",\n  ")
+        val (chain, last) = graft.operators.TextOps.orthoRewriteCtes(2)
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % 9 = 0 THEN ' $esSnippet $esSnippet'
+           |         WHEN doc_id % 9 = 1 THEN ' $caSnippet $caSnippet'
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id,
+           |  $scoreCols,
+           |  $censuses
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM aug)),
+           |g AS (SELECT *, ${graft.operators.TextOps.langGuessSql} AS lang_guess
+           |      FROM sc),
+           |$chain
+           |SELECT doc_id, s_es, s_ca, t_es, t_ca, lang_guess
+           |FROM $last ORDER BY doc_id""".stripMargin
+      },
+      "Text analysis: es/ca lang-ID via the orthography-pair registry (ninth pair)") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 9 === 0, lit(s" $esSnippet $esSnippet"))
+          .when(col("doc_id") % 9 === 1, lit(s" $caSnippet $caSnippet"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextOps.langScoredOrtho(aug)
+        .select("doc_id", "s_es", "s_ca", "t_es", "t_ca", "lang_guess")
+        .orderBy("doc_id")
+    },
+
     // Reciprocal-rank-fusion hybrid retrieval: the q142 BM25 lexical
     // ranking and a q39-style cosine ranking against probe vector 0,
     // fused by integer RRF (1000000 div (60 + rank), absent list = 0)
@@ -1824,6 +1872,16 @@ object RefineQueries {
     "kijk het ijs en wijn is fijn dan zwemt tijd in zee met zon op blije dagen om te zien ook"
   private[queries] lazy val afSnippet =
     "kyk vanmôre sê ons lê by wêreld en môre is mooi dan kom tyd in see met son op bly dae om te loop ook"
+
+  /** The es/ca pair for q166, same construction: function words only
+    * from the 11 SHARED forms (la/de/en/el/que/del/no/una/al); the es
+    * snippet's one standalone « y » is both its census evidence and a
+    * single vote of margin (inside the ≤2 gate); content words carry
+    * ñ vs ç/l·l — codepoints the other orthography does not use. */
+  private[queries] lazy val esSnippet =
+    "la caña de año pequeño en el jardín que mañana y señor del pueblo no dará una masa"
+  private[queries] lazy val caSnippet =
+    "la cançó del braç en el col·legi que any de companyia no fa una il·lusió al camí"
 
   /** Planted Unicode fixtures for q141: the decomposed form (combining
     * marks U+0301/U+0308, which NFC composes, plus o + U+030A which has

@@ -375,6 +375,45 @@ class LangIdSpec extends SparkSpec {
     assert(rows(192L)._2 === 0L)
   }
 
+  test("es/ca: near-tie within the gate, ninth registry pair separates via ñ/y vs ç/l·l (round 12)") {
+    // the es snippet carries ONE standalone « y » (profile word AND
+    // census evidence — margin 1, inside the ≤2 gate); the ca snippet
+    // is a true dead tie; content words differ in codepoints the other
+    // orthography does not use (ñ vs ç and the interpunct of l·l)
+    val es = 200L -> "la caña de año pequeño en el jardín que mañana y señor del pueblo no dará una masa"
+    val ca = 201L -> "la cançó del braç en el col·legi que any de companyia no fa una il·lusió al camí"
+    val scores = TextOps.langScored(Seq(es, ca).toDF("doc_id", "text"))
+      .select("doc_id", "s_es", "s_ca", "lang_guess").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(scores(200L)._1 === scores(200L)._2 + 1, "one y-vote of margin")
+    assert(scores(201L)._1 === scores(201L)._2, "dead tie on the ca doc")
+    assert(scores(200L)._3 === "es" && scores(201L)._3 === "es",
+      "profile order alone calls both es")
+    val fixtures = Seq(es, ca,
+      // composition: earlier pairs still fire with es/ca registered
+      202L -> "kyk vanmôre sê ons lê by wêreld en môre is mooi dan kom tyd in see met son op bly dae om te loop ook",
+      // controls: the round-1 es prose keeps es (margin 4 — gate off),
+      // and non-pair guesses stay untouched by the ninth rewrite
+      203L -> "el perro corre por la calle y los gatos se esconden en una casa del pueblo",
+      204L -> "the cat sat on the mat and it was pleased with the result of this")
+    val got = TextOps.langScoredOrtho(fixtures.toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(200L -> "es", 201L -> "ca", 202L -> "af",
+      203L -> "es", 204L -> "en"))
+  }
+
+  test("es/ca: census sides are blind to each other's codepoints") {
+    val rows = TextOps.langScoredOrtho(Seq(
+      210L -> "caña año señor mañana y niño",      // ñ×5 + " y " = 6, no ç/·
+      211L -> "cançó braç col·legi il·lusió els amb") // ç×2 l·l×2 " els " " amb " = 6, no ñ/" y "
+      .toDF("doc_id", "text"))
+      .select("doc_id", "t_es", "t_ca").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(210L) === ((6L, 0L)))
+    assert(rows(211L) === ((0L, 6L)))
+  }
+
   test("pt/gl: orthography counts are clean of English base-text bigrams") {
     // 'small'/'all' must not feed t_gl (the llo-not-ll pattern choice)
     val row = TextOps.langScoredOrtho(Seq(

@@ -159,6 +159,7 @@ class ScaleSpec extends SparkSpec {
       "q152_bgmk_langid" -> 1,       // same — the Cyrillic pair is still per-row registry data
       "q156_ukru_langid" -> 1,       // same — seventh pair, still a shuffle-free scan + sort
       "q160_nlaf_langid" -> 1,       // same — eighth pair (respelling census), still per-row registry data
+      "q166_esca_langid" -> 1,       // same — ninth pair (ñ/y vs ç/l·l census), still per-row registry data
       "q137_dup_span_excise" -> 7,   // covered-position explode/distinct + anti join + lpad-position sorted_multi_concat re-assembly + flag join-back + sort
       "q139_stream_neardup_pairs" -> 8, // sig agg + band self-join (2) + pair distinct + two sig join-backs (2) + agreement filter + sort — the batch ground truth of the streaming detector
       "q140_length_quantiles" -> 3,  // (source,len) partial agg + source window + final agg reuses the window partitioning + sort; windows on bounded rows only
