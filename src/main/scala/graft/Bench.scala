@@ -124,7 +124,11 @@ object Bench {
     final case class Rep(wall: Double, taskSec: Double, cpuSec: Double,
       gcSec: Double, jitSec: Double, codeMb: Double, load: Double,
       cgNew: Long)
-    final case class QRes(name: String, first: Rep, steady: Seq[Rep]) {
+    // `steady` = the reps the medians are computed over; `flagged` = reps
+    // displaced by the load gate (kept in-record so both readings survive,
+    // per the round-12 verdict: "keep both readings flagged").
+    final case class QRes(name: String, first: Rep, steady: Seq[Rep],
+      flagged: Seq[Rep] = Seq.empty) {
       private def med(xs: Seq[Double]): Double =
         if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
       def steadyWallMed: Double = med(steady.map(_.wall))
@@ -134,6 +138,66 @@ object Bench {
       def steadyWallMax: Double = if (steady.isEmpty) -1.0 else steady.map(_.wall).max
     }
 
+    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        Option[Rep] = {
+      // start every timed run from a collected heap AND an empty block
+      // manager: without the gc, a payload query's run inherits its
+      // predecessor's multi-GB garbage and pays someone else's full GC
+      // inside the timer; without the unpersist, every localCheckpoint
+      // the previous rep/query materialized stays pinned until the
+      // ContextCleaner gets to it — and that asynchronous block removal
+      // then runs INSIDE the next timed window (r12 run3: q120's three
+      // steady reps read 1.4 -> 3.8 -> 11.8 s, zero gc, zero new codegen
+      // classes — the progressive signature of its own two checkpoints
+      // per rep accumulating). Both run BEFORE t0, excluded
+      // symmetrically; a per-job cluster gives every query exactly this
+      // (an empty block manager), so the cleanup matches the deployment
+      // premise rather than flattering it.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      runMs.set(0L); cpuMs.set(0L)
+      val gc0 = gcMillis(); val jit0 = jitCompileMs(); val cg0 = cgClasses()
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (!ok) None
+      else {
+        Thread.sleep(300) // listener-bus settle before counter snapshot
+        Some(Rep(wall, runMs.get / 1000.0, cpuMs.get / 1000.0,
+          (gcMillis() - gc0) / 1000.0, (jitCompileMs() - jit0) / 1000.0,
+          codeCacheMb(), sysLoad(), cgClasses() - cg0))
+      }
+    }
+
+    // Load gate (round-12 verdict item 1): the r12 driver record's q08/q09
+    // weak flags were pure early-run box contention — every timed rep of
+    // those queries landed inside one decaying background-load window
+    // (sysLoad1m 5.5–8.6 vs run-median 1.4) that the per-rep stamps
+    // self-identify. Two defenses, so a contention window can never own a
+    // query's only reps:
+    //   1. IMMEDIATE: a rep whose load stamp exceeds max(2.0, 2× the
+    //      session trailing median) is re-run once right away; the
+    //      lower-load reading feeds the median, the other is kept in
+    //      `flagged`.
+    //   2. DEFERRED: the immediate retry is useless while the window is
+    //      still open (the retry lands in the same window — exactly the
+    //      r12 early-run shape, where the trailing median itself was
+    //      inflated). So after the full pass, any query whose EVERY kept
+    //      rep sits above 2× the final session median is re-timed at
+    //      end-of-run — outside the window by construction if the box
+    //      has calmed; if it hasn't, the originals stand and the fresh
+    //      reps are recorded flagged.
+    val loadHist = ArrayBuffer[Double]()
+    def loadMed(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    def gateThresh(hist: Seq[Double]): Double =
+      math.max(2.0, 2.0 * loadMed(hist))
+    def gated(l: Double): Boolean =
+      loadHist.size >= 8 && l > gateThresh(loadHist.toSeq)
+
     // Each query runs once warm (pays whole-stage-codegen compilation +
     // JIT) then `reps` steady repetitions; "queries"/"value" stay
     // first-run so rounds remain comparable, "steady" is now the MEDIAN
@@ -141,44 +205,46 @@ object Bench {
     // fully computed and serialized (a bare count() lets ColumnPruning/
     // EliminateSorts strip the projections and trailing sort, flattering
     // expression-heavy queries). A query that throws records -1.0.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results0 = qseq.map { case (name, fn) =>
       def timed(): Option[Rep] = {
-        // start every timed run from a collected heap AND an empty block
-        // manager: without the gc, a payload query's run inherits its
-        // predecessor's multi-GB garbage and pays someone else's full GC
-        // inside the timer; without the unpersist, every localCheckpoint
-        // the previous rep/query materialized stays pinned until the
-        // ContextCleaner gets to it — and that asynchronous block removal
-        // then runs INSIDE the next timed window (r12 run3: q120's three
-        // steady reps read 1.4 -> 3.8 -> 11.8 s, zero gc, zero new codegen
-        // classes — the progressive signature of its own two checkpoints
-        // per rep accumulating). Both run BEFORE t0, excluded
-        // symmetrically; a per-job cluster gives every query exactly this
-        // (an empty block manager), so the cleanup matches the deployment
-        // premise rather than flattering it.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        System.gc()
-        runMs.set(0L); cpuMs.set(0L)
-        val gc0 = gcMillis(); val jit0 = jitCompileMs(); val cg0 = cgClasses()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => false }
-        val wall = (System.nanoTime() - t0) / 1e9
-        if (!ok) None
-        else {
-          Thread.sleep(300) // listener-bus settle before counter snapshot
-          Some(Rep(wall, runMs.get / 1000.0, cpuMs.get / 1000.0,
-            (gcMillis() - gc0) / 1000.0, (jitCompileMs() - jit0) / 1000.0,
-            codeCacheMb(), sysLoad(), cgClasses() - cg0))
-        }
+        val r = timedRun(fn)
+        r.foreach(x => loadHist += x.load)
+        r
       }
       val first = timed().getOrElse(Rep(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1L))
-      val steady =
-        if (first.wall < 0) Seq.empty[Rep]
-        else (1 to reps).flatMap(_ => timed())
-      QRes(name, first, steady)
+      val kept = ArrayBuffer[Rep](); val flagged = ArrayBuffer[Rep]()
+      if (first.wall >= 0) (1 to reps).foreach { _ =>
+        timed().foreach { r =>
+          if (gated(r.load)) timed() match {
+            case Some(r2) if r2.load < r.load =>
+              System.err.println(f"[bench] $name: rep load ${r.load}%.1f > gate, " +
+                f"retry load ${r2.load}%.1f adopted")
+              flagged += r; kept += r2
+            case Some(r2) => kept += r; flagged += r2
+            case None => kept += r
+          } else kept += r
+        }
+      }
+      QRes(name, first, kept.toSeq, flagged.toSeq)
+    }
+    // Deferred pass: re-time the all-reps-gated queries now that the run
+    // is over (the early-window escape). Bounded: at most `reps` extra
+    // timed runs per flagged query, and only queries where every kept rep
+    // exceeded the final session threshold qualify.
+    val sessThresh = gateThresh(loadHist.toSeq)
+    val qfn = qseq.toMap
+    val results = results0.map { r =>
+      if (r.steady.nonEmpty && r.steady.forall(_.load > sessThresh)) {
+        System.err.println(f"[bench] ${r.name}: all ${r.steady.size} reps above " +
+          f"session load gate $sessThresh%.1f — deferred re-time")
+        val fresh = (1 to reps).flatMap(_ => timedRun(qfn(r.name)))
+        val clean = fresh.filter(_.load <= sessThresh)
+        if (clean.nonEmpty)
+          r.copy(steady = clean,
+            flagged = r.flagged ++ r.steady ++ fresh.filterNot(_.load <= sessThresh))
+        else r.copy(flagged = r.flagged ++ fresh) // box still busy; originals stand
+      } else r
     }
 
     // The harness preserves only the tail of this process's output
@@ -250,14 +316,17 @@ object Bench {
       rs.map(r => s"[${r.wall},${r.taskSec},${r.cpuSec},${r.gcSec},${r.jitSec}," +
         s"${d2(r.codeMb)},${d2(r.load)},${r.cgNew}]").mkString("[", ",", "]")
     val fullRows = results.map { r =>
+      val fl = if (r.flagged.isEmpty) ""
+        else s""","load_flagged":${repArr(r.flagged)}"""
       s""""${r.name}":{"first":${repArr(Seq(r.first))},"steady":${repArr(r.steady)},""" +
         s""""steadyWallMed":${r.steadyWallMed},"steadyWallMin":${r.steadyWallMin},""" +
         s""""steadyWallMax":${r.steadyWallMax},"steadyTaskMed":${r.steadyTaskMed},""" +
-        s""""steadyCpuMed":${r.steadyCpuMed}}"""
+        s""""steadyCpuMed":${r.steadyCpuMed}$fl}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outDir + "BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,""" +
         s""""steady_total":$steadyTotal,"task_total":$taskTotal,$envStamp,""" +
+        s""""load_gate":${d2(sessThresh)},"sess_load_med":${d2(loadMed(loadHist.toSeq))},""" +
         s""""rep_shape":"[wallSec,taskSec,cpuSec,gcSec,jitCompileSec,codeCacheMB,sysLoad1m,codegenNewClasses]",""" +
         s""""per_query":$fullRows}\n""")
     // Leading newline: if a log line on the merged capture was written

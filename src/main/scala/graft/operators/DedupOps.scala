@@ -1359,12 +1359,17 @@ object DedupOps {
     *
     * Shape at 100 TB: pairs are the BOUNDED near-dup set; each pair
     * fans out to its a-side doc's shingles (doc-sized, the audit's
-    * inherent cost) and semi-joins the b side; the df census is the one
-    * corpus-keyed agg and the rank window partitions by pair — bounded
-    * rows per partition, no corpus-wide window. Shingle rows derive
-    * from the narrow [[TextOps.shingleRows]] scan three times —
-    * re-scanning columnar parquet beats checkpointing a corpus-sized
-    * explode (the q86/q146 reasoning). */
+    * inherent cost) and semi-joins the b side; the df census is
+    * SEMI-JOINED to the pair-shared shingles BEFORE it aggregates
+    * (round-12 verdict item 7) — each surviving count is still the full
+    * corpus df for that shingle, but only the bounded shared-shingle
+    * groups are counted at all, so the audit's cost tracks the near-dup
+    * population, not the corpus. The rank window partitions by pair —
+    * bounded rows per partition, no corpus-wide window. `shared` is
+    * localCheckpointed because it now fans into two consumers (the
+    * census prefilter and the final evidence join) and it is
+    * pair-bounded, unlike the corpus-sized explode the q86/q146
+    * reasoning refuses to checkpoint. */
   def pairEvidence(documents: DataFrame, jaccardMin: Double = 0.5,
       topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1373,11 +1378,14 @@ object DedupOps {
     val pairs = minhashCandidatePairs(documents)
       .filter(col("jaccard") >= jaccardMin).select("a", "b")
     val rows = TextOps.shingleRows(documents)
-    val dfc = rows.groupBy("g").agg(count(lit(1)).as("df"))
     val shared = pairs
       .join(rows.select(col("doc_id").as("a"), col("g")), Seq("a"))
       .join(rows.select(col("doc_id").as("b"), col("g")), Seq("b", "g"),
         "left_semi")
+      .localCheckpoint()
+    val sharedG = shared.select("g").distinct()
+    val dfc = rows.join(broadcast(sharedG), Seq("g"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("a", "b")
       .orderBy(col("df").asc, col("h").asc)
     shared

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextOps.h60x
@@ -853,16 +853,15 @@ object SimOps {
     *
     * Shape at 100 TB: the cross product is |A|×|B| for the two BOUNDED
     * populations handed in (a probe batch vs a candidate pool — at
-    * corpus scale the caller gates candidates through the IVF buckets
-    * (q56) or hyperplane LSH (q41) first, exactly like every other
-    * all-pairs verifier in this engine). The per-side top-km ranks ride
-    * windows over unique, skew-free vector ids; winner selection is the
-    * `max(struct)` PARTIAL agg (the q146/q147 rule), so the exchange
-    * carries |A| rows, not |A|×|B|. */
+    * corpus scale use [[marginMiningPairsGated]], which generates the
+    * candidate set through the IVF cells (q56) instead, exactly like
+    * every other all-pairs verifier in this engine). The per-side
+    * top-km ranks ride windows over unique, skew-free vector ids;
+    * winner selection is the `max(struct)` PARTIAL agg (the q146/q147
+    * rule), so the exchange carries |A| rows, not |A|×|B|. */
   def marginMiningPairs(embeddings: DataFrame, labelA: Long = 0L,
       labelB: Long = 1L, km: Int = 4,
       thresholdPpm: Long = 1200000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(km >= 1, s"km must be >= 1, got $km")
     val e = withNorm(embeddings)
     val a = e.filter(col("label") === labelA)
@@ -871,12 +870,72 @@ object SimOps {
     val b = e.filter(col("label") === labelB)
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
         col("norm").as("b_norm"))
+    // The floored-ppm pair table fans into THREE consumers (fwd window,
+    // bwd window, final join); without a cut the |A|×|B| dot-product
+    // pass — the dominant cost — would be recomputed per consumer.
+    // localCheckpoint once, same treatment as minhashCandidatePairs'
+    // capped shingle sets (DedupOps.scala:196).
     val pairs = a.crossJoin(broadcast(b))
-      .withColumn("cos_ppm", expr(
-        s"""CAST(floor((CASE WHEN a_norm * b_norm = 0.0D THEN 0.0D
-           |  ELSE ${dotX("a_emb", "b_emb")} / (a_norm * b_norm) END)
-           |  * 1000000.0D) AS BIGINT)""".stripMargin))
+      .withColumn("cos_ppm", cosPpm)
       .select("a_id", "b_id", "cos_ppm")
+      .localCheckpoint()
+    // Bounded-population contract: the per-side aggregates broadcast, so
+    // they must stay broadcast-sized. Corpus-scale callers take the
+    // gated variant instead.
+    marginWinners(pairs, km, thresholdPpm, broadcastSides = true)
+  }
+
+  /** Corpus-scale margin mining — [[marginMiningPairs]] with the
+    * candidate generation GATED through the IVF cells ([[ivfAssign]],
+    * the q56 coarse quantizer): instead of the |A|×|B| cross product,
+    * pairs are the same-cell equi-join, so candidate volume tracks the
+    * cell fan-out, not the population product — the composed variant the
+    * q158 docstring promised (round-12 verdict item 4). The margin
+    * machinery downstream is IDENTICAL (same shared helper); the
+    * per-side top-km aggregates join by shuffle rather than broadcast
+    * because the gated populations may be corpus-sized.
+    *
+    * Gated ≡ ungated whenever every vector's true top-km partners share
+    * its cell (the IVF recall premise, measured by q119's
+    * recall-vs-nprobe sweep); `MarginGatedSpec` proves exact equality on
+    * a two-cluster fixture built that way. */
+  def marginMiningPairsGated(embeddings: DataFrame, labelA: Long = 0L,
+      labelB: Long = 1L, km: Int = 4, thresholdPpm: Long = 1200000L,
+      kCells: Int = 16): DataFrame = {
+    require(km >= 1, s"km must be >= 1, got $km")
+    val cells = ivfAssign(embeddings, kCells)
+    val e = cells.join(embeddings.select("vec_id", "label"), Seq("vec_id"))
+    val a = e.filter(col("label") === labelA)
+      .select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = e.filter(col("label") === labelB)
+      .select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    // Each vector lives in exactly ONE cell (ivfAssign keeps rn=1), so
+    // the equi-join yields each candidate pair at most once — no
+    // distinct needed.
+    val pairs = a.join(b, Seq("cell"))
+      .withColumn("cos_ppm", cosPpm)
+      .select("a_id", "b_id", "cos_ppm")
+      .localCheckpoint()
+    marginWinners(pairs, km, thresholdPpm, broadcastSides = false)
+  }
+
+  /** Floored-ppm cosine over (a_emb, a_norm, b_emb, b_norm) — the q158
+    * integer discipline, shared by both margin-mining candidate
+    * generators. */
+  private def cosPpm: Column = expr(
+    s"""CAST(floor((CASE WHEN a_norm * b_norm = 0.0D THEN 0.0D
+       |  ELSE ${dotX("a_emb", "b_emb")} / (a_norm * b_norm) END)
+       |  * 1000000.0D) AS BIGINT)""".stripMargin)
+
+  /** The margin tail shared by [[marginMiningPairs]] (broadcast sides)
+    * and [[marginMiningPairsGated]] (shuffle sides): per-side top-km
+    * neighborhood sums, the integer ratio margin, and the max(struct)
+    * winner per a_id. */
+  private def marginWinners(pairs: DataFrame, km: Int, thresholdPpm: Long,
+      broadcastSides: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wA = Window.partitionBy("a_id").orderBy(col("cos_ppm").desc, col("b_id"))
     val wB = Window.partitionBy("b_id").orderBy(col("cos_ppm").desc, col("a_id"))
     val fwd = pairs.withColumn("r", row_number().over(wA))
@@ -886,8 +945,8 @@ object SimOps {
       .filter(col("r") <= km).groupBy("b_id")
       .agg(sum("cos_ppm").as("bwd_sum"), count(lit(1)).as("bwd_n"))
     pairs
-      .join(broadcast(fwd), Seq("a_id"))
-      .join(broadcast(bwd), Seq("b_id"))
+      .join(if (broadcastSides) broadcast(fwd) else fwd, Seq("a_id"))
+      .join(if (broadcastSides) broadcast(bwd) else bwd, Seq("b_id"))
       // margin = 2·cos / (fwd_sum/fwd_n + bwd_sum/bwd_n), cleared of
       // nested division: 2·cos·fwd_n·bwd_n / (fwd_sum·bwd_n + bwd_sum·fwd_n)
       .withColumn("margin_ppm", expr(

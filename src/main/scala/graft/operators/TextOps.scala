@@ -902,9 +902,16 @@ object TextOps {
     * ALREADY-AGGREGATED doc rows (×|thresholds|, narrow), and the
     * confusion agg is a ≤|thresholds|-key partial agg. One corpus
     * scan, one doc-keyed exchange, one bounded-key exchange. */
-  def classifierCalibration(documents: DataFrame, dim: Int = 256,
-      qualityCut: Double = 0.625,
-      thresholds: Seq[Long] = (-4L to 4L).map(_ * 1000000L)): DataFrame = {
+  /** Single source of truth for classifierCalibration's defaults: the
+    * q161 oracle SQL interpolates these same values, so a default change
+    * moves both sides in lockstep (the q157/bm25Ctes discipline). */
+  val CalibDim: Int = 256
+  val CalibQualityCut: Double = 0.625
+  val CalibThresholds: Seq[Long] = (-4L to 4L).map(_ * 1000000L)
+
+  def classifierCalibration(documents: DataFrame, dim: Int = CalibDim,
+      qualityCut: Double = CalibQualityCut,
+      thresholds: Seq[Long] = CalibThresholds): DataFrame = {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     require(thresholds.nonEmpty, "thresholds must be non-empty")
     val session = documents.sparkSession

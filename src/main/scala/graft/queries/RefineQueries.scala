@@ -1553,6 +1553,68 @@ object RefineQueries {
         .orderBy("a_id")
     },
 
+    // Margin mining, IVF-GATED (the corpus-scale composition q158's
+    // bounded-population contract defers to): candidates are the
+    // same-cell equi-join over q56's sampled-centroid cells instead of
+    // the |A|×|B| cross product; the margin machinery downstream is the
+    // identical shared helper. An a_id only appears if its cell holds a
+    // labelB partner — the recall trade every IVF deployment makes
+    // (q119 measures it).
+    oracle(
+      "q167_margin_mining_gated",
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${dotD("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+         |      FROM e WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT v.vec_id, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${dotD("v.embedding", "c.cent_emb")} / (v.norm * c.cent_norm)
+         |        DESC, c.cent_id) AS rn
+         |  FROM e v CROSS JOIN c),
+         |cl AS (SELECT vec_id, cent_id AS cell FROM scored WHERE rn = 1),
+         |a AS (SELECT cl.cell, vec_id AS a_id, embedding AS a_emb, norm AS a_norm
+         |      FROM e JOIN cl USING (vec_id) WHERE label = 0),
+         |b AS (SELECT cl.cell, vec_id AS b_id, embedding AS b_emb, norm AS b_norm
+         |      FROM e JOIN cl USING (vec_id) WHERE label = 1),
+         |p AS (
+         |  SELECT a_id, b_id,
+         |    CAST(floor((CASE WHEN a_norm * b_norm = 0 THEN 0.0
+         |      ELSE ${dotD("a_emb", "b_emb")} / (a_norm * b_norm) END)
+         |      * 1000000.0) AS BIGINT) AS cos_ppm
+         |  FROM a JOIN b USING (cell)),
+         |fw AS (
+         |  SELECT a_id, CAST(sum(cos_ppm) AS BIGINT) AS fwd_sum,
+         |    CAST(count(*) AS BIGINT) AS fwd_n
+         |  FROM (SELECT *, ROW_NUMBER() OVER
+         |          (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id) AS r FROM p)
+         |  WHERE r <= 4 GROUP BY 1),
+         |bw AS (
+         |  SELECT b_id, CAST(sum(cos_ppm) AS BIGINT) AS bwd_sum,
+         |    CAST(count(*) AS BIGINT) AS bwd_n
+         |  FROM (SELECT *, ROW_NUMBER() OVER
+         |          (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id) AS r FROM p)
+         |  WHERE r <= 4 GROUP BY 1),
+         |m AS (
+         |  SELECT p.a_id, p.b_id, p.cos_ppm,
+         |    CAST(CASE WHEN cos_ppm <= 0
+         |           OR fwd_sum * bwd_n + bwd_sum * fwd_n <= 0 THEN 0
+         |      ELSE (2 * cos_ppm * fwd_n * bwd_n * 1000000)
+         |           // (fwd_sum * bwd_n + bwd_sum * fwd_n) END AS BIGINT)
+         |      AS margin_ppm
+         |  FROM p JOIN fw USING (a_id) JOIN bw USING (b_id)),
+         |w AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY a_id ORDER BY margin_ppm DESC, b_id) AS rn FROM m)
+         |SELECT a_id, b_id, cos_ppm, margin_ppm,
+         |  margin_ppm >= 1200000 AS aligned
+         |FROM w WHERE rn = 1 ORDER BY a_id""",
+      "Similarity: IVF-gated margin mining (corpus-scale candidate generation)") { (s, d) =>
+      SimOps.marginMiningPairsGated(Tables(s, d, "embeddings"))
+        .orderBy("a_id")
+    },
+
     // Classifier-vs-rules calibration: the q138 hashed linear model's
     // confusion matrix against the q113 quality-rule label at each
     // candidate logit threshold — the governance readout before a team
@@ -1565,21 +1627,20 @@ object RefineQueries {
          |tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          |f AS (
-         |  SELECT doc_id, ${h60Sql("t")} % 256 AS j FROM tok),
+         |  SELECT doc_id, ${h60Sql("t")} % ${TextOps.CalibDim} AS j FROM tok),
          |w AS (
          |  SELECT j, (${h60Sql("'w_' || j::VARCHAR")} % 1000001) - 500000 AS w
-         |  FROM (SELECT unnest(range(0, 256)) AS j)),
+         |  FROM (SELECT unnest(range(0, ${TextOps.CalibDim})) AS j)),
          |ag AS (
          |  SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS logit
          |  FROM f JOIN w USING (j) GROUP BY 1),
          |lab AS (
          |  SELECT ag.doc_id, logit,
-         |    CASE WHEN quality >= 0.625 THEN 1 ELSE 0 END AS label
+         |    CASE WHEN quality >= ${TextOps.CalibQualityCut} THEN 1 ELSE 0 END AS label
          |  FROM ag JOIN q USING (doc_id)),
          |x AS (
          |  SELECT label, logit,
-         |    unnest([-4000000, -3000000, -2000000, -1000000, 0,
-         |            1000000, 2000000, 3000000, 4000000]) AS threshold
+         |    unnest([${TextOps.CalibThresholds.mkString(", ")}]) AS threshold
          |  FROM lab),
          |c AS (
          |  SELECT CAST(threshold AS BIGINT) AS threshold,

@@ -690,4 +690,51 @@ class DedupSimSpec extends SparkSpec {
     assert(!out(2L)._3, "…but the hub's neighborhood average kills the margin")
     assert(out(1L)._2 > out(2L)._2, "mutual pair margin > hub pair margin")
   }
+
+  test("marginMiningPairsGated ≡ ungated when matches share cells") {
+    // Two orthogonal clusters, one per sampled centroid (vec_id 0 / 1):
+    // X lives in span{e1,e2}, Y in span{e3,e4}, so every cross-cluster
+    // cosine is exactly 0 (ppm 0, margin 0) and every vector's true
+    // top-km partners share its cell — the IVF recall premise under
+    // which gating is lossless. Each cluster holds 2 A's and 2 B's so
+    // km=2 neighborhoods are identical ungated vs gated.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0L),   // centroid X, pop A
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f), 0L),   // centroid Y, pop A
+      (2L, Array(0.8f, 0.6f, 0.0f, 0.0f), 0L),
+      (3L, Array(0.0f, 0.0f, 0.7f, 0.7f), 0L),
+      (4L, Array(0.95f, 0.31f, 0.0f, 0.0f), 1L),
+      (5L, Array(0.6f, 0.8f, 0.0f, 0.0f), 1L),
+      (6L, Array(0.0f, 0.0f, 0.9f, 0.44f), 1L),
+      (7L, Array(0.0f, 0.0f, 0.5f, 0.87f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSeq
+    val ungated = rows(SimOps.marginMiningPairs(vecs, km = 2))
+    val gated = rows(SimOps.marginMiningPairsGated(vecs, km = 2, kCells = 2))
+    assert(gated === ungated,
+      "cell-gated candidates reproduce the exact ungated margins + winners")
+  }
+
+  test("marginMiningPairsGated: an A whose cell has no B partner is absent") {
+    // Cluster Y holds only population-A vectors: ungated still emits its
+    // a's (best cross-cluster partner at cos 0), the gated variant has
+    // no same-cell candidate for them — the documented recall trade.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0L),
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f), 0L),
+      (2L, Array(0.8f, 0.6f, 0.0f, 0.0f), 0L),
+      (3L, Array(0.0f, 0.0f, 0.7f, 0.7f), 0L),
+      (4L, Array(0.95f, 0.31f, 0.0f, 0.0f), 1L),
+      (5L, Array(0.6f, 0.8f, 0.0f, 0.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val ungatedAs = SimOps.marginMiningPairs(vecs, km = 2)
+      .select("a_id").collect().map(_.getLong(0)).toSet
+    val gatedAs = SimOps.marginMiningPairsGated(vecs, km = 2, kCells = 2)
+      .select("a_id").collect().map(_.getLong(0)).toSet
+    assert(ungatedAs === Set(0L, 1L, 2L, 3L), "ungated emits every A")
+    assert(gatedAs === Set(0L, 2L), "gated emits only cell-partnered A's")
+  }
 }
