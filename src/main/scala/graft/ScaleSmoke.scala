@@ -119,7 +119,14 @@ object ScaleSmoke {
     "q157_rrf_fusion", "q159_session_assembly", "q160_nlaf_langid",
     "q161_classifier_calibration", "q162_dedup_weighted_mass",
     "q163_truncation_recall", "q164_maxpassage_bm25",
-    "q165_pair_evidence", "q166_esca_langid")
+    "q165_pair_evidence", "q166_esca_langid",
+    // q167's registered query runs the ORACLE configuration (fixed
+    // kCells=16): at fixed cells the same-cell pair join is superlinear
+    // BY CONTRACT (cell occupancy ∝ N on both sides) — the q74 fixed-k
+    // situation exactly. The smoke measures the documented scale path
+    // (cells ∝ N via kForCorpus, target occupancy 312 ⇒ the sf0.1 base
+    // runs kCells=16, identical work to the registered config there).
+    "q167_margin_gated_scaledc")
 
   private val Stride = 1000000L
 
@@ -236,14 +243,35 @@ object ScaleSmoke {
         graft.operators.RefineOps.dedupFunnel(
           graft.sources.Tables(s, dir, "documents"), emb, "md5(text)", k = k)
       }
+    // q167's scale path: IVF cell count grows with the corpus (target
+    // occupancy 312 vectors/cell ⇒ kCells=16 at the sf0.1 base, matching
+    // the registered oracle config's work there), so per-cell A×B stays
+    // bounded and candidate volume grows linearly.
+    val marginScaledC: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        val emb = graft.sources.Tables(s, dir, "embeddings")
+        val kc = graft.operators.ClusterOps.kForCorpus(emb.count(), 312L)
+        graft.operators.SimOps.marginMiningPairsGated(emb, kCells = kc)
+          .orderBy("a_id")
+      }
     def queryFn(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
       name match {
         case "q74_semdedup_scaledk" => scaledK
         case "q122_dedup_funnel_scaledk" => funnelScaledK
+        case "q167_margin_gated_scaledc" => marginScaledC
         case n => SparkEntry.queries(n)
       }
 
     def timed(name: String, dir: String): Rep = {
+      // Same pre-timer cleanup as Bench.scala: without the unpersist,
+      // every localCheckpoint a previous rep materialized stays pinned
+      // until the ContextCleaner's asynchronous removal runs INSIDE the
+      // next timed window — the r12 q120 signature (reps growing
+      // monotonically with zero gc / zero new codegen) reappeared here
+      // the moment q165/q167 gained checkpoints (r13: q167 x10 reps
+      // 1.44→11.97 s before this fix).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       runMs.set(0L); cpuMs.set(0L)
       val t0 = System.nanoTime()
@@ -269,6 +297,7 @@ object ScaleSmoke {
     val run = if (named.nonEmpty) named.toSeq else targets
     val unknown = run.filterNot(n =>
       n == "q74_semdedup_scaledk" || n == "q122_dedup_funnel_scaledk" ||
+        n == "q167_margin_gated_scaledc" ||
         SparkEntry.queries.contains(n))
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
 

@@ -21,6 +21,10 @@ object Scratch {
     if (sys.env.contains("SPARK_GRAFT_PPJOIN_STAGES")) {
       ppjoinStages(spark, sfDir); return
     }
+    if (sys.env.contains("SPARK_GRAFT_Q165_STAGES")) {
+      q165Stages(spark, sfDir); return
+    }
+    if (sys.env.contains("SPARK_GRAFT_JP2_DBG")) { jp2Dbg(); return }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
@@ -33,6 +37,64 @@ object Scratch {
       }
       else println(plan)
     }
+  }
+
+  /** Layer-by-layer MSE/size readout for the JP2 rate ladder. */
+  private def jp2Dbg(): Unit = {
+    import graft.operators.{Jp2Decoder, Jp2Encoder, Jp2Params}
+    val (w, h) = (300, 188)
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * 31 + y * 17) & 0xffffff) & 0xFF
+    }
+    val p = Jp2Params(levels = 2)
+    val lossy = Jp2Encoder.encodeGray(px, w, h, params = p)
+    val lossless = Jp2Encoder.encodeGray(px, w, h, params = p.copy(lossless = true))
+    println(s"[jp2] lossy=${lossy.length}B lossless=${lossless.length}B " +
+      s"bpp_lossy=${lossy.length * 8.0 / (w * h)}")
+    def mse(bytes: Array[Byte], l: Int): Double = {
+      val d = Jp2Decoder.decode(bytes, maxLayers = l).comps.head
+      px.indices.map(i => { val e = (d(i) - px(i)).toDouble; e * e }).sum / px.length
+    }
+    for (l <- 1 to 8) println(f"[jp2] lossy  layers=$l mse=${mse(lossy, l)}%.2f")
+    for (l <- Seq(1, 4, 8)) println(f"[jp2] lossless layers=$l mse=${mse(lossless, l)}%.2f")
+  }
+
+  /** Per-subtree timing for the q165 pairEvidence chain on `sfDir`. */
+  private def q165Stages(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val documents = graft.sources.Tables(spark, sfDir, "documents")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime
+      val r = f
+      println(f"[165] $label%-12s ${(System.nanoTime - t0) / 1e9}%.2f s")
+      r
+    }
+    graft.functions.H60Hash.register(spark)
+    import graft.operators.{DedupOps, TextOps}
+    val pairs0 = DedupOps.minhashCandidatePairs(documents)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+    t("pairs")(pairs0.write.format("noop").mode("overwrite").save())
+    val pairs = pairs0
+    val rows = TextOps.shingleRows(documents)
+    t("rows")(rows.write.format("noop").mode("overwrite").save())
+    val sharedPre = pairs
+      .join(rows.select(col("doc_id").as("a"), col("g")), Seq("a"))
+      .join(rows.select(col("doc_id").as("b"), col("g")), Seq("b", "g"),
+        "left_semi")
+    val shared = t("sharedCkpt")(sharedPre.localCheckpoint())
+    val sharedG = shared.select("g").distinct()
+    t("sharedG")(println("[165] sharedG = " + sharedG.count()))
+    val dfc = rows.join(broadcast(sharedG), Seq("g"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    t("census")(dfc.write.format("noop").mode("overwrite").save())
+    val w = Window.partitionBy("a", "b").orderBy(col("df").asc, col("h").asc)
+    val fin = shared.join(dfc, Seq("g"))
+      .withColumn("h", expr("h60(g)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+    t("final")(fin.write.format("noop").mode("overwrite").save())
   }
 
   /** Per-subtree timing for the q131 PPJoin chain on `sfDir`. */

@@ -1375,13 +1375,25 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 1, s"topK must be >= 1, got $topK")
     graft.functions.H60Hash.register(documents.sparkSession)
+    // the verified near-dup pairs are BOUNDED by construction — checkpoint
+    // once (consumed by the broadcast join and the b-doc set below)
     val pairs = minhashCandidatePairs(documents)
       .filter(col("jaccard") >= jaccardMin).select("a", "b")
+      .localCheckpoint()
     val rows = TextOps.shingleRows(documents)
-    val shared = pairs
-      .join(rows.select(col("doc_id").as("a"), col("g")), Seq("a"))
-      .join(rows.select(col("doc_id").as("b"), col("g")), Seq("b", "g"),
-        "left_semi")
+    // Both corpus-sized inputs reduce map-side BEFORE any exchange: the
+    // a-side joins the broadcast pair table directly (no corpus shuffle
+    // on doc_id), and the b-side is pre-filtered to the pair docs by a
+    // broadcast semi-join, so the (b, g) semi-join shuffles only
+    // pair-doc shingles — both exchanges track the near-dup population,
+    // not the corpus (round-13: the original corpus-keyed shuffles were
+    // 10x the pair volume at the 10x smoke).
+    val bDocs = pairs.select(col("b").as("doc_id")).distinct()
+    val rowsB = rows.join(broadcast(bDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("b"), col("g"))
+    val shared = rows.select(col("doc_id").as("a"), col("g"))
+      .join(broadcast(pairs), Seq("a"))
+      .join(rowsB, Seq("b", "g"), "left_semi")
       .localCheckpoint()
     val sharedG = shared.select("g").distinct()
     val dfc = rows.join(broadcast(sharedG), Seq("g"), "left_semi")

@@ -1,0 +1,187 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Jp2Codec, Jp2Decoder, Jp2Encoder, Jp2Params, MultimodalOps}
+
+/** The JPEG2000 codec proof chain, layer by layer: MQ coder round trip,
+  * 5/3 DWT exactness, tag trees, a single EBCOT block, then whole-image
+  * lossless round trips (gray, RGB/RCT, multi-tile), the kdu-shaped
+  * rate ladder, and cross-validation against the round-12
+  * [[MultimodalOps.Jp2HeaderProbe]] parser. */
+class Jp2CodecSpec extends AnyFunSuite {
+
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  test("MQ coder: decisions round-trip across contexts, incl. stuffing") {
+    val bits = lcg(42L).take(5000).map(v => (((v >>> 33) % 100) < 85, ((v >>> 13) % 19).toInt)).toSeq
+    val enc = new Jp2Codec.MqEncoder
+    bits.foreach { case (d, cx) => enc.encode(cx, if (d) 1 else 0) }
+    val data = enc.flush()
+    val dec = new Jp2Codec.MqDecoder(data)
+    bits.zipWithIndex.foreach { case ((d, cx), i) =>
+      assert(dec.decode(cx) === (if (d) 1 else 0), s"decision $i")
+    }
+  }
+
+  test("MQ coder: all-MPS and all-LPS extremes survive") {
+    for (v <- Seq(0, 1)) {
+      val enc = new Jp2Codec.MqEncoder
+      (1 to 300).foreach(_ => enc.encode(0, v))
+      val dec = new Jp2Codec.MqDecoder(enc.flush())
+      (1 to 300).foreach(i => assert(dec.decode(0) === v, s"rep $i"))
+    }
+  }
+
+  test("5/3 DWT: 1-D and multi-level 2-D round-trip exactly, odd dims") {
+    for (n <- Seq(1, 2, 3, 5, 8, 97)) {
+      val x = lcg(n.toLong).take(n).map(v => ((v >>> 40) % 512).toInt - 256).toArray
+      val (lo, hi) = Jp2Codec.Dwt53.forward(x.clone(), n)
+      assert(Jp2Codec.Dwt53.inverse(lo, hi).toSeq === x.toSeq, s"n=$n")
+    }
+    for ((w, h, lv) <- Seq((64, 64, 3), (65, 33, 4), (7, 11, 2), (256, 256, 5))) {
+      val px = lcg((w * h).toLong).take(w * h).map(v => ((v >>> 40) % 256).toInt - 128).toArray
+      val bands = Jp2Codec.forwardDwt(px.clone(), w, h, lv)
+      assert(Jp2Codec.inverseDwt(bands, w, h).toSeq === px.toSeq, s"${w}x$h lv=$lv")
+    }
+  }
+
+  test("tag tree: encoder and decoder agree on a ragged grid") {
+    val (w, h) = (5, 3)
+    val values = Array(0, 2, 1, 3, 0, 1, 1, 4, 0, 2, 5, 0, 1, 2, 3)
+    val enc = new Jp2Codec.TagTree(w, h)
+    enc.setValues(values)
+    val bw = new Jp2Codec.HeaderBitWriter
+    // drive exactly like packet headers: rising thresholds per leaf
+    for (thr <- 1 to 6; y <- 0 until h; x <- 0 until w)
+      enc.encode(x, y, thr, bw)
+    val data = bw.flush()
+    val dec = new Jp2Codec.TagTree(w, h)
+    val br = new Jp2Codec.HeaderBitReader(data, 0)
+    for (thr <- 1 to 6; y <- 0 until h; x <- 0 until w) {
+      val lt = dec.decode(x, y, thr, br)
+      assert(lt === (values(y * w + x) < thr), s"leaf ($x,$y) thr=$thr")
+      if (lt) assert(dec.leafValue(x, y) === values(y * w + x))
+    }
+  }
+
+  test("EBCOT block: sign-magnitude coefficients round-trip") {
+    for ((w, h, seed) <- Seq((64, 64, 1L), (13, 7, 2L), (64, 3, 3L), (1, 1, 4L))) {
+      val coeffs = lcg(seed).take(w * h).map { v =>
+        val m = ((v >>> 40) % 200).toInt - 100
+        if ((v >>> 20) % 3 == 0) 0 else m // plant zero runs for RLC mode
+      }.toArray
+      for (orient <- 0 to 3) {
+        val cb = Jp2Codec.encodeBlock(coeffs, 0, 0, w, h, orient)
+        val back = Jp2Codec.decodeBlock(cb.data, cb.passes, cb.bitplanes,
+          w, h, orient, cb.passBytes)
+        assert(back.toSeq === coeffs.toSeq, s"${w}x$h orient=$orient")
+      }
+    }
+  }
+
+  private def grayFixture(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      // gradient + texture + a flat quadrant (exercises run-length mode)
+      if (x < w / 2 && y < h / 2) 200
+      else (x * 3 + y * 5 + (x * y) % 23) % 256
+    }
+
+  test("lossless gray round-trip: single tile") {
+    val (w, h) = (120, 80)
+    val px = grayFixture(w, h)
+    val bytes = Jp2Encoder.encodeGray(px, w, h,
+      params = Jp2Params(levels = 3, layers = 1, rates = Seq(10.0), lossless = true))
+    val dec = Jp2Decoder.decode(bytes)
+    assert((dec.width, dec.height, dec.components) === ((w, h, 1)))
+    assert(dec.comps.head.toSeq === px.toSeq, "bit-exact reconstruction")
+  }
+
+  test("lossless gray round-trip: multi-tile, odd dims, reference geometry") {
+    val (w, h) = (300, 213) // 2x1 tiles of 256, ragged edges
+    val px = grayFixture(w, h)
+    val bytes = Jp2Encoder.encodeGray(px, w, h,
+      params = Jp2Params(levels = 2, layers = 1, rates = Seq(16.0), lossless = true))
+    val dec = Jp2Decoder.decode(bytes)
+    assert(dec.comps.head.toSeq === px.toSeq)
+  }
+
+  test("lossless RGB round-trip through the reversible color transform") {
+    val (w, h) = (90, 70)
+    val r = grayFixture(w, h)
+    val g = r.map(v => (v * 3 + 17) % 256)
+    val b = r.map(v => 255 - v)
+    val bytes = Jp2Encoder.encode(Seq(r, g, b), w, h,
+      params = Jp2Params(levels = 2, layers = 1, rates = Seq(24.0), lossless = true))
+    val dec = Jp2Decoder.decode(bytes)
+    assert(dec.components === 3)
+    assert(dec.comps(0).toSeq === r.toSeq, "R")
+    assert(dec.comps(1).toSeq === g.toSeq, "G")
+    assert(dec.comps(2).toSeq === b.toSeq, "B")
+  }
+
+  test("the kdu 8-layer rate ladder: monotone quality, graceful truncation") {
+    val (w, h) = (256, 192)
+    val px = grayFixture(w, h)
+    // reference ladder with a lossless top layer (archival config)
+    val p = Jp2Params(levels = 4, lossless = true)
+    val bytes = Jp2Encoder.encodeGray(px, w, h, params = p)
+    def mse(layers: Int): Double = {
+      val d = Jp2Decoder.decode(bytes, maxLayers = layers).comps.head
+      var s = 0.0
+      var i = 0
+      while (i < d.length) { val e = (d(i) - px(i)).toDouble; s += e * e; i += 1 }
+      s / d.length
+    }
+    val errs = (1 to 8).map(mse)
+    assert(errs.last === 0.0, "full ladder decodes lossless")
+    assert(errs.head >= errs.last, "layer 1 is the coarse end")
+    // each extra layer may only add coded passes: error never increases
+    errs.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      assert(b <= a + 1e-9, s"MSE rose adding layer ${i + 2}: $a -> $b")
+    }
+    // the descending bpp ladder must show up as ascending cumulative sizes:
+    // SOP markers + PLT exist, and a rate-limited encode is smaller than
+    // the lossless one
+    val limited = Jp2Encoder.encodeGray(px, w, h,
+      params = Jp2Params(levels = 4, lossless = false))
+    assert(limited.length < bytes.length, "rate ladder actually truncates")
+    val lim = Jp2Decoder.decode(limited)
+    assert(lim.width === w && lim.comps.head.length === px.length,
+      "rate-limited stream still decodes full-frame")
+  }
+
+  test("Jp2HeaderProbe (round 12) parses this encoder's container") {
+    val (w, h) = (260, 140)
+    val px = grayFixture(w, h)
+    val bytes = Jp2Encoder.encodeGray(px, w, h,
+      params = Jp2Params(levels = 3, layers = 1, rates = Seq(10.0), lossless = true))
+    val info = MultimodalOps.Jp2HeaderProbe.probe(bytes)
+    assert(info.isDefined, "probe recognizes the container")
+    assert(info.get.width === w)
+    assert(info.get.height === h)
+    assert(info.get.components === 1)
+    assert(info.get.bits === 8)
+    assert(info.get.levels === 3, "Clevels signalled in COD")
+  }
+
+  test("withJp2Levels (F18) drives the encoder like the reference drives kdu") {
+    // bin/main.py:377-385: halvings of the long side until < 96
+    def levelsFor(longSide: Int): Int = {
+      var d = longSide; var n = 0
+      while (d >= 96) { n += 1; d /= 2 }
+      n
+    }
+    val (w, h) = (300, 220)
+    val lv = levelsFor(math.max(w, h))
+    assert(lv === 2)
+    val px = grayFixture(w, h)
+    val bytes = Jp2Encoder.encodeGray(px, w, h,
+      params = Jp2Params(levels = lv, layers = 1, rates = Seq(10.0), lossless = true))
+    val info = MultimodalOps.Jp2HeaderProbe.probe(bytes)
+    assert(info.get.levels === lv)
+    assert(Jp2Decoder.decode(bytes).comps.head.toSeq === px.toSeq)
+  }
+}

@@ -166,6 +166,56 @@ class MultimodalIoSpec extends SparkSpec {
     assert((decoded.getWidth, decoded.getHeight) === ((300, 188)))
   }
 
+  test("Jp2EncodeTransform: the kdu stage for real — resize + JP2 encode") {
+    val png = imageBytes("png", 320, 200)
+    val media = Seq(("a.png", png, 320, 200)).toDF("path", "content", "width", "height")
+    val out = MultimodalOps.resizeToTarget(media,
+      MultimodalOps.Jp2EncodeTransform).collect().head
+    assert((out.width, out.height) === ((300, 188)))
+    assert(out.mimetype === "image/jp2")
+    // round-12 probe reads the geometry + Clevels straight off the bytes
+    val info = MultimodalOps.Jp2HeaderProbe.probe(out.content)
+    assert(info.isDefined, "output is a parseable JP2 container")
+    assert((info.get.width, info.get.height) === ((300, 188)))
+    assert(info.get.components === 3, "24-bit source routes to the sRGB path")
+    // F18 rule: 300 -> 150 (2 halvings until < 96)
+    assert(info.get.levels === 2)
+    // the in-repo decoder reconstructs the full-frame raster even at
+    // the rate-limited ladder
+    val dec0 = graft.operators.Jp2Decoder.decode(out.content)
+    assert((dec0.width, dec0.height) === ((300, 188)))
+
+    // fidelity on photographic-shaped content: the smooth gradient
+    // (the imageBytes fixture's blue channel is an ~8px sawtooth —
+    // noise-frequency content where 1.2 bpp total across three
+    // components is a 60:1 ask; the ladder is rate-limited by design,
+    // and Jp2CodecSpec proves the lossless configuration bit-exact)
+    val smooth = gradientPng(320, 200, None)
+    val media2 = Seq(("b.png", smooth, 320, 200)).toDF("path", "content", "width", "height")
+    val out2 = MultimodalOps.resizeToTarget(media2,
+      MultimodalOps.Jp2EncodeTransform).collect().head
+    val dec = graft.operators.Jp2Decoder.decode(out2.content)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(smooth))
+    val scaled = new BufferedImage(300, 188, BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(ref, 0, 0, 300, 188, null)
+    } finally g.dispose()
+    var se = 0.0
+    for (x <- 0 until 300; y <- 0 until 188) {
+      val p = scaled.getRGB(x, y)
+      val i = y * 300 + x
+      val dr = dec.comps(0)(i) - ((p >> 16) & 0xFF)
+      val dg = dec.comps(1)(i) - ((p >> 8) & 0xFF)
+      val db = dec.comps(2)(i) - (p & 0xFF)
+      se += dr * dr + dg * dg + db * db
+    }
+    val mse = se / (300 * 188 * 3)
+    assert(mse < 30.0, s"rate-laddered encode stays faithful (MSE $mse)")
+  }
+
   // ---- perceptual-hash image near-dup (round-7 verdict item 6) ----
 
   /** Smooth horizontal gradient with an optional locally-perturbed grid

@@ -177,13 +177,14 @@ class ScaleSpec extends SparkSpec {
       "q154_audio_fp_neardup" -> 3,  // per-payload fingerprint (narrow mapPartitions over the real WAV parse) + 4×15-bit band self-join (1 exchange each side, one reused) + pair distinct + sort — q132’s image shape on the audio modality; never all-pairs
       "q155_video_frame_jaccard" -> 9,   // post-checkpoint per-video hash-set table (collect_set dedups map-side — no standalone frame-row distinct; the ONE doc-keyed agg runs inside the checkpoint job, N array rows stored, not 20N hash rows): df census over the narrow set-explode + df-cap semi-join + rare-hash candidate self-join + pair distinct + two set join-backs (array_intersect verify) + sort — candidates ONLY from df≤cap frames (the q38 skew valve on the frame axis), never all-pairs
       "q157_rrf_fusion" -> 9,        // the q142 BM25 chain (8) feeding a ≤2·kList-row fusion: full-outer rank join + TakeOrdered const-key rank — both rankings are k-bounded BEFORE any join
-      "q158_margin_mining" -> 9,     // bounded |A|×|B| pair table + two top-km rank windows (a_id/b_id keys, skew-free) + their partial-agg sums (broadcast back) + a_id max(struct) winner agg + sort — the exchange carries |A| rows at the end, never the pair table twice
+      "q158_margin_mining" -> 6,     // round-13: the bounded |A|×|B| ppm pair table localCheckpoints (built once off-plan, not recomputed per consumer — the ADVICE r12 fix); on-plan: two top-km rank windows (a_id/b_id keys, skew-free) + their partial-agg sums (broadcast back) + a_id max(struct) winner agg + sort — the exchange carries |A| rows at the end, never the pair table twice
       "q159_session_assembly" -> 2,  // ONE user-keyed exchange into the session window agg + total-order sort; assembly is a sort_array(collect_list) partial agg, per-session working set only
       "q161_classifier_calibration" -> 4, // weight-table broadcast + ONE doc-keyed agg (label folds into the classifier's own partial agg — no label join) + ≤9-key confusion agg (τ fan-out rides the aggregated doc rows, not the corpus) + sort
       "q162_dedup_weighted_mass" -> 10, // q57's post-checkpoint pair chain + left label join + cluster census agg + census join-back + doc-keyed token join + sort; the weighting arithmetic is per-row — no new corpus-scale shape beyond q57's
       "q163_truncation_recall" -> 19, // truth pass checkpoints off-plan; per evaluated dim (×3): broadcast-probe scan + q_id rank window + k·nQueries-row hits agg + probe left join — only the three rank windows are corpus-scale (one shorter-vector stream per dim, the design); union + sort on 3·nQueries rows
       "q164_maxpassage_bm25" -> 9,   // q142's chain at chunk granularity: IN-pruned (chunk, term) tf agg + chunk-df agg/broadcast + chunk-length join + 1-row totals broadcast + per-chunk sum + per-doc max(struct) winner agg + TakeOrdered const-key rank — one more corpus-keyed partial agg than q142 (the winner), both map-side combine
-      "q165_pair_evidence" -> 14)    // q36's candidate/verify chain (bounded pair set) + shingle-df census (the one corpus-keyed agg) + a-side fan-out join + b-side semi-join + per-pair rank window (bounded rows per pair) + sort; shingle rows re-derive from the narrow scan per consumer (the q86/q146 re-scan-beats-checkpoint reasoning)
+      "q165_pair_evidence" -> 6,     // round-13 reshape: the q36 candidate/verify chain runs off-plan behind the pair localCheckpoint; on-plan the a-side joins the BROADCAST pair table (map-side, no corpus shuffle), the b-side pre-filters to pair docs by broadcast semi-join, so the (b,g) semi-join + df census (semi-joined to shared shingles before aggregating) + per-pair rank window + sort all exchange pair-bounded rows only — was 14 exchanges with two corpus-keyed shuffles
+      "q167_margin_mining_gated" -> 6) // candidate generation (ivfAssign crossJoin w/ k-row centroid broadcast + argmax window + same-cell equi-join) runs off-plan behind the pair localCheckpoint; on-plan: two top-km rank windows + their partial-agg sums joined by SHUFFLE (gated populations may be corpus-sized — q158's broadcast contract lifted) + a_id max(struct) winner agg + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
