@@ -243,14 +243,18 @@ object ScaleSmoke {
         graft.operators.RefineOps.dedupFunnel(
           graft.sources.Tables(s, dir, "documents"), emb, "md5(text)", k = k)
       }
-    // q167's scale path: IVF cell count grows with the corpus (target
-    // occupancy 312 vectors/cell ⇒ kCells=16 at the sf0.1 base, matching
-    // the registered oracle config's work there), so per-cell A×B stays
-    // bounded and candidate volume grows linearly.
+    // q167's scale path: IVF cell count grows with √N (the standard
+    // coarse-quantizer sizing — it BALANCES the two cost terms: cell
+    // assignment is N·k dots and per-cell pair volume is k·(N/k)² =
+    // N²/k, so k ∝ √N puts both at N^1.5; k ∝ N instead drives
+    // assignment to N² — measured as task ×55 at the ×10 smoke before
+    // this sizing). Anchored so the sf0.1 base runs kCells=16,
+    // identical work to the registered oracle config there.
     val marginScaledC: (SparkSession, String) => org.apache.spark.sql.DataFrame =
       (s, dir) => {
         val emb = graft.sources.Tables(s, dir, "embeddings")
-        val kc = graft.operators.ClusterOps.kForCorpus(emb.count(), 312L)
+        val n = emb.count()
+        val kc = math.max(1, math.round(16.0 * math.sqrt(n / 5000.0)).toInt)
         graft.operators.SimOps.marginMiningPairsGated(emb, kCells = kc)
           .orderBy("a_id")
       }

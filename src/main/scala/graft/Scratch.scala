@@ -73,16 +73,16 @@ object Scratch {
     }
     graft.functions.H60Hash.register(spark)
     import graft.operators.{DedupOps, TextOps}
-    val pairs0 = DedupOps.minhashCandidatePairs(documents)
-      .filter(col("jaccard") >= 0.5).select("a", "b")
-    t("pairs")(pairs0.write.format("noop").mode("overwrite").save())
-    val pairs = pairs0
+    val pairs = t("pairsCkpt")(DedupOps.minhashCandidatePairs(documents)
+      .filter(col("jaccard") >= 0.5).select("a", "b").localCheckpoint())
     val rows = TextOps.shingleRows(documents)
-    t("rows")(rows.write.format("noop").mode("overwrite").save())
-    val sharedPre = pairs
-      .join(rows.select(col("doc_id").as("a"), col("g")), Seq("a"))
-      .join(rows.select(col("doc_id").as("b"), col("g")), Seq("b", "g"),
-        "left_semi")
+    t("rowsScan")(rows.write.format("noop").mode("overwrite").save())
+    val bDocs = pairs.select(col("b").as("doc_id")).distinct()
+    val rowsB = rows.join(broadcast(bDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("b"), col("g"))
+    val sharedPre = rows.select(col("doc_id").as("a"), col("g"))
+      .join(broadcast(pairs), Seq("a"))
+      .join(rowsB, Seq("b", "g"), "left_semi")
     val shared = t("sharedCkpt")(sharedPre.localCheckpoint())
     val sharedG = shared.select("g").distinct()
     t("sharedG")(println("[165] sharedG = " + sharedG.count()))
@@ -95,6 +95,11 @@ object Scratch {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
     t("final")(fin.write.format("noop").mode("overwrite").save())
+    // second pass, warm
+    t("pairs2")(DedupOps.minhashCandidatePairs(documents)
+      .filter(col("jaccard") >= 0.5).select("a", "b").localCheckpoint())
+    t("full2")(DedupOps.pairEvidence(documents)
+      .write.format("noop").mode("overwrite").save())
   }
 
   /** Per-subtree timing for the q131 PPJoin chain on `sfDir`. */

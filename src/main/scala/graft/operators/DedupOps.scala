@@ -1381,20 +1381,23 @@ object DedupOps {
       .filter(col("jaccard") >= jaccardMin).select("a", "b")
       .localCheckpoint()
     val rows = TextOps.shingleRows(documents)
-    // Both corpus-sized inputs reduce map-side BEFORE any exchange: the
-    // a-side joins the broadcast pair table directly (no corpus shuffle
-    // on doc_id), and the b-side is pre-filtered to the pair docs by a
-    // broadcast semi-join, so the (b, g) semi-join shuffles only
-    // pair-doc shingles — both exchanges track the near-dup population,
-    // not the corpus (round-13: the original corpus-keyed shuffles were
-    // 10x the pair volume at the 10x smoke).
-    val bDocs = pairs.select(col("b").as("doc_id")).distinct()
-    val rowsB = rows.join(broadcast(bDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("b"), col("g"))
-    val shared = rows.select(col("doc_id").as("a"), col("g"))
-      .join(broadcast(pairs), Seq("a"))
-      .join(rowsB, Seq("b", "g"), "left_semi")
+    // The corpus-sized shingle explode reduces map-side BEFORE any
+    // exchange: ONE scan semi-joins the broadcast pair-doc set down to
+    // the pair docs' shingles (`pd`, bounded by the near-dup
+    // population, so checkpointing it is cheap — unlike the corpus
+    // explode the q86/q146 reasoning refuses to checkpoint); the a-side
+    // join and the (b, g) semi-join both derive from `pd`, so every
+    // exchange tracks the near-dup population, not the corpus
+    // (round-13: the original corpus-keyed shuffles were 10x the pair
+    // volume at the 10x smoke).
+    val pairDocs = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val pd = rows.join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
       .localCheckpoint()
+    val shared = pd.select(col("doc_id").as("a"), col("g"))
+      .join(broadcast(pairs), Seq("a"))
+      .join(pd.select(col("doc_id").as("b"), col("g")), Seq("b", "g"),
+        "left_semi")
     val sharedG = shared.select("g").distinct()
     val dfc = rows.join(broadcast(sharedG), Seq("g"), "left_semi")
       .groupBy("g").agg(count(lit(1)).as("df"))

@@ -183,7 +183,7 @@ class ScaleSpec extends SparkSpec {
       "q162_dedup_weighted_mass" -> 10, // q57's post-checkpoint pair chain + left label join + cluster census agg + census join-back + doc-keyed token join + sort; the weighting arithmetic is per-row — no new corpus-scale shape beyond q57's
       "q163_truncation_recall" -> 19, // truth pass checkpoints off-plan; per evaluated dim (×3): broadcast-probe scan + q_id rank window + k·nQueries-row hits agg + probe left join — only the three rank windows are corpus-scale (one shorter-vector stream per dim, the design); union + sort on 3·nQueries rows
       "q164_maxpassage_bm25" -> 9,   // q142's chain at chunk granularity: IN-pruned (chunk, term) tf agg + chunk-df agg/broadcast + chunk-length join + 1-row totals broadcast + per-chunk sum + per-doc max(struct) winner agg + TakeOrdered const-key rank — one more corpus-keyed partial agg than q142 (the winner), both map-side combine
-      "q165_pair_evidence" -> 6,     // round-13 reshape: the q36 candidate/verify chain runs off-plan behind the pair localCheckpoint; on-plan the a-side joins the BROADCAST pair table (map-side, no corpus shuffle), the b-side pre-filters to pair docs by broadcast semi-join, so the (b,g) semi-join + df census (semi-joined to shared shingles before aggregating) + per-pair rank window + sort all exchange pair-bounded rows only — was 14 exchanges with two corpus-keyed shuffles
+      "q165_pair_evidence" -> 10,    // round-13 reshape: the q36 candidate/verify chain AND the pair-doc shingle table (`pd`, ONE corpus explode semi-joined to the broadcast pair-doc set) run off-plan behind localCheckpoints; on-plan every exchange carries pair-bounded rows — pd-derived a-join/b-semi-join, shared-shingle distinct, census agg (semi-joined to shared shingles before aggregating; its corpus side is a map-side scan), per-pair rank window, sort. Was 14 exchanges with two corpus-keyed shuffles; the count ROSE 6→10 vs the first reshape because pd's bounded derivations moved on-plan while the second corpus explode left the plan entirely
       "q167_margin_mining_gated" -> 6) // candidate generation (ivfAssign crossJoin w/ k-row centroid broadcast + argmax window + same-cell equi-join) runs off-plan behind the pair localCheckpoint; on-plan: two top-km rank windows + their partial-agg sums joined by SHUFFLE (gated populations may be corpus-sized — q158's broadcast contract lifted) + a_id max(struct) winner agg + sort
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
