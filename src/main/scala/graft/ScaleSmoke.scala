@@ -126,7 +126,8 @@ object ScaleSmoke {
     // situation exactly. The smoke measures the documented scale path
     // (cells ∝ N via kForCorpus, target occupancy 312 ⇒ the sf0.1 base
     // runs kCells=16, identical work to the registered config there).
-    "q167_margin_gated_scaledc")
+    "q167_margin_gated_scaledc",
+    "q168_pii_redaction", "q169_fim_examples")
 
   private val Stride = 1000000L
 

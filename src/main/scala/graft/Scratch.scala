@@ -13,6 +13,10 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // mirror Bench's knobs so A/B sessions here are comparable to it
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      .config("spark.sql.codegen.methodSplitThreshold", Bench.methodSplit)
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -25,6 +29,7 @@ object Scratch {
       q165Stages(spark, sfDir); return
     }
     if (sys.env.contains("SPARK_GRAFT_JP2_DBG")) { jp2Dbg(); return }
+    if (sys.env.contains("SPARK_GRAFT_Q131_AB")) { q131Ab(spark, sfDir); return }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
@@ -36,6 +41,54 @@ object Scratch {
         println(f"[time] $name rep$i ${(System.nanoTime - t0) / 1e9}%.2f s")
       }
       else println(plan)
+    }
+  }
+
+  /** methodSplitThreshold A/B for the q131 monotone-rep adjudication
+    * (round-12 verdict item 2): preload EVERY registered plan once (the
+    * driver-session state q131 runs under — ~130 distinct plans compiled
+    * and JITed before it alphabetically), then time q131 + one lang-ID
+    * draw with Bench's stamps at whatever SPARK_GRAFT_METHOD_SPLIT the
+    * JVM was launched with. Compare sessions across thresholds. */
+  private def q131Ab(spark: SparkSession, sfDir: String): Unit = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val split = spark.conf.getOption("spark.sql.codegen.methodSplitThreshold")
+      .getOrElse("default")
+    def gcMs(): Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    def jitMs(): Long = {
+      val c = ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else 0L
+    }
+    def cg(): Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_SOURCE_CODE_SIZE.getCount
+    def load(): Double =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"[ab] split=$split preloading ${SparkEntry.queries.size} plans")
+    val t0 = System.nanoTime
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        println(s"[ab] preload $name failed: ${e.getMessage}") }
+    }
+    println(f"[ab] preload done in ${(System.nanoTime - t0) / 1e9}%.1f s " +
+      s"(cgClasses=${cg()})")
+    Seq("q131_ppjoin_pairs", "q156_ukru_langid").foreach { name =>
+      (1 to 6).foreach { rep =>
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+        val (g0, j0, c0) = (gcMs(), jitMs(), cg())
+        val r0 = System.nanoTime
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime - r0) / 1e9
+        println(f"[ab] split=$split $name rep$rep wall=$wall%.2f " +
+          f"gc=${(gcMs() - g0) / 1000.0}%.2f jit=${(jitMs() - j0) / 1000.0}%.2f " +
+          f"cgNew=${cg() - c0} load=${load()}%.1f")
+      }
     }
   }
 

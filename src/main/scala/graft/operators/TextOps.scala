@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -1786,5 +1786,140 @@ object TextOps {
         Seq("bucket"))
     }
     out
+  }
+
+  /** PII patterns shared verbatim by [[piiScan]] and the q168 oracle —
+    * RE2-compatible (DuckDB) AND java.util.regex-compatible (Spark):
+    * character classes, bounded repetition, `\b` anchors only. The
+    * card pattern deliberately catches CANDIDATES (any 16-digit run);
+    * the Luhn checksum — exact integer arithmetic, replayed in SQL on
+    * both engines — separates real card shapes from arbitrary digits,
+    * the standard two-stage PII rule (pattern recall, checksum
+    * precision). */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val PiiIpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiCcRe = "\\b[0-9]{16}\\b"
+
+  /** Luhn checksum over a digit-string column — doubling every second
+    * digit from the right, exact BIGINT arithmetic (identical
+    * formulation in the oracle's `list_transform`). */
+  private def luhnOk(c: Column): Column = {
+    val total = aggregate(
+      sequence(lit(1), length(c)),
+      lit(0L),
+      (acc, i) => {
+        val d = c.substr(i, lit(1)).cast("long")
+        acc + when(((length(c) - i) % 2) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    total % 10 === 0
+  }
+
+  /** PII detection + redaction — the curation stage every public corpus
+    * pipeline runs before release (C4 removed pages on bad-word lists;
+    * Dolma and BigCode's StarCoder pipeline mask emails/IPs/keys as a
+    * per-document rewrite). Four detector families over the raw text:
+    * emails, NANP-shaped phone numbers, IPv4 literals, and 16-digit
+    * card CANDIDATES split into Luhn-valid vs not. The redacted text
+    * replaces every match with a typed mask token (card candidates mask
+    * unconditionally — redaction errs conservative even where the
+    * checksum says the digits are not a real card). Output is one
+    * narrow row per document: counts, the redacted length, and the md5
+    * of the redacted text, so the oracle hash-pins the REWRITE itself,
+    * not just the tallies.
+    *
+    * Shape at 100 TB: pure per-row regex work (codegen'd string
+    * expressions), no shuffle but the final sort — the q141 scan
+    * shape. */
+  def piiScan(documents: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    // Each pattern runs ONCE (the redaction pass); counts derive from
+    // the mask tokens afterwards — running detection and redaction as
+    // separate regex passes doubled the dominant cost at the 10x smoke.
+    // The email pattern additionally gates on a cheap contains('@')
+    // scan: its broad character class is the backtracking-heaviest of
+    // the four, and '@'-free documents (most of any corpus) skip it
+    // entirely. Card candidates extract from the EMAIL-REDACTED
+    // intermediate (so the candidate population is exactly the <CC>
+    // mask population, never digits hidden inside an address) and only
+    // when a mask is present.
+    val redEmail = when(text.contains("@"),
+      regexp_replace(text, lit(PiiEmailRe), lit("<EMAIL>"))).otherwise(text)
+    val stage = documents.select(col("doc_id"), text.as("t0"),
+      redEmail.as("t1"))
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("t1"), lit(PiiCcRe), lit("<CC>")),
+        lit(PiiPhoneRe), lit("<PHONE>")),
+      lit(PiiIpRe), lit("<IP>"))
+    val staged = stage.select(col("doc_id"), col("t1"), red.as("red"))
+    def masks(m: String): Column =
+      (size(split(col("red"), m)) - 1).cast("long")
+    val ccCands = regexp_extract_all(col("t1"), lit(PiiCcRe), lit(0))
+    staged.select(
+      col("doc_id"),
+      masks("<EMAIL>").as("n_emails"),
+      masks("<PHONE>").as("n_phones"),
+      masks("<IP>").as("n_ips"),
+      masks("<CC>").as("n_cc_candidates"),
+      when(col("red").contains("<CC>"),
+        size(filter(ccCands, luhnOk(_))).cast("long"))
+        .otherwise(0L).as("n_cc_valid"),
+      length(col("red")).cast("long").as("redacted_len"),
+      md5(col("red")).as("redacted_md5"))
+  }
+
+  /** Fill-in-the-middle training-example construction (Bavarian et al.,
+    * "Efficient Training of Language Models to Fill in the Middle" —
+    * the PSM transform every code-model data pipeline applies to a
+    * slice of its corpus): two deterministic split points derived from
+    * the shared h60 hash cut each document's token list into non-empty
+    * prefix/middle/suffix, re-serialized as
+    * `<PRE>prefix<SUF>suffix<MID>middle`. Documents shorter than
+    * `minTokens` pass through unsplit (fim = false) — the standard
+    * length gate. Output carries the split geometry and the md5 of the
+    * PSM string, so the oracle hash-pins the constructed example.
+    *
+    * Shape at 100 TB: per-row token arithmetic, no shuffle but the
+    * final sort. */
+  /** Single source of truth for [[fimExamples]]'s length gate — the
+    * q169 oracle interpolates the same value (the q161 lockstep
+    * discipline). */
+  val FimMinTokens: Int = 8
+
+  def fimExamples(documents: DataFrame,
+      minTokens: Int = FimMinTokens): DataFrame = {
+    require(minTokens >= 3, s"minTokens must be >= 3, got $minTokens")
+    graft.functions.H60Hash.register(documents.sparkSession)
+    val tk = split(coalesce(col("text"), lit("")), " ")
+    val base = documents.select(col("doc_id"), tk.as("tk"),
+      size(tk).cast("long").as("n_tokens"))
+    val s1 = (lit(1L) +
+      expr(s"${h60x("concat(CAST(doc_id AS STRING), '|fim1')")}") %
+        (col("n_tokens") - 2L)).as("s1")
+    val withS1 = base.filter(col("n_tokens") >= minTokens).select(
+      col("doc_id"), col("tk"), col("n_tokens"), s1)
+    val s2 = (col("s1") + 1L +
+      expr(s"${h60x("concat(CAST(doc_id AS STRING), '|fim2')")}") %
+        (col("n_tokens") - 1L - col("s1"))).as("s2")
+    val cut = withS1.select(col("doc_id"), col("tk"), col("n_tokens"),
+      col("s1"), s2)
+    val join = (c: Column) => array_join(c, " ")
+    val psm = concat(
+      lit("<PRE>"), join(slice(col("tk"), lit(1), col("s1"))),
+      lit("<SUF>"), join(slice(col("tk"), col("s2") + 1L,
+        col("n_tokens") - col("s2"))),
+      lit("<MID>"), join(slice(col("tk"), col("s1") + 1L,
+        col("s2") - col("s1"))))
+    val split_ = cut.select(col("doc_id"), col("n_tokens"),
+      col("s1"), col("s2"), lit(true).as("fim"),
+      length(psm).cast("long").as("psm_len"), md5(psm).as("psm_md5"))
+    val short = base.filter(col("n_tokens") < minTokens)
+      .select(col("doc_id"), col("n_tokens"),
+        lit(0L).as("s1"), lit(0L).as("s2"), lit(false).as("fim"),
+        length(array_join(col("tk"), " ")).cast("long").as("psm_len"),
+        md5(array_join(col("tk"), " ")).as("psm_md5"))
+    split_.union(short)
   }
 }

@@ -1615,6 +1615,105 @@ object RefineQueries {
         .orderBy("a_id")
     },
 
+    // PII detection + redaction — the pre-release scrub every public
+    // corpus pipeline runs (C4/Dolma/StarCoder mask emails, IPs,
+    // phones; card shapes gate through the Luhn checksum: pattern for
+    // recall, checksum for precision). Planted snippets per doc_id %
+    // 11 exercise every detector incl. the Luhn-valid/invalid split;
+    // the oracle hash-pins the redacted REWRITE via md5, not just the
+    // tallies. Patterns interpolate from TextOps.Pii*Re so both
+    // engines run the identical regex.
+    oracle(
+      "q168_pii_redaction",
+      s"""WITH aug AS (
+         |  SELECT doc_id, coalesce(text, '') ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' contact alice.smith@example.org today'
+         |         WHEN doc_id % 11 = 1 THEN ' card 4532015112830366 on file'
+         |         WHEN doc_id % 11 = 2 THEN ' card 4532015112830367 on file'
+         |         WHEN doc_id % 11 = 3 THEN ' call 555-867-5309 now'
+         |         WHEN doc_id % 11 = 4 THEN ' host 192.168.10.1 up'
+         |         WHEN doc_id % 11 = 5 THEN ' bob@test.io and 555-123-4567 both'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN contains(text, '@')
+         |      THEN regexp_replace(text, '${TextOps.PiiEmailRe}', '<EMAIL>', 'g')
+         |      ELSE text END AS t1
+         |  FROM aug),
+         |r2 AS (
+         |  SELECT doc_id, t1,
+         |    regexp_replace(regexp_replace(regexp_replace(t1,
+         |      '${TextOps.PiiCcRe}', '<CC>', 'g'),
+         |      '${TextOps.PiiPhoneRe}', '<PHONE>', 'g'),
+         |      '${TextOps.PiiIpRe}', '<IP>', 'g') AS red
+         |  FROM r)
+         |SELECT doc_id,
+         |  CAST(len(string_split(red, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+         |  CAST(len(string_split(red, '<PHONE>')) - 1 AS BIGINT) AS n_phones,
+         |  CAST(len(string_split(red, '<IP>')) - 1 AS BIGINT) AS n_ips,
+         |  CAST(len(string_split(red, '<CC>')) - 1 AS BIGINT) AS n_cc_candidates,
+         |  CASE WHEN contains(red, '<CC>')
+         |    THEN CAST(len(list_filter(regexp_extract_all(t1, '${TextOps.PiiCcRe}'), c ->
+         |      (list_sum(list_transform(range(1, length(c) + 1),
+         |        i -> CASE WHEN (length(c) - i) % 2 = 1
+         |          THEN CASE WHEN 2 * CAST(substr(c, i, 1) AS BIGINT) > 9
+         |            THEN 2 * CAST(substr(c, i, 1) AS BIGINT) - 9
+         |            ELSE 2 * CAST(substr(c, i, 1) AS BIGINT) END
+         |          ELSE CAST(substr(c, i, 1) AS BIGINT) END)) % 10 = 0))) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS n_cc_valid,
+         |  CAST(length(red) AS BIGINT) AS redacted_len,
+         |  md5(red) AS redacted_md5
+         |FROM r2 ORDER BY doc_id""",
+      "Curation: PII detection + redaction (emails/phones/IPv4/Luhn-gated cards, md5-pinned rewrite)") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 11 === 0, lit(" contact alice.smith@example.org today"))
+            .when(col("doc_id") % 11 === 1, lit(" card 4532015112830366 on file"))
+            .when(col("doc_id") % 11 === 2, lit(" card 4532015112830367 on file"))
+            .when(col("doc_id") % 11 === 3, lit(" call 555-867-5309 now"))
+            .when(col("doc_id") % 11 === 4, lit(" host 192.168.10.1 up"))
+            .when(col("doc_id") % 11 === 5, lit(" bob@test.io and 555-123-4567 both"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.piiScan(aug).orderBy("doc_id")
+    },
+
+    // Fill-in-the-middle example construction (Bavarian et al. — the
+    // PSM transform code-model pipelines apply to a corpus slice): two
+    // h60-derived split points cut each document into non-empty
+    // prefix/middle/suffix, re-serialized <PRE>…<SUF>…<MID>… and
+    // md5-pinned. Short documents pass through unsplit (fim=false).
+    oracle(
+      "q169_fim_examples",
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk,
+         |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c1 AS (
+         |  SELECT doc_id, tk, n_tokens,
+         |    1 + ${h60Sql("CAST(doc_id AS VARCHAR) || '|fim1'")} % (n_tokens - 2) AS s1
+         |  FROM tk WHERE n_tokens >= ${TextOps.FimMinTokens}),
+         |c2 AS (
+         |  SELECT doc_id, tk, n_tokens, s1,
+         |    s1 + 1 + ${h60Sql("CAST(doc_id AS VARCHAR) || '|fim2'")} % (n_tokens - 1 - s1) AS s2
+         |  FROM c1),
+         |p AS (
+         |  SELECT doc_id, n_tokens, s1, s2, TRUE AS fim,
+         |    '<PRE>' || array_to_string(tk[1:s1], ' ') ||
+         |    '<SUF>' || array_to_string(tk[s2+1:n_tokens], ' ') ||
+         |    '<MID>' || array_to_string(tk[s1+1:s2], ' ') AS psm
+         |  FROM c2
+         |  UNION ALL
+         |  SELECT doc_id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    FALSE, array_to_string(tk, ' ')
+         |  FROM tk WHERE n_tokens < ${TextOps.FimMinTokens})
+         |SELECT doc_id, n_tokens, s1, s2, fim,
+         |  CAST(length(psm) AS BIGINT) AS psm_len, md5(psm) AS psm_md5
+         |FROM p ORDER BY doc_id""",
+      "Training data: fill-in-the-middle PSM example construction (h60 split points, md5-pinned)") { (s, d) =>
+      TextOps.fimExamples(Tables(s, d, "documents")).orderBy("doc_id")
+    },
+
     // Classifier-vs-rules calibration: the q138 hashed linear model's
     // confusion matrix against the q113 quality-rule label at each
     // candidate logit threshold — the governance readout before a team

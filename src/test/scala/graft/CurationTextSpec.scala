@@ -371,4 +371,51 @@ class CurationTextSpec extends SparkSpec {
     // the fixture must exercise both labels or the sweep proves nothing
     assert(ref.exists(_._2 == 1L) && ref.exists(_._2 == 0L))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("piiScan: detectors count, Luhn gates cards, the rewrite is pinned") {
+    val docs = Seq(
+      (1L, "mail alice.smith@example.org or bob@test.io now"),
+      (2L, "card 4532015112830366 works"),   // Luhn-valid
+      (3L, "card 4532015112830367 is a typo"), // Luhn-invalid
+      (4L, "call 555-867-5309 from 192.168.10.1"),
+      (5L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = TextOps.piiScan(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(7)))).toMap
+    assert(out(1L)._1 === 2L, "both emails counted")
+    assert(out(1L)._6 === md5Hex("mail <EMAIL> or <EMAIL> now"))
+    assert(out(2L)._4 === 1L && out(2L)._5 === 1L, "valid card: candidate + Luhn")
+    assert(out(3L)._4 === 1L && out(3L)._5 === 0L, "typo card: candidate only")
+    assert(out(2L)._6 === md5Hex("card <CC> works"),
+      "candidates redact regardless of checksum — privacy errs conservative")
+    assert(out(4L)._2 === 1L && out(4L)._3 === 1L, "phone + IP")
+    assert(out(4L)._6 === md5Hex("call <PHONE> from <IP>"))
+    assert(out(5L) === ((0L, 0L, 0L, 0L, 0L, md5Hex("nothing sensitive here at all"))),
+      "clean text passes through byte-identical")
+  }
+
+  test("fimExamples: non-empty three-way split, deterministic, short docs pass") {
+    val long = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, "too short to split")).toDF("doc_id", "text")
+    def run() = TextOps.fimExamples(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getString(6)))
+    val out = run()
+    val (_, n, s1, s2, fim, _, h) = out(0)
+    assert(fim && n === 12L)
+    assert(s1 >= 1L && s1 <= n - 2, "prefix and a non-empty remainder")
+    assert(s2 >= s1 + 1 && s2 <= n - 1, "middle and suffix both non-empty")
+    val toks = long.split(" ")
+    val psm = "<PRE>" + toks.take(s1.toInt).mkString(" ") +
+      "<SUF>" + toks.drop(s2.toInt).mkString(" ") +
+      "<MID>" + toks.slice(s1.toInt, s2.toInt).mkString(" ")
+    assert(h === md5Hex(psm), "PSM serialization matches the driver-side replay")
+    assert(out(1) === ((2L, 4L, 0L, 0L, false, 18L, md5Hex("too short to split"))),
+      "short doc passes through unsplit")
+    assert(run().toSeq === out.toSeq, "split points are deterministic")
+  }
 }

@@ -167,6 +167,70 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(info.get.levels === 3, "Clevels signalled in COD")
   }
 
+  test("lossless round-trip sweep: randomized content across geometries") {
+    // tile-boundary-straddling, degenerate-thin, and sub-blocksize
+    // shapes; content mixes flat runs (RLC mode), speckle, and extremes
+    for (((w, h, lv), seed) <- Seq((257, 256, 4), (64, 64, 2), (33, 1, 0),
+      (1, 40, 1), (512, 300, 5)).zipWithIndex) {
+      val px = lcg(seed + 99L).take(w * h).zipWithIndex.map { case (v, i) =>
+        val m = (v >>> 41) % 4
+        if (m == 0) 0 else if (m == 1) 255
+        else if (m == 2) (i % 251) else ((v >>> 17) & 0xFF).toInt
+      }.toArray
+      val bytes = Jp2Encoder.encodeGray(px, w, h,
+        params = Jp2Params(levels = lv, layers = 1, rates = Seq(32.0),
+          lossless = true))
+      assert(Jp2Decoder.decode(bytes).comps.head.toSeq === px.toSeq,
+        s"${w}x$h lv=$lv")
+    }
+  }
+
+  test("ORGgen_plt: the PLT index accounts for every packet byte") {
+    val (w, h) = (300, 200)
+    val px = grayFixture(w, h)
+    val bytes = Jp2Encoder.encodeGray(px, w, h,
+      params = Jp2Params(levels = 2, layers = 2, rates = Seq(8.0, 1.0),
+        lossless = true))
+    // walk to the codestream, then per tile: parse Lsot/Psot, the PLT
+    // varints, and check they sum to the packet span exactly
+    def u16(p: Int) = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+    def u32(p: Int): Int = (u16(p) << 16) | u16(p + 2)
+    var p = 0
+    var csStart = -1
+    while (csStart < 0) {
+      val len = u32(p)
+      if (new String(bytes, p + 4, 4, "US-ASCII") == "jp2c") csStart = p + 8
+      else p += len
+    }
+    var q = csStart + 2 // past SOC
+    var tiles = 0
+    while (u16(q) != 0xFF90) q += 2 + u16(q + 2) // main header
+    while (u16(q) == 0xFF90) {
+      val psot = u32(q + 6)
+      val tileEnd = q + psot
+      var m = q + 12 // past SOT segment (Lsot=10)
+      assert(u16(m) == 0xFF58, "PLT marker present (ORGgen_plt)")
+      val lplt = u16(m + 2)
+      var vp = m + 5 // skip Zplt
+      var sum = 0L
+      var cur = 0L
+      while (vp < m + 2 + lplt) {
+        val b = bytes(vp) & 0xFF
+        cur = (cur << 7) | (b & 0x7F)
+        if ((b & 0x80) == 0) { sum += cur; cur = 0 }
+        vp += 1
+      }
+      m += 2 + lplt
+      assert(u16(m) == 0xFF93, "SOD follows PLT")
+      val packetSpan = tileEnd - (m + 2)
+      assert(sum === packetSpan.toLong,
+        s"tile $tiles: PLT lengths $sum vs actual packet bytes $packetSpan")
+      tiles += 1
+      q = tileEnd
+    }
+    assert(u16(q) == 0xFFD9 && tiles == 2, "EOC after both tiles")
+  }
+
   test("withJp2Levels (F18) drives the encoder like the reference drives kdu") {
     // bin/main.py:377-385: halvings of the long side until < 96
     def levelsFor(longSide: Int): Int = {

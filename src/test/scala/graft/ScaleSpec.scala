@@ -184,7 +184,9 @@ class ScaleSpec extends SparkSpec {
       "q163_truncation_recall" -> 19, // truth pass checkpoints off-plan; per evaluated dim (×3): broadcast-probe scan + q_id rank window + k·nQueries-row hits agg + probe left join — only the three rank windows are corpus-scale (one shorter-vector stream per dim, the design); union + sort on 3·nQueries rows
       "q164_maxpassage_bm25" -> 9,   // q142's chain at chunk granularity: IN-pruned (chunk, term) tf agg + chunk-df agg/broadcast + chunk-length join + 1-row totals broadcast + per-chunk sum + per-doc max(struct) winner agg + TakeOrdered const-key rank — one more corpus-keyed partial agg than q142 (the winner), both map-side combine
       "q165_pair_evidence" -> 10,    // round-13 reshape: the q36 candidate/verify chain AND the pair-doc shingle table (`pd`, ONE corpus explode semi-joined to the broadcast pair-doc set) run off-plan behind localCheckpoints; on-plan every exchange carries pair-bounded rows — pd-derived a-join/b-semi-join, shared-shingle distinct, census agg (semi-joined to shared shingles before aggregating; its corpus side is a map-side scan), per-pair rank window, sort. Was 14 exchanges with two corpus-keyed shuffles; the count ROSE 6→10 vs the first reshape because pd's bounded derivations moved on-plan while the second corpus explode left the plan entirely
-      "q167_margin_mining_gated" -> 6) // candidate generation (ivfAssign crossJoin w/ k-row centroid broadcast + argmax window + same-cell equi-join) runs off-plan behind the pair localCheckpoint; on-plan: two top-km rank windows + their partial-agg sums joined by SHUFFLE (gated populations may be corpus-sized — q158's broadcast contract lifted) + a_id max(struct) winner agg + sort
+      "q167_margin_mining_gated" -> 6, // candidate generation (ivfAssign crossJoin w/ k-row centroid broadcast + argmax window + same-cell equi-join) runs off-plan behind the pair localCheckpoint; on-plan: two top-km rank windows + their partial-agg sums joined by SHUFFLE (gated populations may be corpus-sized — q158's broadcast contract lifted) + a_id max(struct) winner agg + sort
+      "q168_pii_redaction" -> 1,     // pure per-row codegen'd regex + Luhn HOF arithmetic + sort — the q141 scan shape; the whole scale argument
+      "q169_fim_examples" -> 1)      // per-row token arithmetic (h60 split points, slices, md5) + union of the short-doc passthrough + sort — scan-shaped
     designed.foreach { case (name, expected) =>
       val plan = SparkEntry.queries(name)(spark, sf("sf0.001"))
         .queryExecution.executedPlan.toString
