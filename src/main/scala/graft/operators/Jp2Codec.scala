@@ -20,8 +20,9 @@ import scala.collection.mutable.ArrayBuffer
   *   - one precinct per resolution per tile (Cprecincts >= tile dims,
   *     exactly the reference's {256,256}/{256,256} geometry) — enforced
   *     with a require, not silently approximated;
-  *   - single tile-part per tile (the `ORGtparts=R` split is an
-  *     organizational option a conforming decoder never needs);
+  *   - tile-parts split by resolution (`ORGtparts=R`, TPsot = r) when
+  *     the progression is RPCL — the reference's exact organization —
+  *     or a single tile-part otherwise;
   *   - MQ termination on every coding pass (COD code-block style 0x04,
   *     a standard mode): every pass is its own codeword segment with an
   *     exactly signalled length, so layer boundaries truncate cleanly —
@@ -970,6 +971,7 @@ final case class Jp2Params(
     useSop: Boolean = true,
     useEph: Boolean = true,
     genPlt: Boolean = true,
+    tpartsR: Boolean = true,
     lossless: Boolean = false) {
   require(tileSize >= 1, "tileSize must be positive")
   require(levels >= 0 && levels <= 32, "levels out of range")
@@ -984,6 +986,9 @@ final case class Jp2Params(
       "reference's {256,256}/{256,256} geometry); smaller precincts are " +
       "out of this codec's documented scope")
   require(order == "RPCL" || order == "LRCP", "order must be RPCL or LRCP")
+  // ORGtparts=R splits each tile's packets into one tile-part per
+  // resolution — only coherent when the progression is resolution-major
+  require(!tpartsR || order == "RPCL", "ORGtparts=R requires Corder=RPCL")
 }
 
 /** JPEG2000 Part-1 encoder (see [[Jp2Codec]] scaladoc for scope). */
@@ -1297,9 +1302,9 @@ object Jp2Encoder {
       })))
       val lblocks = compPlans.map(_.map(_.map(b => Array.fill(b.blocks.length)(3))))
 
-      val packets = ArrayBuffer[Array[Byte]]()
       var nsop = 0
-      def onePacket(c: Int, r: Int, l: Int): Unit = {
+      def onePacket(into: ArrayBuffer[Array[Byte]], c: Int, r: Int,
+          l: Int): Unit = {
         val pk = new java.io.ByteArrayOutputStream()
         if (params.useSop) {
           pk.write(be16(0xFF91)); pk.write(be16(4)); pk.write(be16(nsop & 0xFFFF))
@@ -1312,41 +1317,55 @@ object Jp2Encoder {
         pk.write(hw.flush())
         if (params.useEph) pk.write(be16(0xFF92))
         body.writeTo(pk)
-        packets += pk.toByteArray
+        into += pk.toByteArray
       }
-      if (params.order == "RPCL")
-        for (r <- 0 to params.levels; c <- 0 until nc; l <- 0 until layerCount)
-          onePacket(c, r, l)
-      else
-        for (l <- 0 until layerCount; r <- 0 to params.levels; c <- 0 until nc)
-          onePacket(c, r, l)
-
-      val packetBytes = packets.map(_.length)
-      val plt = new java.io.ByteArrayOutputStream()
-      if (params.genPlt) {
-        val lens = new java.io.ByteArrayOutputStream()
-        packetBytes.foreach { n =>
-          // base-128 varint, MSB-first, continuation bit 0x80
-          var started = false
-          var sh = 28
-          while (sh >= 0) {
-            val part = (n >> sh) & 0x7F
-            if (part != 0 || started || sh == 0) {
-              lens.write(part | (if (sh > 0) 0x80 else 0)); started = true
-            }
-            sh -= 7
-          }
+      // ORGtparts=R: each resolution's packets form their own tile-part
+      // (TPsot = r) — RPCL emits them contiguously so the grouping is
+      // just the loop's outer level; otherwise one part holds them all
+      val parts = ArrayBuffer[ArrayBuffer[Array[Byte]]]()
+      if (params.order == "RPCL") {
+        for (r <- 0 to params.levels) {
+          val grp = ArrayBuffer[Array[Byte]]()
+          for (c <- 0 until nc; l <- 0 until layerCount) onePacket(grp, c, r, l)
+          parts += grp
         }
-        plt.write(be16(0xFF58)); plt.write(be16(3 + lens.size())); plt.write(0)
-        lens.writeTo(plt)
+      } else {
+        val grp = ArrayBuffer[Array[Byte]]()
+        for (l <- 0 until layerCount; r <- 0 to params.levels; c <- 0 until nc)
+          onePacket(grp, c, r, l)
+        parts += grp
       }
-      val dataLen = packets.map(_.length).sum
-      val psot = 12 + plt.size() + 2 + dataLen // SOT(12)+PLT+SOD(2)+packets
-      cs.write(be16(0xFF90)); cs.write(be16(10)) // SOT, Lsot
-      cs.write(be16(t)); cs.write(be32(psot)); cs.write(0); cs.write(1) // TPsot, TNsot
-      plt.writeTo(cs)
-      cs.write(be16(0xFF93)) // SOD
-      packets.foreach(p => cs.write(p))
+      val tileParts =
+        if (params.tpartsR) parts else ArrayBuffer(parts.flatten)
+
+      tileParts.zipWithIndex.foreach { case (packets, pi) =>
+        val plt = new java.io.ByteArrayOutputStream()
+        if (params.genPlt) {
+          val lens = new java.io.ByteArrayOutputStream()
+          packets.map(_.length).foreach { n =>
+            // base-128 varint, MSB-first, continuation bit 0x80
+            var started = false
+            var sh = 28
+            while (sh >= 0) {
+              val part = (n >> sh) & 0x7F
+              if (part != 0 || started || sh == 0) {
+                lens.write(part | (if (sh > 0) 0x80 else 0)); started = true
+              }
+              sh -= 7
+            }
+          }
+          plt.write(be16(0xFF58)); plt.write(be16(3 + lens.size())); plt.write(0)
+          lens.writeTo(plt)
+        }
+        val dataLen = packets.map(_.length).sum
+        val psot = 12 + plt.size() + 2 + dataLen // SOT(12)+PLT+SOD(2)+packets
+        cs.write(be16(0xFF90)); cs.write(be16(10)) // SOT, Lsot
+        cs.write(be16(t)); cs.write(be32(psot))
+        cs.write(pi); cs.write(tileParts.length) // TPsot, TNsot
+        plt.writeTo(cs)
+        cs.write(be16(0xFF93)) // SOD
+        packets.foreach(p => cs.write(p))
+      }
     }
     cs.write(be16(0xFFD9)) // EOC
 
@@ -1488,7 +1507,34 @@ object Jp2Decoder {
     // decoded tile rasters per comp
     val compOut = (0 until nc).map(_ => new Array[Int](w * h))
 
-    while (u16(cs, p) == 0xFF90) { // tiles
+    // Per-tile state persists ACROSS tile-parts (ORGtparts=R splits a
+    // tile's packets into one part per resolution): band accumulators
+    // plus a cursor into the tile's packet enumeration — each part
+    // consumes packets from the cursor until its Psot span is
+    // exhausted, so single- and multi-part organizations parse
+    // identically without trusting TPsot.
+    final class TileState(val tw: Int, val th: Int) {
+      val accs: IndexedSeq[IndexedSeq[IndexedSeq[BandAcc]]] = {
+        val geom = bandGeometry(tw, th, levels)
+        (0 until nc).map { _ =>
+          geom.map(_.map { case (o, bw2, bh2) =>
+            new BandAcc(o, bw2, bh2,
+              math.max(1, (bw2 + cb - 1) / cb), math.max(1, (bh2 + cb - 1) / cb), cb)
+          }.toIndexedSeq)
+        }
+      }
+      val enumeration: IndexedSeq[(Int, Int, Int)] =
+        if (progression == 2) // RPCL
+          for (r <- 0 to levels; c <- 0 until nc; l <- 0 until layers)
+            yield (c, r, l)
+        else // LRCP
+          for (l <- 0 until layers; r <- 0 to levels; c <- 0 until nc)
+            yield (c, r, l)
+      var cursor = 0
+    }
+    val tileStates = scala.collection.mutable.Map[Int, TileState]()
+
+    while (u16(cs, p) == 0xFF90) { // tile-parts
       val tIdx = u16(cs, p + 4)
       val psot = u32(cs, p + 6).toInt
       val tileEnd = p + psot
@@ -1499,15 +1545,9 @@ object Jp2Decoder {
 
       val tx = tIdx % ntx; val ty = tIdx / ntx
       val x0 = tx * ts; val y0 = ty * ts
-      val tw = math.min(ts, w - x0); val th = math.min(ts, h - y0)
-      val geom = bandGeometry(tw, th, levels)
-      val accs: IndexedSeq[IndexedSeq[IndexedSeq[BandAcc]]] =
-        (0 until nc).map { _ =>
-          geom.map(_.map { case (o, bw2, bh2) =>
-            new BandAcc(o, bw2, bh2,
-              math.max(1, (bw2 + cb - 1) / cb), math.max(1, (bh2 + cb - 1) / cb), cb)
-          }.toIndexedSeq)
-        }
+      val st = tileStates.getOrElseUpdate(tIdx,
+        new TileState(math.min(ts, w - x0), math.min(ts, h - y0)))
+      val accs = st.accs
 
       def onePacket(c: Int, r: Int, l: Int): Unit = {
         if (useSop) q += 6
@@ -1566,17 +1606,27 @@ object Jp2Decoder {
         }
       }
 
-      if (progression == 2) // RPCL
-        for (r <- 0 to levels; c <- 0 until nc; l <- 0 until layers)
-          onePacket(c, r, l)
-      else // LRCP
-        for (l <- 0 until layers; r <- 0 to levels; c <- 0 until nc)
-          onePacket(c, r, l)
-      require(q <= tileEnd, s"tile $tIdx overran: $q > $tileEnd")
+      // consume packets from the tile's cursor until this part's span
+      // is exhausted (an empty trailing part is legal and consumes none)
+      while (q < tileEnd && st.cursor < st.enumeration.length) {
+        val (c, r, l) = st.enumeration(st.cursor)
+        onePacket(c, r, l)
+        st.cursor += 1
+      }
+      require(q == tileEnd,
+        s"tile $tIdx part boundary mismatch: $q vs $tileEnd")
+      p = tileEnd
+    }
+    require(u16(cs, p) == 0xFFD9, "missing EOC")
 
-      // Tier-1 decode + inverse DWT per component
+    // Tier-1 decode + inverse DWT per tile and component (after every
+    // tile-part has been accumulated)
+    tileStates.toSeq.sortBy(_._1).foreach { case (tIdx, st) =>
+      val tx = tIdx % ntx; val ty = tIdx / ntx
+      val x0 = tx * ts; val y0 = ty * ts
+      val tw = st.tw; val th = st.th
       (0 until nc).foreach { c =>
-        val resBands: Seq[Seq[Band]] = accs(c).zipWithIndex.map { case (bands, r) =>
+        val resBands: Seq[Seq[Band]] = st.accs(c).zipWithIndex.map { case (bands, r) =>
           bands.map { band =>
             val coeffs = new Array[Int](band.bw * band.bh)
             var by = 0
@@ -1617,9 +1667,7 @@ object Jp2Decoder {
           rr += 1
         }
       }
-      p = tileEnd
     }
-    require(u16(cs, p) == 0xFFD9, "missing EOC")
 
     // inverse RCT + DC unshift
     val shift = 1 << (bits - 1)

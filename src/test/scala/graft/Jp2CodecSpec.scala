@@ -203,11 +203,14 @@ class Jp2CodecSpec extends AnyFunSuite {
       else p += len
     }
     var q = csStart + 2 // past SOC
-    var tiles = 0
+    var parts = 0
+    val partIdx = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
     while (u16(q) != 0xFF90) q += 2 + u16(q + 2) // main header
     while (u16(q) == 0xFF90) {
+      val tIdx = u16(q + 4)
       val psot = u32(q + 6)
       val tileEnd = q + psot
+      partIdx += ((tIdx, bytes(q + 10) & 0xFF, bytes(q + 11) & 0xFF))
       var m = q + 12 // past SOT segment (Lsot=10)
       assert(u16(m) == 0xFF58, "PLT marker present (ORGgen_plt)")
       val lplt = u16(m + 2)
@@ -224,11 +227,16 @@ class Jp2CodecSpec extends AnyFunSuite {
       assert(u16(m) == 0xFF93, "SOD follows PLT")
       val packetSpan = tileEnd - (m + 2)
       assert(sum === packetSpan.toLong,
-        s"tile $tiles: PLT lengths $sum vs actual packet bytes $packetSpan")
-      tiles += 1
+        s"part $parts: PLT lengths $sum vs actual packet bytes $packetSpan")
+      parts += 1
       q = tileEnd
     }
-    assert(u16(q) == 0xFFD9 && tiles == 2, "EOC after both tiles")
+    // ORGtparts=R: 2 tiles x (levels+1 = 3) parts, TPsot counting 0..2
+    // within each tile, TNsot = 3 everywhere
+    assert(u16(q) == 0xFFD9 && parts == 6, "EOC after 2 tiles x 3 parts")
+    assert(partIdx.toSeq === Seq((0, 0, 3), (0, 1, 3), (0, 2, 3),
+      (1, 0, 3), (1, 1, 3), (1, 2, 3)),
+      "tile-parts split by resolution with correct TPsot/TNsot")
   }
 
   test("withJp2Levels (F18) drives the encoder like the reference drives kdu") {
