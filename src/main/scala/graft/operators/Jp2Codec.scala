@@ -1131,7 +1131,11 @@ object Jp2Encoder {
     val order: IndexedSeq[(Int, Int)] = buckets.toIndexedSeq.flatten
     val cumCost = order.scanLeft(0L) { case (acc, (_, cost)) => acc + cost }
     val pixels = w.toLong * h.toLong
-    // ascending per-layer cumulative budgets from the descending ladder
+    // ascending per-layer cumulative budgets from the descending ladder;
+    // budgets meter CODED pass bytes — marker/packet-header/PLT overhead
+    // rides above the target, so emitted files run a little over the
+    // nominal bpp on small images (kdu's -rate meters total file bytes;
+    // at archival image sizes the difference is noise)
     val budgets = (0 until layerCount).map { l =>
       (params.rates(layerCount - 1 - l) * pixels / 8.0).toLong
     }
