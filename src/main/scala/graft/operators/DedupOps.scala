@@ -1411,4 +1411,62 @@ object DedupOps {
       .select(col("a"), col("b"), col("rank"), col("g").as("shingle"),
         col("df"))
   }
+
+  /** Character-level near-duplicate pairs by blocked Levenshtein — the
+    * ENTITY-RESOLUTION member of the near-dup family: token Jaccard
+    * (q38) and MinHash (q36) miss pairs that differ by in-word edits
+    * (OCR noise, typo variants, templated IDs), which edit distance
+    * catches. All-pairs Levenshtein is O(N²·L²) — never viable — so
+    * candidates gate through the standard ER blocking key: the first
+    * `prefixTokens` tokens joined (near-dups by high char similarity
+    * share their prefix) AND a length window (edit distance ≥ length
+    * difference, so |Δlen| > (1−θ)·maxLen rows cannot clear the
+    * similarity floor anyway — the window is a cheap sound-ish
+    * pre-filter made exact by the final sim test). Similarity is the
+    * exact integer `((maxLen − lev) · 1e6) div maxLen` — both engines'
+    * `levenshtein` implement the same classic DP over codepoints.
+    *
+    * Shape at 100 TB: one equi-join (shuffle on the block key) whose
+    * fan-out is per-block, not per-corpus — the q38 blocking shape; the
+    * O(L²) DP runs only on surviving candidates. Prefix blocking is the
+    * documented candidate CONTRACT (same as every blocked op here): a
+    * near-dup pair differing inside its first `prefixTokens` tokens is
+    * out of scope for this detector — MinHash banding (q36) covers that
+    * half of the matrix. */
+  /** Single source of truth for [[levNearDupPairs]]'s defaults — the
+    * q171 oracle interpolates the same values (the q161 lockstep
+    * discipline). */
+  val LevPrefixTokens: Int = 3
+  val LevLenWindow: Int = 8
+  val LevSimMinPpm: Long = 900000L
+
+  def levNearDupPairs(documents: DataFrame,
+      prefixTokens: Int = LevPrefixTokens,
+      lenWindow: Int = LevLenWindow,
+      simMinPpm: Long = LevSimMinPpm): DataFrame = {
+    require(prefixTokens >= 1, s"prefixTokens must be >= 1, got $prefixTokens")
+    require(lenWindow >= 0 && simMinPpm >= 0, s"bad $lenWindow/$simMinPpm")
+    val tk = split(coalesce(col("text"), lit("")), " ")
+    val t = documents
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        tk.as("tk"))
+      .filter(size(col("tk")) >= prefixTokens)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"),
+        array_join(slice(col("tk"), 1, prefixTokens), "|").as("blk"))
+    val a = t.select(col("blk"), col("doc_id").as("a_id"),
+      col("text").as("a_text"), col("len").as("a_len"))
+    val b = t.select(col("blk"), col("doc_id").as("b_id"),
+      col("text").as("b_text"), col("len").as("b_len"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("a_len") - col("b_len")) <= lenWindow)
+      .withColumn("max_len", greatest(col("a_len"), col("b_len")))
+      .withColumn("lev",
+        levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .withColumn("sim_ppm",
+        expr("((max_len - lev) * 1000000L) div max_len"))
+      .filter(col("sim_ppm") >= simMinPpm)
+      .select("a_id", "b_id", "lev", "max_len", "sim_ppm")
+  }
 }

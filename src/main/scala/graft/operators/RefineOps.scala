@@ -599,4 +599,35 @@ object RefineOps {
         col("n_tokens"),
         expr("(n_tokens * 1000000L) div cluster_size").as("weighted_tokens_ppm"))
   }
+
+  /** Preference-pair construction for DPO/RLHF-style training (Rafailov
+    * et al.'s direct preference optimization consumes (prompt, chosen,
+    * rejected) triples; every RLHF data pipeline builds them from rated
+    * candidate responses): within each (user, task) group of rated
+    * events, the top-rated event is `chosen`, the bottom-rated
+    * `rejected`, ties broken toward the EARLIER event id on both sides
+    * (reproducible under re-runs). Groups need >= 2 events and a
+    * strictly positive rating gap — a tie carries no preference signal.
+    * The gap is the single subtraction of the two stored doubles
+    * (replayed verbatim in the oracle, never re-derived).
+    *
+    * Shape at 100 TB: ONE groupBy with two max/min(struct) PARTIAL
+    * aggregates (the q146/q147 rule) — the exchange carries one row per
+    * group, never the event fan-in; no join, no window. */
+  def preferencePairs(events: DataFrame): DataFrame = {
+    val grouped = events.groupBy(col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rated"),
+        max(struct(col("value"), (-col("event_id")).as("neg_id")))
+          .as("top"),
+        min(struct(col("value"), col("event_id"))).as("bot"))
+    grouped
+      .filter(col("n_rated") >= 2L && col("top.value") > col("bot.value"))
+      .select(col("user_id"), col("event_type"), col("n_rated"),
+        (-col("top.neg_id")).as("chosen_id"),
+        col("bot.event_id").as("rejected_id"),
+        col("top.value").as("chosen_value"),
+        col("bot.value").as("rejected_value"),
+        (col("top.value") - col("bot.value")).as("gap"))
+  }
 }

@@ -1922,4 +1922,58 @@ object TextOps {
         md5(array_join(col("tk"), " ")).as("psm_md5"))
     split_.union(short)
   }
+
+  /** q170 plant, shared by the registry lambda and the oracle (the q168
+    * planted-snippet pattern): 40 repeats of a bigram whose BOTH
+    * orderings hash green under the q170 rule, appended to every
+    * `doc_id % WmPlantMod == 0` document so the detector has true
+    * positives to find in the synthetic corpus. */
+  val WmPlantMod: Int = 13
+  val WmPlant: String = Seq.fill(40)("spark value").mkString(" ")
+
+  /** Statistical watermark detection (Kirchenbauer et al. 2023, "A
+    * Watermark for Large Language Models" — the public green-list
+    * scheme): a generator that watermarks its output seeds a
+    * vocabulary partition from each previous token and boosts "green"
+    * tokens; a detector needs NO model access — it recomputes each
+    * token's green membership from the (prev, current) pair and flags
+    * documents whose green count is statistically impossible under the
+    * null (γ = 1/2 → E[green] = T/2, σ = √T/2). This is the
+    * provenance / synthetic-text screen a training-data pipeline runs
+    * so a model is not trained on another model's watermarked output.
+    *
+    * Green rule here: `h60(prev || '|' || cur) % 2 == 0` — for a
+    * γ = 1/2 random partition, hashing the pair is equivalent to
+    * hashing prev into a seed and testing cur's membership. The z ≥ 4
+    * one-sided test is EXACT integer arithmetic: z = (2g − T)/√T ≥ 4
+    * ⟺ 2g − T ≥ 0 ∧ (2g − T)² ≥ 16·T — no float ever crosses
+    * engines.
+    *
+    * Shape at 100 TB: per-row token arithmetic inside one projection
+    * (the green count folds over the token array with `aggregate`, no
+    * explode, no shuffle but the final sort) — the q141/q168 scan
+    * shape, linear in input splits. */
+  def watermarkScan(documents: DataFrame): DataFrame = {
+    graft.functions.H60Hash.register(documents.sparkSession)
+    val tk = split(coalesce(col("text"), lit("")), " ")
+    val base = documents.select(col("doc_id"), tk.as("tk"),
+      size(tk).cast("long").as("n"))
+    val scored = base.filter(col("n") >= 2L)
+      .withColumn("green_cnt", expr(
+        """aggregate(sequence(2, cast(n as int)), 0L, (acc, i) ->
+          |  acc + CASE WHEN h60(concat(element_at(tk, i - 1), '|',
+          |    element_at(tk, i))) % 2L = 0L THEN 1L ELSE 0L END)"""
+          .stripMargin))
+      .select(col("doc_id"), (col("n") - 1L).as("t_scored"),
+        col("green_cnt"))
+    val short = base.filter(col("n") < 2L)
+      .select(col("doc_id"), lit(0L).as("t_scored"),
+        lit(0L).as("green_cnt"))
+    val excess = lit(2L) * col("green_cnt") - col("t_scored")
+    scored.union(short)
+      .withColumn("green_ppm", when(col("t_scored") === 0L, lit(0L))
+        .otherwise(expr("(green_cnt * 1000000L) div t_scored")))
+      .withColumn("watermarked", col("t_scored") >= 1L &&
+        excess >= 0L && excess * excess >= lit(16L) * col("t_scored"))
+  }
 }

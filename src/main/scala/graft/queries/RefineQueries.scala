@@ -1957,6 +1957,185 @@ object RefineQueries {
       "Governance: near-dup pair evidence — rarest shared shingles per verified pair") { (s, d) =>
       graft.operators.DedupOps.pairEvidence(Tables(s, d, "documents"))
         .orderBy("a", "b", "rank")
+    },
+
+    // Statistical watermark detection (Kirchenbauer et al.'s public
+    // green-list scheme): recompute each token's green membership from
+    // the (prev, current) pair hash and flag documents whose green
+    // count clears the one-sided z >= 4 test — exact integer form
+    // (2g-T >= 0 AND (2g-T)^2 >= 16T). The provenance screen that
+    // keeps another model's watermarked output out of a training
+    // corpus. Planted green-green bigram runs on doc_id % 13 give the
+    // detector true positives (the q168 planted-snippet pattern); the
+    // plant string interpolates from TextOps.WmPlant on both sides.
+    oracle(
+      "q170_watermark_detect",
+      {
+        import graft.operators.TextOps.h60d
+        s"""WITH aug AS (
+           |  SELECT doc_id, coalesce(text, '') ||
+           |    CASE WHEN doc_id % ${TextOps.WmPlantMod} = 0
+           |      THEN ' ${TextOps.WmPlant}' ELSE '' END AS text
+           |  FROM documents),
+           |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM aug),
+           |g AS (
+           |  SELECT doc_id, CAST(len(tk) - 1 AS BIGINT) AS t_scored,
+           |    CAST(coalesce(list_sum(list_transform(range(2, len(tk) + 1), i ->
+           |      CASE WHEN ${h60d("tk[i-1] || '|' || tk[i]")} % 2 = 0
+           |        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS green_cnt
+           |  FROM tk WHERE len(tk) >= 2
+           |  UNION ALL
+           |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |  FROM tk WHERE len(tk) < 2)
+           |SELECT doc_id, t_scored, green_cnt,
+           |  CAST(CASE WHEN t_scored = 0 THEN 0
+           |    ELSE (green_cnt * 1000000) // t_scored END AS BIGINT) AS green_ppm,
+           |  t_scored >= 1 AND 2 * green_cnt - t_scored >= 0
+           |    AND (2 * green_cnt - t_scored) * (2 * green_cnt - t_scored)
+           |      >= 16 * t_scored AS watermarked
+           |FROM g ORDER BY doc_id""".stripMargin
+      },
+      "Provenance: green-list watermark detection (Kirchenbauer z>=4, exact integer test)") { (s, d) =>
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % TextOps.WmPlantMod === 0,
+            lit(" " + TextOps.WmPlant)).otherwise(lit(""))).as("text"))
+      TextOps.watermarkScan(aug).orderBy("doc_id")
+    },
+
+    // Character-level near-dup pairs by blocked Levenshtein — the
+    // entity-resolution member of the near-dup matrix: token Jaccard
+    // (q38) and MinHash (q36) miss in-word edits (OCR noise, typo
+    // variants); edit distance catches them. Candidates gate through
+    // the standard ER blocking key (first-3-token prefix + length
+    // window — edit distance >= length difference makes the window a
+    // sound pre-filter at this floor); similarity is the exact integer
+    // ((maxLen-lev)*1e6) div maxLen. Defaults interpolate from
+    // DedupOps.Lev* on both sides (the q161 lockstep discipline).
+    oracle(
+      "q171_lev_neardup",
+      {
+        import graft.operators.DedupOps.{LevPrefixTokens, LevLenWindow, LevSimMinPpm}
+        s"""WITH t AS (
+           |  SELECT doc_id, coalesce(text, '') AS text,
+           |    string_split(coalesce(text, ''), ' ') AS tk
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+           |    array_to_string(tk[1:$LevPrefixTokens], '|') AS blk
+           |  FROM t WHERE len(tk) >= $LevPrefixTokens),
+           |p AS (
+           |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+           |    CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev,
+           |    greatest(x.len, y.len) AS max_len
+           |  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+           |    AND abs(x.len - y.len) <= $LevLenWindow)
+           |SELECT a_id, b_id, lev, max_len,
+           |  CAST(((max_len - lev) * 1000000) // max_len AS BIGINT) AS sim_ppm
+           |FROM p WHERE ((max_len - lev) * 1000000) // max_len >= $LevSimMinPpm
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+      "Dedup: blocked Levenshtein near-dup pairs (char-level ER, prefix+length blocking)") { (s, d) =>
+      graft.operators.DedupOps.levNearDupPairs(Tables(s, d, "documents"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // Scalar (int8) quantization recall — the serving evaluation
+    // completing the compression matrix (PQ q88/q125, Matryoshka
+    // truncation q163), for the quantization int8 vector indexes
+    // actually ship: symmetric per-vector codes (floor(x*127/absmax),
+    // one scale byte per vector) scored by the integer-dot kernel
+    // with the per-vector scale correction at rank time (= cosine in
+    // the code domain); recall@5 vs the exact float cosine top-5
+    // prices the 4x memory cut. Quantize map is one float expression
+    // replayed verbatim; code dots/norms exact BIGINT; the corrected
+    // score is a single exact-integer-fed division used only to ORDER.
+    oracle(
+      "q172_sq8_recall",
+      s"""WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id, list_transform(range(1, len(emb) + 1), i ->
+         |    CASE WHEN s = CAST(0.0 AS DOUBLE) THEN 0
+         |      ELSE CAST(floor(CAST(emb[i] AS DOUBLE)
+         |        * CAST(127.0 AS DOUBLE) / s) AS BIGINT) END) AS qv
+         |  FROM (SELECT vec_id, emb,
+         |          list_max(list_transform(emb, x -> abs(CAST(x AS DOUBLE)))) AS s
+         |        FROM e)),
+         |qn AS (
+         |  SELECT vec_id, qv,
+         |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+         |      i -> qv[i] * qv[i])) AS BIGINT) AS ss
+         |  FROM qv),
+         |sq AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    CASE WHEN q.ss = 0 OR c.ss = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+         |        i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+         |        / sqrt(CAST(q.ss AS DOUBLE) * CAST(c.ss AS DOUBLE)) END AS score
+         |  FROM qn q JOIN qn c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         |tq AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER
+         |      (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn FROM sq)
+         |  WHERE rn <= 5),
+         |nf AS (SELECT vec_id, emb, sqrt(${dotD("emb", "emb")}) AS nrm FROM e),
+         |sf AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    ${dotD("q.emb", "c.emb")} / (q.nrm * c.nrm) AS cosine
+         |  FROM nf q JOIN nf c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         |tf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, ROW_NUMBER() OVER
+         |      (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn FROM sf)
+         |  WHERE rn <= 5),
+         |qs AS (SELECT DISTINCT q_id FROM tf)
+         |SELECT p.q_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST((coalesce(h.n_hits, 0) * 1000000) // 5 AS BIGINT) AS recall_ppm
+         |FROM qs p LEFT JOIN (
+         |  SELECT t.q_id, count(*) AS n_hits
+         |  FROM tf t JOIN tq c ON t.q_id = c.q_id AND t.n_id = c.n_id
+         |  GROUP BY 1) h ON p.q_id = h.q_id
+         |ORDER BY p.q_id""",
+      "Similarity: uint8 scalar-quantization recall (SQ8 integer-code ranking vs float truth)") { (s, d) =>
+      SimOps.sq8Recall(Tables(s, d, "embeddings"))
+        .orderBy("q_id")
+    },
+
+    // Preference-pair construction for DPO/RLHF training data
+    // (Rafailov et al.): within each (user, task) group of rated
+    // events, top-rated = chosen, bottom-rated = rejected, ties toward
+    // the earlier event id; >= 2 events and a strictly positive gap
+    // required (a tie carries no preference signal). One groupBy, two
+    // max/min(struct) partial aggs, no join — the q146/q147 shape.
+    // The gap is the single subtraction of the two stored doubles.
+    oracle(
+      "q173_preference_pairs",
+      """WITH g AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_rated
+        |  FROM events GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT user_id, event_type, event_id AS chosen_id,
+        |    value AS chosen_value
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY value DESC, event_id) AS rn FROM events)
+        |  WHERE rn = 1),
+        |rj AS (
+        |  SELECT user_id, event_type, event_id AS rejected_id,
+        |    value AS rejected_value
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY value ASC, event_id) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT g.user_id, g.event_type, n_rated, chosen_id, rejected_id,
+        |  chosen_value, rejected_value,
+        |  chosen_value - rejected_value AS gap
+        |FROM g JOIN ch USING (user_id, event_type)
+        |  JOIN rj USING (user_id, event_type)
+        |WHERE n_rated >= 2 AND chosen_value > rejected_value
+        |ORDER BY user_id, event_type""",
+      "Training data: DPO preference-pair construction (chosen/rejected by rating, tie-stable)") { (s, d) =>
+      graft.operators.RefineOps.preferencePairs(Tables(s, d, "events"))
+        .orderBy("user_id", "event_type")
     })
 
   /** The function-word-inseparable planted pair for q133: identical
