@@ -127,7 +127,13 @@ object ScaleSmoke {
     // (cells ∝ N via kForCorpus, target occupancy 312 ⇒ the sf0.1 base
     // runs kCells=16, identical work to the registered config there).
     "q167_margin_gated_scaledc",
-    "q168_pii_redaction", "q169_fim_examples")
+    "q168_pii_redaction", "q169_fim_examples",
+    // round-13 session 2: watermark detect + FIM-style scan shapes,
+    // the blocked-Levenshtein ER join, the SQ8 recall probe shape, and
+    // the preference-pair single-agg — all designed scan/blocked/probe
+    // shapes whose 10x rows evidence it
+    "q170_watermark_detect", "q171_lev_neardup", "q172_sq8_recall",
+    "q173_preference_pairs", "q174_phrase_match", "q175_neardup_fusion")
 
   private val Stride = 1000000L
 

@@ -1469,4 +1469,38 @@ object DedupOps {
       .filter(col("sim_ppm") >= simMinPpm)
       .select("a_id", "b_id", "lev", "max_len", "sim_ppm")
   }
+
+  /** Multi-signal near-dup pair ledger — production dedup runs SEVERAL
+    * detectors because each has a blind spot (MinHash token-set overlap
+    * misses in-word edits; SimHash is a global-similarity sketch that
+    * misses local containment; char-level Levenshtein only sees inside
+    * its blocking key), and the MERGE decision wants the union with
+    * provenance: which detectors agree on each pair. One row per
+    * detected pair with a signal bitmask (1 = MinHash-verified Jaccard,
+    * 2 = SimHash Hamming, 4 = blocked Levenshtein) and the agreement
+    * count — the evidence table a closure pass ([[componentKeepers]],
+    * q57) or an audit (q165) consumes downstream.
+    *
+    * Shape at 100 TB: the three detectors are the PROVEN bucketed
+    * shapes (q36 LSH bands, q59 Hamming bands, q171 prefix blocks) —
+    * the fusion itself is one groupBy on the pair key over their
+    * bounded outputs, partial-agg friendly. */
+  def nearDupFusion(documents: DataFrame, jaccardMin: Double = 0.5,
+      maxHamming: Int = 3, levMinPpm: Long = LevSimMinPpm): DataFrame = {
+    val mh = minhashCandidatePairs(documents)
+      .filter(col("jaccard") >= jaccardMin)
+      .select(col("a"), col("b"), lit(1L).as("signal"))
+    val sh = simhashCandidatePairs(documents, maxHamming)
+      .select(col("a"), col("b"), lit(2L).as("signal"))
+    val lv = levNearDupPairs(documents, simMinPpm = levMinPpm)
+      .select(col("a_id").as("a"), col("b_id").as("b"),
+        lit(4L).as("signal"))
+    // each branch emits DISTINCT pairs (q36/q59 candidate chains
+    // distinct, q171 blocked join distinct by construction), so the
+    // sum over branch signals IS the bitmask
+    mh.union(sh).union(lv)
+      .groupBy("a", "b")
+      .agg(sum(col("signal")).cast("long").as("signal_mask"),
+        count(lit(1)).as("n_signals"))
+  }
 }

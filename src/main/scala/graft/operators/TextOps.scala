@@ -1976,4 +1976,44 @@ object TextOps {
       .withColumn("watermarked", col("t_scored") >= 1L &&
         excess >= 0L && excess * excess >= lit(16L) * col("t_scored"))
   }
+
+  /** Exact phrase occurrences over the token stream — the
+    * grep-for-a-phrase primitive behind contamination forensics ("which
+    * documents contain this benchmark question verbatim, and where"),
+    * targeted corpus slicing, and positional-index retrieval. One row
+    * per matching document: occurrence count, first position, and the
+    * full 1-based position list (ascending by construction) for the
+    * forensic readout.
+    *
+    * Spark-first design note: for a ONE-OFF phrase query the right plan
+    * is a scan — a cheap codegen'd `array_contains` conjunction gates
+    * the per-position check, so non-matching documents (most of any
+    * corpus) pay L containment probes and never run the positional
+    * lambda; a persistent positional inverted index only amortizes for
+    * repeated-query serving, which is a storage layout, not an
+    * operator. Scan-shaped: no shuffle but the final sort. */
+  def phraseMatch(documents: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      s"phrase must be non-empty space-free tokens, got $phrase")
+    val els = phrase.length
+    def sqlLit(t: String) = "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val conj = phrase.zipWithIndex.map { case (t, j) =>
+      s"element_at(tk, i + $j) = ${sqlLit(t)}"
+    }.mkString(" AND ")
+    val tk = split(coalesce(col("text"), lit("")), " ")
+    documents
+      .select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
+      .filter(col("n") >= els &&
+        phrase.map(t => array_contains(col("tk"), t)).reduce(_ && _))
+      .withColumn("positions", expr(
+        s"transform(filter(sequence(1, n - ${els - 1}), i -> $conj), p -> CAST(p AS BIGINT))"))
+      .filter(size(col("positions")) >= 1)
+      .select(col("doc_id"),
+        size(col("positions")).cast("long").as("n_occurrences"),
+        element_at(col("positions"), 1).as("first_pos"),
+        // scalar CSV, not an array column — the registry's compare
+        // convention (same reason q35 emits signatures as text)
+        array_join(expr("transform(positions, p -> CAST(p AS STRING))"),
+          ",").as("positions_csv"))
+  }
 }

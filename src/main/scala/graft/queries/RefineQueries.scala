@@ -67,6 +67,10 @@ object RefineQueries {
   /** DuckDB fragment: per-doc quality score — verbatim the q113-proven
     * formula over `(doc_id, string_split tokens)`. Yields
     * `q(doc_id, quality)`. */
+  /** q174's phrase — ONE Seq drives both the Spark call and the oracle
+    * predicate (the q161 lockstep discipline). */
+  private[queries] val PhraseQ: Seq[String] = Seq("slow", "hash", "batch")
+
   private val qualityCte: String =
     """SELECT doc_id,
       |    0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
@@ -2136,6 +2140,121 @@ object RefineQueries {
       "Training data: DPO preference-pair construction (chosen/rejected by rating, tie-stable)") { (s, d) =>
       graft.operators.RefineOps.preferencePairs(Tables(s, d, "events"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Exact phrase occurrences — the grep-for-a-phrase primitive behind
+    // contamination forensics ("which documents contain this benchmark
+    // question verbatim, and where"): per matching doc the occurrence
+    // count, first position, and the full 1-based position list. A
+    // cheap array_contains conjunction gates the positional lambda so
+    // non-matching docs never run it; scan-shaped, no shuffle but the
+    // final sort. Both sides build the position predicate from the
+    // same phrase Seq.
+    oracle(
+      "q174_phrase_match",
+      {
+        val conj = PhraseQ.zipWithIndex.map { case (t, j) =>
+          s"tk[i + $j] = '$t'"
+        }.mkString(" AND ")
+        s"""WITH tk AS (
+           |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    list_transform(
+           |      list_filter(range(1, len(tk) - ${PhraseQ.length - 2}), i -> $conj),
+           |      p -> CAST(p AS BIGINT)) AS positions
+           |  FROM tk WHERE len(tk) >= ${PhraseQ.length})
+           |SELECT doc_id, CAST(len(positions) AS BIGINT) AS n_occurrences,
+           |  positions[1] AS first_pos,
+           |  array_to_string(positions, ',') AS positions_csv
+           |FROM m WHERE len(positions) >= 1 ORDER BY doc_id""".stripMargin
+      },
+      "Retrieval: exact phrase match with positions (contamination forensics primitive)") { (s, d) =>
+      TextOps.phraseMatch(Tables(s, d, "documents"), PhraseQ)
+        .orderBy("doc_id")
+    },
+
+    // Multi-signal near-dup fusion — production dedup runs several
+    // detectors because each has a blind spot (MinHash misses in-word
+    // edits, SimHash misses local containment, Levenshtein only sees
+    // inside its block); the merge decision wants the union WITH
+    // provenance. One row per detected pair: signal bitmask
+    // (1 = MinHash-verified Jaccard >= 0.5, 2 = SimHash Hamming <= 3,
+    // 4 = blocked Levenshtein >= 0.9) + agreement count. The three
+    // oracle chains are the q36/q59/q171 texts verbatim; fusion is one
+    // pair-keyed groupBy over their bounded outputs.
+    oracle(
+      "q175_neardup_fusion",
+      {
+        import graft.operators.TextOps.h60d
+        import graft.operators.DedupOps.{LevPrefixTokens, LevLenWindow, LevSimMinPpm}
+        s"""WITH sh AS (${NorthStarQueries.SH}),
+           |sig AS (${NorthStarQueries.SIG()}),
+           |bands AS (
+           |  SELECT doc_id, unnest(range(0, 4)) AS band,
+           |    unnest(list_transform(range(0, 4), b ->
+           |      ${h60d("b::VARCHAR || '|' || array_to_string(sig[b*4+1 : b*4+4], ',')")})) AS bucket
+           |  FROM sig WHERE sig[1] <> -1),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+           |  WHERE x.doc_id < y.doc_id),
+           |mh AS (
+           |  SELECT a, b FROM cand
+           |  JOIN sh sa ON sa.doc_id = a
+           |  JOIN sh sb ON sb.doc_id = b
+           |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           |          / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+           |sim AS (
+           |  SELECT doc_id,
+           |    list_reduce([0::BIGINT] || list_transform(range(0, 60), b ->
+           |      CASE WHEN list_reduce([0::BIGINT] || list_transform(hs,
+           |             h -> ((h // CAST(power(2.0, b) AS BIGINT)) % 2) * 2 - 1),
+           |             (acc, x) -> acc + x) >= 0
+           |           THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END),
+           |      (acc, x) -> acc + x) AS simhash
+           |  FROM (SELECT doc_id, list_transform(list_distinct(tk),
+           |          t -> ${h60d("t")}) AS hs
+           |        FROM (${NorthStarQueries.TK}))),
+           |sbanded AS (
+           |  SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
+           |    unnest(list_transform(range(0, 4), b ->
+           |      (simhash // CAST(power(2.0, b * 15) AS BIGINT)) % 32768)) AS bucket
+           |  FROM sim),
+           |sp AS (
+           |  SELECT a, b FROM (
+           |    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           |      x.simhash AS sh_a, y.simhash AS sh_b
+           |    FROM sbanded x JOIN sbanded y
+           |      ON x.band = y.band AND x.bucket = y.bucket
+           |    WHERE x.doc_id < y.doc_id)
+           |  WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+           |lt AS (
+           |  SELECT doc_id, coalesce(text, '') AS text,
+           |    string_split(coalesce(text, ''), ' ') AS tk
+           |  FROM documents),
+           |lb AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+           |    array_to_string(tk[1:$LevPrefixTokens], '|') AS blk
+           |  FROM lt WHERE len(tk) >= $LevPrefixTokens),
+           |lv AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b
+           |  FROM lb x JOIN lb y ON x.blk = y.blk AND x.doc_id < y.doc_id
+           |    AND abs(x.len - y.len) <= $LevLenWindow
+           |  WHERE ((greatest(x.len, y.len) - levenshtein(x.text, y.text)) * 1000000)
+           |          // greatest(x.len, y.len) >= $LevSimMinPpm),
+           |fused AS (
+           |  SELECT a, b, 1 AS signal FROM mh
+           |  UNION ALL SELECT a, b, 2 FROM sp
+           |  UNION ALL SELECT a, b, 4 FROM lv)
+           |SELECT a, b, CAST(sum(signal) AS BIGINT) AS signal_mask,
+           |  CAST(count(*) AS BIGINT) AS n_signals
+           |FROM fused GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+      },
+      "Dedup: multi-signal near-dup pair ledger (MinHash + SimHash + Levenshtein, provenance bitmask)") { (s, d) =>
+      graft.operators.DedupOps.nearDupFusion(Tables(s, d, "documents"))
+        .orderBy("a", "b")
     })
 
   /** The function-word-inseparable planted pair for q133: identical

@@ -96,6 +96,47 @@ class Round13FamiliesSpec extends SparkSpec {
     }
   }
 
+  test("phraseMatch: overlapping occurrences counted, positions 1-based exact") {
+    val docs = Seq(
+      (1L, "a b a b a"), // phrase "a b a" at 1 and 3 — overlap counts twice
+      (2L, "a b c"),
+      (3L, "x a b a y"),
+      (4L, "a b") // shorter than the phrase
+    ).toDF("doc_id", "text")
+    val out = TextOps.phraseMatch(docs, Seq("a", "b", "a"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(out(0).getLong(1) === 2L)
+    assert(out(0).getLong(2) === 1L)
+    assert(out(0).getString(3) === "1,3")
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getLong(2) === 2L)
+    assert(out(1).getString(3) === "2")
+  }
+
+  test("nearDupFusion: exact dups carry all three signals; token reorder drops only Levenshtein") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1: every detector fires -> mask 7
+      // same token SET as 1 but fully reordered: SimHash (an
+      // order-free token-set sketch) reads it IDENTICAL (hamming 0);
+      // MinHash's 3-gram shingles share nothing, Levenshtein's chars
+      // are scrambled -> mask 2, the blind-spot matrix in one pair
+      (3L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (4L, "one totally unrelated document about something else entirely here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.nearDupFusion(docs)
+      .orderBy("a", "b").collect()
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    assert(byPair((1L, 2L)) === ((7L, 3L)), "exact dup: all three detectors")
+    assert(byPair((1L, 3L)) === ((2L, 1L)),
+      "full reorder: SimHash only — set sketch fires, shingles and chars cannot")
+    assert(!byPair.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated doc pairs with nothing")
+  }
+
   test("preferencePairs: tie goes to the earlier event, flat groups drop") {
     val events = Seq(
       // user 1 task a: top value tied between 10 and 11 -> chosen 10
