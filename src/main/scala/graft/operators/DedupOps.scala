@@ -1432,7 +1432,12 @@ object DedupOps {
     * documented candidate CONTRACT (same as every blocked op here): a
     * near-dup pair differing inside its first `prefixTokens` tokens is
     * out of scope for this detector — MinHash banding (q36) covers that
-    * half of the matrix. */
+    * half of the matrix. A degenerate hot block (a boilerplate prefix
+    * millions of docs share) is the same failure mode as a hot LSH
+    * bucket: AQE's skew-join split handles moderate skew (the
+    * planted-hot-bucket spec proves the mechanism on this suite), and a
+    * caller facing template-heavy corpora should raise `prefixTokens` —
+    * the standard ER response of sharpening the blocking key. */
   /** Single source of truth for [[levNearDupPairs]]'s defaults — the
     * q171 oracle interpolates the same values (the q161 lockstep
     * discipline). */

@@ -984,11 +984,15 @@ object SimOps {
     * order (the q39 discipline), ties by neighbor id.
     *
     * Shape at 100 TB: quantization is per-row scan work (no stats
-    * pass, no shuffle — the per-vector scale needs only the row);
-    * the code table localCheckpoints so its two consumers (probe
-    * side, corpus side) reuse one pass; ranking is the q39
-    * broadcast-probe shape — the corpus streams once for the float
-    * truth and once in the code domain. */
+    * pass, no shuffle — the per-vector scale needs only the row), so
+    * the code table is deliberately NOT checkpointed: it is
+    * corpus-sized, and rerunning a pure scan projection per consumer
+    * is cheaper than materializing corpus-scale state (the probe-side
+    * consumer is 50 rows behind a pushed filter anyway); ranking is
+    * the q39 broadcast-probe shape — the corpus streams once for the
+    * float truth and once in the code domain. Only the BOUNDED truth
+    * table checkpoints (its brute-force window is the expensive
+    * subtree). */
   def sq8Recall(embeddings: DataFrame, nQueries: Int = 50,
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1004,7 +1008,6 @@ object SimOps {
           |  END)""".stripMargin).as("qv"))
       .withColumn("ss", expr(
         "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-      .localCheckpoint()
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("n_id").asc)
     val probes = codes.filter(col("vec_id") < nQueries)
