@@ -195,6 +195,14 @@ object DedupOps {
       // cap chain must run once, not per consumer
       case Some(maxDf) => dfCappedShingles(raw, maxDf).localCheckpoint()
     }
+    minhashCandidatePairsFrom(sh)
+  }
+
+  /** [[minhashCandidatePairs]] over a pre-computed `(doc_id, sh)` shingle
+    * table — the seam that lets [[nearDupFusion]] run the corpus
+    * tokenize+shingle scan ONCE and feed this chain from the shared
+    * checkpoint. */
+  private[graft] def minhashCandidatePairsFrom(sh: DataFrame): DataFrame = {
     val banded = lshBandedFrom(sh)
     val a = banded.select(col("doc_id").as("a"), col("band"), col("bucket"))
     val b = banded.select(col("doc_id").as("b"), col("band"), col("bucket"))
@@ -1459,6 +1467,13 @@ object DedupOps {
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"),
         array_join(slice(col("tk"), 1, prefixTokens), "|").as("blk"))
+    levNearDupPairsFrom(t, lenWindow, simMinPpm)
+  }
+
+  /** [[levNearDupPairs]] over a pre-built `(doc_id, text, len, blk)`
+    * block table — the [[nearDupFusion]] shared-scan seam. */
+  private[graft] def levNearDupPairsFrom(t: DataFrame, lenWindow: Int,
+      simMinPpm: Long): DataFrame = {
     val a = t.select(col("blk"), col("doc_id").as("a_id"),
       col("text").as("a_text"), col("len").as("a_len"))
     val b = t.select(col("blk"), col("doc_id").as("b_id"),
@@ -1488,24 +1503,55 @@ object DedupOps {
     *
     * Shape at 100 TB: the three detectors are the PROVEN bucketed
     * shapes (q36 LSH bands, q59 Hamming bands, q171 prefix blocks) —
-    * the fusion itself is one groupBy on the pair key over their
-    * bounded outputs, partial-agg friendly. */
+    * and they all read ONE shared per-doc table (shingle set, SimHash
+    * long, Levenshtein block key) built in a single corpus
+    * tokenize+shingle pass and localCheckpointed (the q69/q172
+    * discipline: checkpoint compact per-doc derivations, never a corpus
+    * explode). Round 14: the previous formulation re-tokenized the
+    * corpus once per member and its 10× cost was the literal sum of the
+    * three detectors run independently. The fusion itself is one groupBy
+    * on the pair key over their bounded outputs, partial-agg friendly. */
   def nearDupFusion(documents: DataFrame, jaccardMin: Double = 0.5,
       maxHamming: Int = 3, levMinPpm: Long = LevSimMinPpm): DataFrame = {
-    val mh = minhashCandidatePairs(documents)
+    graft.functions.NgramShingles.register(documents.sparkSession)
+    graft.functions.SimHashBits.register(documents.sparkSession)
+    graft.functions.H60Hash.register(documents.sparkSession)
+    // `tk` is the CJK-aware tokenization (the q36/q59 members' base);
+    // `ptk` is q171's plain single-space split — kept separate so every
+    // member stays literally lockstepped with its standalone oracle.
+    val base = TextOps.tokenized(documents.select(col("doc_id"), col("text")))
+      .withColumn("sh", expr("array_distinct(ngram_shingles(tk, 3))"))
+      .withColumn("simhash", expr(
+        s"""simhash_bits(transform(array_distinct(tk), t -> ${h60x("t")}), 60)"""))
+      .withColumn("ltext", coalesce(col("text"), lit("")))
+      .withColumn("ptk", split(col("ltext"), " "))
+      .select("doc_id", "sh", "simhash", "ltext", "ptk")
+      .localCheckpoint()
+    val mh = minhashCandidatePairsFrom(base.select(col("doc_id"), col("sh")))
       .filter(col("jaccard") >= jaccardMin)
       .select(col("a"), col("b"), lit(1L).as("signal"))
-    val sh = simhashCandidatePairs(documents, maxHamming)
+    val sp = hammingCandidatePairs(
+        base.select(col("doc_id"), col("simhash")),
+        "doc_id", "simhash", maxHamming, bandBits = 15)
       .select(col("a"), col("b"), lit(2L).as("signal"))
-    val lv = levNearDupPairs(documents, simMinPpm = levMinPpm)
+    val lt = base
+      .filter(size(col("ptk")) >= LevPrefixTokens)
+      .select(col("doc_id"), col("ltext").as("text"),
+        length(col("ltext")).cast("long").as("len"),
+        array_join(slice(col("ptk"), 1, LevPrefixTokens), "|").as("blk"))
+    val lv = levNearDupPairsFrom(lt, LevLenWindow, levMinPpm)
       .select(col("a_id").as("a"), col("b_id").as("b"),
         lit(4L).as("signal"))
-    // each branch emits DISTINCT pairs (q36/q59 candidate chains
-    // distinct, q171 blocked join distinct by construction), so the
-    // sum over branch signals IS the bitmask
-    mh.union(sh).union(lv)
+    // bit_or, not sum: each branch emits distinct pairs today
+    // (q36/q59 candidate chains distinct, q171 one-block-key-per-doc),
+    // but a future multi-key blocking change (e.g. several prefix keys
+    // for recall) would make sum() silently double-count a signal and
+    // corrupt the mask — bit_or is idempotent, so the mask (and
+    // bit_count for the agreement count) survives duplicates.
+    mh.union(sp).union(lv)
       .groupBy("a", "b")
-      .agg(sum(col("signal")).cast("long").as("signal_mask"),
-        count(lit(1)).as("n_signals"))
+      .agg(expr("bit_or(signal)").cast("long").as("signal_mask"))
+      .withColumn("n_signals",
+        expr("CAST(bit_count(signal_mask) AS BIGINT)"))
   }
 }

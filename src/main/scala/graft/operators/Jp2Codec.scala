@@ -15,8 +15,14 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Honest scope (the "reduced ladder" the round-12 verdict asked for,
   * plus a full decoder so losslessness is PROVEN, not asserted):
-  *   - reversible path only (5/3 DWT, RCT for 3-component, no
-  *     quantization) — the archival configuration the reference runs;
+  *   - BOTH transform paths (round 14): reversible (5/3 DWT, RCT, no
+  *     quantization — the archival lossless configuration) and
+  *     irreversible (9/7 float DWT per Annex F's lifting form, ICT,
+  *     dead-zone scalar quantization with expounded per-band steps —
+  *     the path kdu's default `Creversible=no` runs under the
+  *     reference's production `-rate` ladder, `bin/main.py:389`);
+  *     quantizer weights derive from THIS implementation's measured
+  *     synthesis norms, and PSNR ladder monotonicity is spec'd;
   *   - one precinct per resolution per tile (Cprecincts >= tile dims,
   *     exactly the reference's {256,256}/{256,256} geometry) — enforced
   *     with a require, not silently approximated;
@@ -235,22 +241,44 @@ object Jp2Codec {
     * window of `n` interleaved samples with whole-sample symmetric
     * extension. Forward: predict odds, update evens. */
   private[graft] object Dwt53 {
+    // Loop shape matters here beyond style: the original formulation
+    // (nested `ext` local defs doing conditional whole-sample-mirror
+    // indexing inside the lifting loops) was MISCOMPILED by C2 on
+    // OpenJDK 17.0.20 once its value/length profile got polluted by
+    // varied-length calls — deterministically wrong results after
+    // warm-up, and one SIGSEGV inside the compiled `inverse`
+    // (round-13 hs_err_pid5198.log; reduction in round-14 BENCH_NOTES:
+    // `-XX:CompileCommand=exclude,...Dwt53$::inverse` made every
+    // failure vanish, so the JVM was compiling this exact method
+    // wrong). The rewrite peels the two mirror-boundary samples out of
+    // the loops: the interiors are straight-line array arithmetic with
+    // no calls and no conditionals — a shape C2 compiles correctly
+    // (verified by the same primed stress that reproduced the bug) and
+    // faster (branch-free, vectorizable).
+    //
+    // Whole-sample symmetric extension at the edges reduces to:
+    //   left:  ext(-1) = x(1)
+    //   right: ext(n)  = x(n-2)
+
     /** Forward 1-D on x(0..n-1); returns (low ceil(n/2), high floor(n/2)). */
     def forward(x: Array[Int], n: Int): (Array[Int], Array[Int]) = {
       if (n == 1) return (Array(x(0)), Array.empty[Int])
       val y = new Array[Int](n)
-      def ext(i: Int): Int = // whole-sample symmetric extension
-        if (i < 0) x(-i) else if (i >= n) x(2 * n - 2 - i) else x(i)
+      // high-pass at odd i: y(i) = x(i) - ((x(i-1) + x(i+1)) >> 1)
       var i = 1
-      while (i < n) { y(i) = x(i) - ((ext(i - 1) + ext(i + 1)) >> 1); i += 2 }
-      def exty(i: Int): Int =
-        if (i < 0) y(-i) else if (i >= n) y(2 * n - 2 - i) else y(i)
-      i = 0
-      while (i < n) { y(i) = x(i) + ((exty(i - 1) + exty(i + 1) + 2) >> 2); i += 2 }
+      while (i <= n - 2) { y(i) = x(i) - ((x(i - 1) + x(i + 1)) >> 1); i += 2 }
+      if (i == n - 1) y(n - 1) = x(n - 1) - x(n - 2) // ext(n) = x(n-2)
+      // low-pass at even i: y(i) = x(i) + ((y(i-1) + y(i+1) + 2) >> 2)
+      y(0) = x(0) + ((2 * y(1) + 2) >> 2) // ext(-1) = y(1)
+      i = 2
+      while (i <= n - 2) { y(i) = x(i) + ((y(i - 1) + y(i + 1) + 2) >> 2); i += 2 }
+      if (i == n - 1) y(n - 1) = x(n - 1) + ((2 * y(n - 2) + 2) >> 2)
       val lo = new Array[Int]((n + 1) / 2)
       val hi = new Array[Int](n / 2)
       i = 0
-      while (i < n) { if (i % 2 == 0) lo(i / 2) = y(i) else hi(i / 2) = y(i); i += 1 }
+      while (i < n) { lo(i >> 1) = y(i); i += 2 }
+      i = 1
+      while (i < n) { hi(i >> 1) = y(i); i += 2 }
       (lo, hi)
     }
 
@@ -260,17 +288,81 @@ object Jp2Codec {
       if (n == 1) return Array(lo(0))
       val y = new Array[Int](n)
       var i = 0
-      while (i < n) { y(i) = if (i % 2 == 0) lo(i / 2) else hi(i / 2); i += 1 }
-      val x = new Array[Int](n)
-      def exty(i: Int): Int =
-        if (i < 0) y(-i) else if (i >= n) y(2 * n - 2 - i) else y(i)
-      i = 0
-      while (i < n) { x(i) = y(i) - ((exty(i - 1) + exty(i + 1) + 2) >> 2); i += 2 }
-      def extx(i: Int): Int =
-        if (i < 0) x(-i) else if (i >= n) x(2 * n - 2 - i) else x(i)
+      while (i < n) { y(i) = lo(i >> 1); i += 2 }
       i = 1
-      while (i < n) { x(i) = y(i) + ((extx(i - 1) + extx(i + 1)) >> 1); i += 2 }
+      while (i < n) { y(i) = hi(i >> 1); i += 2 }
+      val x = new Array[Int](n)
+      // even (low) samples first: x(i) = y(i) - ((y(i-1) + y(i+1) + 2) >> 2)
+      x(0) = y(0) - ((2 * y(1) + 2) >> 2) // ext(-1) = y(1)
+      i = 2
+      while (i <= n - 2) { x(i) = y(i) - ((y(i - 1) + y(i + 1) + 2) >> 2); i += 2 }
+      if (i == n - 1) x(n - 1) = y(n - 1) - ((2 * y(n - 2) + 2) >> 2)
+      // odd (high) samples: x(i) = y(i) + ((x(i-1) + x(i+1)) >> 1)
+      i = 1
+      while (i <= n - 2) { x(i) = y(i) + ((x(i - 1) + x(i + 1)) >> 1); i += 2 }
+      if (i == n - 1) x(n - 1) = y(n - 1) + x(n - 2) // ext(n) = x(n-2)
       x
+    }
+  }
+
+  /** 9/7 irreversible DWT (ISO 15444-1 Annex F, lifting form) — the
+    * transform behind the reference's production `-rate` ladder (kdu
+    * default `Creversible=no`; `bin/main.py:389`). Same peeled-boundary
+    * loop shape as [[Dwt53]] (the round-14 C2-miscompile lesson applies
+    * to this kernel's twin). Scaling convention: lo = y_even/K,
+    * hi = y_odd·K — the inverse mirrors it exactly, and the per-band
+    * quantization steps are derived from THIS implementation's measured
+    * synthesis norms ([[synthNorm97]]), so the codec is self-consistent
+    * by construction. */
+  private[graft] object Dwt97 {
+    // lifting coefficients, ISO/IEC 15444-1 Table F.4 (public standard)
+    val Alpha = -1.586134342059924
+    val Beta = -0.052980118572961
+    val Gamma = 0.882911075530934
+    val Delta = 0.443506852043971
+    val K = 1.230174104914001
+    val InvK = 1.0 / K
+
+    // whole-sample symmetric extension: ext(-1) = y(1), ext(n) = y(n-2)
+    private def liftOdd(y: Array[Double], n: Int, c: Double): Unit = {
+      var i = 1
+      while (i <= n - 2) { y(i) += c * (y(i - 1) + y(i + 1)); i += 2 }
+      if (i == n - 1) y(n - 1) += 2 * c * y(n - 2)
+    }
+    private def liftEven(y: Array[Double], n: Int, c: Double): Unit = {
+      y(0) += 2 * c * y(1)
+      var i = 2
+      while (i <= n - 2) { y(i) += c * (y(i - 1) + y(i + 1)); i += 2 }
+      if (i == n - 1) y(n - 1) += 2 * c * y(n - 2)
+    }
+
+    /** Forward 1-D on x(0..n-1); returns (low ceil(n/2), high floor(n/2)). */
+    def forward(x: Array[Double], n: Int): (Array[Double], Array[Double]) = {
+      if (n == 1) return (Array(x(0)), Array.empty[Double])
+      val y = java.util.Arrays.copyOf(x, n)
+      liftOdd(y, n, Alpha); liftEven(y, n, Beta)
+      liftOdd(y, n, Gamma); liftEven(y, n, Delta)
+      val lo = new Array[Double]((n + 1) / 2)
+      val hi = new Array[Double](n / 2)
+      var i = 0
+      while (i < n) { lo(i >> 1) = y(i) * InvK; i += 2 }
+      i = 1
+      while (i < n) { hi(i >> 1) = y(i) * K; i += 2 }
+      (lo, hi)
+    }
+
+    /** Inverse 1-D: exact inverse of [[forward]] (up to fp rounding). */
+    def inverse(lo: Array[Double], hi: Array[Double]): Array[Double] = {
+      val n = lo.length + hi.length
+      if (n == 1) return Array(lo(0))
+      val y = new Array[Double](n)
+      var i = 0
+      while (i < n) { y(i) = lo(i >> 1) * K; i += 2 }
+      i = 1
+      while (i < n) { y(i) = hi(i >> 1) * InvK; i += 2 }
+      liftEven(y, n, -Delta); liftOdd(y, n, -Gamma)
+      liftEven(y, n, -Beta); liftOdd(y, n, -Alpha)
+      y
     }
   }
 
@@ -278,6 +370,10 @@ object Jp2Codec {
     * resolution level it belongs to, and its coefficient raster. */
   private[graft] final case class Band(orient: Int, w: Int, h: Int,
       coeffs: Array[Int])
+
+  /** [[Band]]'s double-precision twin for the irreversible path. */
+  private[graft] final case class BandD(orient: Int, w: Int, h: Int,
+      coeffs: Array[Double])
 
   /** Forward 2-D multi-level 5/3 on a w×h tile raster (row-major).
     * Returns bands ordered: LL_n, then per level from coarsest to
@@ -389,6 +485,154 @@ object Jp2Codec {
     }
     cur
   }
+
+  /** [[forwardDwt]]'s double-precision twin running [[Dwt97]] — same
+    * band order and split geometry, horizontal pass first. */
+  private[graft] def forwardDwt97(px: Array[Double], w: Int, h: Int,
+      levels: Int): Seq[Seq[BandD]] = {
+    var cur = px; var cw = w; var ch = h
+    val perLevel = ArrayBuffer[Seq[BandD]]()
+    for (_ <- 1 to levels) {
+      val loW = (cw + 1) / 2; val hiW = cw / 2
+      val hPass = new Array[Double](cw * ch)
+      var r = 0
+      while (r < ch) {
+        val row = new Array[Double](cw)
+        System.arraycopy(cur, r * cw, row, 0, cw)
+        val (lo, hi) = Dwt97.forward(row, cw)
+        System.arraycopy(lo, 0, hPass, r * cw, loW)
+        System.arraycopy(hi, 0, hPass, r * cw + loW, hiW)
+        r += 1
+      }
+      val loH = (ch + 1) / 2; val hiH = ch / 2
+      val ll = new Array[Double](loW * loH); val hl = new Array[Double](hiW * loH)
+      val lh = new Array[Double](loW * hiH); val hh = new Array[Double](hiW * hiH)
+      var cc = 0
+      while (cc < cw) {
+        val colArr = new Array[Double](ch)
+        var r2 = 0
+        while (r2 < ch) { colArr(r2) = hPass(r2 * cw + cc); r2 += 1 }
+        val (lo, hi) = Dwt97.forward(colArr, ch)
+        if (cc < loW) {
+          var i = 0
+          while (i < loH) { ll(i * loW + cc) = lo(i); i += 1 }
+          i = 0
+          while (i < hiH) { lh(i * loW + cc) = hi(i); i += 1 }
+        } else {
+          val xc = cc - loW
+          var i = 0
+          while (i < loH) { hl(i * hiW + xc) = lo(i); i += 1 }
+          i = 0
+          while (i < hiH) { hh(i * hiW + xc) = hi(i); i += 1 }
+        }
+        cc += 1
+      }
+      perLevel += Seq(BandD(1, hiW, loH, hl), BandD(2, loW, hiH, lh),
+        BandD(3, hiW, hiH, hh))
+      cur = ll; cw = loW; ch = loH
+    }
+    Seq(BandD(0, cw, ch, cur)) +: perLevel.reverse.toSeq.map(identity)
+  }
+
+  /** Inverse of [[forwardDwt97]]. */
+  private[graft] def inverseDwt97(res: Seq[Seq[BandD]], w: Int,
+      h: Int): Array[Double] = {
+    val levels = res.length - 1
+    val dims = new Array[(Int, Int)](levels + 1)
+    dims(levels) = (w, h)
+    var i = levels - 1
+    while (i >= 0) {
+      dims(i) = ((dims(i + 1)._1 + 1) / 2, (dims(i + 1)._2 + 1) / 2); i -= 1
+    }
+    var cur: Array[Double] = res.head.head.coeffs
+    var lvl = 1
+    while (lvl <= levels) {
+      val (tw, th) = dims(lvl)
+      val loW = (tw + 1) / 2; val loH = (th + 1) / 2
+      val hiW = tw / 2; val hiH = th / 2
+      val Seq(hl, lh, hh) = res(lvl)
+      val hPass = new Array[Double](tw * th)
+      var cc = 0
+      while (cc < tw) {
+        val lo = new Array[Double](loH); val hi = new Array[Double](hiH)
+        if (cc < loW) {
+          var r = 0
+          while (r < loH) { lo(r) = cur(r * loW + cc); r += 1 }
+          r = 0
+          while (r < hiH) { hi(r) = lh.coeffs(r * loW + cc); r += 1 }
+        } else {
+          val xc = cc - loW
+          var r = 0
+          while (r < loH) { lo(r) = hl.coeffs(r * hiW + xc); r += 1 }
+          r = 0
+          while (r < hiH) { hi(r) = hh.coeffs(r * hiW + xc); r += 1 }
+        }
+        val colArr = Dwt97.inverse(lo, hi)
+        var r = 0
+        while (r < th) { hPass(r * tw + cc) = colArr(r); r += 1 }
+        cc += 1
+      }
+      val out = new Array[Double](tw * th)
+      var r = 0
+      while (r < th) {
+        val lo = new Array[Double](loW); val hi = new Array[Double](hiW)
+        System.arraycopy(hPass, r * tw, lo, 0, loW)
+        System.arraycopy(hPass, r * tw + loW, hi, 0, hiW)
+        val row = Dwt97.inverse(lo, hi)
+        System.arraycopy(row, 0, out, r * tw, tw)
+        r += 1
+      }
+      cur = out
+      lvl += 1
+    }
+    cur
+  }
+
+  /** Measured L2 norm of THIS codec's 9/7 synthesis basis for band
+    * (levels, r, orient): a unit coefficient at the band's center,
+    * synthesized through [[inverseDwt97]], norm of the output raster.
+    * The standard rate-distortion band weighting — derived numerically
+    * from the implementation itself instead of a transcribed table, so
+    * the quantizer weights can never drift from the transform. Cached
+    * (a handful of levels-configs exist per process). */
+  private val norm97Cache =
+    scala.collection.concurrent.TrieMap[(Int, Int, Int), Double]()
+  private[graft] def synthNorm97(levels: Int, r: Int, orient: Int): Double =
+    norm97Cache.getOrElseUpdate((levels, r, orient), {
+      val n = math.min(4096, math.max(64, 1 << (levels + 2)))
+      val geom = bandGeometry(n, n, levels)
+      val res: Seq[Seq[BandD]] = geom.zipWithIndex.map { case (bands, ri) =>
+        bands.map { case (o, bw, bh) =>
+          val cf = new Array[Double](bw * bh)
+          if (ri == r && o == orient) cf((bh / 2) * bw + bw / 2) = 1.0
+          BandD(o, bw, bh, cf)
+        }.toSeq
+      }
+      val px = inverseDwt97(res, n, n)
+      var ss = 0.0
+      var i = 0
+      while (i < px.length) { ss += px(i) * px(i); i += 1 }
+      math.sqrt(ss)
+    })
+
+  /** (εb, μb) encoding of a real quantization step for subband dynamic
+    * range Rb: Δb = 2^(Rb−εb)·(1 + μb/2^11) (ISO 15444-1 E.1.1). */
+  private[graft] def stepToEpsMu(step: Double, rb: Int): (Int, Int) = {
+    require(step > 0, s"step must be positive, got $step")
+    val t = step / math.pow(2.0, rb)
+    var eps = -math.floor(math.log(t) / math.log(2.0)).toInt
+    var m = t * math.pow(2.0, eps)
+    if (m >= 2.0) { eps -= 1; m /= 2 }
+    if (m < 1.0) { eps += 1; m *= 2 }
+    val epsC = math.max(0, math.min(31, eps))
+    val mu = math.max(0, math.min(2047, math.round((m - 1.0) * 2048.0).toInt))
+    (epsC, mu)
+  }
+
+  /** The exact decodable step for (Rb, εb, μb) — BOTH sides quantize /
+    * dequantize with this value, never the pre-rounding target. */
+  private[graft] def quantStep(rb: Int, eps: Int, mu: Int): Double =
+    math.pow(2.0, rb - eps) * (1.0 + mu / 2048.0)
 
   // -------------------------------------------------------- Tier-1 (EBCOT)
   /** Zero-coding context (Table D-1) from the neighbor significance
@@ -972,7 +1216,10 @@ final case class Jp2Params(
     useEph: Boolean = true,
     genPlt: Boolean = true,
     tpartsR: Boolean = true,
-    lossless: Boolean = false) {
+    lossless: Boolean = false,
+    irreversible: Boolean = false,
+    baseStep: Double = 1.0 / 512.0,
+    icc: Option[Array[Byte]] = None) {
   require(tileSize >= 1, "tileSize must be positive")
   require(levels >= 0 && levels <= 32, "levels out of range")
   require(layers >= 1 && layers <= 65535, "layers out of range")
@@ -989,6 +1236,16 @@ final case class Jp2Params(
   // ORGtparts=R splits each tile's packets into one tile-part per
   // resolution — only coherent when the progression is resolution-major
   require(!tpartsR || order == "RPCL", "ORGtparts=R requires Corder=RPCL")
+  // `irreversible` = the 9/7 float path (COD transform 0, ICT, dead-zone
+  // scalar quantization): the reference's production `-rate` ladder runs
+  // it (kdu default Creversible=no); `lossless` forces the final layer
+  // full, which only the 5/3 reversible path can honor bit-exactly
+  require(!(lossless && irreversible),
+    "lossless requires the reversible 5/3 path (kdu Creversible=yes)")
+  require(baseStep > 0 && baseStep <= 64.0,
+    s"baseStep out of range: $baseStep")
+  require(!irreversible || levels <= 10,
+    "irreversible path supports <= 10 decomposition levels")
 }
 
 /** JPEG2000 Part-1 encoder (see [[Jp2Codec]] scaladoc for scope). */
@@ -1013,7 +1270,8 @@ object Jp2Encoder {
     require(comps.forall(_.length == w * h), "component size mismatch")
     require(bits >= 1 && bits <= 16, "bits out of range")
     val nc = comps.length
-    val rct = nc == 3
+    val useMct = nc == 3 // 3 components: RCT (reversible) or ICT (9/7)
+    val rct = useMct && !params.irreversible
 
     // DC level shift, then the reversible color transform (RCT, Annex G)
     val shift = 1 << (bits - 1)
@@ -1033,6 +1291,39 @@ object Jp2Encoder {
         }
         Seq(y, u, v)
       }
+    // irreversible path: ICT (Annex G.2, the float YCbCr) on doubles
+    val xformedD: Seq[Array[Double]] =
+      if (!params.irreversible) Seq.empty
+      else if (useMct) {
+        val Seq(r, g, b) = shifted
+        val y = new Array[Double](w * h); val cbv = new Array[Double](w * h)
+        val cr = new Array[Double](w * h)
+        var i = 0
+        while (i < w * h) {
+          y(i) = 0.299 * r(i) + 0.587 * g(i) + 0.114 * b(i)
+          cbv(i) = -0.168736 * r(i) - 0.331264 * g(i) + 0.5 * b(i)
+          cr(i) = 0.5 * r(i) - 0.418688 * g(i) - 0.081312 * b(i)
+          i += 1
+        }
+        Seq(y, cbv, cr)
+      } else shifted.map(_.map(_.toDouble))
+
+    // per-(resolution, orient) quantization ladder for the 9/7 path:
+    // target step = baseStep scaled to bit depth, weighted down by the
+    // band's measured synthesis norm; stored as the exact decodable
+    // (εb, μb) encoding so encoder and decoder use literally the same Δb
+    val qtab: Map[(Int, Int), (Int, Int, Double)] =
+      if (!params.irreversible) Map.empty
+      else (for {
+        r <- 0 to params.levels
+        o <- if (r == 0) Seq(0) else Seq(1, 2, 3)
+      } yield {
+        val rb = bits + bandGain(o)
+        val norm = synthNorm97(params.levels, r, o)
+        val target = params.baseStep * math.pow(2.0, bits - 8) / norm
+        val (e, m) = stepToEpsMu(target, rb)
+        ((r, o), (e, m, quantStep(rb, e, m)))
+      }).toMap
 
     val ts = params.tileSize
     val ntx = (w + ts - 1) / ts
@@ -1045,24 +1336,56 @@ object Jp2Encoder {
     val layerCount = params.layers
     // chroma components carry one extra bit after RCT
     def compBits(c: Int): Int = if (rct && c > 0) bits + 1 else bits
-    val allBlocks = ArrayBuffer[(CodedBlock, Int)]() // (block, orient) for G calc
+    // (block, resolution, orient) for the guard-bit calculation
+    val allBlocks = ArrayBuffer[(CodedBlock, Int, Int)]()
 
     val tilesRaw = (0 until ntx * nty).map { t =>
       val tx = t % ntx; val ty = t / ntx
       val x0 = tx * ts; val y0 = ty * ts
       val tw = math.min(ts, w - x0); val th = math.min(ts, h - y0)
       val perComp = (0 until nc).map { c =>
-        val tile = new Array[Int](tw * th)
-        var r = 0
-        while (r < th) {
-          var cc = 0
-          while (cc < tw) {
-            tile(r * tw + cc) = xformed(c)((y0 + r) * w + x0 + cc); cc += 1
+        val bands: Seq[Seq[Band]] =
+          if (params.irreversible) {
+            // float tile -> 9/7 -> dead-zone quantize to sign-magnitude
+            // ints; Tier-1 onward is IDENTICAL to the reversible path
+            val tileD = new Array[Double](tw * th)
+            var r = 0
+            while (r < th) {
+              var cc = 0
+              while (cc < tw) {
+                tileD(r * tw + cc) = xformedD(c)((y0 + r) * w + x0 + cc)
+                cc += 1
+              }
+              r += 1
+            }
+            forwardDwt97(tileD, tw, th, params.levels).zipWithIndex.map {
+              case (resBands, rIdx) =>
+                resBands.map { bd =>
+                  val step = qtab((rIdx, bd.orient))._3
+                  val q = new Array[Int](bd.coeffs.length)
+                  var i = 0
+                  while (i < q.length) {
+                    val v = bd.coeffs(i)
+                    val a = (math.abs(v) / step).toInt // dead-zone floor
+                    q(i) = if (v < 0) -a else a
+                    i += 1
+                  }
+                  Band(bd.orient, bd.w, bd.h, q)
+                }
+            }
+          } else {
+            val tile = new Array[Int](tw * th)
+            var r = 0
+            while (r < th) {
+              var cc = 0
+              while (cc < tw) {
+                tile(r * tw + cc) = xformed(c)((y0 + r) * w + x0 + cc); cc += 1
+              }
+              r += 1
+            }
+            forwardDwt(tile, tw, th, params.levels)
           }
-          r += 1
-        }
-        val bands = forwardDwt(tile, tw, th, params.levels)
-        bands.map { resBands =>
+        bands.zipWithIndex.map { case (resBands, rIdx) =>
           resBands.map { band =>
             val nbx = math.max(1, (band.w + cb - 1) / cb)
             val nby = math.max(1, (band.h + cb - 1) / cb)
@@ -1083,7 +1406,7 @@ object Jp2Encoder {
                 }
                 val coded = encodeBlock(cf, bx0, by0, bw2, bh2, band.orient)
                 blocks(by * nbx + bx) = coded
-                allBlocks += ((coded, band.orient))
+                allBlocks += ((coded, rIdx, band.orient))
                 bx += 1
               }
               by += 1
@@ -1096,13 +1419,16 @@ object Jp2Encoder {
     }
 
     // ---- guard bits: one global G such that Mb = eps + G - 1 >= every
-    // block's coded bitplanes (eps = depth + gain per band)
+    // block's coded bitplanes (eps = depth + gain per band for the
+    // reversible path; the QCD exponent of the quantizer ladder for 9/7)
     val maxBits = (0 until nc).map(compBits).max
-    def eps(orient: Int): Int = maxBits + bandGain(orient)
-    val guard = math.max(2, allBlocks.map { case (blk, o) =>
-      blk.bitplanes - eps(o) + 1
+    def eps(r: Int, orient: Int): Int =
+      if (params.irreversible) qtab((r, orient))._1
+      else maxBits + bandGain(orient)
+    val guard = math.max(2, allBlocks.map { case (blk, r, o) =>
+      blk.bitplanes - eps(r, o) + 1
     }.foldLeft(0)(math.max)).min(7)
-    def mb(orient: Int): Int = eps(orient) + guard - 1
+    def mb(r: Int, orient: Int): Int = eps(r, orient) + guard - 1
 
     // ---- Tier-2 rate allocation: greedy in global-bitplane order with
     // PER-PASS granularity. Passes are ordered step-major (step =
@@ -1120,7 +1446,7 @@ object Jp2Encoder {
       else { val q = p - 1; 3 * (pf + 1 + q / 3) + (q % 3) }
     }
     val buckets = Array.fill(steps)(ArrayBuffer[(Int, Int)]()) // (blockIdx, cost)
-    allBlocks.zipWithIndex.foreach { case ((blk, _), bi) =>
+    allBlocks.zipWithIndex.foreach { case ((blk, _, _), bi) =>
       var p = 0
       while (p < blk.passes) {
         val cost = blk.passBytes(p) - (if (p == 0) 0 else blk.passBytes(p - 1))
@@ -1167,7 +1493,7 @@ object Jp2Encoder {
     val builtTiles: IndexedSeq[(Int, Int, Int, IndexedSeq[IndexedSeq[IndexedSeq[BandPlan]]])] =
       tilesRaw.map { case (t, tw, th, perComp) =>
         val compPlans = perComp.map { resSeq =>
-          resSeq.map { bands =>
+          resSeq.zipWithIndex.map { case (bands, rIdx) =>
             bands.map { case (orient, bw2, bh2, nbx, nby, blocks) =>
               val blks = blocks.map { blk =>
                 val lp = blockLayerPasses(gi)
@@ -1180,7 +1506,7 @@ object Jp2Encoder {
                   le(l) = if (cp == 0) 0 else blk.passBytes(cp - 1)
                   l += 1
                 }
-                Blk(blk, mb(orient) - blk.bitplanes, lp, le)
+                Blk(blk, mb(rIdx, orient) - blk.bitplanes, lp, le)
               }
               BandPlan(orient, bw2, bh2, nbx, nby, blks)
             }.toIndexedSeq
@@ -1280,16 +1606,29 @@ object Jp2Encoder {
         (if (Integer.bitCount(params.precinct) == 1) 0 else 1))
     cs.write(be16(0xFF52)); cs.write(be16(13 + params.levels))
     cs.write(scod)
-    cs.write(progression); cs.write(be16(layerCount)); cs.write(if (rct) 1 else 0)
+    cs.write(progression); cs.write(be16(layerCount))
+    cs.write(if (useMct) 1 else 0) // MCT: RCT under transform 1, ICT under 0
     cs.write(params.levels); cs.write(cbExp - 2); cs.write(cbExp - 2)
-    cs.write(0x04); cs.write(1) // style: terminate each pass; 5/3 reversible
+    cs.write(0x04) // style: terminate each pass
+    cs.write(if (params.irreversible) 0 else 1) // 0 = 9/7, 1 = 5/3
     for (_ <- 0 to params.levels) cs.write(ppExp | (ppExp << 4))
-    // QCD (no quantization, reversible): one exponent byte per subband
     val nBands = 3 * params.levels + 1
-    cs.write(be16(0xFF5C)); cs.write(be16(3 + nBands))
-    cs.write(guard << 5)
-    cs.write(eps(0) << 3)
-    for (r <- 1 to params.levels; o <- Seq(1, 2, 3)) { val _ = r; cs.write(eps(o) << 3) }
+    if (params.irreversible) {
+      // QCD scalar expounded (Sqcd style 2): 16-bit (εb, μb) per subband
+      cs.write(be16(0xFF5C)); cs.write(be16(3 + 2 * nBands))
+      cs.write((guard << 5) | 0x02)
+      def w16(r: Int, o: Int): Unit = {
+        val (e, m, _) = qtab((r, o)); cs.write(be16((e << 11) | m))
+      }
+      w16(0, 0)
+      for (r <- 1 to params.levels; o <- Seq(1, 2, 3)) w16(r, o)
+    } else {
+      // QCD no quantization (reversible): one exponent byte per subband
+      cs.write(be16(0xFF5C)); cs.write(be16(3 + nBands))
+      cs.write(guard << 5)
+      cs.write(eps(0, 0) << 3)
+      for (r <- 1 to params.levels; o <- Seq(1, 2, 3)) cs.write(eps(r, o) << 3)
+    }
 
     // per tile: assemble packets first (PLT needs their lengths)
     builtTiles.foreach { case (t, _, _, compPlans) =>
@@ -1385,7 +1724,13 @@ object Jp2Encoder {
     box("ftyp", "jp2 ".getBytes("US-ASCII") ++ be32(0) ++ "jp2 ".getBytes("US-ASCII"))
     val ihdr = be32(h) ++ be32(w) ++ be16(nc) ++
       Array[Byte]((bits - 1).toByte, 7, 0, 0)
-    val colr = Array[Byte](1, 0, 0) ++ be32(if (nc == 3) 16 else 17)
+    // METH=2 (restricted ICC profile) when the caller assigned one (the
+    // reference's sRGB.icc/gray22.icc rule — `bin/main.py:310-311`);
+    // METH=1 enumerated sRGB/greyscale otherwise
+    val colr = params.icc match {
+      case Some(profile) => Array[Byte](2, 0, 0) ++ profile
+      case None => Array[Byte](1, 0, 0) ++ be32(if (nc == 3) 16 else 17)
+    }
     val jp2h = new java.io.ByteArrayOutputStream()
     jp2h.write(be32(8 + ihdr.length)); jp2h.write("ihdr".getBytes("US-ASCII"))
     jp2h.write(ihdr)
@@ -1470,6 +1815,8 @@ object Jp2Decoder {
     var levels = 0; var cbExp = 6; var layers = 1; var mct = false
     var useSop = false; var useEph = false; var progression = 0
     var guard = 2; var expo: Array[Int] = Array.empty
+    var mus: Array[Int] = Array.empty
+    var irrev = false
     var inMain = true
     while (inMain) {
       val mk = u16(cs, p)
@@ -1488,11 +1835,28 @@ object Jp2Decoder {
           mct = (cs(p + 8) & 0xFF) == 1
           levels = cs(p + 9) & 0xFF
           cbExp = (cs(p + 10) & 0xFF) + 2
+          irrev = (cs(p + 13) & 0xFF) == 0 // SPcod transform: 0 = 9/7
           p += 2 + u16(cs, p + 2)
         case 0xFF5C => // QCD
           val l = u16(cs, p + 2)
-          guard = (cs(p + 4) & 0xFF) >> 5
-          expo = (0 until (l - 3)).map(i => (cs(p + 5 + i) & 0xFF) >> 3).toArray
+          val sq = cs(p + 4) & 0xFF
+          guard = sq >> 5
+          val qStyle = sq & 0x1F
+          if (qStyle == 0) { // no quantization: 8-bit exponents
+            expo = (0 until (l - 3)).map(i => (cs(p + 5 + i) & 0xFF) >> 3).toArray
+            mus = Array.fill(expo.length)(0)
+          } else if (qStyle == 2) { // scalar expounded: 16-bit (εb, μb)
+            val nVals = (l - 3) / 2
+            expo = new Array[Int](nVals); mus = new Array[Int](nVals)
+            var i = 0
+            while (i < nVals) {
+              val v = u16(cs, p + 5 + 2 * i)
+              expo(i) = v >> 11; mus(i) = v & 0x7FF
+              i += 1
+            }
+          } else
+            throw new IllegalArgumentException(
+              s"unsupported QCD style $qStyle (scalar derived not emitted)")
           p += 2 + l
         case 0xFF90 => inMain = false // SOT
         case _ => p += 2 + u16(cs, p + 2) // skip unknown/COM
@@ -1508,8 +1872,10 @@ object Jp2Decoder {
       expo(i) + guard - 1
     }
 
-    // decoded tile rasters per comp
+    // decoded tile rasters per comp (double twins for the 9/7 path)
     val compOut = (0 until nc).map(_ => new Array[Int](w * h))
+    val compOutD: Seq[Array[Double]] =
+      if (irrev) (0 until nc).map(_ => new Array[Double](w * h)) else Seq.empty
 
     // Per-tile state persists ACROSS tile-parts (ORGtparts=R splits a
     // tile's packets into one part per resolution): band accumulators
@@ -1660,23 +2026,74 @@ object Jp2Decoder {
             Band(band.orient, band.bw, band.bh, coeffs)
           }.toSeq
         }.toSeq
-        val tile = inverseDwt(resBands, tw, th)
-        var rr = 0
-        while (rr < th) {
-          var ccx = 0
-          while (ccx < tw) {
-            compOut(c)((y0 + rr) * w + x0 + ccx) = tile(rr * tw + ccx)
-            ccx += 1
+        if (!irrev) {
+          val tile = inverseDwt(resBands, tw, th)
+          var rr = 0
+          while (rr < th) {
+            var ccx = 0
+            while (ccx < tw) {
+              compOut(c)((y0 + rr) * w + x0 + ccx) = tile(rr * tw + ccx)
+              ccx += 1
+            }
+            rr += 1
           }
-          rr += 1
+        } else {
+          // dequantize (mid-point reconstruction) then inverse 9/7
+          val resBandsD = resBands.zipWithIndex.map { case (bands2, r) =>
+            bands2.map { b =>
+              val idx = if (r == 0) 0 else 1 + 3 * (r - 1) + (b.orient - 1)
+              val step = quantStep(bits + bandGain(b.orient), expo(idx), mus(idx))
+              val cf = new Array[Double](b.coeffs.length)
+              var i = 0
+              while (i < cf.length) {
+                val qv = b.coeffs(i)
+                cf(i) =
+                  if (qv == 0) 0.0
+                  else if (qv > 0) (qv + 0.5) * step
+                  else (qv - 0.5) * step
+                i += 1
+              }
+              BandD(b.orient, b.w, b.h, cf)
+            }
+          }
+          val tile = inverseDwt97(resBandsD, tw, th)
+          var rr = 0
+          while (rr < th) {
+            var ccx = 0
+            while (ccx < tw) {
+              compOutD(c)((y0 + rr) * w + x0 + ccx) = tile(rr * tw + ccx)
+              ccx += 1
+            }
+            rr += 1
+          }
         }
       }
     }
 
-    // inverse RCT + DC unshift
+    // inverse color transform + DC unshift
     val shift = 1 << (bits - 1)
+    val maxV = (1 << bits) - 1
+    def cl(v: Double): Int =
+      math.max(0, math.min(maxV, math.round(v + shift).toInt))
     val out =
-      if (mct && nc == 3) {
+      if (irrev) {
+        val compsD =
+          if (mct && nc == 3) {
+            // inverse ICT (Annex G.2)
+            val Seq(y, cbv, cr) = compOutD
+            val r = new Array[Double](w * h); val g = new Array[Double](w * h)
+            val b = new Array[Double](w * h)
+            var i = 0
+            while (i < w * h) {
+              r(i) = y(i) + 1.402 * cr(i)
+              g(i) = y(i) - 0.344136 * cbv(i) - 0.714136 * cr(i)
+              b(i) = y(i) + 1.772 * cbv(i)
+              i += 1
+            }
+            Seq(r, g, b)
+          } else compOutD
+        compsD.map(_.map(cl))
+      } else if (mct && nc == 3) {
         val Seq(y, u, v) = compOut
         val r = new Array[Int](w * h); val g = new Array[Int](w * h)
         val b = new Array[Int](w * h)

@@ -111,8 +111,12 @@ object MultimodalOps {
     /** Parsed JP2 header facts. `levels` = COD's decomposition-level
       * count (the resolution ladder [[withJp2Levels]] PLANS on the
       * encode side; here it is read back from the file). */
+    /** `colorMeth` (round 14): the jp2h colr box METH field — 1 =
+      * enumerated colorspace, 2 = restricted ICC profile embedded
+      * (`iccSize` = its byte length), 0 = no colr box seen (bare
+      * codestream probes). */
     final case class Jp2Info(width: Int, height: Int, components: Int,
-        bits: Int, levels: Int)
+        bits: Int, levels: Int, colorMeth: Int = 0, iccSize: Int = 0)
 
     private val Jp2Signature: Array[Byte] = Array(
       0x00, 0x00, 0x00, 0x0c, 0x6a, 0x50, 0x20, 0x20,
@@ -173,24 +177,27 @@ object MultimodalOps {
     private def parseContainer(b: Array[Byte]): Option[Jp2Info] = {
       var i = 0
       var ihdr: Option[Jp2Info] = None
+      var colorMeth = 0; var iccSize = 0
+      def withColr(info: Jp2Info): Jp2Info =
+        info.copy(colorMeth = colorMeth, iccSize = iccSize)
       while (i + 8 <= b.length) {
         val lbox = u32(b, i)
         val tbox = new String(b.slice(i + 4, i + 8), "US-ASCII")
         val (payload, boxEnd) =
           if (lbox == 0L) (i + 8, b.length.toLong) // box runs to EOF
           else if (lbox == 1L) {
-            if (i + 16 > b.length) return ihdr
+            if (i + 16 > b.length) return ihdr.map(withColr)
             // XLBox: 64-bit length; headers this parser reads never need it
             val xl = (u32(b, i + 8) << 32) | u32(b, i + 12)
             (i + 16, i + xl)
           } else (i + 8, i + lbox)
-        if (boxEnd > b.length || boxEnd <= i) return ihdr
+        if (boxEnd > b.length || boxEnd <= i) return ihdr.map(withColr)
         tbox match {
           case "jp2c" =>
             val cs = parseCodestream(b, payload)
-            if (cs.isDefined) return cs
+            if (cs.isDefined) return cs.map(withColr)
           case "jp2h" =>
-            // sub-box walk inside the header superbox for ihdr
+            // sub-box walk inside the header superbox for ihdr + colr
             var j = payload
             while (j + 8 <= boxEnd.toInt) {
               val sl = u32(b, j)
@@ -200,13 +207,17 @@ object MultimodalOps {
                 ihdr = Some(Jp2Info(u32(b, p + 4).toInt, u32(b, p).toInt,
                   u16(b, p + 8), (b(p + 10) & 0x7f) + 1, 0))
               }
+              if (st == "colr" && sl >= 11 && j + sl <= b.length) {
+                colorMeth = b(j + 8) & 0xFF
+                if (colorMeth == 2) iccSize = sl.toInt - 11 // METH+PREC+APPROX
+              }
               if (sl < 8) j = boxEnd.toInt else j += sl.toInt
             }
           case _ => ()
         }
         i = boxEnd.toInt
       }
-      ihdr
+      ihdr.map(withColr)
     }
 
     def probe(content: Array[Byte]): Option[Jp2Info] =
@@ -361,8 +372,14 @@ object MultimodalOps {
             }
             Seq(r, gg, b)
           }
+        // round 14: the reference's PRODUCTION configuration — the
+        // `-rate` ladder runs the 9/7 irreversible path (kdu default
+        // Creversible=no, `bin/main.py:389`) and every derivative
+        // carries its ICC profile per the bit-depth rule
+        // (`bin/main.py:310-311`): 24-bit color -> sRGB, else gray 2.2
         val bytes = Jp2Encoder.encode(comps, w, h, 8,
-          Jp2Params(levels = levels))
+          Jp2Params(levels = levels, irreversible = true,
+            icc = Some(if (gray) IccProfiles.gray22 else IccProfiles.sRGB)))
         TransformedMedia(path, "image/jp2", w, h, bytes)
       }
     }

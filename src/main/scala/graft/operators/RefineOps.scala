@@ -615,7 +615,15 @@ object RefineOps {
     * aggregates (the q146/q147 rule) — the exchange carries one row per
     * group, never the event fan-in; no join, no window. */
   def preferencePairs(events: DataFrame): DataFrame = {
-    val grouped = events.groupBy(col("user_id"), col("event_type"))
+    // NULL ratings carry no preference signal — and the engines disagree
+    // on them: Spark's struct ordering sorts a NULL field SMALLEST (a
+    // null-valued row would win `bot`), while the oracle's ROW_NUMBER
+    // ORDER BY value ASC puts NULLs last. Dropping them up front keeps
+    // both sides literally identical. The `-event_id` tie-break flip
+    // assumes event_id > Long.MinValue (negation overflows there); any
+    // real id space satisfies it.
+    val rated = events.filter(col("value").isNotNull)
+    val grouped = rated.groupBy(col("user_id"), col("event_type"))
       .agg(
         count(lit(1)).as("n_rated"),
         max(struct(col("value"), (-col("event_id")).as("neg_id")))

@@ -2115,20 +2115,22 @@ object RefineQueries {
     // The gap is the single subtraction of the two stored doubles.
     oracle(
       "q173_preference_pairs",
-      """WITH g AS (
+      """WITH e AS (
+        |  SELECT * FROM events WHERE value IS NOT NULL),
+        |g AS (
         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_rated
-        |  FROM events GROUP BY 1, 2),
+        |  FROM e GROUP BY 1, 2),
         |ch AS (
         |  SELECT user_id, event_type, event_id AS chosen_id,
         |    value AS chosen_value
         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-        |          ORDER BY value DESC, event_id) AS rn FROM events)
+        |          ORDER BY value DESC, event_id) AS rn FROM e)
         |  WHERE rn = 1),
         |rj AS (
         |  SELECT user_id, event_type, event_id AS rejected_id,
         |    value AS rejected_value
         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-        |          ORDER BY value ASC, event_id) AS rn FROM events)
+        |          ORDER BY value ASC, event_id) AS rn FROM e)
         |  WHERE rn = 1)
         |SELECT g.user_id, g.event_type, n_rated, chosen_id, rejected_id,
         |  chosen_value, rejected_value,
@@ -2153,8 +2155,11 @@ object RefineQueries {
     oracle(
       "q174_phrase_match",
       {
+        // Standard-SQL literal escaping ('' doubling) so a future phrase
+        // containing a quote can't inject into / diverge from the oracle
+        // (the Spark side already goes through sqlLit).
         val conj = PhraseQ.zipWithIndex.map { case (t, j) =>
-          s"tk[i + $j] = '$t'"
+          s"tk[i + $j] = '${t.replace("'", "''")}'"
         }.mkString(" AND ")
         s"""WITH tk AS (
            |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk

@@ -46,13 +46,24 @@ object JdbcWorkQueue {
       noteCol: String = "Note", driver: String = derbyDriver): DataFrame =
     scan(spark, url, table, driver).filter(col(noteCol) === " ")
 
+  /** Rows above which [[seed]] refuses to run: the seeder drains the
+    * DataFrame to the driver (`collect()`), which is only sane for the
+    * work-queue fixture — NEVER point it at a corpus table. */
+  val MaxSeedRows: Long = 100000L
+
   /** Seed (drop + recreate + insert) `table` from a bounded DataFrame —
     * the fixture harness for the embedded DB. Work-queue tables are
-    * driver-sized by contract, so this collects. Column names are quoted
-    * to preserve case (Derby uppercases unquoted identifiers, which
-    * would break column-name parity with the oracle). */
+    * driver-sized by contract, so this collects — guarded by
+    * [[MaxSeedRows]] so the contract is enforced, not just documented.
+    * Column names are quoted to preserve case (Derby uppercases unquoted
+    * identifiers, which would break column-name parity with the oracle). */
   def seed(df: DataFrame, url: String, table: String,
       driver: String = derbyDriver): Unit = synchronized {
+    val n = df.count()
+    require(n <= MaxSeedRows,
+      s"JdbcWorkQueue.seed drains to the driver: $n rows exceeds the " +
+        s"work-queue contract ($MaxSeedRows). This seeder is for bounded " +
+        "fixture queues, not corpus tables.")
     Class.forName(driver)
     val schema = df.schema
     def sqlType(dt: DataType): String = dt match {

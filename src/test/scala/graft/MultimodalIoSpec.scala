@@ -794,7 +794,9 @@ class MultimodalIoSpec extends SparkSpec {
 
   test("Jp2HeaderProbe reads dimensions, depth and levels from a genuine JP2 container") {
     val info = MultimodalOps.Jp2HeaderProbe.probe(jp2File(2480, 3508, 5, 8))
-    assert(info === Some(MultimodalOps.Jp2HeaderProbe.Jp2Info(2480, 3508, 1, 8, 5)))
+    // colorMeth 1: the fixture writes an enumerated-colorspace colr box
+    assert(info === Some(
+      MultimodalOps.Jp2HeaderProbe.Jp2Info(2480, 3508, 1, 8, 5, colorMeth = 1)))
   }
 
   test("Jp2HeaderProbe reads a bare J2K codestream (no container)") {
@@ -814,7 +816,7 @@ class MultimodalIoSpec extends SparkSpec {
     val csStart = garbled.length - j2kCodestream(100, 50, 5, 8).length
     garbled(csStart) = 0x00 // destroy SOC
     assert(MultimodalOps.Jp2HeaderProbe.probe(garbled) ===
-      Some(MultimodalOps.Jp2HeaderProbe.Jp2Info(100, 50, 1, 8, 0)))
+      Some(MultimodalOps.Jp2HeaderProbe.Jp2Info(100, 50, 1, 8, 0, colorMeth = 1)))
   }
 
   test("Jp2AwareAdapter routes JP2 to the header probe and PNG to the JDK readers") {

@@ -190,7 +190,7 @@ class ScaleSpec extends SparkSpec {
       "q169_fim_examples" -> 1,      // per-row token arithmetic (h60 split points, slices, md5) + union of the short-doc passthrough + sort — scan-shaped
       "q170_watermark_detect" -> 1,  // per-row green-count fold over the token array (no explode) + union of the short-doc passthrough + sort — the q168/q169 scan shape
       "q171_lev_neardup" -> 2,       // blocked equi-join (BroadcastExchange at spec scale; shuffles on the prefix block key at corpus scale — either way bounded per block) + sort; the O(L^2) DP runs per surviving candidate only
-      "q172_sq8_recall" -> 7,        // codes localCheckpointed (quantize pass off-plan); on-plan: code rank window + truth/code semi-join (2) + per-probe hit agg + probe distinct + join-back + sort — the q107/q163 recall tail
+      "q172_sq8_recall" -> 7,        // only the float-truth top-k is localCheckpointed (the quantize scan stays on-plan — its code-table checkpoint was removed per BENCH_NOTES); on-plan: code rank window + truth/code semi-join (2) + per-probe hit agg + probe distinct + join-back + sort — the q107/q163 recall tail
       "q173_preference_pairs" -> 2,  // ONE (user, task) groupBy with max/min(struct) partial aggs + sort — no join, no window
       "q174_phrase_match" -> 1,      // array_contains gate + per-row positional lambda + sort — pure scan shape
       "q175_neardup_fusion" -> 14)   // the three PROVEN detector chains (q36's LSH candidate/verify, q59's Hamming bands, q171's block join — broadcast at spec scale) + pair-keyed fusion agg + sort; every exchange is one of the detectors' designed bounds, fusion adds ONE
