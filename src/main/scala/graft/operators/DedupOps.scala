@@ -1431,8 +1431,12 @@ object DedupOps {
     * difference, so |Δlen| > (1−θ)·maxLen rows cannot clear the
     * similarity floor anyway — the window is a cheap sound-ish
     * pre-filter made exact by the final sim test). Similarity is the
-    * exact integer `((maxLen − lev) · 1e6) div maxLen` — both engines'
-    * `levenshtein` implement the same classic DP over codepoints.
+    * exact integer `((maxLen − lev) · 1e6) div maxLen`. Cross-engine
+    * contract: both `levenshtein` and `length` must count CODEPOINTS
+    * (not bytes) on multi-byte UTF-8 — Spark's UTF8String does; the
+    * sf-corpus hash match only exercises ASCII, so the multi-byte pin
+    * lives in `Round13FamiliesSpec` ("unicode pin"), which checks the
+    * Spark result against an independent JVM codepoint DP.
     *
     * Shape at 100 TB: one equi-join (shuffle on the block key) whose
     * fan-out is per-block, not per-corpus — the q38 blocking shape; the

@@ -77,6 +77,35 @@ class Round13FamiliesSpec extends SparkSpec {
     assert(byPair((1L, 2L)).getLong(4) === (len - 1) * 1000000L / len)
   }
 
+  test("levNearDupPairs: multi-byte text runs the same codepoint DP (unicode pin)") {
+    // r13 ADVICE: the scaladoc's "same classic DP over codepoints" claim
+    // was only hash-proven on effectively-ASCII candidates. This fixture
+    // plants accented near-dups and pins the Spark result to an
+    // independent JVM codepoint DP — if either engine's levenshtein or
+    // length ever counts bytes instead of codepoints on multi-byte
+    // UTF-8, this fails loudly instead of surfacing on a real corpus.
+    val a = "café au lait crème brûlée naïveté søster grüße"
+    val b = "café au lait crème brulée naïveté søster grüße" // û -> u
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = DedupOps.levNearDupPairs(docs, simMinPpm = 0L).collect()
+    assert(out.length === 1)
+    def dp(x: String, y: String): Int = {
+      val xs = x.codePoints.toArray; val ys = y.codePoints.toArray
+      val d = Array.tabulate(xs.length + 1, ys.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to xs.length; j <- 1 to ys.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (xs(i - 1) == ys(j - 1)) 0 else 1))
+      d(xs.length)(ys.length)
+    }
+    val r = out.head
+    assert(r.getLong(2) === dp(a, b).toLong, "lev over codepoints")
+    val maxLen = math.max(a.codePointCount(0, a.length),
+      b.codePointCount(0, b.length)).toLong
+    assert(r.getLong(3) === maxLen, "max_len counts codepoints, not bytes")
+    assert(r.getLong(4) === (maxLen - dp(a, b)) * 1000000L / maxLen)
+  }
+
   test("sq8Recall: quantization-preserving fixture reads full recall") {
     // No zero vector here: the float TRUTH pass (cosineTopK, the q39
     // contract) requires nonzero norms — the ss=0 guard inside the code
