@@ -472,12 +472,20 @@ object DedupOps {
       col("band"), col("bucket"))
     val b = banded.select(col("doc_id").as("b"), col("simhash").as("sh_b"),
       col("band"), col("bucket"))
+    // Hamming filter BEFORE the pair distinct (round 14): the band
+    // self-join's output is dominated by RANDOM 15-bit collisions —
+    // Θ(N²/2^bandBits) pairs, ~10⁹ at a 6M-doc corpus — and a distinct
+    // placed first shuffles ALL of them (the 100× smoke read 582
+    // task-seconds, 16× superlinear). bit_count is a few ns and a pure
+    // function of the pair, so filtering first is result-identical
+    // while the collision fan-out stays PIPELINED inside the join
+    // stage (never exchanged); the distinct then dedups only true
+    // near-dup pairs (≤4 copies each, one per agreeing band).
     a.join(b, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+      .select("a", "b", "hamming").distinct()
   }
 
   /** Connected-component keeper labels over a candidate-pair edge list —
@@ -1505,45 +1513,29 @@ object DedupOps {
     * count — the evidence table a closure pass ([[componentKeepers]],
     * q57) or an audit (q165) consumes downstream.
     *
-    * Shape at 100 TB: the three detectors are the PROVEN bucketed
-    * shapes (q36 LSH bands, q59 Hamming bands, q171 prefix blocks) —
-    * and they all read ONE shared per-doc table (shingle set, SimHash
-    * long, Levenshtein block key) built in a single corpus
-    * tokenize+shingle pass and localCheckpointed (the q69/q172
-    * discipline: checkpoint compact per-doc derivations, never a corpus
-    * explode). Round 14: the previous formulation re-tokenized the
-    * corpus once per member and its 10× cost was the literal sum of the
-    * three detectors run independently. The fusion itself is one groupBy
-    * on the pair key over their bounded outputs, partial-agg friendly. */
+    * Shape at 100 TB: the plain union of the three PROVEN bucketed
+    * detectors (q36 LSH bands, q59 Hamming bands, q171 prefix blocks)
+    * feeding one pair-keyed idempotent agg. A shared-scan variant — the
+    * tokenize/shingle front computed once into a per-doc localCheckpoint
+    * feeding all three members — was BUILT AND MEASURED in round 14 and
+    * rejected on the numbers: the checkpoint is corpus-sized by
+    * construction (the shingle-set column alone is ~3× the text volume;
+    * ~2.4 GB at the 10× smoke, heap-scale at 100×), its per-run
+    * materialization degraded repeated executions monotonically
+    * (10× reps 5.0 → 9.6 s within one session) and bought nothing at
+    * 100× (all variants within noise once the real q59 bottleneck — the
+    * pre-filter distinct, fixed in [[hammingCandidatePairs]] — was
+    * removed). The members' tokenize scans stay ON-PLAN: codegen'd,
+    * pipelined, no state — the q69/q172 "never materialize a corpus
+    * copy" discipline, re-confirmed by measurement (BENCH_NOTES r14). */
   def nearDupFusion(documents: DataFrame, jaccardMin: Double = 0.5,
       maxHamming: Int = 3, levMinPpm: Long = LevSimMinPpm): DataFrame = {
-    graft.functions.NgramShingles.register(documents.sparkSession)
-    graft.functions.SimHashBits.register(documents.sparkSession)
-    graft.functions.H60Hash.register(documents.sparkSession)
-    // `tk` is the CJK-aware tokenization (the q36/q59 members' base);
-    // `ptk` is q171's plain single-space split — kept separate so every
-    // member stays literally lockstepped with its standalone oracle.
-    val base = TextOps.tokenized(documents.select(col("doc_id"), col("text")))
-      .withColumn("sh", expr("array_distinct(ngram_shingles(tk, 3))"))
-      .withColumn("simhash", expr(
-        s"""simhash_bits(transform(array_distinct(tk), t -> ${h60x("t")}), 60)"""))
-      .withColumn("ltext", coalesce(col("text"), lit("")))
-      .withColumn("ptk", split(col("ltext"), " "))
-      .select("doc_id", "sh", "simhash", "ltext", "ptk")
-      .localCheckpoint()
-    val mh = minhashCandidatePairsFrom(base.select(col("doc_id"), col("sh")))
+    val mh = minhashCandidatePairs(documents)
       .filter(col("jaccard") >= jaccardMin)
       .select(col("a"), col("b"), lit(1L).as("signal"))
-    val sp = hammingCandidatePairs(
-        base.select(col("doc_id"), col("simhash")),
-        "doc_id", "simhash", maxHamming, bandBits = 15)
+    val sp = simhashCandidatePairs(documents, maxHamming)
       .select(col("a"), col("b"), lit(2L).as("signal"))
-    val lt = base
-      .filter(size(col("ptk")) >= LevPrefixTokens)
-      .select(col("doc_id"), col("ltext").as("text"),
-        length(col("ltext")).cast("long").as("len"),
-        array_join(slice(col("ptk"), 1, LevPrefixTokens), "|").as("blk"))
-    val lv = levNearDupPairsFrom(lt, LevLenWindow, levMinPpm)
+    val lv = levNearDupPairs(documents, simMinPpm = levMinPpm)
       .select(col("a_id").as("a"), col("b_id").as("b"),
         lit(4L).as("signal"))
     // bit_or, not sum: each branch emits distinct pairs today
