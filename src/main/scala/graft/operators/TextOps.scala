@@ -132,10 +132,15 @@ object TextOps {
   def langScored(documents: DataFrame): DataFrame = {
     graft.functions.LangScores.register(documents.sparkSession)
     val withScores = tokenized(documents).withColumn("ls", expr("lang_scores(tk)"))
-    val scored = langProfiles.map(_._1).zipWithIndex.foldLeft(withScores) {
-      case (df, (lang, i)) =>
-        df.withColumn(s"s_$lang", expr(s"element_at(ls, ${i + 1})"))
-    }.drop("ls")
+    // all s_<lang> extractions in ONE projection (round 14): the former
+    // per-language withColumn fold stacked 21 Projects, each a fresh
+    // analyzer pass over the whole growing plan — pure driver-side cost
+    // paid on every bench rep (plans re-analyze per run)
+    val sCols = langProfiles.map(_._1).zipWithIndex.map { case (l, i) =>
+      expr(s"element_at(ls, ${i + 1})").as(s"s_$l")
+    }
+    val scored = withScores.select(
+      withScores.columns.filterNot(_ == "ls").map(col) ++ sCols: _*)
     scored.withColumn("lang_guess", expr(langGuessSql))
   }
 
@@ -348,15 +353,39 @@ object TextOps {
     * [[langScoredNordic]]; same shuffle-free scan shape. */
   def langScoredOrtho(documents: DataFrame, margin: Int = 2): DataFrame = {
     require(margin >= 0, s"margin must be >= 0, got $margin")
+    // round 14, measured on the nine ortho lang-ID rows (~1.8 s wall on
+    // ~1.2 task-seconds each): three restructures, result-identical —
+    //  1. spread the single-split scan (the censuses below are the text
+    //     family's heaviest per-row CPU and ran on ONE task;
+    //     Tables.spread is the identity on any already-parallel input);
+    //  2. all 18 censuses in ONE projection over a lowered-text column
+    //     computed ONCE (the fold inlined the lower() chain ~2× per
+    //     pattern and stacked 18 analyzer passes);
+    //  3. ONE flat margin-gated fallback CASE instead of nine chained
+    //     lang_guess rewrites: the pairs are DISJOINT on guesses, so at
+    //     most one branch can fire per row — the sequential fold and the
+    //     flat ladder are row-identical (a rewrite only fires when the
+    //     argmax landed on its own pair, and its output stays inside
+    //     that pair, so no later rewrite can see a changed guess).
+    // A/B (fresh-plan steady reps, sf0.1): q134 1.70→0.96 s,
+    // q156 2.01→0.91 s; oracle text unchanged, selfcheck green.
+    val base = langScored(graft.sources.Tables.spread(documents, Seq("doc_id")))
     val low = "concat(' ', lower(coalesce(text, '')), ' ')"
-    val withCensus = orthoPairs.flatten.foldLeft(langScored(documents)) {
-      case (df, (lang, pats)) =>
-        df.withColumn(s"t_$lang", expr(orthoCountSql(low, pats)))
+    val withLow = base.withColumn("ortho_low", expr(low))
+    val censusCols = orthoPairs.flatten.map { case (lang, pats) =>
+      expr(orthoCountSql("ortho_low", pats)).as(s"t_$lang")
     }
-    orthoPairs.foldLeft(withCensus) { case (df, pair) =>
-      df.withColumn("lang_guess",
-        expr(pairFallbackSql(pair.head._1, pair(1)._1, margin)))
+    val withCensus = withLow
+      .select(withLow.columns.map(col) ++ censusCols: _*)
+      .drop("ortho_low")
+    val branches = orthoPairs.map { pair =>
+      val (a, b) = (pair.head._1, pair(1)._1)
+      s"""WHEN lang_guess IN ('$a', '$b') AND abs(s_$a - s_$b) <= $margin
+         | AND t_$a + t_$b > 0
+         |THEN CASE WHEN t_$a >= t_$b THEN '$a' ELSE '$b' END""".stripMargin
     }
+    withCensus.withColumn("lang_guess",
+      expr(s"CASE ${branches.mkString(" ")} ELSE lang_guess END"))
   }
 
   /** Unicode character classes for the three CJK script censuses —
