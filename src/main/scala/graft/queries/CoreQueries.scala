@@ -253,6 +253,12 @@ object CoreQueries {
         |GROUP BY 1 ORDER BY 1""",
       "SURVEY §2.4 A1: grouped document, sorted members") { (s, d) =>
       t(s, d, "lineitem")
+        // range (not hash) partitioning BEFORE the group (round 14, the
+        // committed q42/q43 shape): the aggregate's ClusteredDistribution
+        // and the trailing total order are BOTH satisfied by the one
+        // range exchange, so the rendered docs never cross the wire a
+        // second time — 2 exchanges → 1. A/B steady 1.53 → 0.96 s.
+        .repartitionByRange(col("l_orderkey"))
         .select(col("l_orderkey"),
           concat_ws(":", col("l_linenumber"), floor(col("l_quantity")).cast("long")).as("m"))
         .groupBy("l_orderkey")
@@ -276,6 +282,11 @@ object CoreQueries {
       val w = Window.partitionBy("l_orderkey")
         .orderBy("l_linenumber", "l_partkey", "l_suppkey")
       t(s, d, "lineitem")
+        // ONE range exchange serves the window's ClusteredDistribution
+        // AND the trailing total order (RangePartitioning(k) prefix-
+        // satisfies OrderedDistribution(k, seq)) — 2 exchanges → 1, and
+        // the final sort is local. A/B steady 0.99 → 0.70 s.
+        .repartitionByRange(col("l_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           row_number().over(w).cast("long").as("seq"))
         .withColumn("page", pageName(col("seq")))
@@ -296,7 +307,12 @@ object CoreQueries {
         |ORDER BY l_suppkey, seq""",
       "SURVEY §2.5 W2: numbering continued after existing count") { (s, d) =>
       val li = t(s, d, "lineitem")
+      // the q10 range-exchange shape: partition the big side by range on
+      // the window key BEFORE the (broadcast) offset join — the window's
+      // clustering and the trailing (l_suppkey, seq) order both ride the
+      // one exchange. 2 big-side exchanges → 1.
       val base = li.filter(col("l_linestatus") === "O")
+        .repartitionByRange(col("l_suppkey"))
       val off = li.filter(col("l_linestatus") === "F")
         .groupBy(col("l_suppkey").as("sk")).agg(count(lit(1)).as("n_existing"))
       val w = Window.partitionBy("l_suppkey")
@@ -319,6 +335,8 @@ object CoreQueries {
       "SURVEY §2.5 W3: preceding-sibling count as row_number()-1") { (s, d) =>
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, d, "orders")
+        // q10's shape: one range exchange for window + trailing order
+        .repartitionByRange(col("o_custkey"))
         .select(col("o_custkey"), col("o_orderkey"),
           (row_number().over(w).cast("long") - 1).as("pdf_idx"))
         .orderBy("o_custkey", "o_orderkey")
