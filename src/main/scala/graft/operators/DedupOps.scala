@@ -522,10 +522,6 @@ object DedupOps {
   private[graft] def componentKeepersWithRounds(pairs: DataFrame,
       aCol: String = "a", bCol: String = "b",
       maxIters: Int = 25): (DataFrame, Int) = {
-    val nodes = pairs.select(col(aCol).as("id"))
-      .unionByName(pairs.select(col(bCol).as("id")))
-      .distinct()
-      .localCheckpoint()
     // set-equality probe state: (cardinality, order-independent bit_xor
     // checksum of the pair hashes). Round 4 ran this as ONE aggregate job
     // per round; round 5 makes it ZERO jobs — `observe` piggybacks the
@@ -545,13 +541,34 @@ object DedupOps {
       (out, m("cnt").asInstanceOf[Long],
         Option(m("chk")).fold(0L)(_.asInstanceOf[Long]))
     }
-    // directed child→parent edges, parent strictly smaller; materialized
-    // once so rounds never re-execute the upstream candidate pipeline
-    var (edges, edgeCount, edgeSum) = checkpointWithStats(pairs
+    // Normalized distinct pairs, parent-smaller, materialized ONCE —
+    // `nodes` and the initial edge set both derive from this checkpoint.
+    // Round 14 (optimization guide §1.2 "don't compute things twice"):
+    // the previous shape checkpointed `nodes` and `edges` as two
+    // INDEPENDENT frames over `pairs`, so the caller's whole candidate
+    // pipeline (tokenize → shingle → band join → merge-join verify for
+    // the q57/q83/q143/q162 family) executed twice before the fixpoint
+    // even started. The self-pair rows (u = v) stay in this frame so the
+    // node contract is unchanged ("every node APPEARING IN pairs"); the
+    // convergence stats observe only the u ≠ v survivors — count(when)
+    // counts non-nulls and bit_xor skips nulls, so the (count, checksum)
+    // pair is identical to aggregating the filtered frame.
+    val normObs = org.apache.spark.sql.Observation()
+    val norm = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
+      .distinct()
+      .observe(normObs,
+        count(when(col("u") =!= col("v"), lit(1))).as("cnt"),
+        expr("bit_xor(CASE WHEN u != v THEN xxhash64(u, v) END)").as("chk"))
+      .localCheckpoint()
+    val nodes = norm.select(col("u").as("id"))
+      .unionByName(norm.select(col("v").as("id")))
+      .distinct()
+    val normStats = normObs.get
+    var edges = norm.filter(col("u") =!= col("v"))
+    var edgeCount = normStats("cnt").asInstanceOf[Long]
+    var edgeSum = Option(normStats("chk")).fold(0L)(_.asInstanceOf[Long])
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIters) {

@@ -413,8 +413,9 @@ class DedupSimSpec extends SparkSpec {
     // executions, not scheduler jobs — AQE fans one action out into a
     // job per materialized stage, so job counts measure plan shape, not
     // driver round-trips. Per round: 1 checkpoint + 1 stats agg; plus
-    // setup (2 checkpoints + 1 stats) and ONE exceptAll verify on the
-    // convergence round.
+    // setup (ONE checkpoint since round 14 — nodes and the initial edges
+    // derive from a single normalized-pair materialization) and ONE
+    // exceptAll verify on the convergence round.
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
@@ -449,6 +450,18 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("component keepers label self-pair nodes (every node in pairs, r14 single-materialization)") {
+    import spark.implicits._
+    // (5,5) contributes node 5 but no edge — the contract ("returns
+    // (id, label) for every node APPEARING IN pairs") must survive the
+    // round-14 reshape that derives nodes and edges from ONE checkpointed
+    // normalized-pair frame instead of two independent `pairs` scans.
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
+    val labels = DedupOps.componentKeepers(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
 
   test("IVF assignment puts every vector in its max-cosine centroid cell") {
