@@ -307,6 +307,16 @@ object TextOps {
       s"CAST((length($src) - length(replace($src, '$p', ''))) / ${p.length} AS BIGINT)"
     }.mkString(" + ")
 
+  /** The Spark-side native form of [[orthoCountSql]] —
+    * `substr_census(src, 'p1', …)` ([[graft.functions.SubstrCensus]]):
+    * identical greedy non-overlapping counts in one allocation-free byte
+    * scan per pattern, replacing the replace-chain's ~N full-text copies
+    * per row (round 14; the DuckDB oracles keep the replace-chain text
+    * verbatim — cross-engine equality is the expression's spec'd
+    * contract plus the ortho oracle rows). */
+  private[graft] def orthoCensusExpr(src: String, pats: Seq[String]): String =
+    s"substr_census($src, ${pats.map(p => s"'$p'").mkString(", ")})"
+
   /** The margin-gated fallback ladder over [[langScoredNordic]]'s
     * columns — engaged ONLY when the function-word argmax landed on the
     * da/nb pair with a vote margin at or below `margin` AND the
@@ -338,9 +348,10 @@ object TextOps {
     // single leading/trailing space so word-boundary patterns match at
     // the ends of the text too (same trick both engines replay)
     val low = "concat(' ', lower(coalesce(text, '')), ' ')"
+    graft.functions.SubstrCensus.register(documents.sparkSession)
     langScored(documents)
-      .withColumn("t_da", expr(orthoCountSql(low, daNbOrtho.head._2)))
-      .withColumn("t_nb", expr(orthoCountSql(low, daNbOrtho(1)._2)))
+      .withColumn("t_da", expr(orthoCensusExpr(low, daNbOrtho.head._2)))
+      .withColumn("t_nb", expr(orthoCensusExpr(low, daNbOrtho(1)._2)))
       .withColumn("lang_guess", expr(nordicFallbackSql(margin)))
   }
 
@@ -355,25 +366,34 @@ object TextOps {
     require(margin >= 0, s"margin must be >= 0, got $margin")
     // round 14, measured on the nine ortho lang-ID rows (~1.8 s wall on
     // ~1.2 task-seconds each): three restructures, result-identical —
-    //  1. spread the single-split scan (the censuses below are the text
-    //     family's heaviest per-row CPU and ran on ONE task;
-    //     Tables.spread is the identity on any already-parallel input);
-    //  2. all 18 censuses in ONE projection over a lowered-text column
+    //  1. all 18 censuses in ONE projection over a lowered-text column
     //     computed ONCE (the fold inlined the lower() chain ~2× per
     //     pattern and stacked 18 analyzer passes);
-    //  3. ONE flat margin-gated fallback CASE instead of nine chained
+    //  2. ONE flat margin-gated fallback CASE instead of nine chained
     //     lang_guess rewrites: the pairs are DISJOINT on guesses, so at
     //     most one branch can fire per row — the sequential fold and the
     //     flat ladder are row-identical (a rewrite only fires when the
     //     argmax landed on its own pair, and its output stays inside
-    //     that pair, so no later rewrite can see a changed guess).
-    // A/B (fresh-plan steady reps, sf0.1): q134 1.70→0.96 s,
-    // q156 2.01→0.91 s; oracle text unchanged, selfcheck green.
-    val base = langScored(graft.sources.Tables.spread(documents, Seq("doc_id")))
+    //     that pair, so no later rewrite can see a changed guess);
+    //  3. the censuses run in the native one-scan substr_census
+    //     ([[graft.functions.SubstrCensus]]) — the replace-chain form
+    //     allocated a full text copy per pattern (~90/row), halving to
+    //     0.65 task-s serial once removed.
+    // A `Tables.spread` post-scan repartition was ALSO tried here (the
+    // single-split local scan runs the census serially) and REVERTED on
+    // the numbers: wall 1.0 → 0.87 but task-seconds 0.7 → 7–12 — the
+    // 32-task stage pays ~0.15 s/task of fixed overhead TWICE (the
+    // trailing total order's range-sampling pass re-executes the
+    // projection chain), a 10× real-CPU regression for a 0.1 s wall win.
+    // A/B (QTime steady reps, sf0.1): q134 1.70→0.97 wall,
+    // task 1.2→0.62; q156 2.01→1.16 wall, 1.3→0.70 task; oracle text
+    // unchanged, selfcheck green.
+    val base = langScored(documents)
     val low = "concat(' ', lower(coalesce(text, '')), ' ')"
     val withLow = base.withColumn("ortho_low", expr(low))
+    graft.functions.SubstrCensus.register(documents.sparkSession)
     val censusCols = orthoPairs.flatten.map { case (lang, pats) =>
-      expr(orthoCountSql("ortho_low", pats)).as(s"t_$lang")
+      expr(orthoCensusExpr("ortho_low", pats)).as(s"t_$lang")
     }
     val withCensus = withLow
       .select(withLow.columns.map(col) ++ censusCols: _*)

@@ -59,38 +59,17 @@ object Tables {
         s"events.ts: unsupported physical type $other")
     }
 
-  /** Scale-adaptive post-scan spread (optimization guide §2.5, "input
-    * skew": one huge unsplittable file → repartition immediately after
-    * the read). The driver test tables are single-row-group parquet
-    * files, so every scan plans exactly ONE input split and the per-row
-    * CPU of a scan-shaped operator (tokenize / census / shingle /
-    * minhash / render) runs serially however many cores the session
-    * has — measured r14: the nine lang-ID rows each carry ~1.2
-    * task-seconds on a 1-task scan stage, i.e. wall ≈ task instead of
-    * task/32. When the planned scan parallelism is already ≥ the
-    * session default parallelism — any real multi-file or
-    * multi-row-group corpus, and every frame downstream of a shuffle —
-    * this is the IDENTITY (no exchange added), so at 100 TB it costs
-    * nothing; locally it buys the missing parallelism for one exchange
-    * of the few-MB scan output. Keyed repartition when a stable key
-    * column exists (deterministic under retry, no sort-before-
-    * repartition pass); round-robin otherwise. Streaming frames return
-    * untouched (`.rdd` is undefined for them; micro-batch parallelism
-    * comes from the source). */
-  /** A/B kill switch (dev measurement only): SPARK_GRAFT_NO_SPREAD=1
-    * turns every [[spread]] into the identity so a before/after pair
-    * runs in the same build. */
-  private val disabled = sys.env.contains("SPARK_GRAFT_NO_SPREAD")
-
-  def spread(df: DataFrame, keys: Seq[String] = Nil): DataFrame = {
-    if (disabled || df.isStreaming) return df
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df
-    else keys.filter(df.columns.contains) match {
-      case Nil => df.repartition(cores)
-      case ks  => df.repartition(cores, ks.map(col): _*)
-    }
-  }
+  // A scale-adaptive post-scan `spread` repartition (guide §2.5 "input
+  // skew": the test tables are single-row-group parquet, so scan-stage
+  // per-row CPU runs serially) lived here for part of round 14 and was
+  // REMOVED on its own A/B evidence: with the census work gone native
+  // (graft.functions.SubstrCensus) the downstream 32-task stage paid
+  // ~0.15 s/task of fixed overhead twice (the trailing total order's
+  // range-sampling pass re-executes the projection), i.e. task-seconds
+  // 0.7 → 7–12 for a ~0.1 s wall win — a 10× real-CPU regression that
+  // would only ever fire on single-split local inputs. At corpus scale
+  // scans are already parallel and the exchange would be identity-but-
+  // planned; the honest shape is the shuffle-free scan.
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

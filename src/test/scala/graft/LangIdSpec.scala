@@ -423,6 +423,31 @@ class LangIdSpec extends SparkSpec {
     assert(row.getLong(1) === 0L)
   }
 
+  test("substr_census ≡ the replace-chain census on adversarial inputs (r14 native swap)") {
+    // the ortho censuses swapped from per-pattern replace-chains (a full
+    // text copy per pattern) to the native one-scan substr_census; the
+    // DuckDB oracles keep the replace form, so the two must count
+    // identically everywhere, including the corners: self-overlapping
+    // patterns (greedy left-to-right: 'ee'×2 in 'eeee', ×1 in 'eee'),
+    // multi-byte patterns at string edges, adjacent matches, and NULL
+    graft.functions.SubstrCensus.register(spark)
+    val pats = Seq("ee", "ão", "ç", " af ", "l·l")
+    val texts = Seq("eeee", "eee", "e", "", "ãoão", "xãoxão", "ç", "çç",
+      " af af ", " af  af ", "l·ll·l", "al·l·la", "ão ç ee af l·l",
+      "ñ y ñ", null)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val censusNative = graft.operators.TextOps.orthoCensusExpr("text", pats)
+    val censusChain = graft.operators.TextOps.orthoCountSql("text", pats)
+    val rows = df.selectExpr("id", s"$censusNative AS a", s"$censusChain AS b")
+      .collect()
+    rows.foreach { r =>
+      val a = if (r.isNullAt(1)) null else r.getLong(1)
+      val b = if (r.isNullAt(2)) null else r.getLong(2)
+      assert(a === b, s"id=${r.getLong(0)} native=$a chain=$b")
+    }
+  }
+
   test("overlapping function words accumulate for every language that claims them") {
     // 'de' is both Spanish and French; 'la' Spanish/French/Italian — a
     // text of only shared forms must score them for all claimants

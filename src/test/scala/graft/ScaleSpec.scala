@@ -153,14 +153,14 @@ class ScaleSpec extends SparkSpec {
       "q132_image_phash_neardup" -> 3, // per-row dHash (narrow mapPartitions) + 4×16-bit band self-join (1 exchange each side) + pair distinct + sort — the q37/q59 SimHash shape over an image hash; never all-pairs
       "q138_quality_classifier" -> 3, // weight-table broadcast + ONE doc-keyed agg + sort; the explode+score rides inside the scan stage — the model-inference scale shape
       "q133_nordic_langid" -> 1,     // per-row native lang_scores + orthography censuses + sort (the q31/q109 shape)
-      "q134_ptgl_langid" -> 2,       // scan spread (Tables.spread, r14: single-split input → keyed repartition; identity at corpus scale) + sort — the pair registry is per-row data
-      "q135_hrsr_langid" -> 2,       // same
-      "q136_msid_langid" -> 2,       // same
-      "q145_cssk_langid" -> 2,       // same
-      "q152_bgmk_langid" -> 2,       // same — the Cyrillic pair is still per-row registry data
-      "q156_ukru_langid" -> 2,       // same — seventh pair
-      "q160_nlaf_langid" -> 2,       // same — eighth pair (respelling census)
-      "q166_esca_langid" -> 2,       // same — ninth pair (ñ/y vs ç/l·l census)
+      "q134_ptgl_langid" -> 1,       // per-row native substr_census + sort (r14: the scan-spread exchange was reverted on task-second evidence; the pair registry is per-row data)
+      "q135_hrsr_langid" -> 1,       // same
+      "q136_msid_langid" -> 1,       // same
+      "q145_cssk_langid" -> 1,       // same
+      "q152_bgmk_langid" -> 1,       // same — the Cyrillic pair is still per-row registry data
+      "q156_ukru_langid" -> 1,       // same — seventh pair
+      "q160_nlaf_langid" -> 1,       // same — eighth pair (respelling census)
+      "q166_esca_langid" -> 1,       // same — ninth pair (ñ/y vs ç/l·l census)
       "q137_dup_span_excise" -> 7,   // covered-position explode/distinct + anti join + lpad-position sorted_multi_concat re-assembly + flag join-back + sort
       "q139_stream_neardup_pairs" -> 8, // sig agg + band self-join (2) + pair distinct + two sig join-backs (2) + agreement filter + sort — the batch ground truth of the streaming detector
       "q140_length_quantiles" -> 3,  // (source,len) partial agg + source window + final agg reuses the window partitioning + sort; windows on bounded rows only
