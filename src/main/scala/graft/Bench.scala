@@ -372,20 +372,28 @@ object Bench {
     // without its terminator just before us, the JSON still starts at
     // column 0 of its own line (the driver parses line-wise).
     //
-    // TWO stdout lines, small one LAST (round-11 verdict item 4): the
-    // driver's tail capture beheaded r11's single long line — the 151-entry
-    // queries map pushed the head (metric/value) past the buffer and the
-    // record parsed null. The per-query map now goes on its own line first;
-    // the FINAL line is totals-only (~250 bytes), so whichever way the
-    // capture truncates, the last complete line always parses.
+    // ONE contract line, LAST, WITH the queries map (round-15 measurement
+    // fix): the r13/r14 records put the per-query map on its own stdout
+    // line and made the FINAL line totals-only — but the driver parses the
+    // LAST JSON line, so both rounds' records carried no "queries" at all
+    // (PERF_r14: now_bench_ok=false, n_common=0, per_query={}) and the
+    // round was scored on the noisy first-run total alone. The r11
+    // beheading this split was defending against came from THREE 151-entry
+    // maps on one line (~8 KB); a single 175-entry short-key map is
+    // ~2.2 KB and the r13/r14 tail captures held ~4 KB intact, so the
+    // contract line — totals + the steady-median queries map, nothing
+    // else — fits the capture with margin. The redundant full line still
+    // prints FIRST (same content plus env stamp + first-run map in
+    // BENCH_LINE.json), so a truncated capture degrades to exactly the
+    // old behavior instead of losing data.
     System.out.println()
     System.out.println(line)
-    val totalsLine =
+    val contractLine =
       s"""{"metric":"total","value":${d2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,""" +
         s""""steady_total":${d2(steadyTotal)},"task_total":${d2(taskTotal)},""" +
         s""""gc":"${jesc(gcNames)}","heap_mb":$heapMb,""" +
-        s""""queries_note":"per-query map on previous stdout line and in BENCH_LINE.json; reps+stamps in BENCH_FULL.json"}"""
-    System.out.println(totalsLine)
+        s""""queries":${jmap(_.steadyWallMed)}}"""
+    System.out.println(contractLine)
     System.out.flush()
     spark.stop()
   }
