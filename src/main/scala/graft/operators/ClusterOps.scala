@@ -313,14 +313,18 @@ object ClusterOps {
       rounds: Int = 2): DataFrame = {
     require(m >= 1 && k >= 1 && rounds >= 1,
       s"m, k, rounds must all be >= 1, got m=$m k=$k rounds=$rounds")
-    val coded = (0 until m).map { s =>
+    // the m subspace k-means chains are INDEPENDENT (first joined below),
+    // but each is a sequence of per-round localCheckpoint barriers —
+    // submit them concurrently (guide §2.6) so the build pays the
+    // barrier depth of ONE chain, not m chains
+    val coded = Overlap.par((0 until m).map { s => () =>
       val lo = s"(($s * size(embedding)) div $m)"
       val hi = s"((${s + 1} * size(embedding)) div $m)"
       val sub = embeddings.select(col("vec_id"),
         expr(s"slice(embedding, 1 + $lo, $hi - $lo)").as("embedding"))
       kmeansAssign(sub, k, rounds)
         .select(col("vec_id"), col("cluster").as(s"code_$s"))
-    }.reduce(_.join(_, Seq("vec_id")))
+    }).reduce(_.join(_, Seq("vec_id")))
     val codeCols = (0 until m).map(s => s"code_$s")
     val cells = coded.groupBy(codeCols.map(col): _*)
       .agg(count(lit(1)).as("cell_size"))

@@ -548,10 +548,8 @@ object SimOps {
     // replaying m k-means chains per query batch — the q89/q112 lineage
     // discipline, and the real system boundary (FAISS builds the index
     // offline too).
-    val cells = ivfAssign(embeddings, kCells).select("vec_id", "cell")
-      .localCheckpoint()
     // per-subspace (micro-quantized sub-vector, code, final codebook, LUT)
-    val parts = (0 until m).map { s =>
+    def buildPart(s: Int): (DataFrame, DataFrame) = {
       val lo = s"(($s * size(embedding)) div $m)"
       val hi = s"((${s + 1} * size(embedding)) div $m)"
       val sub = embeddings.select(col("vec_id"),
@@ -584,6 +582,16 @@ object SimOps {
         .localCheckpoint()
       (code, lut)
     }
+    // the coarse-cell chain and the m subspace chains are INDEPENDENT
+    // (the first join of any two is `coded` below) — submit them
+    // concurrently (guide §2.6) so the build's barrier depth is the
+    // longest single chain, not the sum of m+1 chains' barriers
+    val cellsThunk: () => AnyRef = () =>
+      ivfAssign(embeddings, kCells).select("vec_id", "cell").localCheckpoint()
+    val partThunks: Seq[() => AnyRef] = (0 until m).map(s => () => buildPart(s))
+    val built = Overlap.par(cellsThunk +: partThunks)
+    val cells = built.head.asInstanceOf[DataFrame]
+    val parts = built.tail.map(_.asInstanceOf[(DataFrame, DataFrame)])
     val coded = parts.map(_._1).reduce(_.join(_, Seq("vec_id")))
       .join(cells, Seq("vec_id"))
       .localCheckpoint()

@@ -17,9 +17,45 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session RELATION cache (round 15, guide §1.2 driver-side cost):
+    * every `spark.read.parquet(path)` resolves the relation anew —
+    * file-status listing plus a parquet footer read for schema inference,
+    * all single-threaded driver work paid per call. A bench/verify session
+    * loads the same ten tables thousands of times (175 queries × reps ×
+    * 1–4 tables each), so the resolution is cached per (session, path).
+    * This caches the LOGICAL RELATION only — the analyzed plan object —
+    * never data or results: every action still scans the parquet files.
+    * It is the same reuse a production session gets from a catalog table
+    * (resolve once at registration, scan per query).
+    *
+    * Staleness guard: the cache key carries the path's lastModified stamp,
+    * so a test fixture that overwrites its parquet dir between reads gets
+    * a fresh relation (WeakHashMap on the session keeps stopped test
+    * sessions collectable). */
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Long), DataFrame]]()
+
+  private def cachedRead(spark: SparkSession, path: String)
+      (load: => DataFrame): DataFrame = {
+    val m = relCache.synchronized {
+      var mm = relCache.get(spark)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[(String, Long), DataFrame]()
+        relCache.put(spark, mm)
+      }
+      mm
+    }
+    m.computeIfAbsent((path, new java.io.File(path).lastModified()),
+      _ => load)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else {
+      val p = s"$sfDir/$name.parquet"
+      cachedRead(spark, p)(spark.read.parquet(p))
+    }
 
   /** `events.ts` has shipped in two physical vintages: parquet
     * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects unless
@@ -73,7 +109,8 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    val p = s"$sfDir/events.parquet"
+    normalizeTs(cachedRead(spark, p)(spark.read.parquet(p)))
   }
 
   /** Incremental events scan: rows at/after `sinceMicros` with the
@@ -84,7 +121,8 @@ object Tables {
     * vintage, so the two phrasings select identical rows. */
   def eventsSince(spark: SparkSession, sfDir: String, sinceMicros: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val p = s"$sfDir/events.parquet"
+    val raw = cachedRead(spark, p)(spark.read.parquet(p))
     normalizeTs(raw.filter(tsAtLeast(raw.schema("ts").dataType, sinceMicros)))
   }
 }
