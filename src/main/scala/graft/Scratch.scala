@@ -25,6 +25,9 @@ object Scratch {
     if (sys.env.contains("SPARK_GRAFT_PPJOIN_STAGES")) {
       ppjoinStages(spark, sfDir); return
     }
+    if (sys.env.contains("SPARK_GRAFT_Q52_STAGES")) {
+      q52Stages(spark, sfDir); return
+    }
     if (sys.env.contains("SPARK_GRAFT_Q165_STAGES")) {
       q165Stages(spark, sfDir); return
     }
@@ -114,6 +117,149 @@ object Scratch {
   }
 
   /** Per-subtree timing for the q165 pairEvidence chain on `sfDir`. */
+  /** Progressive-prefix timing of the q52 render pipeline (round 15):
+    * which slice of the 12.7 CPU-s post-exchange stage actually costs —
+    * the exchange itself, the per-row render projections, the L1
+    * aggregate, the window, the L2 aggregate, or the final doc concat. */
+  private def q52Stages(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        runMs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime / 1000000L)
+    })
+    def t(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      var best = Double.MaxValue; var bestCpu = 0.0
+      (1 to 3).foreach { _ =>
+        System.gc()
+        runMs.set(0L)
+        val t0 = System.nanoTime
+        df.write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime - t0) / 1e9
+        Thread.sleep(300)
+        if (w < best) { best = w; bestCpu = runMs.get / 1000.0 }
+      }
+      println(f"[q52] $label%-10s wallMin=$best%.2f cpu=$bestCpu%.1f")
+    }
+    // ---- replicate DocQueries q52 reps + MetsOps.renderMets stages ----
+    def reps = {
+      val o = graft.sources.Tables(spark, sfDir, "orders")
+      val okey = concat(lit("O"), col("o_orderkey"))
+      val whole = o.select(
+        okey.as("objid"), okey.as("abs_name"),
+        concat(okey, lit(".pdf")).as("cannonical"),
+        lit("whole").as("wholepart"), lit("deliverable").as("use"),
+        md5(concat(lit("ck"), col("o_orderkey")).cast("binary")).as("checksum"),
+        lit("MD5").as("checksumtype"),
+        floor(col("o_totalprice")).cast("long").cast("string").as("size"),
+        lit("application/pdf").as("mimetype"),
+        lit(null).cast("string").as("width"),
+        lit(null).cast("string").as("height"))
+      val l = graft.sources.Tables(spark, sfDir, "lineitem")
+      val lkey = concat(lit("O"), col("l_orderkey"))
+      val absName = concat(lkey, lit("/"),
+        lpad(col("l_linenumber").cast("string"), 8, "0"),
+        lit("_"), col("l_partkey"), lit("_"), col("l_suppkey"))
+      val part = l.select(
+        lkey.as("objid"), absName.as("abs_name"),
+        concat(absName, lit(".tif")).as("cannonical"),
+        lit("part").as("wholepart"), lit("master").as("use"),
+        md5(concat_ws(":", lit("ck"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")).cast("binary")).as("checksum"),
+        lit("MD5").as("checksumtype"),
+        floor(col("l_extendedprice") * 100).cast("long").cast("string").as("size"),
+        lit("image/tiff").as("mimetype"),
+        floor(col("l_quantity")).cast("long").cast("string").as("width"),
+        col("l_partkey").cast("string").as("height"))
+      whole.unionByName(part)
+        .withColumn("docid", concat(col("objid"), lit(".mets")))
+        .withColumn("created", lit("2026-01-01T00:00:00Z"))
+        .withColumn("title", concat(lit("Order "), col("objid")))
+        .withColumn("urn",
+          concat(lit("urn:pudl:images:"), col("use"), lit(":"), col("cannonical")))
+    }
+    graft.functions.SortedMultiConcat.register(spark)
+    def xmlEsc(c: String): String =
+      s"""replace(replace(replace(replace($c,
+         |  '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;')""".stripMargin
+    val fileXml =
+      s"""concat('<mets:file USE="', use, '" ID="f', can_esc,
+         |  '" CHECKSUM="', checksum, '" CHECKSUMTYPE="', checksumtype,
+         |  '" MIMETYPE="', mimetype, '" SIZE="', size, '"',
+         |  CASE WHEN mimetype <> 'application/pdf'
+         |       THEN concat(' ADMID="t', can_esc, '"') ELSE '' END,
+         |  '><mets:FLocat LOCTYPE="URN" xlink:href="', urn_esc,
+         |  '"/></mets:file>')""".stripMargin
+    val techXml =
+      s"""CASE WHEN mimetype <> 'application/pdf' THEN
+         |  concat('<mets:techMD ID="t', can_esc,
+         |    '"><mets:mdWrap MDTYPE="NISOIMG">',
+         |    '<mets:xmlData><mix:imageWidth>', width, '</mix:imageWidth>',
+         |    '<mix:imageHeight>', height, '</mix:imageHeight>',
+         |    '</mets:xmlData></mets:mdWrap></mets:techMD>')
+         |ELSE '' END""".stripMargin
+    def parted = reps.repartitionByRange(col("objid"))
+    def rendered = parted
+      .withColumn("can_esc", expr(xmlEsc("cannonical")))
+      .withColumn("urn_esc", expr(xmlEsc("urn")))
+      .withColumn("abs_esc", expr(xmlEsc("abs_name")))
+      .withColumn("file_xml", expr(fileXml))
+      .withColumn("tech_xml", expr(techXml))
+    def groups = rendered
+      .groupBy("objid", "docid", "created", "title", "wholepart", "abs_name", "abs_esc")
+      .agg(expr("sorted_multi_concat(cannonical, file_xml, tech_xml)").as("joined"))
+      .withColumn("files_xml", col("joined").getField("c0"))
+      .withColumn("techs_xml", col("joined").getField("c1"))
+      .drop("joined")
+    val ordW = Window.partitionBy("objid", "wholepart").orderBy("abs_name")
+    def frags = groups
+      .withColumn("ord", row_number().over(ordW).cast("string"))
+      .withColumn("whole_files",
+        expr("CASE WHEN wholepart = 'whole' THEN files_xml ELSE '' END"))
+      .withColumn("grp_xml", expr(
+        """CASE WHEN wholepart = 'part' THEN
+          |  concat('<mets:fileGrp ID="fg', abs_esc, '">', files_xml,
+          |         '</mets:fileGrp>')
+          |ELSE '' END""".stripMargin))
+      .withColumn("div_xml", expr(
+        """CASE WHEN wholepart = 'part' THEN
+          |  concat('<mets:div LABEL="[', ord, ']" ORDER="', ord,
+          |    '" TYPE="FolderMember"><mets:fptr FILEID="fg', abs_esc,
+          |    '"/></mets:div>')
+          |ELSE '' END""".stripMargin))
+    def l2 = frags
+      .groupBy("objid", "docid", "created", "title")
+      .agg(expr(
+        "sorted_multi_concat(abs_name, techs_xml, whole_files, grp_xml, div_xml)")
+        .as("joined"))
+    // warm everything once
+    SparkEntry.queries("q52_mets_full")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    t("raw")(reps)
+    t("exchange")(parted)
+    t("rendered")(rendered)
+    t("L1agg")(groups)
+    t("window")(frags)
+    t("L2agg")(l2)
+    t("full")(SparkEntry.queries("q52_mets_full")(spark, sfDir))
+    // isolate L1: hash machinery vs the typed aggregate itself
+    def l1min = rendered
+      .groupBy("objid", "docid", "created", "title", "wholepart", "abs_name", "abs_esc")
+      .agg(min("file_xml").as("files_xml"), min("tech_xml").as("techs_xml"))
+    t("L1min")(l1min)
+    // narrow group key: only the true group identity, dependents re-derived
+    def l1narrow = rendered
+      .groupBy("objid", "wholepart", "abs_name")
+      .agg(expr("sorted_multi_concat(cannonical, file_xml, tech_xml)").as("joined"))
+    t("L1narrow")(l1narrow)
+    // L1 without partial aggregation double-work: flag flip
+    spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    t("L1sortagg")(groups)
+    spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "true")
+  }
+
   private def q165Stages(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

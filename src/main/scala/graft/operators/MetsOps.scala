@@ -111,7 +111,7 @@ object MetsOps {
     * The wire still carries ~150 B/row of fields instead of ~700 B/row
     * of rendered XML, once. */
   def renderMets(reps: DataFrame): DataFrame = {
-    graft.functions.SortedMultiConcat.register(reps.sparkSession)
+    graft.functions.MetsFold.register(reps.sparkSession)
     val parted = reps.repartitionByRange(col("objid"))
     // per-row codegen'd rendering AFTER the exchange; the grouped levels
     // below only sort, extract, and join pre-built strings. abs_name is
@@ -124,52 +124,25 @@ object MetsOps {
       .withColumn("abs_esc", expr(xmlEsc("abs_name")))
       .withColumn("file_xml", expr(fileXml))
       .withColumn("tech_xml", expr(techXml))
-    // level 1: one row per group key (whole group key == objid itself,
-    // part group key == objid/page), reps joined in cannonical order.
-    // sorted_multi_concat replaces the round-4 collect_list → sort_array
-    // → getField → array_join chain: ONE incremental aggregate buffers
-    // only the input strings and writes each joined column once into an
-    // exactly-sized buffer (round-8 verdict item 1 — the old chain's
-    // per-group garbage made this stage's cost track collector state,
-    // the three-round q52 bimodality).
-    val groups = rendered
-      .groupBy("objid", "docid", "created", "title", "wholepart", "abs_name", "abs_esc")
-      .agg(expr("sorted_multi_concat(cannonical, file_xml, tech_xml)").as("joined"))
-      .withColumn("files_xml", col("joined").getField("c0"))
-      .withColumn("techs_xml", col("joined").getField("c1"))
-      .drop("joined")
-    // member ORDER label = 1-based position among the folder's parts in
-    // abs_name order. Computing it as a window BEFORE level 2 (instead of
-    // transform's (g, i) index after) lets every member fragment render
-    // per-row through codegen'd concat; the post-grouping lambdas below
-    // only EXTRACT pre-built strings (the measured-15× interpreted-HOF
-    // trap). Exchange-free: the window partitions on (objid, wholepart),
-    // already clustered by the objid repartition.
-    val ordW = Window.partitionBy("objid", "wholepart").orderBy("abs_name")
-    val frags = groups
-      .withColumn("ord", row_number().over(ordW).cast("string"))
-      .withColumn("whole_files",
-        expr("CASE WHEN wholepart = 'whole' THEN files_xml ELSE '' END"))
-      .withColumn("grp_xml", expr(
-        """CASE WHEN wholepart = 'part' THEN
-          |  concat('<mets:fileGrp ID="fg', abs_esc, '">', files_xml,
-          |         '</mets:fileGrp>')
-          |ELSE '' END""".stripMargin))
-      .withColumn("div_xml", expr(
-        """CASE WHEN wholepart = 'part' THEN
-          |  concat('<mets:div LABEL="[', ord, ']" ORDER="', ord,
-          |    '" TYPE="FolderMember"><mets:fptr FILEID="fg', abs_esc,
-          |    '"/></mets:div>')
-          |ELSE '' END""".stripMargin))
-    // level 2: one row per folder, fragments joined in abs_name order —
-    // whole (abs_name == objid) sorts before every part (objid + '/...'),
-    // so the key-ordered concat reproduces the whole-before-part document
-    // order directly. Same incremental aggregate as level 1: all four
-    // fragment columns ride one buffer, sorted once.
-    frags
+    // BOTH grouping levels + the member ORDER window in ONE aggregate
+    // (round 15; MetsFold's scaladoc carries the exact-equivalence
+    // contract and MetsFoldSpec the differential proof against the
+    // replaced sorted_multi_concat → window → sorted_multi_concat
+    // chain). The replaced chain cost ~8.8 of the render stage's ~15
+    // task-seconds at sf0.1 (Scratch q52Stages decomposition): the
+    // rep-level ObjectHashAggregate hashed 75k near-singleton groups on
+    // SEVEN string key columns and round-tripped every typed buffer
+    // through serialize/deserialize between its partial and final modes,
+    // the ORDER-label window sorted the full rep table a second time,
+    // and the folder-level aggregate hashed and buffered a third. The
+    // fold is one hash table on the four folder columns + one in-memory
+    // sort per folder — whole-before-part order, per-member envelopes,
+    // and the 1-based ORDER labels all come from that sort, and the
+    // output columns are byte-identical by the spec'd contract.
+    rendered
       .groupBy("objid", "docid", "created", "title")
       .agg(expr(
-        "sorted_multi_concat(abs_name, techs_xml, whole_files, grp_xml, div_xml)")
+        "mets_fold(abs_name, wholepart, abs_esc, cannonical, file_xml, tech_xml)")
         .as("joined"))
       .withColumn("objid_esc", expr(xmlEsc("objid")))
       .withColumn("amd_tech", concat(

@@ -753,11 +753,21 @@ object CoreQueries {
         |  quantile_cont(l_extendedprice, 0.5) AS p50_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""",
       "exact interpolated percentiles per group") { (s, d) =>
+      // ONE percentile buffer for both l_quantity percentiles (round 15):
+      // two scalar percentile() aggs on the same column each built their
+      // own value->count OpenHashMap over every row (boxed doubles); the
+      // array form builds the map once and reads both percentages off it
+      // with the identical per-percentage interpolation (same
+      // Percentile.getPercentile call per element), so results are
+      // bit-identical and the heaviest buffer is built once, not twice.
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D))").as("p_qty"),
           expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+        .select(col("l_returnflag"),
+          element_at(col("p_qty"), 1).as("p50_qty"),
+          element_at(col("p_qty"), 2).as("p90_qty"),
+          col("p50_price"))
         .orderBy("l_returnflag")
     },
 
