@@ -33,6 +33,8 @@ object Scratch {
     }
     if (sys.env.contains("SPARK_GRAFT_JP2_DBG")) { jp2Dbg(); return }
     if (sys.env.contains("SPARK_GRAFT_Q131_AB")) { q131Ab(spark, sfDir); return }
+    if (sys.env.contains("SPARK_GRAFT_JOBS")) { jobCensus(spark, sfDir, names); return }
+    if (sys.env.contains("SPARK_GRAFT_ORDER_AB")) { orderAb(spark, sfDir); return }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
@@ -44,6 +46,102 @@ object Scratch {
         println(f"[time] $name rep$i ${(System.nanoTime - t0) / 1e9}%.2f s")
       }
       else println(plan)
+    }
+  }
+
+  /** A/B for the trailing-total-order double-execution (round 15): a
+    * scan-rooted projection chain ending in orderBy pays the chain TWICE
+    * (the range exchange's sampling pass re-executes it) and runs it
+    * SERIALLY (single-split local parquet). Variants on the q156 chain:
+    * base; rbr = repartitionByRange(doc_id) on the RAW scan (sampling
+    * sees only the raw scan; the trailing sort's distribution is already
+    * satisfied, so the chain runs once, in parallel); ckpt =
+    * localCheckpoint before orderBy (chain once, serial). */
+  private def orderAb(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        runMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+    })
+    val ukSnippet = "і в на з як що це до у країна мова наш рік його"
+    val ruSnippet = "и в на с как что это к у страна язык наш год его"
+    def aug(base: org.apache.spark.sql.DataFrame) = base.select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 9 === 6, lit(s" $ukSnippet $ukSnippet"))
+        .when(col("doc_id") % 9 === 7, lit(s" $ruSnippet $ruSnippet"))
+        .otherwise(lit(""))).as("text"))
+    def chain(base: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.langScoredOrtho(aug(base))
+        .select("doc_id", "s_uk", "s_ru", "t_uk", "t_ru", "lang_guess")
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "base" -> (() => chain(docs).orderBy("doc_id")),
+      "rbr" -> (() => chain(docs.repartitionByRange(col("doc_id"))).orderBy("doc_id")),
+      "ckpt" -> (() => chain(docs).localCheckpoint().orderBy("doc_id")))
+    variants.foreach { case (name, f) =>
+      f().write.format("noop").mode("overwrite").save() // warm
+      val walls = (1 to 3).map { _ =>
+        System.gc(); runMs.set(0L)
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        (w, runMs.get / 1000.0)
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      println(f"[oab] $name%-5s wallMed=${med(walls.map(_._1))}%.2f " +
+        f"taskMed=${med(walls.map(_._2))}%.2f " +
+        walls.map(r => f"(${r._1}%.2f/${r._2}%.2f)").mkString(" "))
+    }
+  }
+
+  /** Per-job wall census for a query (round 15): wall ≫ task rows are
+    * driver-barrier-dominated — this prints every Spark job the query
+    * submits (description, wall, stage count) plus the gaps between
+    * jobs, so the barrier structure (checkpoints, broadcast builds,
+    * sequential chains) is visible without the UI. One discarded warm
+    * run, then one instrumented run per query. */
+  private def jobCensus(spark: SparkSession, sfDir: String,
+      names: Seq[String]): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+    import scala.collection.mutable
+    final case class J(id: Int, t0: Long, var t1: Long = 0L,
+      var desc: String = "", var nStages: Int = 0)
+    val jobs = mutable.LinkedHashMap[Int, J]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
+        val j = J(e.jobId, System.nanoTime())
+        j.desc = Option(e.properties.getProperty("spark.job.description"))
+          .orElse(Option(e.properties.getProperty("callSite.short"))).getOrElse("")
+        j.nStages = e.stageInfos.size
+        jobs(e.jobId) = j
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
+        jobs.get(e.jobId).foreach(_.t1 = System.nanoTime())
+      }
+    })
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      jobs.synchronized(jobs.clear())
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"[jobs] $name wall=$wall%.2f njobs=${jobs.size}")
+      var prevEnd = t0
+      jobs.synchronized(jobs.values.toSeq).sortBy(_.t0).foreach { j =>
+        val gap = (j.t0 - prevEnd) / 1e9
+        val dur = if (j.t1 > 0) (j.t1 - j.t0) / 1e9 else -1.0
+        prevEnd = if (j.t1 > 0) j.t1 else j.t0
+        println(f"[jobs]   gap=$gap%6.3f job${j.id}%-4d dur=$dur%6.3f " +
+          f"stages=${j.nStages}%-2d ${j.desc.take(110)}")
+      }
     }
   }
 

@@ -448,7 +448,7 @@ object CoreQueries {
          |  upper(lang) AS lang_uc
          |FROM documents ORDER BY doc_id""",
       "SURVEY §2.7: consolidated scalar function surface") { (s, d) =>
-      t(s, d, "documents")
+      graft.sources.Tables.byOrder(s, d, "documents", "doc_id")
         .select(col("doc_id"),
           md5(col("text")).as("checksum"),
           pageName(col("doc_id")).as("page_name"),
@@ -477,7 +477,7 @@ object CoreQueries {
          |    FROM documents))
          |ORDER BY doc_id""",
       "SURVEY §2.2 F11/F19/F20: host_c_id ⇄ path projections") { (s, d) =>
-      t(s, d, "documents")
+      graft.sources.Tables.byOrder(s, d, "documents", "doc_id")
         .select(col("doc_id"),
           concat(upper(col("source")), lit("_c"),
             lpad(col("doc_id").cast("string"), 4, "0")).as("host_id"))
@@ -517,7 +517,7 @@ object CoreQueries {
         |  CAST(day(o_orderdate) AS BIGINT) AS odom
         |FROM orders ORDER BY o_orderkey""",
       "SURVEY §2.7: date_format / date_trunc / extract surface") { (s, d) =>
-      t(s, d, "orders")
+      graft.sources.Tables.byOrder(s, d, "orders", "o_orderkey")
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
           date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("om"),
@@ -539,7 +539,7 @@ object CoreQueries {
         |       AS BIGINT) AS jp2_levels
         |FROM orders ORDER BY o_orderkey""",
       "SURVEY §2.2 F17/F18: floor-to-100 resize + halving-count levels") { (s, d) =>
-      t(s, d, "orders")
+      graft.sources.Tables.byOrder(s, d, "orders", "o_orderkey")
         .select(col("o_orderkey"),
           (floor(col("o_totalprice") / 100.0).cast("long") * 100).as("resize_target"),
           length(bin(expr("floor(o_totalprice) div 96"))).cast("long").as("jp2_levels"))

@@ -1070,7 +1070,7 @@ object CorpusQueries {
       "q104_encoding_quality",
       encodingQualityOracle,
       "Quality: encoding/mojibake hygiene flags (U+FFFD, C0, \u00c3/\u00e2\u20ac)") { (s, d) =>
-      TextOps.encodingQuality(Tables(s, d, "documents"))
+      TextOps.encodingQuality(Tables.byOrder(s, d, "documents", "doc_id"))
         .orderBy("doc_id")
     },
 
@@ -1182,7 +1182,7 @@ object CorpusQueries {
            |ORDER BY doc_id""".stripMargin
       },
       "Text: script-census CJK lang-ID (Hangul\u2192ko, Kana\u2192ja, Han\u2192zh, function-word fallback)") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           cjkSnippets.foldLeft(when(lit(false), lit(""))) {
             case (w, (m, _, snip)) => w.when(col("doc_id") % 11 === m, lit(s" $snip"))

@@ -83,7 +83,7 @@ object NorthStarQueries {
          |      FROM ($TK))
          |ORDER BY doc_id""",
       "Text analysis: token counting (whitespace tokenizer + stopword count)") { (s, d) =>
-      TextOps.qualityScored(Tables(s, d, "documents"))
+      TextOps.qualityScored(Tables.byOrder(s, d, "documents", "doc_id"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
           col("ttr"))
         .orderBy("doc_id")
@@ -113,7 +113,7 @@ object NorthStarQueries {
       // deterministic per-doc_id snippets make it genuinely multilingual
       // so the classifier's output is non-degenerate (round-4 verdict
       // item 6) — docs with no function words at all classify 'und'
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           NorthStarQueries.langAugSnippets.foldLeft(
             when(lit(false), lit(""))) { case (w, (m, snip)) =>
@@ -146,7 +146,7 @@ object NorthStarQueries {
          |      FROM ($TK))
          |ORDER BY doc_id""",
       "Text analysis: quality scoring (length/stopword/type-token ratios)") { (s, d) =>
-      TextOps.qualityScored(Tables(s, d, "documents"))
+      TextOps.qualityScored(Tables.byOrder(s, d, "documents", "doc_id"))
         .select("doc_id", "n_tokens", "ttr", "stop_ratio", "mean_len", "quality")
         .orderBy("doc_id")
     },
@@ -159,7 +159,7 @@ object NorthStarQueries {
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
          |FROM ($TK) ORDER BY doc_id""",
       "Text analysis: order-sensitive rolling-hash document fingerprint") { (s, d) =>
-      TextOps.fingerprinted(Tables(s, d, "documents"))
+      TextOps.fingerprinted(Tables.byOrder(s, d, "documents", "doc_id"))
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     },
@@ -180,7 +180,7 @@ object NorthStarQueries {
       s"""SELECT doc_id, array_to_string(sig, ',') AS sig_str
          |FROM (${SIG()}) ORDER BY doc_id""",
       "Dedup: 16-hash MinHash signature over 3-gram shingles") { (s, d) =>
-      DedupOps.minhashSigned(Tables(s, d, "documents"))
+      DedupOps.minhashSigned(Tables.byOrder(s, d, "documents", "doc_id"))
         .selectExpr("doc_id",
           "array_join(transform(sig, x -> cast(x AS string)), ',') AS sig_str")
         .orderBy("doc_id")
@@ -225,7 +225,7 @@ object NorthStarQueries {
          |      FROM ($TK))
          |ORDER BY doc_id""",
       "Dedup: 32-bit SimHash bit-vote over distinct tokens") { (s, d) =>
-      TextOps.simhashed(Tables(s, d, "documents"))
+      TextOps.simhashed(Tables.byOrder(s, d, "documents", "doc_id"))
         .select("doc_id", "simhash")
         .orderBy("doc_id")
     },
@@ -439,7 +439,7 @@ object NorthStarQueries {
       // (legacy sizeOfNull) where DuckDB len(NULL) is NULL, and the
       // engines disagree on 0/0 doubles — NULL text and token-less text
       // must hit neither
-      Tables(s, d, "documents")
+      Tables.byOrder(s, d, "documents", "doc_id")
         .withColumn("bt", regexp_extract_all(coalesce(col("text"), lit("")),
           lit("'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)))
         .select(col("doc_id"),
@@ -914,7 +914,7 @@ object NorthStarQueries {
         |    '[0-9]{6,}', '<NUM>', 'g') AS redacted_text
         |FROM aug ORDER BY doc_id""",
       "Quality: ordered PII-pattern redaction with per-pattern counts") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 7 === 0,
             concat(lit(" contact user"), col("doc_id"),
@@ -961,7 +961,7 @@ object NorthStarQueries {
         |    FROM embeddings))
         |ORDER BY vec_id""",
       "Embeddings: symmetric int8 quantization with exact reconstruction MSE") { (s, d) =>
-      SimOps.int8Quantized(Tables(s, d, "embeddings"))
+      SimOps.int8Quantized(Tables.byOrder(s, d, "embeddings", "vec_id"))
         .withColumn("q_codes", array_join(col("qvec"), ","))
         .select("vec_id", "n_dims", "qscale", "q_codes", "sum_q_abs", "mse")
         .orderBy("vec_id")

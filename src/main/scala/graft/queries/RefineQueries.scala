@@ -875,7 +875,7 @@ object RefineQueries {
            |FROM g ORDER BY doc_id""".stripMargin
       },
       "Text analysis: da/nb lang-ID via char-n-gram orthography tie-break") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 1,
             lit(s" $nordicDaSnippet $nordicDaSnippet"))
@@ -926,7 +926,7 @@ object RefineQueries {
            |FROM $last ORDER BY doc_id""".stripMargin
       },
       "Text analysis: pt/gl lang-ID via the generalized orthography tie-break") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 3, lit(s" $ptSnippet $ptSnippet"))
           .when(col("doc_id") % 9 === 4, lit(s" $glSnippet $glSnippet"))
@@ -977,7 +977,7 @@ object RefineQueries {
            |FROM $last ORDER BY doc_id""".stripMargin
       },
       "Text analysis: hr/sr-Latn lang-ID via the orthography-pair registry") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 5, lit(s" $hrSnippet $hrSnippet"))
           .when(col("doc_id") % 9 === 6, lit(s" $srSnippet $srSnippet"))
@@ -1028,7 +1028,7 @@ object RefineQueries {
            |FROM $last ORDER BY doc_id""".stripMargin
       },
       "Text analysis: ms/id lang-ID via the orthography-pair registry") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 7, lit(s" $msSnippet $msSnippet"))
           .when(col("doc_id") % 9 === 8, lit(s" $idSnippet $idSnippet"))
@@ -1107,7 +1107,7 @@ object RefineQueries {
          |  CAST(len(text_nfc) AS BIGINT) AS n_chars_nfc, text_nfc
          |FROM n ORDER BY doc_id""",
       "Quality: Unicode NFC normalization census (encoding hygiene)") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 7 === 3, lit(s" $nfcDecomposed"))
           .when(col("doc_id") % 7 === 4, lit(s" $nfcComposed"))
@@ -1252,7 +1252,7 @@ object RefineQueries {
            |FROM $last ORDER BY doc_id""".stripMargin
       },
       "Text analysis: cs/sk lang-ID via the orthography-pair registry") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 4, lit(s" $csSnippet $csSnippet"))
           .when(col("doc_id") % 9 === 5, lit(s" $skSnippet $skSnippet"))
@@ -1302,7 +1302,7 @@ object RefineQueries {
            |FROM $last ORDER BY doc_id""".stripMargin
       },
       "Text analysis: bg/mk lang-ID via the orthography-pair registry (first Cyrillic pair)") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 2, lit(s" $bgSnippet $bgSnippet"))
           .when(col("doc_id") % 9 === 3, lit(s" $mkSnippet $mkSnippet"))
@@ -1354,7 +1354,7 @@ object RefineQueries {
            |FROM $last ORDER BY doc_id""".stripMargin
       },
       "Text analysis: uk/ru lang-ID via the orthography-pair registry (seventh pair, second Cyrillic)") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 6, lit(s" $ukSnippet $ukSnippet"))
           .when(col("doc_id") % 9 === 7, lit(s" $ruSnippet $ruSnippet"))
@@ -1407,7 +1407,7 @@ object RefineQueries {
            |FROM $last ORDER BY doc_id""".stripMargin
       },
       "Text analysis: nl/af lang-ID via the orthography-pair registry (eighth pair, respelling census)") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 4, lit(s" $nlSnippet $nlSnippet"))
           .when(col("doc_id") % 9 === 5, lit(s" $afSnippet $afSnippet"))
@@ -1455,7 +1455,7 @@ object RefineQueries {
            |FROM $last ORDER BY doc_id""".stripMargin
       },
       "Text analysis: es/ca lang-ID via the orthography-pair registry (ninth pair)") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 9 === 0, lit(s" $esSnippet $esSnippet"))
           .when(col("doc_id") % 9 === 1, lit(s" $caSnippet $caSnippet"))
@@ -1670,7 +1670,7 @@ object RefineQueries {
          |  md5(red) AS redacted_md5
          |FROM r2 ORDER BY doc_id""",
       "Curation: PII detection + redaction (emails/phones/IPv4/Luhn-gated cards, md5-pinned rewrite)") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 11 === 0, lit(" contact alice.smith@example.org today"))
             .when(col("doc_id") % 11 === 1, lit(" card 4532015112830366 on file"))
@@ -1715,7 +1715,7 @@ object RefineQueries {
          |  CAST(length(psm) AS BIGINT) AS psm_len, md5(psm) AS psm_md5
          |FROM p ORDER BY doc_id""",
       "Training data: fill-in-the-middle PSM example construction (h60 split points, md5-pinned)") { (s, d) =>
-      TextOps.fimExamples(Tables(s, d, "documents")).orderBy("doc_id")
+      TextOps.fimExamples(Tables.byOrder(s, d, "documents", "doc_id")).orderBy("doc_id")
     },
 
     // Classifier-vs-rules calibration: the q138 hashed linear model's
@@ -2000,7 +2000,7 @@ object RefineQueries {
            |FROM g ORDER BY doc_id""".stripMargin
       },
       "Provenance: green-list watermark detection (Kirchenbauer z>=4, exact integer test)") { (s, d) =>
-      val aug = Tables(s, d, "documents").select(col("doc_id"),
+      val aug = Tables.byOrder(s, d, "documents", "doc_id").select(col("doc_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % TextOps.WmPlantMod === 0,
             lit(" " + TextOps.WmPlant)).otherwise(lit(""))).as("text"))

@@ -157,6 +157,12 @@ object StreamingQueries {
           posexplode(col("sample_ids")).as(Seq("i", "event_id")))
         .select(col("event_type"), col("n_seen"),
           (col("i") + 1).cast("long").as("sample_rank"), col("event_id"))
+        // Lazy checkpoint of the BOUNDED sampler output (k rows per
+        // event_type) before the total order: the trailing range
+        // exchange's bound-sampling pass otherwise re-executes the whole
+        // mapGroupsWithState pass — the query's dominant cost — a second
+        // time (round 15; job census showed two equal ~0.8 s jobs).
+        .localCheckpoint(false)
         .orderBy("event_type", "sample_rank")
     },
 

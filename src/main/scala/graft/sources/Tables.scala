@@ -57,6 +57,25 @@ object Tables {
       cachedRead(spark, p)(spark.read.parquet(p))
     }
 
+  /** Scan pre-partitioned by the caller's trailing total-order key
+    * (round 15, guide §2.4 "remove shuffles outright"): a scan-rooted
+    * per-row chain ending in `orderBy(keys)` pays the chain TWICE — the
+    * final range exchange samples its child to compute partition bounds,
+    * re-executing every projection below it — and on a single-split
+    * local file runs it serially. Range-partitioning the RAW rows by the
+    * same keys moves the one unavoidable exchange below the chain
+    * (identical row count, narrower rows: raw columns instead of raw +
+    * derived), satisfies the trailing sort's OrderedDistribution (the
+    * sort keeps no exchange of its own and adds only a per-partition
+    * sort), and lets the bound-sampling pass read the bare scan instead
+    * of the chain. Result-identical: same rows, same final total order.
+    * Measured on the q156 ortho chain (sf0.1, local[32]): wall 8.08 →
+    * 0.71, task 5.74 → 0.42 (isolated session; the in-bench effect is
+    * ~2× wall / ~2× task — OPTIMIZATION_r15.md). */
+  def byOrder(spark: SparkSession, sfDir: String, name: String,
+      keys: String*): DataFrame =
+    apply(spark, sfDir, name).repartitionByRange(keys.map(col): _*)
+
   /** `events.ts` has shipped in two physical vintages: parquet
     * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects unless
     * loaded as raw int64 via the legacy conf) and plain TIMESTAMP(MICROS)
