@@ -35,6 +35,7 @@ object Scratch {
     if (sys.env.contains("SPARK_GRAFT_Q131_AB")) { q131Ab(spark, sfDir); return }
     if (sys.env.contains("SPARK_GRAFT_JOBS")) { jobCensus(spark, sfDir, names); return }
     if (sys.env.contains("SPARK_GRAFT_ORDER_AB")) { orderAb(spark, sfDir); return }
+    if (sys.env.contains("SPARK_GRAFT_SPREAD_AB")) { spreadAb(spark, sfDir); return }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
@@ -46,6 +47,60 @@ object Scratch {
         println(f"[time] $name rep$i ${(System.nanoTime - t0) / 1e9}%.2f s")
       }
       else println(plan)
+    }
+  }
+
+  /** A/B for spreading the single-split scan under AGG-ROOTED chains
+    * (round 15): the per-row shingle/tokenize stage of the pair-mining
+    * family runs serially on the one scan split; a range repartition on
+    * doc_id parallelizes it at the cost of one raw-row exchange. Unlike
+    * the flat ordered chains (orderAb / Tables.byOrder), these chains
+    * have exchanges above, so the trailing order's sampling pass never
+    * re-executes the spread stage. */
+  private def spreadAb(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        runMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+    })
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val spreadDocs = docs.repartitionByRange(col("doc_id"))
+    def q36(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.DedupOps.minhashCandidatePairs(d).orderBy("a", "b")
+    def q38(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.DedupOps.blockedJaccardPairs(d, maxShingleDf = Some(25L))
+        .orderBy("a", "b")
+    def q57(d: org.apache.spark.sql.DataFrame) = {
+      val pairs = graft.operators.DedupOps.minhashCandidatePairs(d)
+        .filter(col("jaccard") >= 0.5).select("a", "b")
+      val labels = graft.operators.DedupOps.componentKeepers(pairs)
+        .withColumnRenamed("id", "doc_id")
+      d.select("doc_id").join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper"))
+        .orderBy("doc_id")
+    }
+    val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "q36base" -> (() => q36(docs)), "q36sprd" -> (() => q36(spreadDocs)),
+      "q38base" -> (() => q38(docs)), "q38sprd" -> (() => q38(spreadDocs)),
+      "q57base" -> (() => q57(docs)), "q57sprd" -> (() => q57(spreadDocs)))
+    variants.foreach { case (name, f) =>
+      f().write.format("noop").mode("overwrite").save() // warm
+      val walls = (1 to 3).map { _ =>
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc(); runMs.set(0L)
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        (w, runMs.get / 1000.0)
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      println(f"[sab] $name%-8s wallMed=${med(walls.map(_._1))}%.2f " +
+        f"taskMed=${med(walls.map(_._2))}%.2f " +
+        walls.map(r => f"(${r._1}%.2f/${r._2}%.2f)").mkString(" "))
     }
   }
 

@@ -35,7 +35,14 @@ object CurateOps {
     // re-executed it per round through its pair lineage). localCheckpoint
     // truncates lineage to executor-local blocks — the same mechanism
     // componentKeepers already uses per contraction round.
-    val docs = documents.localCheckpoint()
+    // Range-spread by doc_id BEFORE the checkpoint (round 15): the
+    // local single-split scan otherwise checkpoints into ONE block, so
+    // every per-row rule subtree (langScored, gopher tokenize, the pair
+    // shingling) runs serially from it; the checkpoint preserves the
+    // partitioning, so all downstream stages fan out. At corpus scale
+    // the scan is already parallel and the range exchange replaces the
+    // equally-sized exchange the report's doc_id joins need anyway.
+    val docs = documents.repartitionByRange(col("doc_id")).localCheckpoint()
     val lang = TextOps.langScored(docs)
       .select(col("doc_id"), col("lang_guess"))
     val gopher = TextOps.gopherStats(docs)

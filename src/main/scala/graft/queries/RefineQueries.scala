@@ -2176,7 +2176,13 @@ object RefineQueries {
            |FROM m WHERE len(positions) >= 1 ORDER BY doc_id""".stripMargin
       },
       "Retrieval: exact phrase match with positions (contamination forensics primitive)") { (s, d) =>
+      // Lazy checkpoint of the BOUNDED match set (docs containing the
+      // exact phrase — a tiny fraction of any corpus, the operator's
+      // premise) before the total order: the range exchange's sampling
+      // pass otherwise re-runs the array_contains conjunction scan — the
+      // query's dominant cost — a second time (the q130 pattern).
       TextOps.phraseMatch(Tables(s, d, "documents"), PhraseQ)
+        .localCheckpoint(false)
         .orderBy("doc_id")
     },
 
