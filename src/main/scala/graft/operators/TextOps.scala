@@ -1944,16 +1944,24 @@ object TextOps {
     val tk = split(coalesce(col("text"), lit("")), " ")
     val base = documents.select(col("doc_id"), tk.as("tk"),
       size(tk).cast("long").as("n_tokens"))
-    val s1 = (lit(1L) +
+    // ONE branch, not a long-doc/short-doc UNION (round 15): the union
+    // planned THREE exchanges under a byOrder caller (each branch
+    // re-partitioned, the trailing sort re-exchanged above the Union)
+    // and its bound-sampling re-ran both branches; a per-row CASE keeps
+    // the scan shape with the one trailing sort. CaseWhen evaluates
+    // lazily, so the short-doc rows never touch the guarded modulos.
+    // Row-identical to the union (fim ⇔ n_tokens ≥ minTokens).
+    val fim = col("n_tokens") >= minTokens
+    val s1v = lit(1L) +
       expr(s"${h60x("concat(CAST(doc_id AS STRING), '|fim1')")}") %
-        (col("n_tokens") - 2L)).as("s1")
-    val withS1 = base.filter(col("n_tokens") >= minTokens).select(
-      col("doc_id"), col("tk"), col("n_tokens"), s1)
-    val s2 = (col("s1") + 1L +
+        (col("n_tokens") - 2L)
+    val withS1 = base.select(col("doc_id"), col("tk"), col("n_tokens"),
+      when(fim, s1v).otherwise(lit(0L)).as("s1"))
+    val s2v = col("s1") + 1L +
       expr(s"${h60x("concat(CAST(doc_id AS STRING), '|fim2')")}") %
-        (col("n_tokens") - 1L - col("s1"))).as("s2")
+        (col("n_tokens") - 1L - col("s1"))
     val cut = withS1.select(col("doc_id"), col("tk"), col("n_tokens"),
-      col("s1"), s2)
+      col("s1"), when(fim, s2v).otherwise(lit(0L)).as("s2"))
     val join = (c: Column) => array_join(c, " ")
     val psm = concat(
       lit("<PRE>"), join(slice(col("tk"), lit(1), col("s1"))),
@@ -1961,15 +1969,11 @@ object TextOps {
         col("n_tokens") - col("s2"))),
       lit("<MID>"), join(slice(col("tk"), col("s1") + 1L,
         col("s2") - col("s1"))))
-    val split_ = cut.select(col("doc_id"), col("n_tokens"),
-      col("s1"), col("s2"), lit(true).as("fim"),
-      length(psm).cast("long").as("psm_len"), md5(psm).as("psm_md5"))
-    val short = base.filter(col("n_tokens") < minTokens)
-      .select(col("doc_id"), col("n_tokens"),
-        lit(0L).as("s1"), lit(0L).as("s2"), lit(false).as("fim"),
-        length(array_join(col("tk"), " ")).cast("long").as("psm_len"),
-        md5(array_join(col("tk"), " ")).as("psm_md5"))
-    split_.union(short)
+    val plain = array_join(col("tk"), " ")
+    cut.select(col("doc_id"), col("n_tokens"),
+      col("s1"), col("s2"), fim.as("fim"),
+      when(fim, length(psm)).otherwise(length(plain)).cast("long").as("psm_len"),
+      when(fim, md5(psm)).otherwise(md5(plain)).as("psm_md5"))
   }
 
   /** q170 plant, shared by the registry lambda and the oracle (the q168
@@ -2007,19 +2011,22 @@ object TextOps {
     val tk = split(coalesce(col("text"), lit("")), " ")
     val base = documents.select(col("doc_id"), tk.as("tk"),
       size(tk).cast("long").as("n"))
-    val scored = base.filter(col("n") >= 2L)
-      .withColumn("green_cnt", expr(
+    // ONE branch, not a scored/short UNION (round 15, the fimExamples
+    // note): a per-row CASE keeps the scan shape — one trailing sort
+    // exchange under a byOrder caller, no branch re-execution in its
+    // bound-sampling pass. CaseWhen is lazy: n < 2 rows never run the
+    // bigram fold (whose sequence(2, n) would be descending there).
+    // Row-identical to the union (t_scored = 0 ⇔ n < 2).
+    val excess = lit(2L) * col("green_cnt") - col("t_scored")
+    base
+      .withColumn("green_cnt", when(col("n") >= 2L, expr(
         """aggregate(sequence(2, cast(n as int)), 0L, (acc, i) ->
           |  acc + CASE WHEN h60(concat(element_at(tk, i - 1), '|',
           |    element_at(tk, i))) % 2L = 0L THEN 1L ELSE 0L END)"""
-          .stripMargin))
-      .select(col("doc_id"), (col("n") - 1L).as("t_scored"),
+          .stripMargin)).otherwise(lit(0L)))
+      .select(col("doc_id"),
+        when(col("n") >= 2L, col("n") - 1L).otherwise(lit(0L)).as("t_scored"),
         col("green_cnt"))
-    val short = base.filter(col("n") < 2L)
-      .select(col("doc_id"), lit(0L).as("t_scored"),
-        lit(0L).as("green_cnt"))
-    val excess = lit(2L) * col("green_cnt") - col("t_scored")
-    scored.union(short)
       .withColumn("green_ppm", when(col("t_scored") === 0L, lit(0L))
         .otherwise(expr("(green_cnt * 1000000L) div t_scored")))
       .withColumn("watermarked", col("t_scored") >= 1L &&

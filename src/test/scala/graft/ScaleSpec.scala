@@ -148,7 +148,7 @@ class ScaleSpec extends SparkSpec {
       "q127_training_shards" -> 2,   // ONE shard exchange (window) + total-order sort — the write-side repartition+sortWithinPartitions shape
       "q128_bottomk_sample" -> 0,    // TakeOrderedAndProject (per-partition k-heap + k-row merge) + k-row single-partition rank window — the corpus never shuffles
       "q129_embedding_health" -> 4,  // per-dim partial agg + 1-row centroid pack/broadcast + single-row final agg; two narrow corpus passes
-      "q130_stream_bottomk" -> 2,    // ONE group-key exchange into the stateful op + total-order sort; state O(k) per key
+      "q130_stream_bottomk" -> 1,    // total-order sort only VISIBLE: the group-key exchange into the stateful op sits below the round-15 lazy checkpoint of the bounded sampler output (which stops the sort's bound-sampling pass from re-running the state pass); state O(k) per key
       "q131_ppjoin_pairs" -> 10,     // post-checkpoint hashed-array table (round 9): df agg + doc-key rank window (n from the array, no COUNT window) + prefix self-join + positional-filter pair agg + un-hinted two-side array verify (per-pair array_intersect, no exploded re-join) + sort; candidate keys are each doc's RAREST shingles (inherent anti-skew)
       "q132_image_phash_neardup" -> 3, // per-row dHash (narrow mapPartitions) + 4×16-bit band self-join (1 exchange each side) + pair distinct + sort — the q37/q59 SimHash shape over an image hash; never all-pairs
       "q138_quality_classifier" -> 3, // weight-table broadcast + ONE doc-keyed agg + sort; the explode+score rides inside the scan stage — the model-inference scale shape
